@@ -1,0 +1,472 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+/** Core relational operator surface.
+  *
+  * Covers the reference's coded operators (projected scan
+  * `/root/reference/src/storage.rs:189-222`, full scan `:299-351`) and its
+  * README-declared query pipeline (filter → prune → scan → group/aggregate,
+  * `/root/reference/README.md:51-62`), plus the standard relational operators
+  * the driver's gate requires beyond the reference's declared non-features
+  * (joins, windows, set ops — SURVEY.md §2.3).
+  *
+  * Scale posture: all dimension joins use explicit `broadcast()`; fact-fact
+  * joins shuffle on their keys; no driver-side materialization anywhere.
+  */
+object CoreQueries {
+
+  /** exact 2-decimal cast — makes double aggregation order-independent */
+  private def dec(c: Column): Column  = c.cast(DecimalType(18, 2))
+  private def dec12(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec3(c: Column): Column  = c.cast(DecimalType(3, 2))
+  private val one: Column = lit(1).cast(DecimalType(3, 2))
+  /** order-independent exact sum of a 2-decimal double, as double */
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+  private def ts(s: String): Column   = lit(s).cast(TimestampType)
+
+  // SQL-side mirrors of the helpers above (kept textually close so the
+  // decimal promotion chain is identical in both engines).
+  private def SUMD(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── scans / projection / filters (reference O10, O11, D1-D3) ──────────
+    QueryDef(
+      "q01_scan_project",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 300)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+              FROM lineitem WHERE l_orderkey < 300"""),
+      headline = true
+    ),
+
+    QueryDef(
+      "q02_filter_range",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderkey").between(100, 500))
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey BETWEEN 100 AND 500""")
+    ),
+
+    QueryDef(
+      "q03_filter_conjunct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 45 && col("l_discount") <= 0.02 &&
+            col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+              FROM lineitem
+              WHERE l_quantity >= 45 AND l_discount <= 0.02 AND l_returnflag = 'R'""")
+    ),
+
+    // ── grouped aggregation (reference D4, README.md:60-62): TPC-H Q1 ─────
+    QueryDef(
+      "q04_tpch_q1",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sumd(col("l_quantity")).as("sum_qty"),
+            sumd(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec12(col("l_extendedprice")) * (one - dec3(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            sum(dec12(col("l_extendedprice")) * (one - dec3(col("l_discount"))) *
+              (one + dec3(col("l_tax")))).cast("double").as("sum_charge"),
+            (sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (sumd(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (sumd(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order")
+          ),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              ${SUMD("l_quantity")} AS sum_qty,
+              ${SUMD("l_extendedprice")} AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+              ${SUMD("l_quantity")} / count(*) AS avg_qty,
+              ${SUMD("l_extendedprice")} / count(*) AS avg_price,
+              ${SUMD("l_discount")} / count(*) AS avg_disc,
+              count(*) AS count_order
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus"""),
+      headline = true
+    ),
+
+    QueryDef(
+      "q05_global_agg",
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          sumd(col("l_extendedprice")).as("sum_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship")
+        ),
+      Some(s"""SELECT count(*) AS n_rows, min(l_quantity) AS min_qty,
+              max(l_quantity) AS max_qty, ${SUMD("l_extendedprice")} AS sum_price,
+              min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+              FROM lineitem""")
+    ),
+
+    QueryDef(
+      "q06_count_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps")
+          ),
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+              count(DISTINCT l_partkey) AS n_parts,
+              count(DISTINCT l_suppkey) AS n_supps
+              FROM lineitem GROUP BY l_returnflag"""),
+      headline = true
+    ),
+
+    // ── sort / limit / top-k / distinct ───────────────────────────────────
+    QueryDef(
+      "q07_topk",
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(15),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""")
+    ),
+
+    QueryDef(
+      "q08_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+    ),
+
+    // ── joins (SURVEY.md §2.3: ship beyond the reference's non-features) ──
+    QueryDef(
+      "q09_join_broadcast",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("sum_bal")),
+      Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+              ${SUMD("c_acctbal")} AS sum_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name"""),
+      headline = true
+    ),
+
+    QueryDef(
+      "q10_join_fact",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(dec12(col("l_extendedprice")) * (one - dec3(col("l_discount"))))
+              .cast("double").as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders")
+          ),
+      Some("""SELECT o_orderpriority,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+              count(DISTINCT o_orderkey) AS n_orders
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority"""),
+      headline = true
+    ),
+
+    QueryDef(
+      "q11_tpch_q3",
+      (s, d) =>
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(dec12(col("l_extendedprice")) * (one - dec3(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      headline = true
+    ),
+
+    QueryDef(
+      "q12_semijoin",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust")),
+      Some("""SELECT c_mktsegment, count(*) AS n_cust FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              GROUP BY c_mktsegment""")
+    ),
+
+    QueryDef(
+      "q13_antijoin",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("sum_bal")),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_cust,
+              ${SUMD("c_acctbal")} AS sum_bal
+              FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+              GROUP BY c_mktsegment""")
+    ),
+
+    // ── set operators ─────────────────────────────────────────────────────
+    QueryDef(
+      "q14_union_all",
+      (s, d) => {
+        val hiBal = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("key"))
+        val bigOrd = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("key"))
+        hiBal.unionAll(bigOrd).groupBy("key").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT key, count(*) AS n FROM (
+                SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+                UNION ALL
+                SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
+              ) GROUP BY key""")
+    ),
+
+    QueryDef(
+      "q15_intersect",
+      (s, d) =>
+        Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("key"))
+          .intersect(Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+            .select(col("o_custkey").as("key"))),
+      Some("""SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+              INTERSECT
+              SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000""")
+    ),
+
+    QueryDef(
+      "q16_except",
+      (s, d) =>
+        Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("key"))
+          .except(Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+            .select(col("o_custkey").as("key"))),
+      Some("""SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+              EXCEPT
+              SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000""")
+    ),
+
+    // ── window functions ──────────────────────────────────────────────────
+    QueryDef(
+      "q17_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .filter(col("rnk") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders)
+              WHERE rnk <= 2""")
+    ),
+
+    QueryDef(
+      "q18_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("run_sum", sum(dec(col("value"))).over(w).cast("double"))
+          .select("event_id", "user_id", "run_sum")
+      },
+      Some("""SELECT event_id, user_id,
+              CAST(sum(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS run_sum
+              FROM events""")
+    ),
+
+    // ── date / string / json scalar functions ─────────────────────────────
+    QueryDef(
+      "q19_date_trunc",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT date_trunc('month', o_orderdate) AS month,
+              count(*) AS n_orders, ${SUMD("o_totalprice")} AS sum_price
+              FROM orders GROUP BY 1""")
+    ),
+
+    QueryDef(
+      "q20_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+              FROM events GROUP BY event_type""")
+    ),
+
+    QueryDef(
+      "q21_string_funcs",
+      (s, d) =>
+        Tables.part(s, d)
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n_parts"),
+            min(upper(substring(col("p_name"), 1, 8))).as("min_pfx"),
+            sum(length(col("p_name"))).as("sum_len")
+          ),
+      Some("""SELECT p_brand, count(*) AS n_parts,
+              min(upper(substring(p_name, 1, 8))) AS min_pfx,
+              CAST(sum(length(p_name)) AS BIGINT) AS sum_len
+              FROM part GROUP BY p_brand""")
+    ),
+
+    QueryDef(
+      "q22_case_bucket",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("bucket",
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("high"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price")),
+      Some(s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                          WHEN l_quantity < 30 THEN 'mid'
+                          ELSE 'high' END AS bucket,
+              count(*) AS n, ${SUMD("l_extendedprice")} AS sum_price
+              FROM lineitem GROUP BY 1""")
+    ),
+
+    // ── TPC-H classics for the bench headline set ─────────────────────────
+    QueryDef(
+      "q23_tpch_q6",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum(dec12(col("l_extendedprice")) * dec3(col("l_discount")))
+            .cast("double").as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24"""),
+      headline = true
+    ),
+
+    QueryDef(
+      "q24_tpch_q5",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1997-01-01 00:00:00"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(dec12(col("l_extendedprice")) * (one - dec3(col("l_discount"))))
+            .cast("double").as("revenue")),
+      Some("""SELECT n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY n_name"""),
+      headline = true
+    ),
+
+    // ── multi-dimensional aggregation (rollup / cube) ─────────────────────
+    QueryDef(
+      "q25_rollup",
+      // DataFrame-API rollup over a join trips Spark 4's ambiguous-self-join
+      // checker (Expand duplicates the grouping attrs); the SQL form of the
+      // same plan does not.
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_q25_customer")
+        Tables.nation(s, d).createOrReplaceTempView("graft_q25_nation")
+        Tables.region(s, d).createOrReplaceTempView("graft_q25_region")
+        s.sql(s"""SELECT r_name, n_name, count(1) AS n_cust,
+                 ${SUMD("c_acctbal")} AS sum_bal
+                 FROM graft_q25_customer
+                 JOIN graft_q25_nation ON c_nationkey = n_nationkey
+                 JOIN graft_q25_region ON n_regionkey = r_regionkey
+                 GROUP BY ROLLUP (r_name, n_name)""")
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+              ${SUMD("c_acctbal")} AS sum_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP (r_name, n_name)""")
+    ),
+
+    QueryDef(
+      "q26_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              ${SUMD("o_totalprice")} AS sum_price
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+    )
+  )
+}
