@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All declared queries, assembled from the operator modules. */
   def defs: Seq[QueryDef] =
-    operators.CoreQueries.all
+    operators.CoreQueries.all ++
+      operators.TextQueries.all ++
+      operators.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

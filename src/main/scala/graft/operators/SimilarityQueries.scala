@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim,
+  * unit-normalized) — BASELINE.json north-star extensions, SURVEY.md §2.4.
+  *
+  * Numeric determinism: every reduction over vector elements is a sequential
+  * left-to-right fold in DOUBLE (Spark `aggregate` HOF; DuckDB
+  * `list_aggregate('sum')`), with float elements promoted exactly to double
+  * before multiplication — identical IEEE operation order in both engines.
+  *
+  * Scale posture: the query side of every k-NN is small and broadcast; the
+  * corpus side streams — no all-pairs joins. The LSH variant (q42) buckets
+  * by random-hyperplane signs so candidate generation is an equi-join on
+  * the signature, the 100 TB path.
+  */
+object SimilarityQueries {
+
+  /** elementwise-double view of a float vector column */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** sequential left-to-right sum fold — matches DuckDB list_aggregate sum */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    fsum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  private def norm(a: Column): Column =
+    sqrt(fsum(transform(asDouble(a), x => x * x)))
+
+  // DuckDB mirrors
+  private val SQL_DIM = 64
+  private def SQL_DOT(a: String, b: String) =
+    s"list_aggregate(list_transform(range(1, ${SQL_DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+  private def SQL_NORM(a: String) =
+    s"sqrt(list_aggregate(list_transform(range(1, ${SQL_DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── embedding column stats (norms, per-label) ─────────────────────────
+    QueryDef(
+      "q40_embedding_stats",
+      // Per-row norm is order-deterministic; the per-group sum of norms is
+      // made order-independent by an exact DECIMAL cast of the rounded norm.
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .withColumn("nrm", norm(col("embedding")))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            min(size(col("embedding"))).cast("long").as("min_dim"),
+            max(size(col("embedding"))).cast("long").as("max_dim"),
+            sum(round(col("nrm"), 6).cast("decimal(18,6)")).cast("double")
+              .as("sum_norm")
+          ),
+      Some(s"""SELECT label, count(*) AS n_vecs,
+              CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+              CAST(max(len(embedding)) AS BIGINT) AS max_dim,
+              CAST(sum(CAST(round(${SQL_NORM("embedding")}, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+              FROM embeddings GROUP BY label""")
+    ),
+
+    // ── brute-force cosine top-k (the correctness baseline) ───────────────
+    QueryDef(
+      "q41_knn_brute",
+      // queries = vec_id < 5 (broadcast), corpus = the rest (streamed).
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        broadcast(q).crossJoin(c)
+          .withColumn("cos", dot(col("qv"), col("cv")) /
+            (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid", "cos", "rk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+              scored AS (SELECT qid, cid,
+                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                FROM q CROSS JOIN c)
+              SELECT qid, cid, cos,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+              FROM scored
+              QUALIFY rk <= 3"""),
+      headline = true
+    ),
+
+    // ── LSH-bucketed ANN (random hyperplanes; the scale path) ─────────────
+    QueryDef(
+      "q42_ann_lsh",
+      // Signature = sign bits of dot products with NPLANES deterministic
+      // pseudo-random hyperplanes (hash-derived, reproducible anywhere).
+      // Candidates = corpus vectors sharing the query's bucket; top-3 by
+      // exact cosine within the bucket. An IVF-style probe with one probe.
+      (s, d) => {
+        val NPLANES = 8
+        // plane p component i = (((1103515245*(p*64+i) + 12345) mod 2^31) / 2^31) - 0.5
+        // — a fixed LCG, exactly computable in both engines in integer space.
+        def planeAt(p: Int, i: Column): Column =
+          ((lit(1103515245L) * (lit(p * 64L) + i) + lit(12345L))
+            .mod(lit(2147483648L))).cast("double") / lit(2147483648.0) - lit(0.5)
+        def sigBit(v: Column, p: Int): Column =
+          when(fsum(zip_with(asDouble(v),
+            sequence(lit(0), lit(63)).cast("array<double>"),
+            (x, i) => x * planeAt(p, i))) >= 0, lit(1)).otherwise(lit(0))
+        def sig(v: Column): Column =
+          concat_ws("", (0 until NPLANES).map(p => sigBit(v, p)): _*)
+
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            sig(col("embedding")).as("qsig"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            sig(col("embedding")).as("csig"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        broadcast(q).join(c, col("qsig") === col("csig"))
+          .withColumn("cos", dot(col("qv"), col("cv")) /
+            (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid", "cos", "rk")
+      },
+      { val SQL_SIG_BIT = (v: String, p: Int) =>
+          s"""CASE WHEN list_aggregate(list_transform(range(1, 65),
+             i -> CAST($v[i] AS DOUBLE) * ((CAST((1103515245 * (${p * 64} + (i-1)) + 12345) % 2147483648 AS DOUBLE)) / 2147483648 - 0.5)), 'sum') >= 0
+             THEN '1' ELSE '0' END"""
+        val sigSql = (v: String) =>
+          (0 until 8).map(p => SQL_SIG_BIT(v, p)).mkString(" || ")
+        Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, ${sigSql("embedding")} AS qsig
+                  FROM embeddings WHERE vec_id < 5),
+                c AS (SELECT vec_id AS cid, embedding AS cv, ${sigSql("embedding")} AS csig
+                  FROM embeddings WHERE vec_id >= 5),
+                scored AS (SELECT qid, cid,
+                  ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                  FROM q JOIN c ON qsig = csig)
+                SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+                FROM scored
+                QUALIFY rk <= 3""") }
+    ),
+
+    // ── embedding-cosine near-duplicate pairs (bounded subset) ────────────
+    QueryDef(
+      "q43_cosine_neardup",
+      // all-pairs on a deterministic subset (vec_id < 100); pairs above a
+      // high cosine threshold. The at-scale variant is q42's bucketing.
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("cos", dot(col("va"), col("vb")) /
+            (norm(col("va")) * norm(col("vb"))))
+          .filter(col("cos") >= 0.35)
+          .select("a", "b", "cos")
+      },
+      Some(s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+              SELECT * FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                  ${SQL_DOT("x.embedding", "y.embedding")}
+                    / (${SQL_NORM("x.embedding")} * ${SQL_NORM("y.embedding")}) AS cos
+                FROM sub x JOIN sub y ON x.vec_id < y.vec_id)
+              WHERE cos >= 0.35""")
+    )
+  )
+}

@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * (BASELINE.json north-star extensions; SURVEY.md §2.4).
+  *
+  * Everything here is expressed as declarative DataFrame transforms so
+  * Catalyst keeps the whole pipeline in whole-stage codegen; no UDFs, no
+  * driver-side loops. The MinHash/LSH implementation uses md5-hex minima as
+  * the hash family so the DuckDB oracle can reproduce signatures exactly
+  * (lexicographic min over fixed-width lowercase hex == numeric min).
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup and fingerprinting are single shuffle-free scans or one
+  *    hash aggregation on the content hash;
+  *  - MinHash-LSH candidate generation is the banding self-join — cost is
+  *    bounded by band-bucket sizes, never all-pairs;
+  *  - the all-pairs n-gram Jaccard (q36) is deliberately bounded to a small
+  *    deterministic subset; the LSH path (q38) is the at-scale variant.
+  */
+object TextQueries {
+
+  /** whitespace tokens of the trimmed text */
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** distinct word 3-shingles; empty array for docs shorter than 3 tokens */
+  private def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(expr(
+        "transform(sequence(1, size(t)-2), i -> " +
+          "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
+      .otherwise(array().cast("array<string>"))
+
+  private val NUM_HASHES = 16
+  private val BANDS = 4
+  private val ROWS_PER_BAND = NUM_HASHES / BANDS
+
+  /** MinHash value for permutation j: min md5 hex over the shingle set. */
+  private def minhash(sh: Column, j: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(j + ":"), s))))
+
+  // ── SQL fragments shared by the DuckDB oracles ─────────────────────────
+  private val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+  private def SQL_SHINGLES(t: String) =
+    s"list_distinct(list_transform(range(1, len($t)-1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]))"
+  private def SQL_MINHASH(j: Int) =
+    s"list_aggregate(list_transform(sh, s -> md5('$j:' || s)), 'min')"
+
+  /** documents with doc_id, sh (distinct 3-shingles) — both engines */
+  private def withShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("sh", shingles(col("t")))
+  private val SQL_WITH_SHINGLES =
+    s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+        shingled AS (SELECT doc_id, ${SQL_SHINGLES("t")} AS sh FROM tok)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── exact deduplication (hash-groupBy; SURVEY.md §2.4) ────────────────
+    QueryDef(
+      "q30_dedup_exact",
+      (s, d) =>
+        Tables.documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          countDistinct(md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+            .as("n_unique_norm")
+        ),
+      Some("""SELECT count(*) AS n_docs,
+              count(DISTINCT md5(text)) AS n_unique,
+              count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique_norm
+              FROM documents"""),
+      headline = true
+    ),
+
+    QueryDef(
+      "q31_dedup_canonical",
+      // canonical-row election per content cluster: keep min doc_id. Here the
+      // cluster key is an 80-char prefix hash (the corpus has prefix dups).
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(substring(col("text"), 1, 80)).as("h"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(substring(text, 1, 80)) AS h,
+              min(doc_id) AS canonical_id, count(*) AS n_copies
+              FROM documents GROUP BY 1""")
+    ),
+
+    // ── token counting / text stats ───────────────────────────────────────
+    QueryDef(
+      "q32_token_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+            sum(col("n_chars")).as("sum_chars")
+          ),
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              CAST(sum(len($SQL_TOKENS)) AS BIGINT) AS sum_tokens,
+              CAST(sum(len($SQL_TOKENS)) AS DOUBLE) / count(*) AS avg_tokens,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY lang"""),
+      headline = true
+    ),
+
+    // ── quality scoring (length / alpha-ratio heuristics) ─────────────────
+    QueryDef(
+      "q33_quality_score",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("alpha",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+          .withColumn("alpha_ratio", col("alpha").cast("double") / col("len"))
+          .withColumn("quality",
+            when(col("len").between(100, 400) && col("alpha_ratio") > 0.75, 1L)
+              .otherwise(0L))
+          .select("doc_id", "len", "alpha", "alpha_ratio", "quality"),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / length(text) AS alpha_ratio,
+              CASE WHEN length(text) BETWEEN 100 AND 400
+                   AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) > 0.75
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS quality
+              FROM documents""")
+    ),
+
+    // ── language-ID heuristic (stopword scoring) ──────────────────────────
+    QueryDef(
+      "q34_lang_id",
+      (s, d) => {
+        val txt = concat(lit(" "), lower(col("text")), lit(" "))
+        def hits(w: String): Column =
+          ((length(txt) - length(regexp_replace(txt, s" $w ", " "))) /
+            (w.length + 1)).cast("long")
+        Tables.documents(s, d)
+          .withColumn("en_score", hits("the") + hits("a") + hits("and"))
+          .withColumn("lang_pred",
+            when(col("en_score") >= 3, "en").otherwise("unk"))
+          .groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"), sum(col("en_score")).as("sum_score"))
+      },
+      Some("""WITH scored AS (
+                SELECT lang,
+                  CAST((length(' ' || lower(text) || ' ') - length(regexp_replace(' ' || lower(text) || ' ', ' the ', ' ', 'g'))) / 4
+                     + (length(' ' || lower(text) || ' ') - length(regexp_replace(' ' || lower(text) || ' ', ' a ', ' ', 'g'))) / 2
+                     + (length(' ' || lower(text) || ' ') - length(regexp_replace(' ' || lower(text) || ' ', ' and ', ' ', 'g'))) / 4
+                     AS BIGINT) AS en_score
+                FROM documents)
+              SELECT lang, CASE WHEN en_score >= 3 THEN 'en' ELSE 'unk' END AS lang_pred,
+                     count(*) AS n, CAST(sum(en_score) AS BIGINT) AS sum_score
+              FROM scored GROUP BY 1, 2""")
+    ),
+
+    // ── document fingerprinting ───────────────────────────────────────────
+    QueryDef(
+      "q35_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 16)
+              .as("fp")),
+      Some("""SELECT doc_id,
+              substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+              FROM documents""")
+    ),
+
+    // ── n-gram Jaccard near-dup, bounded all-pairs variant ────────────────
+    QueryDef(
+      "q36_ngram_jaccard",
+      // All-pairs is O(n²) — only valid on a bounded subset (the scale path
+      // is q38's LSH banding). Subset: doc_id < 200, pairs with J >= 0.2.
+      (s, d) => {
+        val sh = withShingles(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("sh"))
+        val a = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+        val b = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("uni",
+            (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+          .filter(col("jaccard") >= 0.2)
+          .select("a", "b", "inter", "jaccard")
+      },
+      Some(s"""$SQL_WITH_SHINGLES,
+              sub AS (SELECT doc_id, sh FROM shingled WHERE doc_id < 200)
+              SELECT * FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+                  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+                FROM sub x JOIN sub y ON x.doc_id < y.doc_id)
+              WHERE jaccard >= 0.2""")
+    ),
+
+    // ── MinHash signatures (oracle-reproducible hash family) ──────────────
+    QueryDef(
+      "q37_minhash_sig",
+      (s, d) => {
+        val base = withShingles(s, d).filter(size(col("sh")) > 0)
+        val sig = concat_ws("|",
+          (0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*)
+        base.select(col("doc_id"), sig.as("sig"))
+      },
+      Some(s"""$SQL_WITH_SHINGLES
+              SELECT doc_id,
+                ${(0 until NUM_HASHES).map(SQL_MINHASH).mkString(" || '|' || ")} AS sig
+              FROM shingled WHERE len(sh) > 0""")
+    ),
+
+    // ── MinHash + LSH banding: near-dup candidate pairs at scale ──────────
+    QueryDef(
+      "q38_minhash_lsh",
+      (s, d) => {
+        val sig = withShingles(s, d).filter(size(col("sh")) > 0)
+          .select(col("doc_id") +: col("sh") +:
+            (0 until NUM_HASHES).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+        // band hash = md5 over the band's ROWS_PER_BAND signature values
+        val banded = sig.select(
+          col("doc_id"), col("sh"),
+          array((0 until BANDS).map(b =>
+            struct(lit(b).as("band"),
+              md5(concat_ws(",", (0 until ROWS_PER_BAND).map(r =>
+                col(s"mh${b * ROWS_PER_BAND + r}")): _*)).as("bh"))): _*).as("bands"))
+          .select(col("doc_id"), col("sh"), explode(col("bands")).as("bb"))
+          .select(col("doc_id"), col("sh"),
+            col("bb.band").as("band"), col("bb.bh").as("bh"))
+        val l = banded.select(col("band"), col("bh"),
+          col("doc_id").as("a"), col("sh").as("sha"))
+        val r = banded.select(col("band").as("band2"), col("bh").as("bh2"),
+          col("doc_id").as("b"), col("sh").as("shb"))
+        // candidates = distinct pairs sharing >= 1 band bucket
+        l.join(r, col("band") === col("band2") && col("bh") === col("bh2") &&
+            col("a") < col("b"))
+          .select("a", "b", "sha", "shb").dropDuplicates("a", "b")
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            ((size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select("a", "b", "jaccard")
+      },
+      Some(s"""$SQL_WITH_SHINGLES,
+              sig AS (SELECT doc_id, sh,
+                [${(0 until NUM_HASHES).map(SQL_MINHASH).mkString(", ")}] AS mh
+                FROM shingled WHERE len(sh) > 0),
+              bands AS (SELECT doc_id, sh, b,
+                md5(mh[4*b+1] || ',' || mh[4*b+2] || ',' || mh[4*b+3] || ',' || mh[4*b+4]) AS bh
+                FROM sig, unnest([0,1,2,3]) AS u(b)),
+              cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+              SELECT * FROM (
+                SELECT a, b,
+                  CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
+                    / (len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh))) AS jaccard
+                FROM cand
+                JOIN shingled xa ON xa.doc_id = a
+                JOIN shingled xb ON xb.doc_id = b)
+              WHERE jaccard >= 0.5"""),
+      headline = true
+    )
+  )
+}
