@@ -1,0 +1,170 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, Path}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The `DB` facade — capability-parity port of the reference's public API
+  * (`/root/reference/src/lib.rs:16-49`):
+  *
+  *   - [[DB.init]]  ≙ `DB::init`  (`src/lib.rs:31-38`) — create a database
+  *     directory with a `metadata.json` catalog (`src/metadata.rs:62-76`).
+  *   - [[DB.open]]  ≙ `DB::open`  (`src/lib.rs:22-29`) — load the catalog
+  *     (`src/metadata.rs:44-60`).
+  *   - [[DB.write]] ≙ `DB::write_data` (`src/lib.rs:40-49`,
+  *     `src/storage.rs:224-297`) — validated, append-only batch ingest.
+  *   - [[DB.table]] — the read path the reference declared but left dead
+  *     (`src/storage.rs:299-351`, SURVEY.md §1.4.2), returned as a DataFrame
+  *     so the whole declared query pipeline (`README.md:51-62`) composes on
+  *     top via Catalyst.
+  *
+  * Storage mapping (SURVEY.md §1.3): each table is a directory of Parquet
+  * files with LZ4-compressed column chunks — the same capability set as the
+  * reference's per-column `.data`/`.index` block files (columnar layout,
+  * per-block compression, per-column min/max zone maps) supplied natively by
+  * the format. The reference's sort-order contract (`README.md:44`: rows
+  * sorted by column order so leading-column filters prune) is realized at
+  * write time by a range-repartition + within-partition sort on the schema
+  * columns, which is what makes Parquet row-group statistics pruning
+  * effective.
+  */
+final class DB private (val root: Path, val spark: SparkSession) {
+
+  /** table name → declared schema, as recorded in metadata.json */
+  def tables: Map[String, StructType] = Catalog.read(root)
+
+  private def tableDir(name: String): Path = root.resolve(name)
+
+  /** Schema-enforced scan of a table — delivers the reference's projected
+    * scan (O10) and full scan (O11) plus the declared prune/filter pipeline
+    * (D1-D3) through Catalyst; see SURVEY.md §4.
+    */
+  def table(name: String): DataFrame = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    val dir = tableDir(name)
+    if (Files.exists(dir)) spark.read.schema(schema).parquet(dir.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Append-only batch ingest of driver-side rows, mirroring
+    * `write_data`'s per-cell validation (`src/storage.rs:250-252`: a
+    * mismatched value aborts the whole write) and the reference's no-null
+    * type system (`src/data.rs:10-13` has no Null variant).
+    */
+  def write(name: String, rows: Seq[Row]): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    rows.foreach { r =>
+      if (r.length != schema.length)
+        throw new IllegalArgumentException("Mismatched data type")
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = r.get(i)
+        if (v == null) throw new IllegalArgumentException("Mismatched data type")
+        val ok = (f.dataType.typeName, v) match {
+          case ("long", _: java.lang.Long)      => true
+          case ("integer", _: java.lang.Integer) => true
+          case ("double", _: java.lang.Double)  => true
+          case ("string", _: String)            => true
+          case ("timestamp", _: java.sql.Timestamp) => true
+          case ("boolean", _: java.lang.Boolean) => true
+          case _ => false
+        }
+        if (!ok) throw new IllegalArgumentException("Mismatched data type")
+      }
+    }
+    writeValidated(spark.createDataFrame(rows.asJava, schema), name, schema)
+  }
+
+  /** Distributed append ingest: the 100 TB path. Schema must match the
+    * catalog exactly; nulls anywhere fail the batch (checked distributedly,
+    * short-circuiting on the first offending partition).
+    */
+  def write(name: String, df: DataFrame): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      throw new IllegalArgumentException("Mismatched data type")
+    val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
+    if (!df.filter(anyNull).isEmpty)
+      throw new IllegalArgumentException("Mismatched data type")
+    writeValidated(df, name, schema)
+  }
+
+  /** Range-sorted LZ4 Parquet append — realizes `README.md:44`'s sort
+    * contract so min/max pruning works (SURVEY.md §1.3, §7.4.3).
+    */
+  private def writeValidated(df: DataFrame, name: String, schema: StructType): Unit = {
+    val sortCols = schema.fieldNames.map(col).toSeq
+    df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .mode("append")
+      .option("compression", "lz4")
+      .parquet(tableDir(name).toString)
+  }
+}
+
+object DB {
+
+  /** Create a database: writes `metadata.json` holding every table's schema
+    * (≙ `DB::init`, `/root/reference/src/lib.rs:31-38`).
+    */
+  def init(path: String, tables: Seq[(String, StructType)])(
+      implicit spark: SparkSession): DB = {
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    Catalog.write(root, tables)
+    new DB(root, spark)
+  }
+
+  /** Open an existing database (≙ `DB::open`, `/root/reference/src/lib.rs:22-29`);
+    * fails if `metadata.json` is absent, like the reference's
+    * `fs::read_to_string` error path (`src/metadata.rs:46`).
+    */
+  def open(path: String)(implicit spark: SparkSession): DB = {
+    val root = Paths.get(path)
+    if (!Files.exists(Catalog.metadataFile(root)))
+      throw new IllegalArgumentException(s"No database at $path")
+    new DB(root, spark)
+  }
+}
+
+/** `metadata.json` codec — same role as the reference's serde round-trip
+  * (`/root/reference/src/metadata.rs:44-76`), with Spark `StructType` JSON
+  * as the per-table schema encoding.
+  *
+  * Shape: `{"tables": [{"name": "...", "schema": <StructType.json>}]}`.
+  */
+object Catalog {
+  private val mapper = new ObjectMapper()
+
+  def metadataFile(root: Path): Path = root.resolve("metadata.json")
+
+  def write(root: Path, tables: Seq[(String, StructType)]): Unit = {
+    val doc = mapper.createObjectNode()
+    val arr = doc.putArray("tables")
+    tables.foreach { case (name, schema) =>
+      val t = arr.addObject()
+      t.put("name", name)
+      t.set[ObjectNode]("schema", mapper.readTree(schema.json).asInstanceOf[ObjectNode])
+    }
+    Files.writeString(metadataFile(root),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc))
+  }
+
+  def read(root: Path): Map[String, StructType] = {
+    val doc = mapper.readTree(Files.readString(metadataFile(root)))
+    doc.get("tables").elements().asScala.map { t =>
+      t.get("name").asText() ->
+        DataType.fromJson(t.get("schema").toString).asInstanceOf[StructType]
+    }.toMap
+  }
+}

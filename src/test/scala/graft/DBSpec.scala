@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.DB
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DB facade semantics, mirroring the reference's integration tests
+  * (`/root/reference/tests/integration_test.rs:21-61`) plus the write→read
+  * round-trip the reference couldn't assert (its read path is dead,
+  * SURVEY.md §1.4.2).
+  */
+class DBSpec extends AnyFunSuite with SparkFixture {
+
+  // canonical fixture schema = the reference's events table
+  // (`tests/integration_test.rs:13-16`): event String, timestamp u64, id u64
+  private val eventsSchema = StructType(Seq(
+    StructField("event", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("id", LongType, nullable = false)
+  ))
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graftdb_$tag").toString
+
+  test("init writes metadata.json and open round-trips the schema") {
+    implicit val s = spark
+    val dir = freshDir("init")
+    DB.init(dir, Seq("events" -> eventsSchema))
+    val reopened = DB.open(dir)
+    assert(reopened.tables == Map("events" -> eventsSchema))
+  }
+
+  test("open fails on a directory with no metadata.json") {
+    implicit val s = spark
+    intercept[IllegalArgumentException] { DB.open(freshDir("noopen")) }
+  }
+
+  test("write rejects unknown tables (lib.rs:42-44)") {
+    implicit val s = spark
+    val db = DB.init(freshDir("unknown"), Seq("events" -> eventsSchema))
+    intercept[IllegalArgumentException] {
+      db.write("nope", Seq(Row("click", 1L, 1L)))
+    }
+  }
+
+  test("write rejects mismatched cell types (storage.rs:250-252)") {
+    implicit val s = spark
+    val db = DB.init(freshDir("badtype"), Seq("events" -> eventsSchema))
+    intercept[IllegalArgumentException] {
+      db.write("events", Seq(Row("click", "not-a-long", 1L)))
+    }
+  }
+
+  test("write rejects nulls (data.rs:10-13 has no Null variant)") {
+    implicit val s = spark
+    val db = DB.init(freshDir("nulls"), Seq("events" -> eventsSchema))
+    intercept[IllegalArgumentException] {
+      db.write("events", Seq(Row("click", null, 1L)))
+    }
+  }
+
+  test("write→read round-trip preserves the multiset of rows") {
+    implicit val s = spark
+    val db = DB.init(freshDir("rt"), Seq("events" -> eventsSchema))
+    val rows = (1L to 3000L).map(i => Row(s"ev${i % 7}", 1700000000L + i, i))
+    db.write("events", rows)
+    val back = db.table("events").collect().toSeq
+    assert(back.size == rows.size)
+    assert(back.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted ==
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted)
+  }
+
+  test("write is append-only batch ingest (storage.rs:155-177 semantics)") {
+    implicit val s = spark
+    val db = DB.init(freshDir("append"), Seq("events" -> eventsSchema))
+    db.write("events", Seq(Row("a", 1L, 1L)))
+    db.write("events", Seq(Row("b", 2L, 2L)))
+    assert(db.table("events").count() == 2)
+  }
+
+  test("empty table reads as empty DataFrame with the declared schema") {
+    implicit val s = spark
+    val db = DB.init(freshDir("empty"), Seq("events" -> eventsSchema))
+    val df = db.table("events")
+    assert(df.schema == eventsSchema)
+    assert(df.count() == 0)
+  }
+
+  test("distributed write validates schema and rejects null batches") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    val db = DB.init(freshDir("dist"), Seq("events" -> eventsSchema))
+    val good = s.createDataFrame(
+      Seq(Row("a", 1L, 1L), Row("b", 2L, 2L)).asJava, eventsSchema)
+    db.write("events", good)
+    assert(db.table("events").count() == 2)
+    val nullable = StructType(eventsSchema.map(_.copy(nullable = true)))
+    val bad = s.createDataFrame(Seq(Row("c", null, 3L)).asJava, nullable)
+    intercept[IllegalArgumentException] { db.write("events", bad) }
+  }
+
+  test("leading-column filter reaches the parquet scan as a pushed filter") {
+    implicit val s = spark
+    val db = DB.init(freshDir("prune"), Seq("events" -> eventsSchema))
+    db.write("events", (1L to 5000L).map(i => Row(s"e$i", i, i)))
+    val plan = db.table("events").filter(org.apache.spark.sql.functions
+      .col("event") > "e4500").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event), GreaterThan(event,e4500)]"),
+      s"expected pushed filter in plan:\n$plan")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke-level invariants of the declared query library over sf0.001 —
+  * every query runs, is non-degenerate where expected, and a few known
+  * aggregates hold. The real hash-exact gate is graft.Verify + the DuckDB
+  * oracle (tools/check.py) at sf0.01.
+  */
+class QueriesSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query name is unique and has a runnable plan") {
+    val names = SparkEntry.defs.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.defs.foreach { q =>
+    test(s"${q.name} executes at sf0.001") {
+      // count() forces full execution of every operator in the plan
+      val n = q.fn(spark, sf).count()
+      assert(n >= 0)
+    }
+  }
+
+  test("q04_tpch_q1 groups to the expected key space") {
+    val rows = SparkEntry.queries("q04_tpch_q1")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 9) // |returnflag| x |linestatus|
+  }
+
+  test("q30_dedup_exact counts all documents") {
+    val r = SparkEntry.queries("q30_dedup_exact")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") == 500L)
+    assert(r.getAs[Long]("n_unique") <= 500L)
+  }
+
+  test("q41_knn_brute returns exactly 3 neighbors per query vector") {
+    val rows = SparkEntry.queries("q41_knn_brute")(spark, sf).collect()
+    assert(rows.length == 15) // 5 queries x top-3
+    assert(rows.map(_.getAs[Long]("rk")).forall(rk => rk >= 1 && rk <= 3))
+  }
+
+  test("oracle SQL exists for every query unless explicitly rows-only") {
+    val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"rows-only queries (document why): $missing")
+  }
+}
