@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `binary` content
+  * plus typed metadata, with decode / feature-extraction / resize /
+  * frame-sampling stages (BASELINE.json north-star; SURVEY.md §2.4).
+  *
+  * The Spark-side plumbing — schema, partition-parallel transforms,
+  * deterministic batch shapes — is real and tested. The *codec* itself is a
+  * STUB: this container has no image/audio libraries, so `decodeFeatures`,
+  * `resize`, and `sampleFrames` derive their outputs deterministically from
+  * the content bytes (hash-based fakes). A production deployment swaps the
+  * marked expressions for a real decoder (JNI/native or a vectorized UDF);
+  * every surrounding schema and shuffle stays identical.
+  *
+  * All stages are pure Column expressions → whole-stage codegen, no UDF
+  * serialization, trivially distributed at 100 TB.
+  */
+object Multimodal {
+
+  /** Media row schema: media_id, kind, content (binary), meta struct. */
+  val KINDS = Seq("image", "audio", "video")
+
+  /** Manufacture a media table from any (id, text) corpus — used by tests
+    * and the oracle queries since the driver test data has no binary
+    * column: content = UTF-8 bytes of the text (so DuckDB's VARCHAR md5
+    * agrees with Spark's binary md5 on the same bytes).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(KINDS), (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        (col("doc_id") % 640 + 64).cast("int").as("width"),
+        (col("doc_id") % 480 + 48).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") * 10).as("duration_ms")
+      ).as("meta"))
+
+  /** STUB DECODE: deterministic fake feature vector of `dim` doubles in
+    * [0,1), derived from md5 of (content ‖ ":" ‖ i). A real deployment
+    * replaces this expression with an actual decoder+embedder; the output
+    * schema (`array<double>`) and everything downstream are unchanged.
+    */
+  def featureExpr(content: Column, dim: Int): Column =
+    array((0 until dim).map { i =>
+      conv(substring(md5(concat(content, lit(s":$i").cast("binary"))), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+    }: _*)
+
+  def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame =
+    media.withColumn("features", featureExpr(col("content"), dim))
+
+  /** STUB RESIZE: rewrites meta.width/height and stamps a checksum of the
+    * would-be resized pixels (here: md5 of the original content + target
+    * box — a real resize kernel goes where the md5 is).
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media
+      .withColumn("meta", struct(
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms")))
+      .withColumn("checksum", md5(concat(col("content"),
+        lit(s":${w}x$h").cast("binary"))))
+
+  /** STUB FRAME SAMPLING: emits `n` pseudo-frames per media row, each a
+    * deterministic byte-slice of the content (per-frame offsets are the
+    * real plumbing; a video codec would produce the bytes).
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media
+      .withColumn("nbytes", octet_length(col("content")))
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame", expr(
+        s"substring(content, frame_idx * (nbytes div $n) + 1, nbytes div $n)"))
+      .select(col("media_id"), col("kind"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+}

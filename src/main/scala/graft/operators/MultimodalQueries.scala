@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing queries over the multimodal column pipeline
+  * ([[graft.multimodal.Multimodal]] — BASELINE.json north-star; SURVEY.md
+  * §2.4). The media table is manufactured deterministically from the
+  * `documents` corpus (the driver test data has no binary column), so every
+  * stage — metadata, decode-to-features, resize, frame sampling — is
+  * reproducible in the DuckDB oracle: the corpus is ASCII-only (verified:
+  * octet_length(encode(text)) == length(text) for all rows at every sf), so
+  * DuckDB's VARCHAR md5/substring agree byte-for-byte with Spark's binary
+  * md5/substring on the same content.
+  */
+object MultimodalQueries {
+
+  /** media CTE mirroring [[Multimodal.mediaFromDocuments]] */
+  private val SQL_MEDIA =
+    """WITH media AS (SELECT doc_id AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       text,
+       CAST(doc_id % 640 + 64 AS INT) AS width,
+       CAST(doc_id % 480 + 48 AS INT) AS height,
+       n_chars * 10 AS duration_ms
+       FROM documents)"""
+
+  private def media(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaFromDocuments(Tables.documents(s, d))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── typed metadata over opaque binary content ─────────────────────────
+    QueryDef(
+      "q45_media_meta",
+      (s, d) =>
+        media(s, d).groupBy("kind").agg(
+          count(lit(1)).as("n_media"),
+          sum(col("meta.width").cast("long")).as("sum_w"),
+          sum(col("meta.height").cast("long")).as("sum_h"),
+          sum(col("meta.duration_ms")).as("sum_dur"),
+          min(md5(col("content"))).as("min_md5"),
+          max(md5(col("content"))).as("max_md5")),
+      Some(s"""$SQL_MEDIA
+              SELECT kind, count(*) AS n_media,
+              CAST(sum(width) AS BIGINT) AS sum_w,
+              CAST(sum(height) AS BIGINT) AS sum_h,
+              CAST(sum(duration_ms) AS BIGINT) AS sum_dur,
+              min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+              FROM media GROUP BY kind""")
+    ),
+
+    // ── decode → feature vector (stubbed codec, real plumbing) ────────────
+    QueryDef(
+      "q46_media_features",
+      // Per-row values are exact dyadic rationals (k/2^32), so the
+      // sequential fold sum is exact and order-independent.
+      (s, d) =>
+        Multimodal.decodeFeatures(media(s, d), dim = 8)
+          .select(
+            col("media_id"),
+            element_at(col("features"), 1).as("f0"),
+            element_at(col("features"), 8).as("f7"),
+            aggregate(col("features"), lit(0.0), (a, x) => a + x).as("fsum")),
+      Some(s"""$SQL_MEDIA,
+              feat AS (SELECT media_id,
+                list_transform(range(8), i ->
+                  CAST(CAST(('0x' || substring(md5(text || ':' || i), 1, 8)) AS BIGINT) AS DOUBLE)
+                    / 4294967296.0) AS fs
+                FROM media)
+              SELECT media_id, fs[1] AS f0, fs[8] AS f7,
+                     list_aggregate(fs, 'sum') AS fsum
+              FROM feat""")
+    ),
+
+    // ── resize: rewrites typed metadata + content-derived checksum ────────
+    QueryDef(
+      "q47_media_resize",
+      (s, d) =>
+        Multimodal.resize(media(s, d), 64, 64)
+          .select(
+            col("media_id"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"),
+            col("checksum")),
+      Some(s"""$SQL_MEDIA
+              SELECT media_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+                     md5(text || ':64x64') AS checksum
+              FROM media""")
+    ),
+
+    // ── frame sampling: one row per (media, frame) with byte-slice bounds ─
+    QueryDef(
+      "q48_media_frames",
+      (s, d) => Multimodal.sampleFrames(media(s, d), 4),
+      Some(s"""$SQL_MEDIA,
+              f AS (SELECT media_id, kind, b,
+                      length(text) // 4 AS w,
+                      substring(text, CAST(b * (length(text) // 4) + 1 AS INT),
+                                CAST(length(text) // 4 AS INT)) AS frame
+                    FROM media, (SELECT unnest(range(4)) AS b))
+              SELECT media_id, kind, CAST(b AS BIGINT) AS frame_idx,
+                     CAST(length(frame) AS BIGINT) AS frame_bytes,
+                     md5(frame) AS frame_md5
+              FROM f""")
+    )
+  )
+}

@@ -59,6 +59,41 @@ object TextQueries {
     s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
         shingled AS (SELECT doc_id, ${SQL_SHINGLES("t")} AS sh FROM tok)"""
 
+  /** Per-document 32-bit SimHash fingerprint: each token hashes to 32 bits
+    * (first 8 md5 hex chars); bit b is set iff the token-frequency-weighted
+    * ±1 sum at position b is positive. A per-row sequential fold — zero
+    * shuffle, pure whole-stage codegen.
+    */
+  private def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+    def pm(t: Column): Column = {
+      val h = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+      array((0 until 32).map(b =>
+        shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*)
+    }
+    val counts = aggregate(
+      tokens(col("text")),
+      array_repeat(lit(0L), 32),
+      (acc, t) => zip_with(acc, pm(t), (a, x) => a + x))
+    val fp = (0 until 32).map(b =>
+      when(element_at(col("counts"), b + 1) > 0, lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+    Tables.documents(s, d)
+      .withColumn("counts", counts)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** DuckDB mirror of [[simhashFingerprints]] (integer sums commute, so the
+    * oracle's unnest+GROUP BY form is value-identical to the Spark fold). */
+  private val SQL_SIMHASH_FP =
+    s"""WITH tok AS (SELECT doc_id, unnest($SQL_TOKENS) AS t FROM documents),
+       h AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok),
+       bits AS (SELECT doc_id, b,
+         CASE WHEN sum(((hv >> CAST(b AS INT)) & 1) * 2 - 1) > 0
+              THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END AS v
+         FROM h, (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
+       fp AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ── exact deduplication (hash-groupBy; SURVEY.md §2.4) ────────────────
@@ -219,6 +254,37 @@ object TextQueries {
               SELECT doc_id,
                 ${(0 until NUM_HASHES).map(SQL_MINHASH).mkString(" || '|' || ")} AS sig
               FROM shingled WHERE len(sh) > 0""")
+    ),
+
+    // ── SimHash fingerprints (32-bit, frequency-weighted) ─────────────────
+    QueryDef(
+      "q39_simhash",
+      (s, d) => simhashFingerprints(s, d),
+      Some(s"""$SQL_SIMHASH_FP
+              SELECT doc_id, simhash FROM fp""")
+    ),
+
+    // ── SimHash near-dup pairs by Hamming distance (bounded subset) ───────
+    QueryDef(
+      "q39b_simhash_pairs",
+      // All-pairs Hamming comparison on a bounded subset (the at-scale path
+      // buckets fingerprints by band, same shape as q38's LSH banding).
+      (s, d) => {
+        val fp = simhashFingerprints(s, d).filter(col("doc_id") < 250)
+        val a = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
+        val b = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("hd", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+          .filter(col("hd") <= 8)
+          .select("a", "b", "hd")
+      },
+      Some(s"""$SQL_SIMHASH_FP,
+              sub AS (SELECT doc_id, simhash FROM fp WHERE doc_id < 250)
+              SELECT * FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hd
+                FROM sub x JOIN sub y ON x.doc_id < y.doc_id)
+              WHERE hd <= 8""")
     ),
 
     // ── MinHash + LSH banding: near-dup candidate pairs at scale ──────────
