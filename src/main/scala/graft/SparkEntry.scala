@@ -15,7 +15,8 @@ object SparkEntry {
     operators.CoreQueries.all ++
       operators.TextQueries.all ++
       operators.SimilarityQueries.all ++
-      operators.MultimodalQueries.all
+      operators.MultimodalQueries.all ++
+      operators.EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  /** Embeddings scan, spread across cores: the corpus is a single small
+    * parquet file (one input split) and every query here is compute-bound
+    * on per-row vector math, so round-robin repartition before the codegen
+    * stage; the shuffle moves only the raw vectors. At cluster scale input
+    * splits are already abundant.
+    */
+  private def embeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** elementwise-double view of a float vector column */
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -48,7 +57,7 @@ object SimilarityQueries {
       // Per-row norm is order-deterministic; the per-group sum of norms is
       // made order-independent by an exact DECIMAL cast of the rounded norm.
       (s, d) =>
-        Tables.embeddings(s, d)
+        embeddings(s, d)
           .withColumn("nrm", norm(col("embedding")))
           .groupBy("label")
           .agg(
@@ -70,7 +79,7 @@ object SimilarityQueries {
       "q41_knn_brute",
       // queries = vec_id < 5 (broadcast), corpus = the rest (streamed).
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = embeddings(s, d)
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val c = e.filter(col("vec_id") >= 5)
@@ -117,7 +126,7 @@ object SimilarityQueries {
         def sig(v: Column): Column =
           concat_ws("", (0 until NPLANES).map(p => sigBit(v, p)): _*)
 
-        val e = Tables.embeddings(s, d)
+        val e = embeddings(s, d)
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             sig(col("embedding")).as("qsig"))
@@ -158,7 +167,7 @@ object SimilarityQueries {
       // all-pairs on a deterministic subset (vec_id < 100); pairs above a
       // high cosine threshold. The at-scale variant is q42's bucketing.
       (s, d) => {
-        val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        val e = embeddings(s, d).filter(col("vec_id") < 100)
         val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
         a.crossJoin(b).filter(col("a") < col("b"))

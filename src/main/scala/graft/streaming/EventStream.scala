@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference's "streaming" is block-at-a-time pipelining inside one
+  * query (`/root/reference/README.md:62`), not event streams — SURVEY.md
+  * §2.3 lists real stream processing as an engine extension. Everything
+  * here follows the unified batch/stream model: [[tumblingAgg]] and
+  * [[sessionAgg]] are single code paths that accept either a batch
+  * DataFrame or a `readStream` DataFrame; watermarks are attached only in
+  * streaming mode. That unification is the point at 100 TB — the same
+  * query text backfills from Parquet history and then tails the live
+  * stream.
+  *
+  * Event time: `Tables.events` reads the TIMESTAMP(NANOS) column as
+  * epoch-nano Long (`spark.sql.legacy.parquet.nanosAsLong`); [[withEventTime]]
+  * derives a µs-precision TimestampType column for window()/watermark use.
+  */
+object EventStream {
+
+  /** epoch-nano Long → TimestampType (µs truncation, exact integer div) */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling event-time window aggregation — one code path for batch and
+    * streaming (watermark only applies on a streaming DF).
+    */
+  def tumblingAgg(
+      events: DataFrame,
+      window: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame = {
+    val e = withEventTime(events)
+    val wm = if (e.isStreaming) e.withWatermark("event_time", watermark) else e
+    wm.groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window).as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization via the built-in `session_window` (merges
+    * events closer than `gap`; an event at exactly last+gap opens a new
+    * session) — again one code path for batch and streaming.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val e = withEventTime(events)
+    val wm = if (e.isStreaming) e.withWatermark("event_time", watermark) else e
+    wm.groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("first_event"), col("last_event"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** File-based stream source over the same Parquet the batch path reads —
+    * schema pinned from the batch reader (required by file stream sources).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    // file stream sources take a directory; select just the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  // ── custom keyed state: flatMapGroupsWithState ─────────────────────────
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+  final case class UserStat(n: Long, sumValue: Double, maxTs: Long)
+
+  /** Per-user running statistics with explicit keyed state — the
+    * `flatMapGroupsWithState` extension point for stateful logic the
+    * built-in aggregations can't express. Emits the updated stat for every
+    * group seen in each micro-batch.
+    */
+  def runningUserStats(events: Dataset[Ev]): Dataset[(Long, UserStat)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStat, (Long, UserStat)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(0L, 0.0, Long.MinValue))
+          val next = evs.foldLeft(prev) { (st, e) =>
+            UserStat(st.n + 1,
+              // exact 2-decimal accumulation in cents to stay order-robust
+              (BigDecimal(st.sumValue).setScale(2, BigDecimal.RoundingMode.HALF_UP) +
+                BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toDouble,
+              math.max(st.maxTs, e.ts))
+          }
+          state.update(next)
+          Iterator.single(userId -> next)
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics: the streaming run of each windowed
+  * aggregation must produce exactly the rows of the batch run over the same
+  * data (the unified-model contract EventQueries relies on), and the
+  * flatMapGroupsWithState path must maintain correct keyed state.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(rows: Array[Row]): Seq[String] =
+    rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private def streamEqualsBatch(agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                                sink: String): Unit = {
+    val batch = agg(Tables.events(spark, sf)).collect()
+    val q = agg(EventStream.readEventStream(spark, sf))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table(sink).collect()
+    assert(canon(streamed) == canon(batch),
+      s"stream/batch mismatch: ${streamed.length} vs ${batch.length} rows")
+    assert(batch.nonEmpty)
+  }
+
+  test("tumbling window: streaming output == batch output") {
+    streamEqualsBatch(EventStream.tumblingAgg(_), "tumbling_sink")
+  }
+
+  test("session window: streaming output == batch output") {
+    streamEqualsBatch(EventStream.sessionAgg(_), "session_sink")
+  }
+
+  test("flatMapGroupsWithState keeps running per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.runningUserStats(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("user_stats_sink")
+      .outputMode("update")
+      .start()
+    try {
+      input.addData(
+        EventStream.Ev(1L, 1000L, 7L, 1.25),
+        EventStream.Ev(2L, 2000L, 7L, 2.50),
+        EventStream.Ev(3L, 1500L, 8L, 4.00))
+      q.processAllAvailable()
+      input.addData(EventStream.Ev(4L, 9000L, 7L, 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("user_stats_sink").collect()
+        .map(r => (r.getLong(0), r.getStruct(1)))
+      // last emitted state per user wins
+      val last = rows.groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+      assert(last(7L).getLong(0) == 3L)          // n
+      assert(last(7L).getDouble(1) == 4.0)       // 1.25+2.50+0.25
+      assert(last(7L).getLong(2) == 9000L)       // maxTs
+      assert(last(8L).getLong(0) == 1L)
+      assert(last(8L).getDouble(1) == 4.0)
+    } finally q.stop()
+  }
+}
