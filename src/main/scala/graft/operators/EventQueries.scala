@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.streaming.EventStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Driver-facing queries over the event-time windowing surface
   * ([[graft.streaming.EventStream]]). Both queries run THE SAME code path
@@ -44,6 +46,38 @@ object EventQueries {
                      max(event_id) AS last_event, count(*) AS n_events,
                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
               FROM sess GROUP BY user_id, sid""")
+    ),
+
+    QueryDef(
+      "q29_asof_join",
+      // As-of join: each click matched to the latest view of the same user
+      // at or before it. Spark lacks a native as-of operator; the scalable
+      // form is the tagged union + keyed window (ONE shuffle on user_id +
+      // in-partition sort — never a range cross-join). Ties at equal µs
+      // order views (tag 0) before clicks (tag 1), matching ASOF's <=.
+      // Comparison runs on µs-truncated time in both engines (ns parquet is
+      // read µs-truncated by DuckDB).
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("tsu", expr("ts div 1000"))
+        val u = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tsu"), lit(0).as("tag"),
+            col("event_id").as("id"))
+          .unionByName(e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("tsu"), lit(1).as("tag"),
+              col("event_id").as("id")))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu").asc, col("tag").asc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("view_id",
+            last(when(col("tag") === 0, col("id")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1 && col("view_id").isNotNull)
+          .select(col("id").as("click_id"), col("user_id"), col("view_id"))
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id AS user_id,
+                     v.event_id AS view_id
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                ON c.user_id = v.user_id AND v.ts <= c.ts""")
     )
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries viable
+  * at 100 TB are checked structurally, not just by result correctness
+  * (SURVEY.md §5.3 — "assert via plan/metrics tests, not just results").
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: range predicate is pushed down to the parquet scan") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,300)]"), p)
+  }
+
+  test("q23 (TPC-H Q6): scan reads only the four needed columns") {
+    val p = plan("q23_tpch_q6")
+    val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    val cols = m.get.group(1).split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"unexpected scan columns: $cols")
+  }
+
+  test("q09: dimension joins execute as broadcast hash joins (no shuffle)") {
+    val p = plan("q09_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04 (TPC-H Q1): aggregation is partial+final (map-side combine)") {
+    val p = plan("q04_tpch_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q12/q13: semi/anti joins plan as real semi/anti joins") {
+    assert(plan("q12_semijoin").contains("LeftSemi"), "q12")
+    assert(plan("q13_antijoin").contains("LeftAnti"), "q13")
+  }
+
+  test("q38 (MinHash-LSH): candidate generation never cross-joins") {
+    val p = plan("q38_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q29 (as-of join): single shuffle on the key, no range cross-join") {
+    val p = plan("q29_asof_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one exchange feeds the window (hashpartitioning on user_id)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("whole-stage codegen covers the scan→filter→aggregate pipeline") {
+    // AQE only shows codegen spans in the final (post-execution) plan
+    val df = SparkEntry.queries("q04_tpch_q1")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(") && "\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
+  }
+}
