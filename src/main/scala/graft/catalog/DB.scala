@@ -110,6 +110,50 @@ final class DB private (val root: Path, val spark: SparkSession) {
       .option("compression", "lz4")
       .parquet(tableDir(name).toString)
   }
+
+  /** Bucketed ingest: hash-bucket the table by `bucketCols` into `numBuckets`
+    * files, sorted within buckets. Joins and aggregations between tables
+    * bucketed the same way on the same keys then run WITHOUT a shuffle —
+    * the co-located-join layout that matters most at 100 TB (a fact-fact
+    * join at that scale is otherwise a full-network shuffle of both sides).
+    *
+    * Registered in the Spark session catalog (bucketing metadata lives
+    * there); data files land under the warehouse dir configured by the
+    * session. Batch-validates like [[write]].
+    */
+  /** session-catalog identifier for a bucketed table, unique per DB root */
+  private def bucketedName(name: String): String =
+    s"graft_${name}_${java.lang.Integer.toHexString(root.toString.hashCode)}"
+
+  def writeBucketed(name: String, df: DataFrame, numBuckets: Int,
+      bucketCols: Seq[String]): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      throw new IllegalArgumentException("Mismatched data type")
+    val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
+    if (!df.filter(anyNull).isEmpty)
+      throw new IllegalArgumentException("Mismatched data type")
+    val cat = bucketedName(name)
+    spark.sql(s"DROP TABLE IF EXISTS $cat")
+    df.write
+      .mode("overwrite")
+      .option("compression", "lz4")
+      // external table: data lives under the DB root, not the warehouse dir
+      .option("path", tableDir(s"$name.bucketed").toString)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(cat)
+  }
+
+  /** Scan of a bucketed table written by [[writeBucketed]] — carries the
+    * bucketing metadata, so equi-joins/aggs on the bucket keys skip the
+    * exchange (asserted in DBSpec).
+    */
+  def bucketedTable(name: String): DataFrame =
+    spark.table(bucketedName(name))
 }
 
 object DB {

@@ -36,11 +36,13 @@ object SimilarityQueries {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  private def dot(a: Column, b: Column): Column =
-    fsum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+  // Native codegen'd fold (graft.functions.VectorDot) — identical IEEE
+  // operation order to the HOF form, so oracle hashes are unchanged; the
+  // HOF path (fsum/zip_with) remains in use where the element stream is
+  // not a plain pairwise product (q42's hyperplane signatures).
+  private def dot(a: Column, b: Column): Column = graft.functions.vec.dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(fsum(transform(asDouble(a), x => x * x)))
+  private def norm(a: Column): Column = graft.functions.vec.norm(a)
 
   // DuckDB mirrors
   private val SQL_DIM = 64

@@ -102,6 +102,29 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] { db.write("events", bad) }
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located join)") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    val db = DB.init(freshDir("bucket"), Seq("events" -> eventsSchema))
+    val rows = (1L to 4000L).map(i => Row(s"ev${i % 5}", 1700000000L + i, i % 97))
+    val df = s.createDataFrame(rows.asJava, eventsSchema)
+    db.writeBucketed("events", df, numBuckets = 8, bucketCols = Seq("id"))
+    val t = db.bucketedTable("events")
+    // the co-located layout matters for the SHUFFLE join path (at scale the
+    // fact-fact side is never broadcastable) — disable broadcast to test it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = t.as("a").join(t.as("b"), "id")
+      val agged = t.groupBy("id").count()
+      // AQE: bucketed-scan choice is only final in the post-execution plan
+      assert(joined.count() > 0 && agged.count() == 97)
+      val jp = joined.queryExecution.executedPlan.toString
+      val ap = agged.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"), s"bucketed self-join should not shuffle:\n$jp")
+      assert(!ap.contains("Exchange"), s"bucketed agg should not shuffle:\n$ap")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("leading-column filter reaches the parquet scan as a pushed filter") {
     implicit val s = spark
     val db = DB.init(freshDir("prune"), Seq("events" -> eventsSchema))

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.vec
+import org.apache.spark.sql.graftshim.VectorDot
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native VectorDot expression: correctness on both the interpreted and
+  * codegen paths, and exact agreement with the declarative HOF fold it
+  * replaced (same IEEE operation order — required for oracle stability).
+  */
+class FunctionsSpec extends AnyFunSuite with SparkFixture {
+
+  test("interpreted eval computes the sequential double fold") {
+    def litArr(xs: Seq[Float]) =
+      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(FloatType))
+    val e = VectorDot(litArr(Seq(1.0f, 2.0f, 3.0f)), litArr(Seq(4.0f, 5.0f, 6.0f)))
+    assert(e.eval(null) == (1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0))
+    // min-length semantics
+    val short = VectorDot(litArr(Seq(2.0f)), litArr(Seq(3.0f, 9.0f)))
+    assert(short.eval(null) == 6.0)
+  }
+
+  test("codegen path agrees exactly with the HOF fold on real embeddings") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x.cast("array<double>"), y.cast("array<double>"),
+        (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val diff = pairs
+      .withColumn("native", vec.dot(col("va"), col("vb")))
+      .withColumn("hof", hofDot(col("va"), col("vb")))
+      .filter(col("native") =!= col("hof"))   // exact bitwise comparison
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("vec.norm and vec.cosine compose from the native fold") {
+    val row = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") === 0)
+      .select(vec.norm(col("embedding")).as("n"),
+        vec.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 0.05) // corpus is ~unit-norm
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("null input yields null (nullSafe paths)") {
+    val r = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS a")
+      .select(vec.dot(col("a"), col("a")).as("d")).collect().head
+    assert(r.isNullAt(0))
+  }
+}
