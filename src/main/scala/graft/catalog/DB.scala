@@ -121,6 +121,33 @@ final class DB private (val root: Path, val spark: SparkSession) {
     * there); data files land under the warehouse dir configured by the
     * session. Batch-validates like [[write]].
     */
+  /** Directory-partitioned append ingest (`{table}/{col}={value}/...`):
+    * coarse-grained data skipping — filters on the partition columns prune
+    * whole directories before any file is opened (PartitionFilters in the
+    * scan, asserted in DBSpec). The complement of the range-sort layout:
+    * partition on low-cardinality operational keys (date, category),
+    * range-sort within partitions for row-group pruning on the rest.
+    */
+  def writePartitioned(name: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSet !=
+        schema.fields.map(f => (f.name, f.dataType)).toSet)
+      throw new IllegalArgumentException("Mismatched data type")
+    val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
+    if (!df.filter(anyNull).isEmpty)
+      throw new IllegalArgumentException("Mismatched data type")
+    val sortCols = schema.fieldNames.filterNot(partitionCols.contains).map(col).toSeq
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .mode("append")
+      .option("compression", "lz4")
+      .partitionBy(partitionCols: _*)
+      .parquet(tableDir(name).toString)
+  }
+
   /** session-catalog identifier for a bucketed table, unique per DB root */
   private def bucketedName(name: String): String =
     s"graft_${name}_${java.lang.Integer.toHexString(root.toString.hashCode)}"

@@ -458,6 +458,33 @@ object CoreQueries {
               GROUP BY ROLLUP (r_name, n_name)""")
     ),
 
+    // ── correlated scalar subquery (Catalyst decorrelation) ───────────────
+    QueryDef(
+      "q49_corr_subquery",
+      // TPC-H Q17 shape: lineitems below 20% of their part's average
+      // quantity. Catalyst decorrelates the scalar subquery into an
+      // aggregate + join — no per-row re-execution (the only scalable plan).
+      // Identical SQL text runs in DuckDB; the threshold arithmetic is the
+      // same IEEE op sequence in both engines.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_q49_lineitem")
+        s.sql("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                        count(*) AS n
+                 FROM graft_q49_lineitem l1
+                 WHERE l_quantity < (
+                   SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                   FROM graft_q49_lineitem l2
+                   WHERE l2.l_partkey = l1.l_partkey)""")
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                     count(*) AS n
+              FROM lineitem l1
+              WHERE l_quantity < (
+                SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey)""")
+    ),
+
     QueryDef(
       "q26_cube",
       (s, d) =>

@@ -125,6 +125,22 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned layout prunes directories at the scan (PartitionFilters)") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    val db = DB.init(freshDir("part"), Seq("events" -> eventsSchema))
+    val rows = (1L to 2000L).map(i => Row(s"ev${i % 4}", 1700000000L + i, i))
+    db.writePartitioned("events",
+      s.createDataFrame(rows.asJava, eventsSchema), Seq("event"))
+    val q = db.table("events").filter(
+      org.apache.spark.sql.functions.col("event") === "ev2")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event"), p)
+    assert(q.count() == 500)
+    // round-trip: all rows still readable with the declared schema
+    assert(db.table("events").count() == 2000)
+  }
+
   test("leading-column filter reaches the parquet scan as a pushed filter") {
     implicit val s = spark
     val db = DB.init(freshDir("prune"), Seq("events" -> eventsSchema))
