@@ -21,12 +21,16 @@ object Bench {
     // warmup: exercise scan + shuffle + codegen machinery once, untimed
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink materializes EVERY output column (count() would let
       // Catalyst prune expensive projections and under-measure)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // min of two runs: steady-state time, robust to one-off GC pauses
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -54,6 +54,37 @@ object Multimodal {
   def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame =
     media.withColumn("features", featureExpr(col("content"), dim))
 
+  final case class MediaFeatures(media_id: Long, features: Array[Double])
+
+  /** The imperative-codec extension point: batch-shaped decode over
+    * `mapPartitions` (the Scala analog of mapInPandas) for codecs that
+    * can't be expressed as Column expressions. Rows stream through in
+    * `batchSize` groups — a real decoder hands each group to native code
+    * as one unit; the STUB derives the same deterministic features as
+    * [[featureExpr]] (asserted equal in MultimodalSpec), so swapping in a
+    * real codec changes no schema, partitioning, or downstream code.
+    */
+  def decodeFeaturesPartitioned(media: DataFrame, dim: Int = 8,
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // <-- a real codec decodes `batch` as one unit here
+          batch.iterator.map { case (id, content) =>
+            MediaFeatures(id, Array.tabulate(dim) { i =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val d = md.digest(content ++ s":$i".getBytes("UTF-8"))
+              val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              v.toDouble / 4294967296.0
+            })
+          }
+        }
+      }
+  }
+
   /** STUB RESIZE: rewrites meta.width/height and stamps a checksum of the
     * would-be resized pixels (here: md5 of the original content + target
     * box — a real resize kernel goes where the md5 is).

@@ -248,6 +248,49 @@ object CoreQueries {
               GROUP BY c_mktsegment""")
     ),
 
+    QueryDef(
+      "q50_left_outer_join",
+      // TPC-H Q13 shape: order-count distribution over ALL customers —
+      // left outer join so zero-order customers survive with count 0.
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+            "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist")),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+              GROUP BY c_count""")
+    ),
+
+    QueryDef(
+      "q51_full_outer_join",
+      // symmetric difference bookkeeping: high-balance customers vs big
+      // spenders, full outer on the key, classify each side's presence
+      (s, d) => {
+        val hi = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
+          .select(col("c_custkey").as("k1"))
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k2")).distinct()
+        hi.join(big, col("k1") === col("k2"), "full_outer")
+          .withColumn("side",
+            when(col("k1").isNotNull && col("k2").isNotNull, "both")
+              .when(col("k1").isNotNull, "left_only").otherwise("right_only"))
+          .groupBy("side").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH hi AS (SELECT c_custkey AS k1 FROM customer WHERE c_acctbal > 7000),
+              big AS (SELECT DISTINCT o_custkey AS k2 FROM orders WHERE o_totalprice > 300000)
+              SELECT CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL THEN 'both'
+                          WHEN k1 IS NOT NULL THEN 'left_only'
+                          ELSE 'right_only' END AS side, count(*) AS n
+              FROM hi FULL OUTER JOIN big ON k1 = k2
+              GROUP BY 1""")
+    ),
+
     // ── set operators ─────────────────────────────────────────────────────
     QueryDef(
       "q14_union_all",

@@ -78,6 +78,18 @@ object EventStream {
       .parquet(dir)
   }
 
+  /** Exactly-once event dedup by id — unified: plain dropDuplicates in
+    * batch; in streaming, dropDuplicatesWithinWatermark so dedup state is
+    * bounded (expired past the watermark) instead of growing forever —
+    * the only viable form at 100 TB/day event volumes.
+    */
+  def dedupeById(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      withEventTime(events)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   // ── custom keyed state: flatMapGroupsWithState ─────────────────────────
 
   final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)

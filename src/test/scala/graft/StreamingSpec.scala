@@ -43,6 +43,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     streamEqualsBatch(EventStream.sessionAgg(_), "session_sink")
   }
 
+  test("streaming dedup emits each event id exactly once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    // Ev.ts is epoch-nano Long, same contract as the events table
+    val q = EventStream.dedupeById(input.toDS().toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Ev(1L, 1_000_000_000L, 7L, 1.0),
+        EventStream.Ev(1L, 1_000_000_000L, 7L, 1.0),   // dup in-batch
+        EventStream.Ev(2L, 2_000_000_000L, 7L, 2.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Ev(2L, 2_000_000_000L, 7L, 2.0),   // dup across batches
+        EventStream.Ev(3L, 3_000_000_000L, 8L, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
