@@ -501,6 +501,26 @@ object CoreQueries {
               GROUP BY ROLLUP (r_name, n_name)""")
     ),
 
+    // ── conditional aggregation (TPC-H Q12 shape) ─────────────────────────
+    QueryDef(
+      "q53_conditional_agg",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+            sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_big"),
+            sumd(when(col("o_orderstatus") === "F", col("o_totalprice"))
+              .otherwise(lit(0.0))).as("sum_f_price")),
+      Some(s"""SELECT o_orderpriority,
+              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+              CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+              CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_f_price
+              FROM orders GROUP BY o_orderpriority""")
+    ),
+
     // ── correlated scalar subquery (Catalyst decorrelation) ───────────────
     QueryDef(
       "q49_corr_subquery",

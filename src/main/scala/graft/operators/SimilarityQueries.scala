@@ -163,6 +163,66 @@ object SimilarityQueries {
                 QUALIFY rk <= 3""") }
     ),
 
+    // ── IVF-style ANN: coarse quantizer buckets, single-probe search ──────
+    QueryDef(
+      "q44_ann_ivf",
+      // Inverted-file structure: K coarse centroids (a deterministic sample
+      // of the corpus — a k-means fit would refine them; the bucketing
+      // mechanics are identical), every vector assigned to its nearest
+      // centroid by max dot product; a query probes ONLY its own centroid's
+      // bucket — corpus scan cost drops by ~K at equal recall to one probe.
+      // Assignment + probe are broadcast equi-joins, the 100 TB shape.
+      (s, d) => {
+        val K = 8
+        val e = embeddings(s, d)
+        val cent = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        def assign(df: DataFrame, idc: String, vc: String): DataFrame = {
+          val w = Window.partitionBy(idc)
+            .orderBy(col("__d").desc, col("cent_id").asc)
+          df.crossJoin(broadcast(cent))
+            .withColumn("__d", dot(col(vc), col("centv")))
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") === 1)
+            .drop("__d", "__rk", "centv")
+        }
+        val corpus = assign(e.filter(col("vec_id") >= 13)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid", "cv")
+        val qs = assign(e.filter(col("vec_id").between(8, 12))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv")
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+        broadcast(qs).join(corpus, "cent_id")
+          .withColumn("cos", dot(col("qv"), col("cv")) /
+            (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid", "cos", "rk")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              corpus AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 13),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              corpus_a AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, cent) WHERE rk = 1),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, cent) WHERE rk = 1),
+              scored AS (SELECT qid, cid,
+                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                FROM q_a JOIN corpus_a USING (cent_id))
+              SELECT qid, cid, cos,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+              FROM scored
+              QUALIFY rk <= 3""")
+    ),
+
     // ── embedding-cosine near-duplicate pairs (bounded subset) ────────────
     QueryDef(
       "q43_cosine_neardup",

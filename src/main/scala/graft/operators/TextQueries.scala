@@ -186,6 +186,31 @@ object TextQueries {
       headline = true
     ),
 
+    // ── BPE-ish regex tokenization (subword-style pre-tokenizer) ──────────
+    QueryDef(
+      "q52_bpe_tokens",
+      // letter runs | digit runs | single punctuation — the GPT-2-style
+      // pre-tokenizer shape; counts agree exactly across engines for this
+      // ASCII corpus
+      (s, d) => {
+        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+        Tables.documents(s, d)
+          .withColumn("n_bpe",
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+          .withColumn("n_ws", size(tokens(col("text"))).cast("long"))
+          .groupBy("lang")
+          .agg(
+            sum(col("n_bpe")).as("sum_bpe"),
+            sum(col("n_ws")).as("sum_ws"),
+            max(col("n_bpe")).as("max_bpe"))
+      },
+      Some(s"""SELECT lang,
+              CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe,
+              CAST(sum(len($SQL_TOKENS)) AS BIGINT) AS sum_ws,
+              CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS max_bpe
+              FROM documents GROUP BY lang""")
+    ),
+
     // ── quality scoring (length / alpha-ratio heuristics) ─────────────────
     QueryDef(
       "q33_quality_score",

@@ -45,6 +45,18 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Long]("rk")).forall(rk => rk >= 1 && rk <= 3))
   }
 
+  test("approx_count_distinct (HLL) lands within 5% of exact") {
+    // sketch output can't hash-match a DuckDB oracle (different sketch
+    // impls), so accuracy is asserted here instead of in the query list
+    import org.apache.spark.sql.functions._
+    val r = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .collect().head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
