@@ -49,6 +49,20 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q54_interval_join",
+      // batch run of the stream-stream interval join code path (the
+      // streaming run is asserted equal in StreamingSpec)
+      (s, d) => EventStream.viewClickJoin(Tables.events(s, d)),
+      Some("""SELECT v.user_id AS user_id, v.event_id AS view_id,
+                     c.event_id AS click_id
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON v.user_id = c.user_id
+               AND c.ts >= v.ts
+               AND c.ts <= v.ts + INTERVAL '10 minutes'""")
+    ),
+
+    QueryDef(
       "q29_asof_join",
       // As-of join: each click matched to the latest view of the same user
       // at or before it. Spark lacks a native as-of operator; the scalable

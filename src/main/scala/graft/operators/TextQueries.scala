@@ -361,19 +361,24 @@ object TextQueries {
     // ── MinHash + LSH banding: near-dup candidate pairs at scale ──────────
     QueryDef(
       "q38_minhash_lsh",
-      // Scale shape: the expensive subtree (shingles → 16 minhashes) is
-      // evaluated ONCE — band buckets come from a single hash aggregation
-      // (`groupBy(band, bh)`), and candidate pairs are generated inside each
-      // bucket with array HOFs, never via a self-join that would plan the
-      // signature computation twice. Only (a, b) id pairs shuffle; the
-      // shingle arrays are re-fetched by two cheap id-equi-joins for the
-      // exact-Jaccard confirm.
+      // Scale shape: the expensive subtree (shingles → base hashes) is
+      // evaluated ONCE — it sits below a repartition exchange whose map
+      // output all three consumers (banding, both Jaccard-confirm joins)
+      // share via Catalyst's ReuseExchange; band buckets come from a single
+      // hash aggregation (`groupBy(band, bh)`), and candidate pairs are
+      // generated inside each bucket with array HOFs, never via a self-join
+      // that would plan the signature computation twice. Only (a, b) id
+      // pairs shuffle between stages.
       (s, d) => {
         val sh = withShingles(s, d, nonEmpty = true)
-          .select("doc_id", "sh")
+          .withColumn("shh", transform(col("sh"), h32(_)))
+          .select("doc_id", "sh", "shh")
+          // reusable exchange point: the shingle+hash compute above runs
+          // exactly once (its shuffle map output is shared by the three
+          // consumers below); payload is the shingle set, a few × the text
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         // band hash = md5 over the band's ROWS_PER_BAND signature values
         val banded = sh
-          .withColumn("shh", transform(col("sh"), h32(_)))
           .select(col("doc_id") +:
             (0 until NUM_HASHES).map(j => minhash(col("shh"), j).as(s"mh$j")): _*)
           .select(col("doc_id"), explode(array((0 until BANDS).map(b =>

@@ -78,6 +78,31 @@ object EventStream {
       .parquet(dir)
   }
 
+  /** Watermarked stream-stream interval join: every (view, click) pair of
+    * the same user where the click lands within 10 minutes after the view.
+    * One code path for batch and streaming; in streaming both sides carry
+    * the watermark, which combined with the time bound lets Spark expire
+    * join state — the only viable stream-stream join shape at scale.
+    * Execution is an equi-join on user_id with a range predicate — never a
+    * time-range cross-join.
+    */
+  def viewClickJoin(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val e = withEventTime(events)
+    val wm = if (e.isStreaming) e.withWatermark("event_time", watermark) else e
+    val views = wm.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+    val clicks = wm.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+    views.join(clicks, expr(
+        """v_user = c_user AND
+           c_time >= v_time AND
+           c_time <= v_time + interval 10 minutes"""))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** Exactly-once event dedup by id — unified: plain dropDuplicates in
     * batch; in streaming, dropDuplicatesWithinWatermark so dedup state is
     * bounded (expired past the watermark) instead of growing forever —

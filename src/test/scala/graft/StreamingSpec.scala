@@ -43,6 +43,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     streamEqualsBatch(EventStream.sessionAgg(_), "session_sink")
   }
 
+  test("stream-stream interval join: streaming output == batch output") {
+    val batch = EventStream.viewClickJoin(Tables.events(spark, sf)).collect()
+    val q = EventStream.viewClickJoin(EventStream.readEventStream(spark, sf))
+      .writeStream.format("memory").queryName("ssjoin_sink")
+      .outputMode("append")                     // required for stream-stream joins
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssjoin_sink").collect()
+    assert(canon(streamed) == canon(batch),
+      s"stream/batch mismatch: ${streamed.length} vs ${batch.length} rows")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup emits each event id exactly once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
