@@ -63,6 +63,26 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q55_pivot",
+      // wide-format pivot: per-user event counts by type (explicit value
+      // list — at scale an unbounded pivot would need a distinct-values
+      // pass; pinning the columns keeps it one aggregation)
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .count()
+          .na.fill(0L),
+      Some("""SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+              CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+              FROM events GROUP BY user_id""")
+    ),
+
+    QueryDef(
       "q29_asof_join",
       // As-of join: each click matched to the latest view of the same user
       // at or before it. Spark lacks a native as-of operator; the scalable

@@ -58,6 +58,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("hashpartitioning(user_id"), p)
   }
 
+  test("no query plans an unintentional cartesian product") {
+    // bounded all-pairs comparisons are deliberately cartesian; everything
+    // else must join with keys
+    val intentional = Set("q36_ngram_jaccard", "q39b_simhash_pairs",
+      "q41_knn_brute", "q43_cosine_neardup", "q44_ann_ivf")
+    val offenders = SparkEntry.defs
+      .filterNot(q => intentional(q.name))
+      .flatMap { q =>
+        val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unexpected cartesian/NLJ in: $offenders")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate pipeline") {
     // AQE only shows codegen spans in the final (post-execution) plan
     val df = SparkEntry.queries("q04_tpch_q1")(spark, sf)
