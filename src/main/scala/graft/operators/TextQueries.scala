@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -263,6 +264,28 @@ object TextQueries {
               SELECT lang, CASE WHEN en_score >= 3 THEN 'en' ELSE 'unk' END AS lang_pred,
                      count(*) AS n, CAST(sum(en_score) AS BIGINT) AS sum_score
               FROM scored GROUP BY 1, 2""")
+    ),
+
+    // ── corpus term frequency: top-k tokens per language ──────────────────
+    QueryDef(
+      "q56_top_terms",
+      // explode → count → per-group top-k (rank window); the frequency
+      // table that drives stopword lists and vocabulary builds
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        val counts = tok.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)
+        counts.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+      },
+      Some(s"""WITH tok AS (SELECT lang, unnest($SQL_TOKENS) AS tok FROM documents),
+              c AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+              SELECT lang, tok, n,
+                CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rk
+              FROM c
+              QUALIFY rk <= 5""")
     ),
 
     // ── document fingerprinting ───────────────────────────────────────────
