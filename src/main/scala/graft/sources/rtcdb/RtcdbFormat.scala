@@ -1,0 +1,240 @@
+package graft.sources.rtcdb
+
+import java.io.RandomAccessFile
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import net.jpountz.lz4.LZ4Factory
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The rtcdb on-disk format, re-implemented from the reference's behavior
+  * (NOT a code port):
+  *
+  *  - one `{table}.{col}.data` + `{table}.{col}.index` file pair per column
+  *    (`/root/reference/src/storage.rs:353-359`), in the DB root;
+  *  - values: u64 → 8-byte big-endian; string → u32-BE length prefix +
+  *    UTF-8 bytes (`src/storage.rs:361-394`);
+  *  - blocks of 1024 rows (`src/storage.rs:17`), each column's block buffer
+  *    LZ4 block-compressed (`src/storage.rs:264-268`; lz4-java's raw block
+  *    format is the same LZ4 block spec as the reference's lz4_flex);
+  *  - a 40-byte big-endian index entry per block per column:
+  *    start_position, compressed_size, decompressed_size (8B each), then
+  *    min and max as 8 bytes — the u64 BE, or the first 8 bytes of the
+  *    string zero-padded (`src/storage.rs:72-106`, golden-tested below and
+  *    in the reference at `src/storage.rs:108-139`);
+  *  - `metadata.json` = `{"tables":[{"name":…,"columns":[{"name":…,
+  *    "dtype":"Uint64"|"String"}]}]}` (`src/metadata.rs:9-46`).
+  *
+  * Divergence from the reference, deliberate (SURVEY.md §1.4.1): the
+  * reference writes the whole preallocated compression buffer (zero
+  * padding included) while advancing its bookkeeping by `compressed_len`,
+  * leaving files whose stored offsets don't match their bytes — its own
+  * read path could never have worked. This writer writes exactly
+  * `compressed_len` bytes, which is the behavior the index format implies.
+  *
+  * Type mapping (SURVEY.md §1.2): Uint64 ↔ LongType (test data stays in
+  * signed range; min/max compare as signed), String ↔ StringType with
+  * byte-wise UTF-8 ordering (Rust `String` `<`), nothing nullable.
+  */
+object RtcdbFormat {
+
+  val RowsPerBlock = 1024
+  val IndexEntryBytes = 40
+
+  private val lz4 = LZ4Factory.fastestInstance()
+
+  // ── value codecs ────────────────────────────────────────────────────────
+
+  def encodeLong(buf: java.io.ByteArrayOutputStream, v: Long): Unit =
+    buf.write(ByteBuffer.allocate(8).putLong(v).array())
+
+  def encodeString(buf: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    buf.write(ByteBuffer.allocate(4).putInt(b.length).array())
+    buf.write(b)
+  }
+
+  /** first 8 UTF-8 bytes, zero-padded (string zone-map precision) */
+  def prefix8(s: String): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    java.util.Arrays.copyOf(b, 8)
+  }
+
+  def longToBytes8(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
+
+  /** unsigned byte-array comparison (Rust byte-wise string order) */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  // ── 40-byte index entry ─────────────────────────────────────────────────
+
+  final case class IndexEntry(
+      startPosition: Long,
+      compressedSize: Long,
+      decompressedSize: Long,
+      min: Array[Byte],  // 8 bytes
+      max: Array[Byte]) {
+
+    def toBytes: Array[Byte] = {
+      val bb = ByteBuffer.allocate(IndexEntryBytes)
+      bb.putLong(startPosition).putLong(compressedSize).putLong(decompressedSize)
+      bb.put(min).put(max)
+      bb.array()
+    }
+  }
+
+  object IndexEntry {
+    def fromBytes(bytes: Array[Byte]): IndexEntry = {
+      val bb = ByteBuffer.wrap(bytes)
+      val (sp, cs, ds) = (bb.getLong, bb.getLong, bb.getLong)
+      val min = new Array[Byte](8); bb.get(min)
+      val max = new Array[Byte](8); bb.get(max)
+      IndexEntry(sp, cs, ds, min, max)
+    }
+  }
+
+  // ── metadata.json (reference serde shape) ──────────────────────────────
+
+  private val mapper = new ObjectMapper()
+
+  def writeMetadata(root: Path, tables: Seq[(String, StructType)]): Unit = {
+    val doc = mapper.createObjectNode()
+    val arr = doc.putArray("tables")
+    tables.foreach { case (name, schema) =>
+      val t = arr.addObject()
+      t.put("name", name)
+      val cols = t.putArray("columns")
+      schema.fields.foreach { f =>
+        val c = cols.addObject()
+        c.put("name", f.name)
+        c.put("dtype", f.dataType match {
+          case LongType   => "Uint64"
+          case StringType => "String"
+          case other => throw new IllegalArgumentException(
+            s"rtcdb supports only Uint64/String columns, got $other")
+        })
+      }
+    }
+    Files.writeString(root.resolve("metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(doc))
+  }
+
+  def readMetadata(root: Path): Seq[(String, StructType)] = {
+    val doc = mapper.readTree(Files.readString(root.resolve("metadata.json")))
+    doc.get("tables").elements().asScala.map { t =>
+      val fields = t.get("columns").elements().asScala.map { c =>
+        val dt = c.get("dtype").asText() match {
+          case "Uint64" => LongType
+          case "String" => StringType
+          case other => throw new IllegalArgumentException(s"Unknown dtype $other")
+        }
+        StructField(c.get("name").asText(), dt, nullable = false)
+      }.toArray
+      t.get("name").asText() -> StructType(fields)
+    }.toSeq
+  }
+
+  def dataPath(root: Path, table: String, col: String): Path =
+    root.resolve(s"$table.$col.data")
+  def indexPath(root: Path, table: String, col: String): Path =
+    root.resolve(s"$table.$col.index")
+
+  // ── writer (append-only batch ingest, storage.rs:224-297 semantics) ────
+
+  def write(root: String, table: String, schema: StructType,
+      rows: Seq[Row]): Unit = {
+    val rootP = Paths.get(root)
+    val compressor = lz4.fastCompressor()
+    // append mode: position starts at current data file length
+    val dataFiles = schema.fields.map { f =>
+      new RandomAccessFile(dataPath(rootP, table, f.name).toFile, "rw")
+    }
+    val indexFiles = schema.fields.map { f =>
+      new RandomAccessFile(indexPath(rootP, table, f.name).toFile, "rw")
+    }
+    try {
+      val positions = dataFiles.map(_.length())
+      dataFiles.foreach(f => f.seek(f.length()))
+      indexFiles.foreach(f => f.seek(f.length()))
+
+      rows.grouped(RowsPerBlock).foreach { block =>
+        schema.fields.zipWithIndex.foreach { case (field, ci) =>
+          val buf = new java.io.ByteArrayOutputStream()
+          var minB: Array[Byte] = null
+          var maxB: Array[Byte] = null
+          var minL = Long.MaxValue
+          var maxL = Long.MinValue
+          block.foreach { row =>
+            val v = row.get(ci)
+            (field.dataType, v) match {
+              case (LongType, l: java.lang.Long) =>
+                encodeLong(buf, l)
+                minL = math.min(minL, l); maxL = math.max(maxL, l)
+              case (StringType, s: String) =>
+                encodeString(buf, s)
+                val p = prefix8(s)
+                if (minB == null || compareBytes(p, minB) < 0) minB = p
+                if (maxB == null || compareBytes(p, maxB) > 0) maxB = p
+              case _ =>
+                throw new IllegalArgumentException("Mismatched data type")
+            }
+          }
+          val raw = buf.toByteArray
+          val comp = compressor.compress(raw)
+          dataFiles(ci).write(comp)
+          val entry = IndexEntry(positions(ci), comp.length.toLong, raw.length.toLong,
+            if (field.dataType == LongType) longToBytes8(minL) else minB,
+            if (field.dataType == LongType) longToBytes8(maxL) else maxB)
+          indexFiles(ci).write(entry.toBytes)
+          positions(ci) += comp.length
+        }
+      }
+    } finally {
+      dataFiles.foreach(_.close()); indexFiles.foreach(_.close())
+    }
+  }
+
+  // ── block decode (the read path the reference declared but left dead) ──
+
+  /** decompress + decode one column block into values (UTF8String/Long
+    * handled by the caller via `decodeLongs`/`decodeStrings`) */
+  def readBlock(file: RandomAccessFile, e: IndexEntry): Array[Byte] = {
+    val comp = new Array[Byte](e.compressedSize.toInt)
+    file.seek(e.startPosition)
+    file.readFully(comp)
+    lz4.fastDecompressor().decompress(comp, e.decompressedSize.toInt)
+  }
+
+  def decodeLongs(raw: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(raw)
+    val out = new Array[Long](raw.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  def decodeStringBytes(raw: Array[Byte]): Array[Array[Byte]] = {
+    val bb = ByteBuffer.wrap(raw)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (bb.remaining() > 0) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      out += b
+    }
+    out.toArray
+  }
+}

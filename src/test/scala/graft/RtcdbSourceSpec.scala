@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.rtcdb.{RtcdbFormat, RtcdbScanStats}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The rtcdb byte-format source: index-entry golden bytes (the reference's
+  * own unit-test vector, `/root/reference/src/storage.rs:108-139`),
+  * write→read round trips, and the two pruning behaviors the format exists
+  * for — column pruning (per-column files) and zone-map block skipping.
+  */
+class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+
+  private def freshDb(tag: String): String = {
+    val dir = Files.createTempDirectory(s"rtcdb_$tag")
+    RtcdbFormat.writeMetadata(dir, Seq("events" -> eventsSchema))
+    dir.toString
+  }
+
+  private def readEvents(root: String) =
+    spark.read.format("rtcdb").option("path", root).option("table", "events").load()
+
+  test("index entry serializes to the reference's golden 40 bytes") {
+    // the exact vector from the reference's own unit test
+    val entry = RtcdbFormat.IndexEntry(1L, 2L, 3L,
+      RtcdbFormat.longToBytes8(4L), RtcdbFormat.prefix8("longlonglong"))
+    val expected: Array[Byte] = Array[Byte](
+      0, 0, 0, 0, 0, 0, 0, 1,
+      0, 0, 0, 0, 0, 0, 0, 2,
+      0, 0, 0, 0, 0, 0, 0, 3,
+      0, 0, 0, 0, 0, 0, 0, 4) ++ "longlong".getBytes("UTF-8")
+    assert(entry.toBytes.toSeq == expected.toSeq)
+    val back = RtcdbFormat.IndexEntry.fromBytes(entry.toBytes)
+    assert(back.startPosition == 1L && back.compressedSize == 2L &&
+      back.decompressedSize == 3L)
+  }
+
+  test("string prefix zone maps: empty, short, long (reference edge cases)") {
+    assert(RtcdbFormat.prefix8("").toSeq == Seq.fill(8)(0: Byte))
+    assert(RtcdbFormat.prefix8("a").toSeq ==
+      ("a".getBytes("UTF-8") ++ Array.fill(7)(0: Byte)).toSeq)
+    assert(RtcdbFormat.prefix8("longlonglong").toSeq ==
+      "longlong".getBytes("UTF-8").toSeq)
+  }
+
+  test("write → spark.read round trip preserves all rows (multi-block)") {
+    val root = freshDb("rt")
+    val rows = (1L to 3000L).map(i => Row(s"ev${i % 7}", 1700000000L + i, i))
+    RtcdbFormat.write(root, "events", eventsSchema, rows)
+    val back = readEvents(root)
+    assert(back.schema.fieldNames.toSeq == Seq("event", "timestamp", "id"))
+    assert(back.count() == 3000)
+    val got = back.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq ==
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted)
+  }
+
+  test("appends accumulate (storage.rs:155-177 append semantics)") {
+    val root = freshDb("append")
+    RtcdbFormat.write(root, "events", eventsSchema, Seq(Row("a", 1L, 1L)))
+    RtcdbFormat.write(root, "events", eventsSchema, Seq(Row("b", 2L, 2L)))
+    assert(readEvents(root).count() == 2)
+  }
+
+  test("column pruning: only requested columns' files are opened") {
+    val root = freshDb("prune_cols")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 100L).map(i => Row(s"e$i", i, i)))
+    // delete the 'event' column files — a projected read that prunes the
+    // column must succeed; one that needs it must fail
+    Files.delete(Paths.get(root, "events.event.data"))
+    Files.delete(Paths.get(root, "events.event.index"))
+    // force actual reads of the surviving columns (count() would prune to
+    // zero columns and fall back to the first declared column)
+    val projected = readEvents(root).select("timestamp", "id").collect()
+    assert(projected.length == 100 && projected.map(_.getLong(1)).sum == 5050)
+    intercept[Exception] { readEvents(root).select("event").collect() }
+  }
+
+  test("zone-map pruning skips blocks on a sorted long column") {
+    val root = freshDb("prune_blocks")
+    // 8 blocks of 1024, sorted by id → tight per-block [min,max]
+    val rows = (0L until 8192L).map(i => Row(s"ev${i % 5}", 1700000000L + i, i))
+    RtcdbFormat.write(root, "events", eventsSchema, rows)
+    RtcdbScanStats.reset()
+    val hit = readEvents(root).filter(col("id") >= 7000L)
+    assert(hit.count() == 1192)
+    assert(RtcdbScanStats.prunedBlocks.get() >= 6,
+      s"expected >=6 of 8 blocks pruned, pruned=${RtcdbScanStats.prunedBlocks.get()}")
+    // pruning is visible in the scan description too
+    val p = hit.queryExecution.executedPlan.toString
+    assert(p.contains("rtcdb"), p)
+  }
+
+  test("zone-map pruning is conservative on string prefixes") {
+    val root = freshDb("prune_str")
+    // sorted by event string: aaa... < mmm... < zzz...
+    val rows = (0L until 2048L).map { i =>
+      val s = if (i < 1024) f"aaa$i%06d" else f"zzz$i%06d"
+      Row(s, i, i)
+    }
+    RtcdbFormat.write(root, "events", eventsSchema, rows)
+    RtcdbScanStats.reset()
+    val hit = readEvents(root).filter(col("event") >= "zzz")
+    assert(hit.count() == 1024)
+    // Spark may plan the scan more than once; assert the RATIO — one of
+    // the two blocks pruned per planning round
+    assert(RtcdbScanStats.prunedBlocks.get() > 0 &&
+      RtcdbScanStats.prunedBlocks.get() == RtcdbScanStats.plannedBlocks.get(),
+      s"pruned=${RtcdbScanStats.prunedBlocks.get()} planned=${RtcdbScanStats.plannedBlocks.get()}")
+    // equality at the truncation boundary must NOT prune (conservative)
+    RtcdbScanStats.reset()
+    assert(readEvents(root).filter(col("event") === "aaa000007").count() == 1)
+  }
+
+  test("writer rejects mismatched cell types") {
+    val root = freshDb("badtype")
+    intercept[IllegalArgumentException] {
+      RtcdbFormat.write(root, "events", eventsSchema, Seq(Row("a", "bad", 1L)))
+    }
+  }
+
+  test("metadata.json round-trips the reference serde shape") {
+    val root = freshDb("meta")
+    val tables = RtcdbFormat.readMetadata(Paths.get(root))
+    assert(tables == Seq("events" -> eventsSchema))
+    val json = Files.readString(Paths.get(root, "metadata.json"))
+    assert(json.contains("\"dtype\" : \"Uint64\"") || json.contains("\"dtype\":\"Uint64\""))
+  }
+}
