@@ -129,6 +129,30 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("RtcdbDB: the reference's full API cycle on its own format") {
+    import graft.sources.rtcdb.RtcdbDB
+    implicit val s = spark
+    val dir = Files.createTempDirectory("rtcdb_db").toString
+    val db = RtcdbDB.init(dir, Seq("events" -> eventsSchema))
+    // the reference integration test's exact write (integration_test.rs:48-59)
+    db.write("events", Seq(
+      Row("test", 123L, 456L),
+      Row("test2", 1234L, 4567L)))
+    val reopened = RtcdbDB.open(dir)
+    assert(reopened.tables == Map("events" -> eventsSchema))
+    // …and the declared query pipeline the reference never could run:
+    val agg = reopened.table("events")
+      .filter(col("timestamp") > 200L)
+      .groupBy("event").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(agg.toSeq.map(r => (r.getString(0), r.getLong(1))) == Seq(("test2", 1L)))
+    intercept[IllegalArgumentException] { db.write("nope", Seq(Row("a", 1L, 1L))) }
+    intercept[IllegalArgumentException] {
+      db.write("events", Seq(Row("a", "bad", 1L)))
+    }
+    intercept[IllegalArgumentException] { RtcdbDB.open(dir + "_nope") }
+  }
+
   test("metadata.json round-trips the reference serde shape") {
     val root = freshDb("meta")
     val tables = RtcdbFormat.readMetadata(Paths.get(root))
