@@ -521,6 +521,28 @@ object CoreQueries {
               FROM orders GROUP BY o_orderpriority""")
     ),
 
+    // ── exact percentiles (sort-based distribution statistics) ────────────
+    QueryDef(
+      "q57_percentiles",
+      // exact (not sketch) percentiles: both engines interpolate
+      // lo + (hi-lo)·frac over the sorted values — identical arithmetic on
+      // this 2-decimal data (verified value-exact at sf0.01/sf0.1)
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("med_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+              median(l_quantity) AS med_qty,
+              quantile_cont(l_quantity, 0.9) AS p90_qty,
+              quantile_cont(l_extendedprice, 0.25) AS p25_price,
+              count(*) AS n
+              FROM lineitem GROUP BY l_returnflag""")
+    ),
+
     // ── correlated scalar subquery (Catalyst decorrelation) ───────────────
     QueryDef(
       "q49_corr_subquery",

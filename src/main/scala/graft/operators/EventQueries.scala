@@ -63,6 +63,49 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q58_funnel",
+      // staged funnel: view → click-after-first-view → purchase-after-that-
+      // click, per user; three keyed aggregations (each one shuffle on
+      // user_id), comparisons on µs-truncated event time (both engines see
+      // identical values)
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("tsu", expr("ts div 1000"))
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tsu")).as("fv"))
+        val ca = e.filter(col("event_type") === "click")
+          .join(fv, "user_id").filter(col("tsu") >= col("fv"))
+          .groupBy("user_id").agg(min(col("tsu")).as("ca"))
+        val pa = e.filter(col("event_type") === "purchase")
+          .join(ca, "user_id").filter(col("tsu") >= col("ca"))
+          .groupBy("user_id").agg(min(col("tsu")).as("pa"))
+        fv.join(ca.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left_outer")
+          .join(pa.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left_outer")
+          .withColumn("stage",
+            when(col("has_p").isNotNull, 3L)
+              .when(col("has_c").isNotNull, 2L).otherwise(1L))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS fv FROM events
+                          WHERE event_type = 'view' GROUP BY user_id),
+              ca AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ca
+                     FROM events e JOIN fv ON e.user_id = fv.user_id
+                     WHERE e.event_type = 'click' AND epoch_us(e.ts) >= fv.fv
+                     GROUP BY e.user_id),
+              pa AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pa
+                     FROM events e JOIN ca ON e.user_id = ca.user_id
+                     WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= ca.ca
+                     GROUP BY e.user_id)
+              SELECT CAST(CASE WHEN pa.user_id IS NOT NULL THEN 3
+                               WHEN ca.user_id IS NOT NULL THEN 2
+                               ELSE 1 END AS BIGINT) AS stage,
+                     count(*) AS n_users
+              FROM fv
+              LEFT JOIN ca ON fv.user_id = ca.user_id
+              LEFT JOIN pa ON fv.user_id = pa.user_id
+              GROUP BY 1""")
+    ),
+
+    QueryDef(
       "q55_pivot",
       // wide-format pivot: per-user event counts by type (explicit value
       // list — at scale an unbounded pivot would need a distinct-values

@@ -288,6 +288,42 @@ object TextQueries {
               QUALIFY rk <= 5""")
     ),
 
+    // ── TF-IDF (log-free exact form: tf · N / df) ─────────────────────────
+    QueryDef(
+      "q57_tfidf",
+      // top-3 terms per document by term frequency with inverse document
+      // frequency, over a bounded subset; score = tf · N / df keeps the
+      // arithmetic exact across engines (a log() would differ in ulps)
+      (s, d) => {
+        val tok = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val n = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("term").asc)
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast("double") * col("n_docs") / col("df"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "term", "tf", "df", "score", "rk")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($SQL_TOKENS) AS term
+                FROM documents WHERE doc_id < 100),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+              SELECT doc_id, term, tf, df,
+                CAST(tf AS DOUBLE) * n_docs / df AS score,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tf DESC, term) AS BIGINT) AS rk
+              FROM tf JOIN df USING (term) CROSS JOIN n
+              QUALIFY rk <= 3""")
+    ),
+
     // ── document fingerprinting ───────────────────────────────────────────
     QueryDef(
       "q35_fingerprint",

@@ -62,7 +62,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // bounded all-pairs comparisons are deliberately cartesian; everything
     // else must join with keys
     val intentional = Set("q36_ngram_jaccard", "q39b_simhash_pairs",
-      "q41_knn_brute", "q43_cosine_neardup", "q44_ann_ivf")
+      "q41_knn_brute", "q43_cosine_neardup", "q44_ann_ivf",
+      "q57_tfidf" /* 1-row broadcast of the corpus size N */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
