@@ -521,6 +521,54 @@ object CoreQueries {
               FROM orders GROUP BY o_orderpriority""")
     ),
 
+    // ── moment statistics from exact sums (engine-independent variance) ───
+    QueryDef(
+      "q59_variance",
+      // engine-native stddev implementations differ (Welford vs naive); the
+      // two-pass-free exact form — decimal sum(x), sum(x²), then one pinned
+      // double expression — is bit-identical across engines
+      (s, d) => {
+        val x  = col("l_quantity").cast(DecimalType(12, 2))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"))
+          .withColumn("var_samp",
+            (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .select("l_returnflag", "n", "sx", "sxx", "var_samp")
+      },
+      Some("""WITH agg AS (SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+              FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, n, sx, sxx,
+                     (sxx - sx * sx / n) / (n - 1) AS var_samp
+              FROM agg""")
+    ),
+
+    QueryDef(
+      "q60_grouping_sets",
+      // explicit grouping sets (the general form behind rollup/cube),
+      // with grouping() to disambiguate NULL keys from the subtotal rows
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_q60_orders")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                 count(1) AS n, ${SUMD("o_totalprice")} AS sum_price
+                 FROM graft_q60_orders
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+              count(*) AS n, ${SUMD("o_totalprice")} AS sum_price
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    ),
+
     // ── exact percentiles (sort-based distribution statistics) ────────────
     QueryDef(
       "q57_percentiles",
