@@ -218,8 +218,9 @@ class RtcdbScan(root: String, table: String, declared: StructType,
     }.toArray
 
     // chunk contiguous block runs across the default parallelism
-    val slices = math.max(1, math.min(blockSpecs.length,
-      org.apache.spark.SparkContext.getOrCreate().defaultParallelism))
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val slices = math.max(1, math.min(blockSpecs.length, parallelism))
     val perSlice = math.ceil(blockSpecs.length.toDouble / slices).toInt
     if (blockSpecs.isEmpty) Array.empty
     else blockSpecs.grouped(perSlice)
