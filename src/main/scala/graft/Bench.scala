@@ -25,12 +25,19 @@ object Bench {
       // Catalyst prune expensive projections and under-measure)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a failed query must NOT masquerade as a fast one
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
       // min of two runs: steady-state time, robust to one-off GC pauses
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

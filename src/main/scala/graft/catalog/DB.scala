@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, raise_error, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** The `DB` facade — capability-parity port of the reference's public API
@@ -83,8 +83,14 @@ final class DB private (val root: Path, val spark: SparkSession) {
   }
 
   /** Distributed append ingest: the 100 TB path. Schema must match the
-    * catalog exactly; nulls anywhere fail the batch (checked distributedly,
-    * short-circuiting on the first offending partition).
+    * catalog exactly; nulls anywhere fail the batch.
+    *
+    * Validation strategy: a pre-scan rejects null batches BEFORE any file
+    * is written (the reference aborts the whole write on a bad cell —
+    * partial appends would be worse than an extra scan), and the written
+    * projection additionally carries a raise_error null guard so a
+    * non-deterministic source that produces nulls only on the write-time
+    * evaluation still cannot land them in the table.
     */
   def write(name: String, df: DataFrame): Unit = {
     val schema = tables.getOrElse(name,
@@ -95,7 +101,12 @@ final class DB private (val root: Path, val spark: SparkSession) {
     val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
     if (!df.filter(anyNull).isEmpty)
       throw new IllegalArgumentException("Mismatched data type")
-    writeValidated(df, name, schema)
+    val guarded = df.select(schema.fields.map { f =>
+      when(col(f.name).isNull,
+        raise_error(lit("Mismatched data type")).cast(f.dataType))
+        .otherwise(col(f.name)).as(f.name)
+    }.toSeq: _*)
+    writeValidated(guarded, name, schema)
   }
 
   /** Range-sorted LZ4 Parquet append — realizes `README.md:44`'s sort
@@ -132,13 +143,18 @@ final class DB private (val root: Path, val spark: SparkSession) {
       partitionCols: Seq[String]): Unit = {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"Table not found: $name"))
-    if (df.schema.fields.map(f => (f.name, f.dataType)).toSet !=
-        schema.fields.map(f => (f.name, f.dataType)).toSet)
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
       throw new IllegalArgumentException("Mismatched data type")
     val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
     if (!df.filter(anyNull).isEmpty)
       throw new IllegalArgumentException("Mismatched data type")
-    val sortCols = schema.fieldNames.filterNot(partitionCols.contains).map(col).toSeq
+    // partition columns FIRST in the in-partition sort: the dynamic-
+    // partition writer requires ordering by them, so leading with them
+    // means our sort satisfies that requirement (no second SortExec) and
+    // the data-column ordering inside each directory is preserved exactly
+    val sortCols = (partitionCols ++
+      schema.fieldNames.filterNot(partitionCols.contains)).map(col)
     df.repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
       .write

@@ -70,12 +70,17 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // per-partition setup amortized across all rows (the point of the
+        // mapPartitions extension point): one digest, no content copies
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.grouped(batchSize).flatMap { batch =>
           // <-- a real codec decodes `batch` as one unit here
           batch.iterator.map { case (id, content) =>
             MediaFeatures(id, Array.tabulate(dim) { i =>
-              val md = java.security.MessageDigest.getInstance("MD5")
-              val d = md.digest(content ++ s":$i".getBytes("UTF-8"))
+              md.reset()
+              md.update(content)
+              md.update(s":$i".getBytes("UTF-8"))
+              val d = md.digest()
               val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
                 ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
               v.toDouble / 4294967296.0

@@ -133,7 +133,10 @@ object EventQueries {
       // in-partition sort — never a range cross-join). Ties at equal µs
       // order views (tag 0) before clicks (tag 1), matching ASOF's <=.
       // Comparison runs on µs-truncated time in both engines (ns parquet is
-      // read µs-truncated by DuckDB).
+      // read µs-truncated by DuckDB). Caveat: if two VIEWS of one user ever
+      // collided at the same µs, our tie-break (highest event_id wins) is
+      // deterministic while DuckDB ASOF picks an arbitrary row — verified
+      // collision-free in this corpus at every sf.
       (s, d) => {
         val e = Tables.events(s, d).withColumn("tsu", expr("ts div 1000"))
         val u = e.filter(col("event_type") === "view")

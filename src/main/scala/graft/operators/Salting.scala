@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** deterministic per-row salt in [0, salts) */
-  private def saltOf(cols: Seq[Column], salts: Int): Column =
-    pmod(hash(cols: _*), lit(salts))
+  /** Per-row salt in [0, salts), independent of row CONTENT — a
+    * content-hash salt would put all copies of an identical hot row in one
+    * sub-group, defeating the whole point for the classic duplicate-row
+    * skew case. monotonically_increasing_id is partition-position based:
+    * stable within a run (results are salt-invariant anyway) and spreads
+    * identical rows evenly.
+    */
+  private def saltOf(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
 
   /** Two-level salted sum/count aggregation over one key.
     * Output: key, n (count), sum of `valueCol` (long-exact).
@@ -29,7 +35,7 @@ object Salting {
   def saltedCountSum(df: DataFrame, key: String, valueCol: Column,
       salts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      saltOf(df.columns.map(col).toSeq, salts))
+      saltOf(salts))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
@@ -44,7 +50,7 @@ object Salting {
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      saltOf(big.columns.map(col).toSeq, salts))
+      saltOf(salts))
     val repDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(repDim,

@@ -29,13 +29,20 @@ object TextQueries {
   /** whitespace tokens of the trimmed text */
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** distinct word 3-shingles; empty array for docs shorter than 3 tokens */
-  private def shingles(t: Column): Column =
-    when(size(t) >= 3,
-      array_distinct(expr(
-        "transform(sequence(1, size(t)-2), i -> " +
-          "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))")))
+  /** distinct word 3-shingles; empty array for docs shorter than 3 tokens.
+    * Built from the PASSED column via slices + zip_with (an expr() string
+    * would capture a column literally named "t" regardless of argument).
+    */
+  private def shingles(t: Column): Column = {
+    val n = size(t)
+    val joined = zip_with(
+      slice(t, lit(1), n - 2),
+      zip_with(slice(t, lit(2), n - 2), slice(t, lit(3), n - 2),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
+    when(n >= 3, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
+  }
 
   private val NUM_HASHES = 16
   private val BANDS = 4

@@ -110,7 +110,7 @@ object RtcdbScanStats {
 }
 
 final case class RtcdbColSpec(name: String, isLong: Boolean, dataPath: String)
-final case class RtcdbBlockSpec(entries: Array[IndexEntry], rows: Long)
+final case class RtcdbBlockSpec(entries: Array[IndexEntry])
 final case class RtcdbInputPartition(cols: Array[RtcdbColSpec],
     blocks: Array[RtcdbBlockSpec]) extends InputPartition
 
@@ -123,8 +123,16 @@ class RtcdbScan(root: String, table: String, declared: StructType,
     s"rtcdb table=$table cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
 
-  /** columns whose index entries we need: read cols + filtered cols, or the
-    * first declared column when none (count-only scans still need row counts)
+  /** columns the reader must materialize: the required schema, or the first
+    * declared column for count-only scans (row counts still need one column)
+    */
+  private def outputColNames: Array[String] =
+    if (required.fieldNames.isEmpty) Array(declared.fieldNames.head)
+    else required.fieldNames
+
+  /** columns whose index entries we need: output cols ∪ filtered cols (the
+    * union guarantees every output column has entries even if Spark ever
+    * prunes the schema below the filtered columns)
     */
   private def plannedCols: Array[String] = {
     val filterCols = pushed.flatMap {
@@ -135,8 +143,7 @@ class RtcdbScan(root: String, table: String, declared: StructType,
       case LessThanOrEqual(a, _) => Some(a)
       case _ => None
     }
-    val cols = (required.fieldNames ++ filterCols).distinct
-    if (cols.isEmpty) Array(declared.fieldNames.head) else cols
+    (outputColNames ++ filterCols).distinct
   }
 
   private def isLongCol(name: String): Boolean =
@@ -194,10 +201,8 @@ class RtcdbScan(root: String, table: String, declared: StructType,
       case _ => ""
     }
 
-    val outputCols = (if (required.fieldNames.isEmpty)
-      Array(declared.fieldNames.head) else required.fieldNames)
-      .map(c => RtcdbColSpec(c, isLongCol(c),
-        dataPath(Paths.get(root), table, c).toString))
+    val outputCols = outputColNames.map(c => RtcdbColSpec(c, isLongCol(c),
+      dataPath(Paths.get(root), table, c).toString))
 
     val surviving = (0 until nBlocks).filter { b =>
       colFilters.forall { case (c, fs) =>
@@ -208,13 +213,7 @@ class RtcdbScan(root: String, table: String, declared: StructType,
     RtcdbScanStats.prunedBlocks.addAndGet((nBlocks - surviving.size).toLong)
 
     val blockSpecs = surviving.map { b =>
-      val entries = outputCols.map(c => perCol(c.name)(b))
-      val rowCount = {
-        val c0 = outputCols.head
-        val e0 = entries.head
-        if (c0.isLong) e0.decompressedSize / 8 else -1L  // strings: decode-time
-      }
-      RtcdbBlockSpec(entries, rowCount)
+      RtcdbBlockSpec(outputCols.map(c => perCol(c.name)(b)))
     }.toArray
 
     // chunk contiguous block runs across the default parallelism
