@@ -521,6 +521,46 @@ object CoreQueries {
               FROM orders GROUP BY o_orderpriority""")
     ),
 
+    // ── histogram binning (fixed-width buckets, exact integer keys) ───────
+    QueryDef(
+      "q61_histogram",
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+              count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+              FROM orders GROUP BY 1""")
+    ),
+
+    // ── lag/lead window deltas ────────────────────────────────────────────
+    QueryDef(
+      "q62_window_lag",
+      // per-customer order-over-order price delta (lag) and next order key
+      // (lead); min/max of the 2-decimal delta are exact single subtractions
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+          .filter(col("prev_price").isNotNull)
+          .withColumn("delta", col("o_totalprice") - col("prev_price"))
+          .select("o_custkey", "o_orderkey", "delta", "next_key")
+      },
+      Some("""SELECT o_custkey, o_orderkey, delta, next_key FROM (
+                SELECT o_custkey, o_orderkey,
+                  o_totalprice - lag(o_totalprice, 1) OVER w AS delta,
+                  lead(o_orderkey, 1) OVER w AS next_key
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey))
+              WHERE delta IS NOT NULL""")
+    ),
+
     // ── moment statistics from exact sums (engine-independent variance) ───
     QueryDef(
       "q59_variance",
