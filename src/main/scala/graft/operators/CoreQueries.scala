@@ -611,7 +611,7 @@ object CoreQueries {
 
     // ── exact percentiles (sort-based distribution statistics) ────────────
     QueryDef(
-      "q57_percentiles",
+      "q63_percentiles",
       // exact (not sketch) percentiles: both engines interpolate
       // lo + (hi-lo)·frac over the sorted values — identical arithmetic on
       // this 2-decimal data (verified value-exact at sf0.01/sf0.1)

@@ -188,6 +188,17 @@ class RtcdbScan(root: String, table: String, declared: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val cols = plannedCols
     val perCol = cols.map(c => c -> entriesOf(c)).toMap
+    // u64 guard: the reference format allows values >= 2^63, but those decode
+    // negative as Spark LongType and invert zone-map ordering (signed vs
+    // unsigned). The write path already rejects them; reject such files at
+    // read time too instead of silently mis-pruning / mis-decoding.
+    for ((c, es) <- perCol if isLongCol(c); e <- es) {
+      if (java.nio.ByteBuffer.wrap(e.min).getLong < 0 ||
+          java.nio.ByteBuffer.wrap(e.max).getLong < 0)
+        throw new IllegalStateException(
+          s"rtcdb: column '$c' holds uint64 values >= 2^63, which are not " +
+            "representable as Spark LongType; refusing to read")
+    }
     // scan length = shortest column (reference loop-termination semantics,
     // src/storage.rs:313-322); equal for consistent writes
     val nBlocks = if (perCol.isEmpty) 0 else perCol.values.map(_.length).min
