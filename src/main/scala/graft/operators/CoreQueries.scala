@@ -667,6 +667,188 @@ object CoreQueries {
       Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
               ${SUMD("o_totalprice")} AS sum_price
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+    ),
+
+    // ── EXISTS subquery (TPC-H Q4 shape; Catalyst rewrites to semi join) ───
+    QueryDef(
+      "q64_exists_subquery",
+      // orders with at least one lineitem shipped >60 days after order date.
+      // Catalyst decorrelates EXISTS into a left-semi hash join on
+      // l_orderkey — one shuffle each side, no per-row subquery execution.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_q64_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_q64_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS n
+                 FROM graft_q64_orders
+                 WHERE EXISTS (SELECT 1 FROM graft_q64_lineitem
+                               WHERE l_orderkey = o_orderkey
+                                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                 GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+              FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority""")
+    ),
+
+    // ── NOT EXISTS subquery (rewritten to left-anti join) ──────────────────
+    QueryDef(
+      "q65_not_exists",
+      // parts never ordered in bulk (no lineitem with quantity >= 45);
+      // decorrelates to a left-anti hash join — the scalable plan shape.
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("graft_q65_part")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_q65_lineitem")
+        s.sql("""SELECT p_partkey, p_brand, p_size
+                 FROM graft_q65_part p
+                 WHERE NOT EXISTS (SELECT 1 FROM graft_q65_lineitem l
+                                   WHERE l.l_partkey = p.p_partkey
+                                     AND l.l_quantity >= 45)""")
+      },
+      Some("""SELECT p_partkey, p_brand, p_size
+              FROM part p
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_partkey = p.p_partkey
+                                  AND l.l_quantity >= 45)""")
+    ),
+
+    // ── uncorrelated scalar subquery (broadcast single-value join) ─────────
+    QueryDef(
+      "q66_scalar_subquery",
+      // suppliers above the global average balance. The subquery reduces to
+      // ONE row that Spark evaluates once and broadcasts into the filter —
+      // the average is exact decimal-sum/count, identical in both engines.
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("graft_q66_supplier")
+        s.sql(s"""SELECT s_suppkey, s_name, s_acctbal
+                  FROM graft_q66_supplier
+                  WHERE s_acctbal > (SELECT ${SUMD("s_acctbal")} / count(*)
+                                     FROM graft_q66_supplier)""")
+      },
+      Some(s"""SELECT s_suppkey, s_name, s_acctbal
+              FROM supplier
+              WHERE s_acctbal > (SELECT ${SUMD("s_acctbal")} / count(*)
+                                 FROM supplier)""")
+    ),
+
+    // ── IN subquery (semi join) combined with a literal IN list ────────────
+    QueryDef(
+      "q67_in_subquery",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("graft_q67_part")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_q67_lineitem")
+        s.sql("""SELECT p_brand, count(*) AS n
+                 FROM graft_q67_part
+                 WHERE p_size IN (1, 5, 9)
+                   AND p_partkey IN (SELECT l_partkey FROM graft_q67_lineitem
+                                     WHERE l_quantity >= 49)
+                 GROUP BY p_brand""")
+      },
+      Some("""SELECT p_brand, count(*) AS n
+              FROM part
+              WHERE p_size IN (1, 5, 9)
+                AND p_partkey IN (SELECT l_partkey FROM lineitem
+                                  WHERE l_quantity >= 49)
+              GROUP BY p_brand""")
+    ),
+
+    // ── TPC-H Q7: two dimension paths into one fact (volume shipping) ─────
+    QueryDef(
+      "q68_tpch_q7_volume",
+      // revenue between two nations by ship year. The nation filter is
+      // applied BEFORE the joins (only suppliers/customers of the two
+      // nations survive into the broadcast sides); lineitem⋈orders is the
+      // one big shuffle join, everything else broadcasts.
+      (s, d) => {
+        val nations = Seq("NATION_3", "NATION_7")
+        val n1 = Tables.nation(s, d).filter(col("n_name").isin(nations: _*))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(n1.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.customer(s, d)
+          .join(broadcast(n1.select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("nk2"))
+          .select("c_custkey", "cust_nation")
+        val ord = Tables.orders(s, d)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "cust_nation")
+        Tables.lineitem(s, d)
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(
+            sum(dec12(col("l_extendedprice")) * (one - dec3(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+              count(*) AS n
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+                AND n2.n_name IN ('NATION_3', 'NATION_7')
+              GROUP BY 1, 2, 3"""),
+      headline = true
+    ),
+
+    // ── multiple DISTINCT aggregates in one pass (Expand-based plan) ───────
+    QueryDef(
+      "q69_multi_distinct",
+      // Spark plans several count(DISTINCT) via one Expand + two-level
+      // aggregation — a single scan, no N separate jobs.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+              count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag""")
+    ),
+
+    // ── high-cardinality aggregation (one group per part key) ──────────────
+    QueryDef(
+      "q70_highcard_agg",
+      // group count scales linearly with data (20k groups @sf0.1; millions
+      // at cluster scale) — exercises partial/final hash agg spill behavior,
+      // not a handful of accumulators.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT l_partkey, count(*) AS n, ${SUMD("l_quantity")} AS sum_qty
+              FROM lineitem GROUP BY l_partkey"""),
+      headline = true
+    ),
+
+    // ── set-valued aggregation surfaced as a deterministic scalar ──────────
+    QueryDef(
+      "q71_collect_set_csv",
+      // collect_set is unordered by construction: sort the set and join to
+      // one string so the result is deterministic and oracle-hashable.
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+              .as("statuses"),
+            count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+              array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+              count(*) AS n
+              FROM orders GROUP BY o_orderpriority""")
     )
   )
 }

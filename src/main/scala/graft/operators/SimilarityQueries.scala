@@ -245,6 +245,86 @@ object SimilarityQueries {
                     / (${SQL_NORM("x.embedding")} * ${SQL_NORM("y.embedding")}) AS cos
                 FROM sub x JOIN sub y ON x.vec_id < y.vec_id)
               WHERE cos >= 0.35""")
+    ),
+
+    // ── int8 scalar quantization (embedding compression for ANN at scale) ──
+    QueryDef(
+      "q75_vec_quantize",
+      // per-vector symmetric int8 codes: scale = max|x|/127,
+      // code_i = floor(x_i/scale + 0.5). Integer outputs are exactly
+      // reproducible cross-engine (the float→double promotion, division and
+      // floor are the same IEEE ops); saturation count tracks clipping.
+      // Pure per-row projection — zero shuffle, the 100 TB-friendly shape.
+      (s, d) =>
+        embeddings(s, d)
+          .withColumn("dv", asDouble(col("embedding")))
+          .withColumn("scale",
+            array_max(transform(col("dv"), x => abs(x))) / lit(127.0))
+          .withColumn("codes",
+            transform(col("dv"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
+          .select(
+            col("vec_id"),
+            aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+            array_min(col("codes")).as("code_min"),
+            array_max(col("codes")).as("code_max"),
+            size(filter(col("codes"), c => abs(c) === 127)).cast("long")
+              .as("n_saturated")),
+      Some(s"""WITH s AS (SELECT vec_id, embedding,
+                list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0 AS scale
+                FROM embeddings),
+              c AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes
+                FROM s)
+              SELECT vec_id,
+                CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+                CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+                CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
+                CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
+              FROM c""")
+    ),
+
+    // ── k-means iteration: assign + per-cluster update statistics ─────────
+    QueryDef(
+      "q76_kmeans_step",
+      // One Lloyd iteration at scale: broadcast the K centroids, assign every
+      // vector by max dot product (tie → lower centroid id), then reduce
+      // per-cluster statistics (count, total similarity = the inertia
+      // analogue, and the mean of the first coordinate standing in for the
+      // full mean vector — same reduction per dimension). Broadcast +
+      // single hash aggregation: no all-pairs, no driver loop per row.
+      (s, d) => {
+        val K = 8
+        val e = embeddings(s, d)
+        val cent = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("cent_id").asc)
+        e.crossJoin(broadcast(cent))
+          .withColumn("sim", dot(col("embedding"), col("centv")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy("cent_id")
+          .agg(
+            count(lit(1)).as("n_members"),
+            sum(round(col("sim"), 6).cast("decimal(18,6)")).cast("double")
+              .as("sum_sim"),
+            (sum(round(element_at(asDouble(col("embedding")), 1), 6)
+              .cast("decimal(18,6)")).cast("double") / count(lit(1)))
+              .as("mean_dim0"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              assigned AS (SELECT * FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                  ${SQL_DOT("e.embedding", "c.centv")} AS sim,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${SQL_DOT("e.embedding", "c.centv")} DESC, c.cent_id) AS rk
+                FROM embeddings e, cent c) WHERE rk = 1)
+              SELECT cent_id, count(*) AS n_members,
+                CAST(sum(CAST(round(sim, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim,
+                CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*) AS mean_dim0
+              FROM assigned GROUP BY cent_id""")
     )
   )
 }

@@ -29,20 +29,23 @@ object TextQueries {
   /** whitespace tokens of the trimmed text */
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** distinct word 3-shingles; empty array for docs shorter than 3 tokens.
-    * Built from the PASSED column via slices + zip_with (an expr() string
-    * would capture a column literally named "t" regardless of argument).
+  /** word 3-shingles in document order (duplicates preserved); empty array
+    * for docs shorter than 3 tokens. Built from the PASSED column via
+    * slices + zip_with (an expr() string would capture a column literally
+    * named "t" regardless of argument).
     */
-  private def shingles(t: Column): Column = {
+  private def rawShingles(t: Column): Column = {
     val n = size(t)
     val joined = zip_with(
       slice(t, lit(1), n - 2),
       zip_with(slice(t, lit(2), n - 2), slice(t, lit(3), n - 2),
         (b, c) => concat(b, lit(" "), c)),
       (a, bc) => concat(a, lit(" "), bc))
-    when(n >= 3, array_distinct(joined))
-      .otherwise(array().cast("array<string>"))
+    when(n >= 3, joined).otherwise(array().cast("array<string>"))
   }
+
+  /** distinct word 3-shingles (set semantics, for Jaccard/MinHash) */
+  private def shingles(t: Column): Column = array_distinct(rawShingles(t))
 
   private val NUM_HASHES = 16
   private val BANDS = 4
@@ -494,6 +497,107 @@ object TextQueries {
                 JOIN shingled xb ON xb.doc_id = b)
               WHERE jaccard >= 0.5"""),
       headline = true
+    ),
+
+    // ── deterministic train/test split (hash-bucketed sampling) ───────────
+    QueryDef(
+      "q72_hash_split",
+      // The training-pipeline split primitive: bucket = md5(doc_id) mod 100,
+      // <80 → train. Stable under reruns, shards, and engine changes —
+      // unlike rand()-based sampling — and embarrassingly parallel (a pure
+      // per-row projection, no shuffle before the final small aggregation).
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(h32(col("doc_id").cast("string")) % 100 < 80, lit("train"))
+              .otherwise(lit("test")))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
+      Some(s"""SELECT CASE WHEN ${SQL_H32("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                     THEN 'train' ELSE 'test' END AS split,
+              lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY 1, 2""")
+    ),
+
+    // ── near-dup clusters: connected components over the pair graph ───────
+    QueryDef(
+      "q73_dup_clusters",
+      // The step after pair generation in any dedup pipeline: transitively
+      // close the near-dup pairs and elect one representative per cluster
+      // (the min doc_id — which is exactly the converged component label).
+      // Implementation is distributed min-label propagation to a fixpoint:
+      // each round ships every node's current label to its neighbors and
+      // keeps the minimum — O(diameter) rounds, each one shuffle join + one
+      // shuffle aggregation, with localCheckpoint truncating the growing
+      // lineage (the standard Spark iteration pattern). At extreme scale the
+      // round count drops to O(log n) with the large-star/small-star
+      // transform; near-dup graph diameters are tiny in practice.
+      // Edges here: simhash Hamming ≤ 2 over the bounded q39b subset (at
+      // 100 TB the edge source is q38's LSH banding, not all-pairs).
+      (s, d) => {
+        val fp = simhashFingerprints(s, d).filter(col("doc_id") < 250)
+        val a = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
+        val b = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
+        // localCheckpoint: edges are scanned every round — compute them once
+        val edges = a.crossJoin(b).filter(col("a") < col("b"))
+          .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
+          .select("a", "b")
+          .localCheckpoint()
+        val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        var labels = fp.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+          .localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 50) {
+          val prop = sym.join(labels, sym("a") === labels("id"))
+            .select(col("b").as("id"), col("comp"))
+          val next = labels.union(prop)
+            .groupBy("id").agg(min("comp").as("comp"))
+            .localCheckpoint()
+          changed = next
+            .join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(col("comp") =!= col("old")).count()
+          labels = next
+          iter += 1
+        }
+        labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      },
+      Some("WITH RECURSIVE " + SQL_SIMHASH_FP.stripPrefix("WITH ") + """,
+           sub AS (SELECT doc_id, simhash FROM fp WHERE doc_id < 250),
+           edges AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sub x JOIN sub y
+                     ON x.doc_id <> y.doc_id
+                        AND bit_count(xor(x.simhash, y.simhash)) <= 2),
+           reach AS (SELECT doc_id AS id, doc_id AS r FROM sub
+                     UNION
+                     SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+           comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+           SELECT comp, count(*) AS n_members FROM comp GROUP BY comp""")
+    ),
+
+    // ── n-gram repetition ratio (text-quality signal) ─────────────────────
+    QueryDef(
+      "q74_repetition_ratio",
+      // fraction of repeated 3-grams per document — the classic boilerplate/
+      // degenerate-text filter signal. Pure per-row array math, no shuffle.
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("g", rawShingles(tokens(col("text"))))
+          .filter(size(col("g")) > 0)
+          .select(
+            col("doc_id"),
+            size(col("g")).cast("long").as("n_grams"),
+            size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+            (lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
+              .as("rep_ratio")),
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              g AS (SELECT doc_id,
+                list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+                FROM tok WHERE len(t) >= 3)
+              SELECT doc_id,
+                CAST(len(grams) AS BIGINT) AS n_grams,
+                CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+                1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+              FROM g WHERE len(grams) > 0""")
     )
   )
 }

@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // else must join with keys
     val intentional = Set("q36_ngram_jaccard", "q39b_simhash_pairs",
       "q41_knn_brute", "q43_cosine_neardup", "q44_ann_ivf",
-      "q57_tfidf" /* 1-row broadcast of the corpus size N */)
+      "q57_tfidf" /* 1-row broadcast of the corpus size N */,
+      "q76_kmeans_step" /* K=8 centroid broadcast against every vector */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
