@@ -49,6 +49,33 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q77_sliding_window",
+      // hopping windows (size 2 min, slide 1 min): every event lands in
+      // exactly two epoch-aligned windows; the oracle unnests the two
+      // window starts per event and re-aggregates.
+      (s, d) => EventStream.slidingAgg(Tables.events(s, d)),
+      Some("""SELECT ws AS window_start, event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM (SELECT event_type, value,
+                      unnest([time_bucket(INTERVAL '1 minute', ts),
+                              time_bucket(INTERVAL '1 minute', ts) - INTERVAL '1 minute']) AS ws
+                    FROM events)
+              GROUP BY 1, 2""")
+    ),
+
+    QueryDef(
+      "q78_stream_static_join",
+      // batch run of the stream-static enrichment join code path (the
+      // streaming run is asserted equal in StreamingSpec)
+      (s, d) => EventStream.enrichedSegmentAgg(
+        Tables.events(s, d), Tables.customer(s, d)),
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY 1, 2""")
+    ),
+
+    QueryDef(
       "q54_interval_join",
       // batch run of the stream-stream interval join code path (the
       // streaming run is asserted equal in StreamingSpec)

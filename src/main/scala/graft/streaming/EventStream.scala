@@ -47,6 +47,45 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** Hopping (sliding) event-time windows: every event lands in
+    * size/slide overlapping windows (epoch-aligned, exactly like tumbling).
+    * Same unified batch/stream code path as [[tumblingAgg]].
+    */
+  def slidingAgg(
+      events: DataFrame,
+      size: String = "2 minutes",
+      slide: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame = {
+    val e = withEventTime(events)
+    val wm = if (e.isStreaming) e.withWatermark("event_time", watermark) else e
+    wm.groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), size, slide).as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Stream-static enrichment join: the event stream joins a static
+    * dimension (user → market segment) that Spark re-reads per micro-batch
+    * without any streaming state. The dimension is broadcast — the only
+    * sane shape for a dim join at 100 TB/day stream volume. One code path
+    * for batch and streaming.
+    */
+  def enrichedSegmentAgg(events: DataFrame, customers: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val wm = if (e.isStreaming) e.withWatermark("event_time", "10 minutes") else e
+    wm.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   /** Gap-based sessionization via the built-in `session_window` (merges
     * events closer than `gap`; an event at exactly last+gap opens a new
     * session) — again one code path for batch and streaming.

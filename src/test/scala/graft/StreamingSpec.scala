@@ -43,6 +43,15 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     streamEqualsBatch(EventStream.sessionAgg(_), "session_sink")
   }
 
+  test("sliding window: streaming output == batch output") {
+    streamEqualsBatch(EventStream.slidingAgg(_), "sliding_sink")
+  }
+
+  test("stream-static join: streaming output == batch output") {
+    val static = Tables.customer(spark, sf)
+    streamEqualsBatch(EventStream.enrichedSegmentAgg(_, static), "enrich_sink")
+  }
+
   test("stream-stream interval join: streaming output == batch output") {
     val batch = EventStream.viewClickJoin(Tables.events(spark, sf)).collect()
     val q = EventStream.viewClickJoin(EventStream.readEventStream(spark, sf))
