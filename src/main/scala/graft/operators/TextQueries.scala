@@ -535,7 +535,10 @@ object TextQueries {
       // Edges here: simhash Hamming ≤ 2 over the bounded q39b subset (at
       // 100 TB the edge source is q38's LSH banding, not all-pairs).
       (s, d) => {
+        // fingerprints feed the two cross-join branches AND the initial
+        // labels — materialize them exactly once
         val fp = simhashFingerprints(s, d).filter(col("doc_id") < 250)
+          .localCheckpoint()
         val a = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
         val b = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
         // localCheckpoint: edges are scanned every round — compute them once
@@ -546,19 +549,24 @@ object TextQueries {
         val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         var labels = fp.select(col("doc_id").as("id"), col("doc_id").as("comp"))
           .localCheckpoint()
-        var changed = 1L
+        // labels only ever decrease, so Σcomp strictly decreases until the
+        // fixpoint — a single scalar aggregate per round detects
+        // convergence without a compare join
+        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum("comp")).collect()(0).getLong(0)
+        var prevSum = labelSum(labels)
         var iter = 0
-        while (changed > 0 && iter < 50) {
+        while (iter < 50) {
           val prop = sym.join(labels, sym("a") === labels("id"))
             .select(col("b").as("id"), col("comp"))
           val next = labels.union(prop)
             .groupBy("id").agg(min("comp").as("comp"))
             .localCheckpoint()
-          changed = next
-            .join(labels.withColumnRenamed("comp", "old"), "id")
-            .filter(col("comp") =!= col("old")).count()
+          val nextSum = labelSum(next)
           labels = next
           iter += 1
+          if (nextSum == prevSum) iter = 50
+          prevSum = nextSum
         }
         labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
       },
@@ -581,8 +589,13 @@ object TextQueries {
       // degenerate-text filter signal. Pure per-row array math, no shuffle.
       (s, d) =>
         Tables.documents(s, d)
+          // cheap pre-shuffle filter (≥3 tokens ⟺ ≥1 gram), then spread the
+          // array compute across cores — the corpus is one input split (see
+          // withShingles scaladoc); filtering BEFORE the repartition keeps
+          // Catalyst from pushing an expensive gram-size predicate below it
+          .filter(size(tokens(col("text"))) >= 3)
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("g", rawShingles(tokens(col("text"))))
-          .filter(size(col("g")) > 0)
           .select(
             col("doc_id"),
             size(col("g")).cast("long").as("n_grams"),
