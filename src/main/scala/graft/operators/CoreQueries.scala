@@ -863,6 +863,84 @@ object CoreQueries {
               array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
               count(*) AS n
               FROM orders GROUP BY o_orderpriority""")
+    ),
+
+    // ── ranking-window suite (dense_rank/ntile/percent_rank/cume_dist/…) ──
+    QueryDef(
+      "q79_window_suite",
+      // the full ranking-function family over one window; the order key
+      // carries a unique tie-break so RANGE and ROWS frames coincide and
+      // every engine computes identical values
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            dense_rank().over(w).cast("long").as("drk"),
+            ntile(4).over(w).cast("long").as("nt"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            first(col("l_quantity")).over(w).as("fv"),
+            nth_value(col("l_quantity"), 2).over(w).as("nv"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+              CAST(dense_rank() OVER w AS BIGINT) AS drk,
+              CAST(ntile(4) OVER w AS BIGINT) AS nt,
+              percent_rank() OVER w AS prk,
+              cume_dist() OVER w AS cd,
+              first_value(l_quantity) OVER w AS fv,
+              nth_value(l_quantity, 2) OVER w AS nv
+              FROM lineitem WHERE l_orderkey < 100
+              WINDOW w AS (PARTITION BY l_returnflag
+                           ORDER BY l_quantity, l_orderkey, l_linenumber)""")
+    ),
+
+    // ── null-handling surface (NULLIF / COALESCE / null-skipping aggs) ────
+    QueryDef(
+      "q81_null_handling",
+      // the corpus has no nulls (reference semantics, SURVEY.md §1.2) —
+      // NULLIF manufactures them, then count/sum skip them and COALESCE
+      // restores a default, exactly as in ANSI SQL
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("disc_nz",
+            when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("disc_nz")).as("n_discounted"),
+            sum(dec3(col("disc_nz"))).cast("double").as("sum_disc"),
+            max(coalesce(col("disc_nz"), lit(-1.0))).as("max_disc")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+              count(NULLIF(l_discount, 0.0)) AS n_discounted,
+              CAST(sum(CAST(NULLIF(l_discount, 0.0) AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc,
+              max(COALESCE(NULLIF(l_discount, 0.0), -1.0)) AS max_disc
+              FROM lineitem GROUP BY l_returnflag""")
+    ),
+
+    // ── calendar-function breadth (ISO dow/week, quarter, month end) ──────
+    QueryDef(
+      "q82_datetime_suite",
+      // ISO day-of-week is the cross-engine-stable form (Spark weekday()+1
+      // == DuckDB isodow); week is ISO week in both; last_day goes out as
+      // timestamp so the hash compare sees one physical type
+      (s, d) =>
+        Tables.orders(s, d).filter(col("o_orderkey") < 500)
+          .select(
+            col("o_orderkey"),
+            (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+            dayofyear(col("o_orderdate")).cast("long").as("doy"),
+            weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"),
+            last_day(col("o_orderdate")).cast(TimestampType).as("month_end")),
+      Some("""SELECT o_orderkey,
+              CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+              CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+              CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+              CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+              CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+              FROM orders WHERE o_orderkey < 500""")
     )
   )
 }

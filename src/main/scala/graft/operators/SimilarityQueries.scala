@@ -325,6 +325,27 @@ object SimilarityQueries {
                 CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
                   / count(*) AS mean_dim0
               FROM assigned GROUP BY cent_id""")
+    ),
+
+    // ── per-label centroid vectors (the full k-means M-step reduction) ────
+    QueryDef(
+      "q83_vec_centroid",
+      // mean embedding per label, one output row per (label, dimension):
+      // posexplode → hash aggregate, the distributed dense-vector mean.
+      // Order-independence via the usual rounded-decimal sum; at scale this
+      // is one shuffle keyed on (label, dim) with full map-side partials.
+      (s, d) =>
+        embeddings(s, d)
+          .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+          .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+          .agg(
+            (sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+              count(lit(1))).as("mean_val")),
+      Some("""SELECT label, CAST(i AS BIGINT) AS dim,
+              CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                / count(*) AS mean_val
+              FROM embeddings, range(1, 65) t(i)
+              GROUP BY 1, 2""")
     )
   )
 }

@@ -611,6 +611,33 @@ object TextQueries {
                 CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
                 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
               FROM g WHERE len(grams) > 0""")
+    ),
+
+    // ── edit-distance near-dup (fuzzy matching modality) ──────────────────
+    QueryDef(
+      "q80_edit_distance",
+      // Levenshtein on 40-char prefixes over a bounded subset — the fuzzy
+      // complement to shingle-Jaccard (q36) and simhash (q39b). Quadratic in
+      // both pair count and string length, so the at-scale recipe is
+      // LSH-candidate pairs first (q38), edit distance only as the
+      // final confirm on candidates.
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+        val a = docs.select(col("doc_id").as("a"), col("pfx").as("pa"))
+        val b = docs.select(col("doc_id").as("b"), col("pfx").as("pb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+          .filter(col("lev") <= 20)
+          .select("a", "b", "lev")
+      },
+      Some("""WITH sub AS (SELECT doc_id, substring(text, 1, 40) AS pfx
+                           FROM documents WHERE doc_id < 40)
+              SELECT * FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS lev
+                FROM sub x JOIN sub y ON x.doc_id < y.doc_id)
+              WHERE lev <= 20""")
     )
   )
 }

@@ -150,4 +150,31 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PushedFilters: [IsNotNull(event), GreaterThan(event,e4500)]"),
       s"expected pushed filter in plan:\n$plan")
   }
+
+  test("CSV / JSON / ORC round-trip the canonical schema (source+sink breadth)") {
+    // the reference has exactly one (custom) format; the Spark engine gets
+    // the standard format family for free — exercise write→read equality on
+    // the reference's canonical events schema for each
+    val dir = freshDir("formats")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 100L).map(i => Row(s"ev$i", i * 10, i))),
+      eventsSchema)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val expected = canon(df)
+
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val csv = spark.read.schema(eventsSchema).option("header", "true")
+      .csv(s"$dir/csv")
+    assert(canon(csv) == expected, "csv round-trip")
+
+    df.write.mode("overwrite").json(s"$dir/json")
+    val json = spark.read.schema(eventsSchema).json(s"$dir/json")
+    assert(canon(json) == expected, "json round-trip")
+
+    df.write.mode("overwrite").orc(s"$dir/orc")
+    val orc = spark.read.orc(s"$dir/orc")
+    assert(canon(orc) == expected, "orc round-trip")
+  }
 }

@@ -56,4 +56,34 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
       .select(vec.dot(col("a"), col("a")).as("d")).collect().head
     assert(r.isNullAt(0))
   }
+
+  test("VecMeanAggregator (typed UDAF) matches the declarative M-step") {
+    // the Aggregator computes per-label mean vectors in ONE buffer per
+    // group; the posexplode path (q83's shape) is the reference — values
+    // agree to float-accumulation tolerance
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val udafMeans = e.groupBy("label")
+      .agg(graft.functions.VecMeanAggregator.udafColumn(64)(col("embedding"))
+        .as("mean_vec"))
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getAs[scala.collection.Seq[Double]]("mean_vec").toSeq)
+      .toMap
+    val exploded = e
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+      }
+    assert(udafMeans.keySet == exploded.keySet)
+    for ((l, ref) <- exploded; got = udafMeans(l)) {
+      assert(got.length == 64)
+      assert(ref.zip(got).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"label $l mean vector mismatch")
+    }
+  }
 }

@@ -64,7 +64,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val intentional = Set("q36_ngram_jaccard", "q39b_simhash_pairs",
       "q41_knn_brute", "q43_cosine_neardup", "q44_ann_ivf",
       "q57_tfidf" /* 1-row broadcast of the corpus size N */,
-      "q76_kmeans_step" /* K=8 centroid broadcast against every vector */)
+      "q76_kmeans_step" /* K=8 centroid broadcast against every vector */,
+      "q80_edit_distance" /* bounded all-pairs, like q36/q39b/q43 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
