@@ -941,6 +941,77 @@ object CoreQueries {
               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
               CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
               FROM orders WHERE o_orderkey < 500""")
+    ),
+
+    // ── correlated LATERAL subquery (top-1-per-group without a window) ────
+    QueryDef(
+      "q84_lateral_topk",
+      // per-nation best supplier via LATERAL; Catalyst decorrelates the
+      // correlated limit-sort into a join + per-key ranking — equivalent to
+      // the window form but expressed as the SQL-standard lateral join
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("graft_q84_nation")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_q84_supplier")
+        s.sql("""SELECT n_name, s.s_suppkey, s.s_acctbal
+                 FROM graft_q84_nation,
+                 LATERAL (SELECT s_suppkey, s_acctbal FROM graft_q84_supplier
+                          WHERE s_nationkey = n_nationkey
+                          ORDER BY s_acctbal DESC, s_suppkey LIMIT 1) s""")
+      },
+      Some("""SELECT n_name, s.s_suppkey, s.s_acctbal
+              FROM nation,
+              LATERAL (SELECT s_suppkey, s_acctbal FROM supplier
+                       WHERE s_nationkey = n_nationkey
+                       ORDER BY s_acctbal DESC, s_suppkey LIMIT 1) s""")
+    ),
+
+    // ── UNPIVOT / melt (wide → long reshaping) ────────────────────────────
+    QueryDef(
+      "q85_unpivot",
+      // the typed DataFrame unpivot API (one Expand node, no union-of-scans)
+      (s, d) =>
+        Tables.lineitem(s, d).filter(col("l_orderkey") < 50)
+          .select("l_orderkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .groupBy("metric")
+          .agg(count(lit(1)).as("n"), sumd(col("val")).as("sum_val")),
+      Some(s"""SELECT metric, count(*) AS n, ${SUMD("val")} AS sum_val
+              FROM (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+                    FROM lineitem WHERE l_orderkey < 50)
+              UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+              GROUP BY metric""")
+    ),
+
+    // ── recursive CTE (series generation + zero-filled report spine) ──────
+    QueryDef(
+      "q86_week_spine",
+      // a 53-week spine generated recursively, left-joined to 1997 order
+      // counts — empty weeks survive with n=0 (count of NULL key). Spark 4
+      // executes WITH RECURSIVE natively (iterative union under the hood).
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_q86_orders")
+        s.sql("""WITH RECURSIVE wk(w) AS
+                   (SELECT 1 UNION ALL SELECT w + 1 FROM wk WHERE w < 53)
+                 SELECT CAST(w AS BIGINT) AS w, count(o_orderkey) AS n
+                 FROM wk LEFT JOIN
+                   (SELECT o_orderkey, weekofyear(o_orderdate) AS ow
+                    FROM graft_q86_orders WHERE year(o_orderdate) = 1997)
+                   ON ow = w
+                 GROUP BY w""")
+      },
+      Some("""WITH RECURSIVE wk(w) AS
+                (SELECT 1 UNION ALL SELECT w + 1 FROM wk WHERE w < 53)
+              SELECT CAST(w AS BIGINT) AS w, count(o_orderkey) AS n
+              FROM wk LEFT JOIN
+                (SELECT o_orderkey, week(o_orderdate) AS ow
+                 FROM orders WHERE year(o_orderdate) = 1997)
+                ON ow = w
+              GROUP BY w""")
     )
   )
 }

@@ -638,6 +638,113 @@ object TextQueries {
                        CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS lev
                 FROM sub x JOIN sub y ON x.doc_id < y.doc_id)
               WHERE lev <= 20""")
+    ),
+
+    // ── array higher-order-function suite (filter/exists/forall/reduce) ───
+    QueryDef(
+      "q87_array_hof",
+      // the lambda-function family over token arrays — all whole-stage
+      // codegen, no UDFs, no explode (the array never leaves the row)
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("t", tokens(col("text")))
+          .select(
+            col("doc_id"),
+            size(filter(col("t"), x => length(x) > 5)).cast("long").as("n_long"),
+            exists(col("t"), x => x === "the").as("has_the"),
+            forall(col("t"), x => length(x) < 12).as("all_short"),
+            aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
+              .as("total_chars")),
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents)
+              SELECT doc_id,
+                CAST(len(list_filter(t, x -> length(x) > 5)) AS BIGINT) AS n_long,
+                len(list_filter(t, x -> x = 'the')) > 0 AS has_the,
+                len(list_filter(t, x -> length(x) >= 12)) = 0 AS all_short,
+                CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS total_chars
+              FROM tok""")
+    ),
+
+    // ── sequence packing (fixed token budget per training batch) ──────────
+    QueryDef(
+      "q88_seq_packing",
+      // greedy contiguous packing: within each lang, docs in doc_id order
+      // accumulate into batches of ≤2048 tokens (start-offset assignment).
+      // One window cumsum + one aggregation — at scale the partition key is
+      // (lang, shard) so no single partition holds a whole language.
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("nt", size(tokens(col("text"))).cast("long"))
+          .withColumn("cum", sum(col("nt")).over(w))
+          .groupBy(col("lang"), expr("(cum - nt) div 2048").as("batch_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang,
+                CAST(len($SQL_TOKENS) AS BIGINT) AS nt FROM documents),
+              c AS (SELECT lang, doc_id, nt,
+                sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM tok)
+              SELECT lang, CAST((cum - nt) // 2048 AS BIGINT) AS batch_id,
+                     count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+              FROM c GROUP BY 1, 2""")
+    ),
+
+    // ── benchmark decontamination (n-gram overlap against a held-out set) ─
+    QueryDef(
+      "q89_contamination",
+      // docs from source 'src0' act as the benchmark; a candidate document
+      // is contaminated if it shares ANY 3-shingle with the benchmark.
+      // Shape: explode shingles → distinct benchmark set → LEFT SEMI join →
+      // distinct doc count. At 100 TB both sides shuffle on the shingle
+      // hash; the benchmark side is usually small enough to broadcast.
+      (s, d) => {
+        val sh = withShingles(s, d, nonEmpty = true)
+          .select(col("doc_id"), col("source"), explode(col("sh")).as("s3"))
+        val bench = sh.filter(col("source") === "src0").select("s3").distinct()
+        val contaminated = sh.filter(col("source") =!= "src0")
+          .join(bench, Seq("s3"), "left_semi")
+          .agg(countDistinct(col("doc_id")).as("n_contaminated"))
+        val candidates = Tables.documents(s, d)
+          .filter(col("source") =!= "src0")
+          .agg(countDistinct(col("doc_id")).as("n_candidates"))
+        candidates.crossJoin(contaminated)
+      },
+      Some(s"""$SQL_WITH_SHINGLES,
+              x AS (SELECT sh.doc_id, d.source, unnest(sh.sh) AS s3
+                    FROM shingled sh JOIN documents d ON sh.doc_id = d.doc_id
+                    WHERE len(sh.sh) > 0),
+              bench AS (SELECT DISTINCT s3 FROM x WHERE source = 'src0'),
+              cont AS (SELECT count(DISTINCT doc_id) AS n_contaminated
+                       FROM x WHERE source <> 'src0'
+                         AND s3 IN (SELECT s3 FROM bench))
+              SELECT (SELECT count(DISTINCT doc_id) FROM documents
+                      WHERE source <> 'src0') AS n_candidates,
+                     n_contaminated
+              FROM cont""")
+    ),
+
+    // ── per-source quota sampling (data-mixing quotas) ────────────────────
+    QueryDef(
+      "q90_source_quota",
+      // keep the first 10 docs per source (deterministic by doc_id) — the
+      // mixing-ratio primitive for corpus composition; one window ranking,
+      // partitioned by source, then a small aggregation
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                    FROM documents)
+              WHERE rn <= 10 GROUP BY lang""")
     )
   )
 }

@@ -9,10 +9,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Count}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -76,10 +77,12 @@ class RtcdbTable(root: String, table: String, declared: StructType)
 
 class RtcdbScanBuilder(root: String, table: String, declared: StructType)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = declared
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Seq[RtcdbAggSpec]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -99,7 +102,135 @@ class RtcdbScanBuilder(root: String, table: String, declared: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new RtcdbScan(root, table, declared, required, pushed)
+  // ── aggregate pushdown: answer COUNT/MIN/MAX from the index alone ──────
+  // The reference's design goal is "fast aggregate queries" backed by the
+  // sparse index (/root/reference/README.md:8,44). Its zone maps make
+  // global COUNT(*)/COUNT(col)/MIN/MAX on uint64 columns answerable from
+  // the 40-byte index entries without touching ANY data block:
+  //  - row count: Σ decompressed_size/8 over a uint64 column's entries
+  //    (fixed 8-byte codec, src/storage.rs:372-374);
+  //  - min/max: fold of exact per-block zone maps (src/storage.rs:277-290).
+  // String min/max are 8-byte PREFIXES (truncated, src/storage.rs:30-37) —
+  // not exact values — so they are never pushed. Filters or grouping force
+  // row-level evaluation, so those plans are not pushed either.
+  private def parseAgg(agg: Aggregation): Option[Seq[RtcdbAggSpec]] = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val longCols = declared.fields.filter(_.dataType == LongType).map(_.name)
+    if (longCols.isEmpty) return None // row counts need a fixed-width column
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions.map {
+      case _: CountStar => Some(RtcdbCountAll(longCols.head))
+      case c: Count if !c.isDistinct =>
+        // rtcdb columns are non-nullable (no Null DValue, data.rs:10-13),
+        // so COUNT(col) ≡ COUNT(*)
+        refName(c.column).filter(declared.fieldNames.contains)
+          .map(_ => RtcdbCountAll(longCols.head))
+      case m: Min => refName(m.column).filter(longCols.contains)
+        .map(RtcdbMinLong)
+      case m: Max => refName(m.column).filter(longCols.contains)
+        .map(RtcdbMaxLong)
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten.toSeq) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    parseAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    parseAgg(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(specs) => new RtcdbAggScan(root, table, specs)
+    case None => new RtcdbScan(root, table, declared, required, pushed)
+  }
+}
+
+sealed trait RtcdbAggSpec extends Serializable
+/** COUNT(*): row count derived from `countVia`'s fixed-width entries */
+final case class RtcdbCountAll(countVia: String) extends RtcdbAggSpec
+final case class RtcdbMinLong(col: String) extends RtcdbAggSpec
+final case class RtcdbMaxLong(col: String) extends RtcdbAggSpec
+
+final case class RtcdbAggPartition(values: Array[Long], isNull: Array[Boolean])
+    extends InputPartition
+
+/** Index-only aggregate scan: one driver-side pass over the (tiny) index
+  * files, one single-row partition out. Data files are never opened —
+  * RtcdbSourceSpec proves it by deleting them first.
+  */
+class RtcdbAggScan(root: String, table: String, specs: Seq[RtcdbAggSpec])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(specs.map {
+    case RtcdbCountAll(_) => StructField("count", LongType, nullable = false)
+    case RtcdbMinLong(c)  => StructField(s"min_$c", LongType, nullable = true)
+    case RtcdbMaxLong(c)  => StructField(s"max_$c", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"rtcdb table=$table PushedAggregates=[${specs.mkString(", ")}] (index-only)"
+
+  private def entriesOf(col: String): Array[IndexEntry] = {
+    val bytes = Files.readAllBytes(indexPath(Paths.get(root), table, col))
+    bytes.grouped(IndexEntryBytes).filter(_.length == IndexEntryBytes)
+      .map(IndexEntry.fromBytes).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cache = scala.collection.mutable.Map.empty[String, Array[IndexEntry]]
+    def entries(c: String) = cache.getOrElseUpdate(c, entriesOf(c))
+    def guard(c: String, es: Array[IndexEntry]): Unit = es.foreach { e =>
+      if (java.nio.ByteBuffer.wrap(e.min).getLong < 0 ||
+          java.nio.ByteBuffer.wrap(e.max).getLong < 0)
+        throw new IllegalStateException(
+          s"rtcdb: column '$c' holds uint64 values >= 2^63, which are not " +
+            "representable as Spark LongType; refusing to read")
+    }
+    val results = specs.map {
+      case RtcdbCountAll(via) =>
+        // fixed 8-byte big-endian codec ⇒ decompressed bytes / 8 = rows
+        (entries(via).map(_.decompressedSize / 8).sum, false)
+      case RtcdbMinLong(c) =>
+        val es = entries(c); guard(c, es)
+        if (es.isEmpty) (0L, true)
+        else (es.map(e => java.nio.ByteBuffer.wrap(e.min).getLong).min, false)
+      case RtcdbMaxLong(c) =>
+        val es = entries(c); guard(c, es)
+        if (es.isEmpty) (0L, true)
+        else (es.map(e => java.nio.ByteBuffer.wrap(e.max).getLong).max, false)
+    }
+    Array(RtcdbAggPartition(results.map(_._1).toArray,
+      results.map(_._2).toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RtcdbAggReaderFactory
+}
+
+class RtcdbAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RtcdbAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private val row = new GenericInternalRow(
+        p.values.indices.map(i =>
+          if (p.isNull(i)) null else p.values(i): Any).toArray)
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** test/observability hook: block counts from the most recent planning */

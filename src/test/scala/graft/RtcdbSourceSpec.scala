@@ -160,4 +160,44 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     val json = Files.readString(Paths.get(root, "metadata.json"))
     assert(json.contains("\"dtype\" : \"Uint64\"") || json.contains("\"dtype\":\"Uint64\""))
   }
+
+  test("COUNT/MIN/MAX are answered from the index alone (aggregate pushdown)") {
+    val root = freshDb("aggpush")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 2500L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    // delete EVERY data file: only the 40-byte-entry index files remain.
+    // The reference's declared design goal — "fast aggregate queries" off
+    // the sparse index (README.md:8,44) — means these must still answer.
+    Seq("event", "timestamp", "id").foreach { c =>
+      Files.delete(Paths.get(root, s"events.$c.data"))
+    }
+    val r = readEvents(root)
+      .agg(count(lit(1)).as("n"), min(col("timestamp")).as("mn"),
+        max(col("id")).as("mx"))
+      .collect().head
+    assert(r.getLong(0) == 2500L)
+    assert(r.getLong(1) == 1700000001L)
+    assert(r.getLong(2) == 2500L)
+    // COUNT(col) on a non-nullable source column also pushes
+    val n2 = readEvents(root).agg(count(col("id"))).collect().head.getLong(0)
+    assert(n2 == 2500L)
+  }
+
+  test("aggregate pushdown declines: filters, grouping, string min/max") {
+    val root = freshDb("aggdecline")
+    val rows = (1L to 500L).map(i => Row(f"e$i%04d", 1700000000L + i, i))
+    RtcdbFormat.write(root, "events", eventsSchema, rows)
+    // a WHERE clause forces row-level evaluation — data files get read
+    val filtered = readEvents(root).filter(col("id") <= 100)
+      .agg(count(lit(1))).collect().head.getLong(0)
+    assert(filtered == 100L)
+    // grouping is never pushed
+    val grouped = readEvents(root).groupBy(col("id") % 2)
+      .count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(grouped == Seq(250L, 250L))
+    // string min/max: zone maps are 8-byte prefixes (not exact values) —
+    // must fall back to the row scan and still be exact
+    val smin = readEvents(root).agg(min(col("event"))).collect().head.getString(0)
+    assert(smin == "e0001")
+  }
 }
