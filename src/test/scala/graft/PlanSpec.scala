@@ -78,6 +78,64 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, s"unexpected cartesian/NLJ in: $offenders")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    // the 100 TB shape: the fact is directory-partitioned on the join key;
+    // a selective dim filter must prune fact partitions AT RUNTIME (DPP),
+    // not scan them all
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    val s = spark
+    import s.implicits._
+    (0L until 20000L).map(i => (i, i % 25))
+      .toDF("o_key", "nat").write.partitionBy("nat").parquet(s"$dir/fact")
+    (0L until 25L).map(i => (i, s"NATION_$i")).toDF("n_key", "n_name")
+      .write.parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("n_name") === "NATION_3")
+    val q = fact.join(dim, col("nat") === col("n_key"))
+      .agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 800L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a DPP subquery filter in:\n$plan")
+  }
+
+  test("runtime bloom-filter join pruning injects on a selective fact join") {
+    // row-level runtime filtering: a selective predicate on one join side
+    // should inject a bloom filter evaluated on the other side's scan
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+      (0L until 50000L).map(i => (i, i % 1000)).toDF("k", "v")
+        .write.parquet(s"$dir/big")
+      (0L until 50000L).map(i => (i, s"g${i % 500}")).toDF("k2", "tag")
+        .write.parquet(s"$dir/small")
+      val big = spark.read.parquet(s"$dir/big")
+      val sel = spark.read.parquet(s"$dir/small").filter(col("tag") === "g7")
+      val q = big.join(sel, col("k") === col("k2")).agg(count(lit(1)))
+      assert(q.collect().head.getLong(0) == 100L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom filter in:\n$plan")
+    }
+  }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate pipeline") {
     // AQE only shows codegen spans in the final (post-execution) plan
     val df = SparkEntry.queries("q04_tpch_q1")(spark, sf)

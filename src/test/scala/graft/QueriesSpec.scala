@@ -57,6 +57,26 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile (sketch) lands within its accuracy bound of exact") {
+    // same rationale as HLL: sketch outputs differ across engines, so the
+    // oracle-checked query (q63) uses exact percentile and the sketch's
+    // accuracy contract is asserted here. accuracy=100 ⇒ rank error ≤ 1%.
+    import org.apache.spark.sql.functions._
+    val r = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 100)").as("approx"),
+        count(lit(1)).as("n"))
+      .collect().head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    // convert the 1%-rank bound to a value bound via the observed spread
+    val spread = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.55)") -
+        expr("percentile(l_extendedprice, 0.45)"))
+      .collect().head.getDouble(0)
+    assert(math.abs(approx - exact) <= spread,
+      s"exact=$exact approx=$approx spread=$spread")
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
