@@ -1012,6 +1012,73 @@ object CoreQueries {
                  FROM orders WHERE year(o_orderdate) = 1997)
                 ON ow = w
               GROUP BY w""")
+    ),
+
+    // ── string-function breadth (pad/reverse/repeat/slice/replace/find) ───
+    QueryDef(
+      "q91_string_suite",
+      (s, d) =>
+        Tables.part(s, d).filter(col("p_partkey") < 300)
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("padded"),
+            reverse(col("p_type")).as("rev"),
+            repeat(expr("left(p_name, 2)"), 3).as("rep"),
+            upper(expr("right(p_name, 4)")).as("tail"),
+            length(col("p_name")).cast("long").as("len"),
+            regexp_replace(col("p_type"), "a", "@").as("repl"),
+            instr(col("p_type"), "e").cast("long").as("pos_e")),
+      Some("""SELECT p_partkey,
+              lpad(p_brand, 12, '*') AS padded,
+              reverse(p_type) AS rev,
+              repeat(left(p_name, 2), 3) AS rep,
+              upper(right(p_name, 4)) AS tail,
+              CAST(length(p_name) AS BIGINT) AS len,
+              replace(p_type, 'a', '@') AS repl,
+              CAST(strpos(p_type, 'e') AS BIGINT) AS pos_e
+              FROM part WHERE p_partkey < 300""")
+    ),
+
+    // ── conditional-expression breadth (greatest/least/CASE/IF) ───────────
+    QueryDef(
+      "q92_conditional_suite",
+      (s, d) =>
+        Tables.part(s, d).filter(col("p_partkey") < 300)
+          .select(
+            col("p_partkey"),
+            greatest(col("p_size"), lit(25)).cast("long").as("g"),
+            least(col("p_size"), lit(25)).cast("long").as("l"),
+            when(col("p_size") > 25, "big").otherwise("small").as("cls"),
+            when(col("p_size") % 2 === 0, "even").otherwise("odd").as("par")),
+      Some("""SELECT p_partkey,
+              CAST(greatest(p_size, 25) AS BIGINT) AS g,
+              CAST(least(p_size, 25) AS BIGINT) AS l,
+              CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS cls,
+              if(p_size % 2 = 0, 'even', 'odd') AS par
+              FROM part WHERE p_partkey < 300""")
+    ),
+
+    // ── bitwise-operator breadth (and/or/xor/shifts/popcount) ─────────────
+    QueryDef(
+      "q93_bitwise_suite",
+      (s, d) =>
+        Tables.supplier(s, d)
+          .select(
+            col("s_suppkey"),
+            col("s_suppkey").bitwiseAND(lit(255L)).as("band"),
+            col("s_suppkey").bitwiseOR(lit(16L)).as("bor"),
+            col("s_suppkey").bitwiseXOR(lit(85L)).as("bxor"),
+            shiftleft(col("s_suppkey"), 2).as("shl"),
+            shiftright(col("s_suppkey"), 1).as("shr"),
+            bit_count(col("s_suppkey")).cast("long").as("pop")),
+      Some("""SELECT s_suppkey,
+              s_suppkey & 255 AS band,
+              s_suppkey | 16 AS bor,
+              xor(s_suppkey, 85) AS bxor,
+              s_suppkey << 2 AS shl,
+              s_suppkey >> 1 AS shr,
+              CAST(bit_count(s_suppkey) AS BIGINT) AS pop
+              FROM supplier""")
     )
   )
 }

@@ -556,16 +556,21 @@ object TextQueries {
           df.agg(sum("comp")).collect()(0).getLong(0)
         var prevSum = labelSum(labels)
         var iter = 0
-        while (iter < 50) {
-          val prop = sym.join(labels, sym("a") === labels("id"))
+        // two propagation hops per materialized round: labels cross two
+        // edges before each checkpoint + convergence probe, halving the
+        // round count (and the fixed per-round job overhead) for the same
+        // fixpoint
+        def hop(l: org.apache.spark.sql.DataFrame) = {
+          val prop = sym.join(l, sym("a") === l("id"))
             .select(col("b").as("id"), col("comp"))
-          val next = labels.union(prop)
-            .groupBy("id").agg(min("comp").as("comp"))
-            .localCheckpoint()
+          l.union(prop).groupBy("id").agg(min("comp").as("comp"))
+        }
+        while (iter < 25) {
+          val next = hop(hop(labels)).localCheckpoint()
           val nextSum = labelSum(next)
           labels = next
           iter += 1
-          if (nextSum == prevSum) iter = 50
+          if (nextSum == prevSum) iter = 25
           prevSum = nextSum
         }
         labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
