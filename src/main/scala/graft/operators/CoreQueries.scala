@@ -688,13 +688,17 @@ object CoreQueries {
       "q64_exists_subquery",
       // orders with at least one lineitem shipped >60 days after order date.
       // Catalyst decorrelates EXISTS into a left-semi hash join on
-      // l_orderkey — one shuffle each side, no per-row subquery execution.
+      // l_orderkey. The SHUFFLE_HASH hint pins the scalable plan: without
+      // it, column pruning shrinks the lineitem estimate below the
+      // broadcast threshold and Spark broadcasts the FACT side — fine at
+      // sf0.1, catastrophic at 100 TB (and measurably slower even here).
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("graft_q64_orders")
         Tables.lineitem(s, d).createOrReplaceTempView("graft_q64_lineitem")
         s.sql("""SELECT o_orderpriority, count(*) AS n
                  FROM graft_q64_orders
-                 WHERE EXISTS (SELECT 1 FROM graft_q64_lineitem
+                 WHERE EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1
+                               FROM graft_q64_lineitem l
                                WHERE l_orderkey = o_orderkey
                                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
                  GROUP BY o_orderpriority""")
