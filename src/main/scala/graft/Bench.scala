@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: restrict to named queries (local iteration aid; the
+    // driver passes none, so the contract surface is unchanged)
+    val only = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +23,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scan + shuffle + codegen machinery once, untimed
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // noop sink materializes EVERY output column (count() would let
       // Catalyst prune expensive projections and under-measure)
       def once(): Double = {

@@ -70,6 +70,12 @@ object TextQueries {
     array_min(transform(shh, h =>
       (h * lit(hashA(j)) + lit(hashB(j))) % lit(4294967296L)))
 
+  // NOTE(measured): packing all NUM_HASHES seeds into data-side literal
+  // arrays (zip_with over seeds, nested transform) shrinks the expression
+  // tree but ran ~3× slower at sf0.1 (0.38s → 1.1-1.6s for q37): nested
+  // interpreted HOF lambdas lose to the unrolled per-seed expressions.
+  // Keep the unrolled form; the fixed analysis cost is paid once per plan.
+
   // ── SQL fragments shared by the DuckDB oracles ─────────────────────────
   private val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
   private def SQL_SHINGLES(t: String) =
@@ -115,16 +121,23 @@ object TextQueries {
     // map tokens → 32-bit hashes FIRST (one md5 per token; the fold below
     // then references each bound hash value, never re-hashing)
     val hv = transform(tokens(col("text")), t => h32(t))
-    def pm(h: Column): Column =
-      array((0 until 32).map(b =>
-        shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*)
+    // Bit lanes iterate over a DATA-side sequence(0,31) instead of 32
+    // unrolled expression copies: the expression tree is ~32× smaller, so
+    // analysis + codegen compile time stops dominating this per-row stage
+    // (the unrolled form cost ~0.5s of fixed Janino work per action).
+    val bits = sequence(lit(0), lit(31))
     val counts = aggregate(
       hv,
       array_repeat(lit(0L), 32),
-      (acc, h) => zip_with(acc, pm(h), (a, x) => a + x))
-    val fp = (0 until 32).map(b =>
-      when(element_at(col("counts"), b + 1) > 0, lit(1L << b))
-        .otherwise(lit(0L))).reduce(_ + _)
+      (acc, h) =>
+        zip_with(acc, bits, (a, b) =>
+          a + call_function("shiftright", h, b).bitwiseAND(lit(1L)) * lit(2L)
+            - lit(1L)))
+    val fp = aggregate(
+      zip_with(col("counts"), bits, (c, b) =>
+        when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (a, x) => a + x)
     Tables.documents(s, d)
       // single input split; spread the hash fold (see withShingles scaladoc)
       .repartition(s.sparkContext.defaultParallelism)
