@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW (no "[info] " prefix):
+// graft.Bench's contract is ONE parseable JSON line on stdout, and the
+// default LoggedOutput strategy would prefix it, breaking driver-side
+// json parsing of the bench result.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
