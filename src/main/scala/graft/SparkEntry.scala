@@ -16,7 +16,8 @@ object SparkEntry {
       operators.TextQueries.all ++
       operators.SimilarityQueries.all ++
       operators.MultimodalQueries.all ++
-      operators.EventQueries.all
+      operators.EventQueries.all ++
+      operators.ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

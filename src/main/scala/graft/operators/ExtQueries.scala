@@ -1,0 +1,476 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 extension surface: operator families beyond the round-1
+  * inventory — time-RANGE window frames, text ranking (BM25), deterministic
+  * mode, array set algebra, regexp/math function breadth, time-series
+  * gap-fill with linear interpolation, training-shard shuffling, embedding
+  * truncation (MRL-style), exact two-variable statistics, the map-type
+  * function surface, and nested array-of-struct round-trips.
+  *
+  * Determinism rules are the library-wide ones (see [[graft.QueryDef]]):
+  * exact DECIMAL sums before any double math, one pinned double expression
+  * written token-identically in both engines, unique tie-breaks on every
+  * ranking, and sequential left-to-right folds for array reductions.
+  */
+object ExtQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def SUMD(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+  private val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** 32-bit md5-prefix hash (same family as TextQueries) */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def SQL_H32(x: String) =
+    s"CAST(('0x' || substring(md5($x), 1, 8)) AS BIGINT)"
+
+  /** sequential left-to-right sum fold — matches DuckDB list_aggregate sum */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── time-based RANGE window frame (rolling 7-day revenue) ─────────────
+    QueryDef(
+      "q94_time_range_window",
+      // RANGE frame over epoch seconds: every order row sees the exact
+      // trailing-7-day revenue of its customer — the frame is value-based,
+      // so same-timestamp peers are always included together (deterministic
+      // without a tie-break, unlike ROWS frames). One shuffle on the
+      // partition key; per-partition sort feeds the running frame.
+      (s, d) =>
+        Tables.orders(s, d)
+          // o_orderdate reads as TIMESTAMP_NTZ, which has no direct long
+          // cast; the NTZ→LTZ hop is instant-preserving in the UTC session
+          .withColumn("ep", col("o_orderdate").cast("timestamp").cast("long"))
+          .withColumn("roll7",
+            sum(dec(col("o_totalprice")))
+              .over(Window.partitionBy("o_custkey").orderBy("ep")
+                .rangeBetween(-7L * 86400L, 0L))
+              .cast("double"))
+          .select("o_orderkey", "o_custkey", "roll7"),
+      Some("""SELECT o_orderkey, o_custkey,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS roll7
+              FROM orders""")
+    ),
+
+    // ── BM25 relevance scoring (log-free exact form) ──────────────────────
+    QueryDef(
+      "q95_bm25",
+      // Full BM25 shape (tf saturation × idf) for a fixed query-term set,
+      // k1=1.2, b=0.75. The idf factor is kept as its rational argument
+      // (N-df+0.5)/(df+0.5) instead of its log — monotone-equivalent for
+      // ranking and bit-identical across engines (ln is not guaranteed
+      // correctly rounded in either engine's libm). Corpus stats (N, Σdl)
+      // and per-term df are tiny aggregates, broadcast to the scoring join.
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("dl", size(col("toks")).cast("long"))
+          .select("doc_id", "toks", "dl")
+        val totals = toks.agg(
+          sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
+        val terms = Seq("join", "scan", "filter", "window")
+        val tf = toks
+          .select(col("doc_id"), col("dl"), col("toks"),
+            explode(array(terms.map(lit): _*)).as("term"))
+          .withColumn("tf",
+            size(filter(col("toks"), t => t === col("term"))).cast("long"))
+          .drop("toks")
+          .filter(col("tf") > 0)
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val tfD  = col("tf").cast("double");  val dlD = col("dl").cast("double")
+        val dfD  = col("df").cast("double");  val nD  = col("n").cast("double")
+        val sdlD = col("sdl").cast("double")
+        tf.join(broadcast(dfc), "term")
+          .crossJoin(broadcast(totals))
+          .withColumn("score",
+            (tfD * lit(2.2) /
+              (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dlD / (sdlD / nD))))
+              * ((nD - dfD + lit(0.5)) / (dfD + lit(0.5))))
+          .select("doc_id", "term", "tf", "df", "score")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS toks,
+                CAST(len($SQL_TOKENS) AS BIGINT) AS dl FROM documents),
+              tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n FROM tok),
+              tf AS (SELECT doc_id, dl, term,
+                  CAST(len(list_filter(toks, t -> t = term)) AS BIGINT) AS tf
+                FROM tok, unnest(['join','scan','filter','window']) AS u(term)),
+              tfp AS (SELECT * FROM tf WHERE tf > 0),
+              dfc AS (SELECT term, count(*) AS df FROM tfp GROUP BY term)
+              SELECT doc_id, tfp.term, tf, df,
+                (CAST(tf AS DOUBLE) * 2.2 /
+                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                    / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                * ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5)) AS score
+              FROM tfp JOIN dfc ON tfp.term = dfc.term, tot""")
+    ),
+
+    // ── deterministic mode (most frequent value per group) ────────────────
+    QueryDef(
+      "q96_mode_per_group",
+      // engine-native mode() tie-breaking is unspecified in both engines;
+      // the deterministic form is counts → ranking window with an explicit
+      // (count DESC, value ASC) order → first row per group
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_orderstatus", "o_orderpriority", "cnt")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, cnt FROM (
+                SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+                FROM orders GROUP BY o_orderstatus, o_orderpriority)
+              WHERE rn = 1""")
+    ),
+
+    // ── array set algebra (intersect / union / except) ────────────────────
+    QueryDef(
+      "q97_array_setops",
+      // set ops between each document's first-half and second-half token
+      // sets. Both inputs are pre-distincted and every output sorted, so
+      // Spark's set semantics (distinct, left-order) and the oracle's
+      // filter-based construction agree exactly. Pure per-row array math,
+      // zero shuffle.
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", tokens(col("text")))
+          .filter(size(col("toks")) >= 2)
+          .withColumn("half", floor(size(col("toks")) / lit(2)).cast("int"))
+          .withColumn("a", array_distinct(slice(col("toks"), lit(1), col("half"))))
+          .withColumn("b", array_distinct(
+            slice(col("toks"), col("half") + lit(1),
+              size(col("toks")) - col("half"))))
+          .select(
+            col("doc_id"),
+            size(col("a")).cast("long").as("n_a"),
+            size(col("b")).cast("long").as("n_b"),
+            array_join(array_sort(array_intersect(col("a"), col("b"))), " ").as("inter"),
+            array_join(array_sort(array_union(col("a"), col("b"))), " ").as("uni"),
+            array_join(array_sort(array_except(col("a"), col("b"))), " ").as("exc")),
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              h AS (SELECT doc_id, t, len(t) // 2 AS half FROM tok WHERE len(t) >= 2),
+              ab AS (SELECT doc_id,
+                  list_distinct(t[1:half]) AS a,
+                  list_distinct(t[half+1:len(t)]) AS b FROM h)
+              SELECT doc_id,
+                CAST(len(a) AS BIGINT) AS n_a, CAST(len(b) AS BIGINT) AS n_b,
+                coalesce(array_to_string(list_sort(list_filter(a, x -> list_contains(b, x))), ' '), '') AS inter,
+                coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ' '), '') AS uni,
+                coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ' '), '') AS exc
+              FROM ab""")
+    ),
+
+    // ── regexp function breadth ───────────────────────────────────────────
+    QueryDef(
+      "q98_regexp_suite",
+      // extract (group capture), match flag, global replace, char-class
+      // strip — restricted to patterns with identical semantics in Java
+      // regex (Spark) and RE2 (DuckDB)
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("long").as("cnum"),
+            col("c_mktsegment").rlike("^[A-Z]+$").cast("int").as("is_caps"),
+            regexp_replace(col("c_name"), "0+", "0").as("name_norm"),
+            length(regexp_replace(col("c_name"), "[^0-9]", "")).as("n_digits")),
+      Some("""SELECT c_custkey,
+                CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS cnum,
+                CAST(regexp_matches(c_mktsegment, '^[A-Z]+$') AS INT) AS is_caps,
+                regexp_replace(c_name, '0+', '0', 'g') AS name_norm,
+                CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT) AS n_digits
+              FROM customer""")
+    ),
+
+    // ── math function breadth ─────────────────────────────────────────────
+    QueryDef(
+      "q99_math_suite",
+      // abs/sign/floor/ceil/mod/power/sqrt on exact inputs. sqrt is IEEE
+      // correctly-rounded in both engines; power is pinned to base-2 with
+      // integral exponents (exact in any implementation); ln/exp are
+      // excluded — libm results are only ~1-ulp bounded, not reproducible
+      // across engines (approx forms belong in a sketch, not an oracle row).
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 2000)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_extendedprice") - lit(30000.0)).as("absx"),
+            signum(col("l_extendedprice") - lit(30000.0)).cast("double").as("sgn"),
+            floor(col("l_extendedprice") / lit(7.0)).cast("long").as("fl"),
+            ceil(col("l_extendedprice") / lit(7.0)).cast("long").as("ce"),
+            (col("l_orderkey") % 7).as("md"),
+            pow(lit(2.0), col("l_linenumber").cast("double")).as("pw"),
+            sqrt(col("l_extendedprice")).as("sq")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                abs(l_extendedprice - 30000.0) AS absx,
+                CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS sgn,
+                CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS fl,
+                CAST(ceil(l_extendedprice / 7.0) AS BIGINT) AS ce,
+                l_orderkey % 7 AS md,
+                power(2.0, CAST(l_linenumber AS DOUBLE)) AS pw,
+                sqrt(l_extendedprice) AS sq
+              FROM lineitem WHERE l_orderkey < 2000""")
+    ),
+
+    // ── time-series gap-fill with linear interpolation ────────────────────
+    QueryDef(
+      "q100_interp_gapfill",
+      // per-user daily value series → full day spine (sequence between each
+      // user's min/max day) → missing days linearly interpolated between
+      // the nearest observed neighbors. The neighbor search is two window
+      // passes (last-non-null preceding, first-non-null following) — no
+      // self-join, one shuffle on the user key shared by every window.
+      // Spine edges always hold observations (bounds come from the data).
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+          .groupBy("user_id", "day")
+          .agg(sum(dec(col("value"))).cast("double").as("v"))
+        val spine = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val j = spine.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+        val wp = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wn = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing)
+        j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+          .withColumn("pd", last(when(col("v").isNotNull, col("idx")), ignoreNulls = true).over(wp))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+          .withColumn("nd", first(when(col("v").isNotNull, col("idx")), ignoreNulls = true).over(wn))
+          .withColumn("v_filled",
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("idx") - col("pd")).cast("double") /
+                  (col("nd") - col("pd")).cast("double"))))
+          .withColumn("is_gap", when(col("v").isNull, 1L).otherwise(0L))
+          .select(col("user_id"), col("day").cast("timestamp").as("day"),
+            col("v_filled"), col("is_gap"))
+      },
+      Some("""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                FROM events GROUP BY 1, 2),
+              b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+              spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+              j AS (SELECT s.user_id, s.day, daily.v,
+                  date_diff('day', TIMESTAMP '1970-01-01', s.day) AS idx
+                FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.day = s.day),
+              w AS (SELECT user_id, day, v, idx,
+                  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+                FROM j)
+              SELECT user_id, day,
+                CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NULL THEN nv
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + (nv - pv) * (CAST(idx - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                END AS v_filled,
+                CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+              FROM w""")
+    ),
+
+    // ── deterministic training-shard shuffle ──────────────────────────────
+    QueryDef(
+      "q101_shard_shuffle",
+      // global pseudo-random corpus order for training, without a global
+      // sort: shard = hash(id) mod k routes docs to k shards, and each
+      // shard orders by an independent salted hash. All windows are
+      // per-shard (parallel) — the classic anti-pattern of one global
+      // row_number over an unpartitioned window never appears. Reader
+      // consumes shards in (shard, pos) order.
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("shard", h32(col("doc_id").cast("string")) % 8)
+          .withColumn("hkey", md5(concat(col("doc_id").cast("string"), lit(":shuf42"))))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy(col("hkey"), col("doc_id"))).cast("long"))
+          .select("doc_id", "shard", "pos"),
+      Some(s"""SELECT doc_id, ${SQL_H32("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                CAST(row_number() OVER (
+                  PARTITION BY ${SQL_H32("CAST(doc_id AS VARCHAR)")} % 8
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuf42'), doc_id)
+                  AS BIGINT) AS pos
+              FROM documents""")
+    ),
+
+    // ── MRL-style embedding truncation ────────────────────────────────────
+    QueryDef(
+      "q102_embed_truncate",
+      // matryoshka truncation: keep the first 8 dims, measure how much norm
+      // survives, and renormalize within the truncated subspace. Per-row
+      // sequential double folds (identical IEEE order in both engines);
+      // zero shuffle.
+      (s, d) => {
+        val full = col("embedding").cast("array<double>")
+        val e8 = slice(full, 1, 8)
+        Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(
+            col("vec_id"),
+            sqrt(fsum(transform(full, x => x * x))).as("norm_full"),
+            sqrt(fsum(transform(e8, x => x * x))).as("norm_8"),
+            (sqrt(fsum(transform(e8, x => x * x))) /
+              sqrt(fsum(transform(full, x => x * x)))).as("kept_ratio"),
+            (element_at(full, 1) / sqrt(fsum(transform(e8, x => x * x))))
+              .as("first_renorm"))
+      },
+      Some("""SELECT vec_id,
+                sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS norm_full,
+                sqrt(list_aggregate(list_transform(range(1, 9),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS norm_8,
+                sqrt(list_aggregate(list_transform(range(1, 9),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+                / sqrt(list_aggregate(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS kept_ratio,
+                CAST(embedding[1] AS DOUBLE)
+                / sqrt(list_aggregate(list_transform(range(1, 9),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS first_renorm
+              FROM embeddings""")
+    ),
+
+    // ── exact Pearson correlation (two-variable moment statistics) ────────
+    QueryDef(
+      "q103_corr_exact",
+      // engine-native corr() differs across engines (co-moment updates);
+      // the reproducible form is exact DECIMAL sums of x, y, x², y², xy,
+      // then one pinned double expression (same family as q59_variance)
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(12, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .withColumn("corr_xy",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .select("l_returnflag", "n", "sx", "sy", "corr_xy")
+      },
+      Some("""WITH agg AS (SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, n, sx, sy,
+                (n * sxy - sx * sy) /
+                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+              FROM agg""")
+    ),
+
+    // ── map-type function surface ─────────────────────────────────────────
+    QueryDef(
+      "q104_map_funcs",
+      // build a source→count map per language from sorted entries, then
+      // exercise the map function family: map_keys/map_values/size,
+      // transform_values, map_filter, and a fold over values. The oracle
+      // computes the same outputs from ordered list aggregates — maps have
+      // no cross-engine wire format, so the contract is the extracted
+      // values, not the map rendering.
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("cnt"))
+        counts.groupBy("lang")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("source"), col("cnt"))))).as("m"))
+          .select(
+            col("lang"),
+            size(col("m")).cast("long").as("n_entries"),
+            array_join(map_keys(col("m")), " ").as("keys"),
+            array_join(transform(map_values(col("m")), v => v.cast("string")), " ").as("vals"),
+            aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+              lit(0L), (acc, v) => acc + v).as("doubled_total"),
+            array_join(map_keys(map_filter(col("m"), (_, v) => v > 5)), " ").as("big_keys"))
+      },
+      Some("""WITH c AS (SELECT lang, source, count(*) AS cnt
+                FROM documents GROUP BY 1, 2)
+              SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_entries,
+                array_to_string(list(source ORDER BY source), ' ') AS keys,
+                array_to_string(list(CAST(cnt AS VARCHAR) ORDER BY source), ' ') AS vals,
+                CAST(sum(cnt * 2) AS BIGINT) AS doubled_total,
+                array_to_string(list(source ORDER BY source) FILTER (WHERE cnt > 5), ' ') AS big_keys
+              FROM c GROUP BY lang""")
+    ),
+
+    // ── nested array-of-struct round-trip ─────────────────────────────────
+    QueryDef(
+      "q105_nested_struct",
+      // collect each order's items as a sorted array<struct>, then consume
+      // the nested column with struct-field HOFs; min_by/max_by cover the
+      // argmin family. The test data duplicates l_linenumber within an
+      // order, so the argmin ordering key folds the 2-decimal quantity in
+      // as a tie-break (one exact BIGINT — DuckDB's min_by has no composite
+      // key form). The HOF sum folds in (linenumber, quantity) order —
+      // mirrored by the oracle's ordered list aggregate.
+      (s, d) => {
+        // explicit round before the long cast: Spark's double→long cast
+        // truncates while DuckDB's rounds, and qty*100 is not exactly
+        // integral in binary floating point
+        val ordKey = col("l_linenumber").cast("long") * 10000000L +
+          round(col("l_quantity") * 100).cast("long")
+        Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n_items"),
+            min_by(col("l_quantity"), ordKey).as("first_qty"),
+            max_by(col("l_quantity"), ordKey).as("last_qty"),
+            array_sort(collect_list(
+              struct(col("l_linenumber").as("ln"), col("l_quantity").as("qty"))))
+              .as("items"))
+          .select(
+            col("l_orderkey"), col("n_items"), col("first_qty"), col("last_qty"),
+            aggregate(transform(col("items"), it => it.getField("qty")),
+              lit(0.0), (acc, q) => acc + q).as("hof_sum_qty"))
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_items,
+                min_by(l_quantity, CAST(l_linenumber AS BIGINT) * 10000000
+                  + CAST(round(l_quantity * 100, 0) AS BIGINT)) AS first_qty,
+                max_by(l_quantity, CAST(l_linenumber AS BIGINT) * 10000000
+                  + CAST(round(l_quantity * 100, 0) AS BIGINT)) AS last_qty,
+                list_aggregate(list(l_quantity ORDER BY l_linenumber, l_quantity), 'sum') AS hof_sum_qty
+              FROM lineitem GROUP BY l_orderkey""")
+    )
+  )
+}

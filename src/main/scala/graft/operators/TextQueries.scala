@@ -718,6 +718,13 @@ object TextQueries {
       // distinct doc count. At 100 TB both sides shuffle on the shingle
       // hash; the benchmark side is usually small enough to broadcast.
       (s, d) => {
+        // two-branch semi join, measured fastest of three shapes at sf0.1:
+        // the src0 filter pushes below the shingle compute so the (small)
+        // benchmark side only shingles benchmark docs, and the semi join's
+        // build side is the distinct shingle set. (Tried: localCheckpoint
+        // to share one explode — materialization cost beat the saved
+        // recompute; single-pass groupBy(s3)+collect_set — pays for ALL
+        // shingles, not just benchmark ones.)
         val sh = withShingles(s, d, nonEmpty = true)
           .select(col("doc_id"), col("source"), explode(col("sh")).as("s3"))
         val bench = sh.filter(col("source") === "src0").select("s3").distinct()

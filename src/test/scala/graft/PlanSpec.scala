@@ -66,7 +66,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q57_tfidf" /* 1-row broadcast of the corpus size N */,
       "q76_kmeans_step" /* K=8 centroid broadcast against every vector */,
       "q80_edit_distance" /* bounded all-pairs, like q36/q39b/q43 */,
-      "q89_contamination" /* cross join of two single-row aggregates */)
+      "q89_contamination" /* cross join of two single-row aggregates */,
+      "q95_bm25" /* 1-row broadcast of corpus stats (N, Σdl), like q57 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
