@@ -90,6 +90,59 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("watermark drops data later than the threshold (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventStream
+      .tumblingAgg(input.toDS().toDF("ts", "event_type", "value"),
+        "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode("append")                    // emits only finalized windows
+      .start()
+    try {
+      def nanos(min: Long): Long = min * 60L * 1000000000L
+      input.addData((nanos(0) + 1000, "view", 1.0), (nanos(0) + 2000, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time to 30 min → watermark 20 min, far past window [0,1)
+      input.addData((nanos(30), "view", 1.0))
+      q.processAllAvailable()
+      // late arrival inside [0,1), 20 min behind the watermark → dropped
+      input.addData((nanos(0) + 3000, "view", 5.0))
+      q.processAllAvailable()
+      input.addData((nanos(60), "view", 1.0))  // flush remaining state
+      q.processAllAvailable()
+      val w0 = spark.table("late_sink").collect()
+        .filter(_.getAs[java.sql.Timestamp]("window_start").getTime == 0L)
+      assert(w0.length == 1, s"window [0,1) emitted ${w0.length} times")
+      assert(w0.head.getAs[Long]("n") == 2L, "late row was not dropped")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink lands every micro-batch's rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+    val batches = new java.util.concurrent.atomic.AtomicLong
+    val q = input.toDS().toDF("ts", "event_type", "value")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the arbitrary-sink escape hatch: per-batch idempotent append
+        df.write.mode("append").parquet(dir)
+        batches.incrementAndGet(); ()
+      }
+      .start()
+    try {
+      input.addData((1000L, "a", 1.0), (2000L, "b", 2.0))
+      q.processAllAvailable()
+      input.addData((3000L, "c", 3.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).count() == 3)
+      assert(batches.get() >= 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
