@@ -21,7 +21,15 @@ import org.apache.spark.sql.types.DecimalType
 object ExtQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec12(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec3(c: Column): Column = c.cast(DecimalType(3, 2))
+  private val one: Column = lit(1).cast(DecimalType(3, 2))
   private def SUMD(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  /** exact discounted revenue: price × (1 − discount), all DECIMAL */
+  private def rev: Column =
+    dec12(col("l_extendedprice")) * (one - dec3(col("l_discount")))
+  private val SQL_REV =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
   private val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -471,6 +479,146 @@ object ExtQueries {
                   + CAST(round(l_quantity * 100, 0) AS BIGINT)) AS last_qty,
                 list_aggregate(list(l_quantity ORDER BY l_linenumber, l_quantity), 'sum') AS hof_sum_qty
               FROM lineitem GROUP BY l_orderkey""")
+    ),
+
+    // ── typed JSON parsing (from_json → struct) ───────────────────────────
+    QueryDef(
+      "q106_from_json",
+      // schema-declared parse of the props payload into a typed struct
+      // column (vs q20's path-extraction): downstream reads are columnar
+      // field accesses, not repeated string parsing
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("p", from_json(col("props"), lit("k BIGINT")))
+          .select(
+            col("event_id"),
+            col("p.k").as("k"),
+            (col("p.k") % 10).as("k_mod"),
+            col("p.k").isNull.cast("int").as("k_missing")),
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+                CAST(json_extract_string(props, '$.k') IS NULL AS INT) AS k_missing
+              FROM events""")
+    ),
+
+    // ── VARIANT semi-structured type (Spark 4) ────────────────────────────
+    QueryDef(
+      "q107_variant",
+      // open-schema ingestion: parse_json → VARIANT binary form once,
+      // typed variant_get extraction at query time. The at-scale point:
+      // VARIANT keeps the parsed tree in a compact binary encoding, so N
+      // extractions don't re-parse the JSON text N times (q20's
+      // get_json_object does).
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("v", parse_json(col("props")))
+          .select(
+            col("event_id"),
+            try_variant_get(col("v"), "$.k", "bigint").as("vk"),
+            try_variant_get(col("v"), "$.k", "string").as("vk_str"),
+            try_variant_get(col("v"), "$.missing", "bigint").as("vmissing")),
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
+                json_extract_string(props, '$.k') AS vk_str,
+                CAST(NULL AS BIGINT) AS vmissing
+              FROM events""")
+    ),
+
+    // ── TPC-H Q9 shape: profit by nation × year ───────────────────────────
+    QueryDef(
+      "q108_tpch_q9_profit",
+      // 4-table join graph (fact + part filter + supplier + nation):
+      // part/supplier/nation broadcast (selective dim reductions), the
+      // lineitem fact streams through one pipeline with zero fact-side
+      // shuffles before the final group-by. (The reference schema has no
+      // partsupp, so profit reduces to discounted revenue.)
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d).filter(col("p_name").contains("red"))
+          .select("p_partkey")
+        val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("l_shipdate")).cast("long").as("o_year"))
+          .agg(sum(rev).cast("double").as("profit"))
+      },
+      Some(s"""SELECT n_name AS nation,
+                CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                CAST(sum($SQL_REV) AS DOUBLE) AS profit
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%'
+              GROUP BY 1, 2""")
+    ),
+
+    // ── TPC-H Q10 shape: top returned-revenue customers ───────────────────
+    QueryDef(
+      "q109_tpch_q10_returns",
+      // returned-item revenue per customer: fact filter (R flag) first,
+      // then one fact-fact shuffle join to orders, broadcast customer/
+      // nation enrichment, top-20 with explicit key tie-break
+      (s, d) => {
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+          .select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+                CAST(sum($SQL_REV) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2, 3
+              ORDER BY revenue DESC, c_custkey ASC
+              LIMIT 20""")
+    ),
+
+    // ── TPC-H Q18 shape: large-volume orders ──────────────────────────────
+    QueryDef(
+      "q110_tpch_q18_bigorders",
+      // HAVING-filtered aggregate (big orders) drives the join: the
+      // aggregation shrinks lineitem to order grain FIRST, then the small
+      // survivor set joins orders and broadcast customers
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+          .filter(col("total_qty") > 150.0)
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name")
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate").cast("timestamp").as("o_orderdate"),
+            col("total_qty"))
+      },
+      Some(s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                ${SUMD("l_quantity")} AS total_qty
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2, 3, 4
+              HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0""")
     )
   )
 }
