@@ -58,6 +58,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("hashpartitioning(user_id"), p)
   }
 
+  test("q108 (Q9 shape): every dimension joins broadcast, fact never shuffles pre-agg") {
+    val p = plan("q108_tpch_q9_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q100 (gap-fill): all three window passes share one sort, no self-join") {
+    val p = plan("q100_interp_gapfill")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 3, p)
+    // same partition key + same ordering for forward and backward frames:
+    // a single per-partition sort feeds every Window operator
+    assert("\\bSort\\b".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q94 (RANGE frame): one shuffle on the partition key feeds the window") {
+    val p = plan("q94_time_range_window")
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size >= 1, p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
   test("no query plans an unintentional cartesian product") {
     // bounded all-pairs comparisons are deliberately cartesian; everything
     // else must join with keys
