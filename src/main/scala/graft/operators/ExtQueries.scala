@@ -619,6 +619,27 @@ object ExtQueries {
               JOIN customer ON o_custkey = c_custkey
               GROUP BY 1, 2, 3, 4
               HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0""")
+    ),
+
+    // ── generator functions (posexplode: explode with ordinality) ─────────
+    QueryDef(
+      "q111_posexplode",
+      // position-preserving explode of each document's leading tokens — the
+      // generator (UDTF-family) surface. Output grows 5× the input rows but
+      // stays a pure per-row map stage: no shuffle, generator inside the
+      // scan's codegen stage.
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(slice(tokens(col("text")), 1, 5)))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("tok")),
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              e AS (SELECT doc_id, unnest(list_transform(
+                  range(1, least(len(t), 5) + 1),
+                  i -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := t[i]))) AS u
+                FROM tok)
+              SELECT doc_id, u.pos AS pos, u.tok AS tok FROM e""")
     )
   )
 }

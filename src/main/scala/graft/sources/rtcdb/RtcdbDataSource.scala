@@ -237,7 +237,10 @@ class RtcdbAggReaderFactory extends PartitionReaderFactory {
 object RtcdbScanStats {
   val plannedBlocks = new AtomicLong(0)
   val prunedBlocks = new AtomicLong(0)
-  def reset(): Unit = { plannedBlocks.set(0); prunedBlocks.set(0) }
+  val runtimeFilteredScans = new AtomicLong(0)
+  def reset(): Unit = {
+    plannedBlocks.set(0); prunedBlocks.set(0); runtimeFilteredScans.set(0)
+  }
 }
 
 final case class RtcdbColSpec(name: String, isLong: Boolean, dataPath: String)
@@ -246,13 +249,60 @@ final case class RtcdbInputPartition(cols: Array[RtcdbColSpec],
     blocks: Array[RtcdbBlockSpec]) extends InputPartition
 
 class RtcdbScan(root: String, table: String, declared: StructType,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"rtcdb table=$table cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
+
+  // ── runtime filtering (DSv2 dynamic pruning) ───────────────────────────
+  // A broadcast-join build side's key set arrives here AFTER that side has
+  // executed (AQE re-plan): blocks whose zone map contains none of the keys
+  // are dropped before any data file is opened — the reference's sparse
+  // index doing the work of dynamic partition pruning. Only uint64 columns
+  // participate (string zone maps are 8-byte prefixes; equality can't be
+  // proven, only range-disproven — not worth advertising for runtime IN).
+  private var runtimeInSets: Map[String, Array[Long]] = Map.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns of the PRUNED output schema: Spark resolves these against
+    // the scan's output, so advertising a pruned-away column fails analysis
+    required.fields.filter(_.dataType == LongType)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    val sets = predicates.flatMap { p =>
+      p.name() match {
+        case "IN" => p.children().toSeq match {
+          case Seq(ref: NamedReference, rest @ _*)
+              if ref.fieldNames.length == 1 &&
+                rest.forall(_.isInstanceOf[V2Literal[_]]) =>
+            val vals = rest.collect {
+              case l: V2Literal[_] if l.value().isInstanceOf[Long] =>
+                l.value().asInstanceOf[Long]
+            }.toArray
+            if (vals.length == rest.size) Some(ref.fieldNames.head -> vals)
+            else None
+          case _ => None
+        }
+        case "=" => p.children().toSeq match {
+          case Seq(ref: NamedReference, l: V2Literal[_])
+              if ref.fieldNames.length == 1 && l.value().isInstanceOf[Long] =>
+            Some(ref.fieldNames.head -> Array(l.value().asInstanceOf[Long]))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    // intersect on repeated application (conservative: keep all sets)
+    runtimeInSets = sets.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.map(_._2.toSet).reduce(_ intersect _).toArray.sorted
+    }
+  }
 
   /** columns the reader must materialize: the required schema, or the first
     * declared column for count-only scans (row counts still need one column)
@@ -274,7 +324,14 @@ class RtcdbScan(root: String, table: String, declared: StructType,
       case LessThanOrEqual(a, _) => Some(a)
       case _ => None
     }
-    (outputColNames ++ filterCols).distinct
+    (outputColNames ++ filterCols ++ runtimeInSets.keys).distinct
+  }
+
+  /** any value of the (sorted) runtime key set inside the block's range? */
+  private def anyKeyInRange(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
+    val i = java.util.Arrays.binarySearch(sorted, mn)
+    val from = if (i >= 0) i else -(i + 1)
+    from < sorted.length && sorted(from) <= mx
   }
 
   private def isLongCol(name: String): Boolean =
@@ -349,10 +406,19 @@ class RtcdbScan(root: String, table: String, declared: StructType,
     val surviving = (0 until nBlocks).filter { b =>
       colFilters.forall { case (c, fs) =>
         c.isEmpty || fs.forall(f => blockMayMatch(c, perCol(c)(b), f))
+      } && runtimeInSets.forall { case (c, keys) =>
+        !isLongCol(c) || {
+          val e = perCol(c)(b)
+          anyKeyInRange(keys,
+            java.nio.ByteBuffer.wrap(e.min).getLong,
+            java.nio.ByteBuffer.wrap(e.max).getLong)
+        }
       }
     }
     RtcdbScanStats.plannedBlocks.addAndGet(surviving.size.toLong)
     RtcdbScanStats.prunedBlocks.addAndGet((nBlocks - surviving.size).toLong)
+    if (runtimeInSets.nonEmpty)
+      RtcdbScanStats.runtimeFilteredScans.incrementAndGet()
 
     val blockSpecs = surviving.map { b =>
       RtcdbBlockSpec(outputCols.map(c => perCol(c.name)(b)))
