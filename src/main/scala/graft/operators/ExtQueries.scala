@@ -640,6 +640,68 @@ object ExtQueries {
                   i -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := t[i]))) AS u
                 FROM tok)
               SELECT doc_id, u.pos AS pos, u.tok AS tok FROM e""")
+    ),
+
+    // ── error-safe arithmetic (try_* family) ──────────────────────────────
+    QueryDef(
+      "q112_try_arithmetic",
+      // ANSI-mode-safe arithmetic: division by zero and bigint overflow
+      // yield NULL instead of failing the job — the behavior a 100 TB batch
+      // needs (one poisoned row must not kill a 6-hour run). The oracle
+      // states the same semantics with explicit guards.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 2000)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            try_divide(col("l_extendedprice"), col("l_quantity") - lit(1.0))
+              .as("unit_price_m1"),
+            try_add(lit(Long.MaxValue), col("l_orderkey")).as("ovf"),
+            try_divide(col("l_orderkey"), lit(0)).as("div0")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_quantity - 1.0 = 0.0 THEN NULL
+                     ELSE l_extendedprice / (l_quantity - 1.0) END AS unit_price_m1,
+                CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+                     ELSE CAST(NULL AS BIGINT) END AS ovf,
+                CAST(NULL AS DOUBLE) AS div0
+              FROM lineitem WHERE l_orderkey < 2000""")
+    ),
+
+    // ── global sort (range partitioning) ──────────────────────────────────
+    QueryDef(
+      "q113_global_sort",
+      // total ordering without a single-node bottleneck: Spark samples the
+      // sort key, range-partitions, and sorts per partition — the only
+      // correct global-sort shape at 100 TB (asserted in PlanSpec). The
+      // explicit (price, orderkey, linenumber) key is a total order, so the
+      // output permutation is deterministic.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 3000)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem WHERE l_orderkey < 3000
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""")
+    ),
+
+    // ── ordered string aggregation (listagg / string_agg) ─────────────────
+    QueryDef(
+      "q114_listagg",
+      // SQL:2023 LISTAGG ... WITHIN GROUP: deterministic only with an
+      // explicit ORDER BY (here over the distinct value set, so the result
+      // is order- and duplicate-stable on both engines)
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderstatus", "o_orderpriority").distinct()
+          .groupBy("o_orderstatus")
+          .agg(expr(
+            "listagg(o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderpriority)")
+            .as("prios")),
+      Some("""SELECT o_orderstatus,
+                string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+              FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+              GROUP BY o_orderstatus""")
     )
   )
 }

@@ -78,6 +78,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
   }
 
+  test("q113 (global sort): range partitioning, never a single-partition sort") {
+    val p = plan("q113_global_sort")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("no query plans an unintentional cartesian product") {
     // bounded all-pairs comparisons are deliberately cartesian; everything
     // else must join with keys

@@ -77,6 +77,54 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       s"exact=$exact approx=$approx spread=$spread")
   }
 
+  test("approx_top_k recovers the exact top-3 heavy hitters") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").count()
+      .orderBy(col("count").desc).limit(3)
+      .collect().map(_.getString(0)).toSet
+    val approx = Tables.lineitem(spark, sf)
+      .agg(expr("approx_top_k(l_returnflag, 3)").as("tk"))
+      .selectExpr("explode(tk) AS e").select("e.item")
+      .collect().map(_.getString(0)).toSet
+    // 3 items over a 3-value column: the sketch must be exact here
+    assert(approx == exact, s"approx=$approx exact=$exact")
+  }
+
+  test("datasketches HLL (hll_sketch_agg/estimate) lands within 5% of exact") {
+    // the mergeable-sketch path (vs approx_count_distinct's in-plan HLL++):
+    // sketches union across partitions/days — the 100 TB rollup shape
+    import org.apache.spark.sql.functions._
+    val r = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("approx"))
+      .collect().head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("seeded sampling is deterministic and near the requested fraction") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
+    val a = li.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+    val b = li.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+    val (ca, cb) = (a.count(), b.count())
+    assert(ca == cb, "same seed must select the same rows")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val n = li.count().toDouble
+    assert(math.abs(ca / n - 0.1) < 0.03, s"fraction off: ${ca / n}")
+    // stratified: per-stratum fractions honored (Bernoulli per key)
+    val sb = Tables.lineitem(spark, sf)
+      .stat.sampleBy("l_returnflag", Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.0), 7L)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!sb.contains("R"), "0-fraction stratum must be empty")
+    val base = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(sb("A").toDouble / base("A") - 0.2) < 0.05)
+    assert(math.abs(sb("N").toDouble / base("N") - 0.05) < 0.03)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
