@@ -702,6 +702,72 @@ object ExtQueries {
                 string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
               FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
               GROUP BY o_orderstatus""")
+    ),
+
+    // ── cross-document repeated-span detection (chunk-level dedup) ────────
+    QueryDef(
+      "q115_repeated_chunks",
+      // boilerplate detection at sub-document grain: chunk each doc into
+      // disjoint 10-token spans, hash each span, and surface spans occurring
+      // in more than one document — the exact-substring complement to
+      // document-level near-dup (q36-q39). One shuffle on the span hash;
+      // span text never shuffles (hash + one exemplar doc id only).
+      (s, d) => {
+        val t = tokens(col("text"))
+        val nChunks = floor(size(t) / lit(10)).cast("int")
+        Tables.documents(s, d)
+          .filter(size(tokens(col("text"))) >= 10)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), nChunks - 1), i =>
+              md5(concat_ws(" ", slice(t, i * 10 + 1, lit(10)))))).as("chunk_hash"))
+          .groupBy("chunk_hash")
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("exemplar_doc"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              ch AS (SELECT doc_id, unnest(list_transform(
+                  range(0, CAST(len(t) // 10 AS INT)),
+                  i -> md5(array_to_string(t[i*10+1:i*10+10], ' ')))) AS chunk_hash
+                FROM tok WHERE len(t) >= 10)
+              SELECT chunk_hash, count(*) AS n_occurrences,
+                count(DISTINCT doc_id) AS n_docs,
+                min(doc_id) AS exemplar_doc
+              FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2""")
+    ),
+
+    // ── overlapping token chunking (RAG / embedding windows) ──────────────
+    QueryDef(
+      "q116_overlap_chunks",
+      // sliding 64-token windows with stride 32 per document — the chunking
+      // stage in front of any embedding pipeline. Chunk count per doc is
+      // ⌈max(n-64,0)/32⌉+1 (every doc yields ≥1 chunk; the last one may be
+      // short). Pure per-row array math → explode; zero shuffle.
+      (s, d) => {
+        val t = tokens(col("text"))
+        val n = size(t)
+        val nChunks = floor((greatest(n - lit(64), lit(0)) + lit(31)) / lit(32))
+          .cast("int") + lit(1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"), nChunks.as("nc"))
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), col("nc") - 1), i =>
+              struct(i.cast("long").as("chunk_id"),
+                size(slice(col("t"), i * 32 + 1, lit(64))).cast("long").as("n_tokens"),
+                element_at(col("t"), i * 32 + 1).as("first_tok")))).as("c"))
+          .select(col("doc_id"), col("c.chunk_id"), col("c.n_tokens"),
+            col("c.first_tok"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t,
+                CAST(CEIL(greatest(len($SQL_TOKENS) - 64, 0) / 32.0) AS INT) + 1 AS nc
+                FROM documents)
+              SELECT doc_id, u.chunk_id, u.n_tokens, u.first_tok
+              FROM (SELECT doc_id, unnest(list_transform(range(0, nc),
+                  i -> struct_pack(chunk_id := CAST(i AS BIGINT),
+                    n_tokens := CAST(len(t[i*32+1:i*32+64]) AS BIGINT),
+                    first_tok := t[i*32+1]))) AS u
+                FROM tok)""")
     )
   )
 }
