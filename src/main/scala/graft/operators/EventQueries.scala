@@ -90,6 +90,21 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q117_outer_interval_join",
+      // left-outer stream-stream join shape (funnel drop-off): views that
+      // never converted inside the horizon keep a NULL click_id. Batch run
+      // here; StreamingSpec covers the watermarked streaming semantics.
+      (s, d) => EventStream.viewClickJoinOuter(Tables.events(s, d)),
+      Some("""SELECT v.user_id AS user_id, v.event_id AS view_id,
+                     c.event_id AS click_id
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON v.user_id = c.user_id
+               AND c.ts >= v.ts
+               AND c.ts <= v.ts + INTERVAL '10 minutes'""")
+    ),
+
+    QueryDef(
       "q58_funnel",
       // staged funnel: view → click-after-first-view → purchase-after-that-
       // click, per user; three keyed aggregations (each one shuffle on

@@ -142,6 +142,32 @@ object EventStream {
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** Left-outer variant of [[viewClickJoin]]: views with no click inside
+    * the 10-minute horizon surface with a NULL click_id (funnel drop-off
+    * detection). Streaming caveat (inherent to outer stream-stream joins):
+    * an unmatched view emits only once the watermark passes its join
+    * horizon, so a bounded stream's tail views (within watermark+horizon
+    * of the final event) stay in state — the streamed outer rows are a
+    * prefix of the batch result, with matched rows always identical
+    * (StreamingSpec asserts exactly that).
+    */
+  def viewClickJoinOuter(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val e = withEventTime(events)
+    val wm = if (e.isStreaming) e.withWatermark("event_time", watermark) else e
+    val views = wm.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+    val clicks = wm.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+    views.join(clicks, expr(
+        """v_user = c_user AND
+           c_time >= v_time AND
+           c_time <= v_time + interval 10 minutes"""), "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** Exactly-once event dedup by id — unified: plain dropDuplicates in
     * batch; in streaming, dropDuplicatesWithinWatermark so dedup state is
     * bounded (expired past the watermark) instead of growing forever —

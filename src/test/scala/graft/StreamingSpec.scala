@@ -66,6 +66,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: matched rows identical, outer rows a prefix") {
+    // outer rows emit only when the watermark passes the view's join
+    // horizon, so on a bounded stream the tail's unmatched views stay in
+    // state: streamed outer rows ⊆ batch outer rows, matched rows equal
+    val batch = EventStream.viewClickJoinOuter(Tables.events(spark, sf)).collect()
+    val q = EventStream.viewClickJoinOuter(EventStream.readEventStream(spark, sf))
+      .writeStream.format("memory").queryName("ssouter_sink")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssouter_sink").collect()
+    def split(rows: Array[Row]) = {
+      val (outer, matched) = rows.partition(_.isNullAt(2))
+      (canon(matched), canon(outer))
+    }
+    val (bm, bo) = split(batch)
+    val (sm, so) = split(streamed)
+    assert(sm == bm, s"matched rows differ: ${sm.length} vs ${bm.length}")
+    assert(so.toSet.subsetOf(bo.toSet), "streamed outer rows not in batch result")
+    assert(bo.nonEmpty, "fixture has no drop-off views — test is vacuous")
+  }
+
   test("streaming dedup emits each event id exactly once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
