@@ -13,6 +13,12 @@ object Bench {
     // optional args: restrict to named queries (local iteration aid; the
     // driver passes none, so the contract surface is unchanged)
     val only = args.toSet
+    // a typo'd name must not silently bench zero queries and "succeed"
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

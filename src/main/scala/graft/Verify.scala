@@ -8,6 +8,12 @@ object Verify {
     val sfDir = args(0); val outDir = args(1)
     // optional extra args: restrict to named queries (local iteration aid)
     val only = args.drop(2).toSet
+    // a typo'd name must not silently verify zero queries and "succeed"
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

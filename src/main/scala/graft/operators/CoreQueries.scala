@@ -20,18 +20,9 @@ import org.apache.spark.sql.types.{DecimalType, TimestampType}
   */
 object CoreQueries {
 
-  /** exact 2-decimal cast — makes double aggregation order-independent */
-  private def dec(c: Column): Column  = c.cast(DecimalType(18, 2))
-  private def dec12(c: Column): Column = c.cast(DecimalType(12, 2))
-  private def dec3(c: Column): Column  = c.cast(DecimalType(3, 2))
-  private val one: Column = lit(1).cast(DecimalType(3, 2))
-  /** order-independent exact sum of a 2-decimal double, as double */
-  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
-  private def ts(s: String): Column   = lit(s).cast(TimestampType)
-
-  // SQL-side mirrors of the helpers above (kept textually close so the
-  // decimal promotion chain is identical in both engines).
-  private def SUMD(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  // exact-decimal / timestamp conventions live in [[Shared]] (one source
+  // of truth for the cross-engine determinism rules)
+  import Shared._
 
   val all: Seq[QueryDef] = Seq(
 

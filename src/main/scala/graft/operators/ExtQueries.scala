@@ -20,29 +20,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ExtQueries {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dec12(c: Column): Column = c.cast(DecimalType(12, 2))
-  private def dec3(c: Column): Column = c.cast(DecimalType(3, 2))
-  private val one: Column = lit(1).cast(DecimalType(3, 2))
-  private def SUMD(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
-  /** exact discounted revenue: price × (1 − discount), all DECIMAL */
-  private def rev: Column =
-    dec12(col("l_extendedprice")) * (one - dec3(col("l_discount")))
-  private val SQL_REV =
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
-
-  private def tokens(text: Column): Column = split(trim(text), "\\s+")
-  private val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
-
-  /** 32-bit md5-prefix hash (same family as TextQueries) */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-  private def SQL_H32(x: String) =
-    s"CAST(('0x' || substring(md5($x), 1, 8)) AS BIGINT)"
-
-  /** sequential left-to-right sum fold — matches DuckDB list_aggregate sum */
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  // all cross-engine determinism helpers live in [[Shared]]
+  import Shared._
 
   val all: Seq[QueryDef] = Seq(
 
@@ -438,7 +417,7 @@ object ExtQueries {
                 array_to_string(list(source ORDER BY source), ' ') AS keys,
                 array_to_string(list(CAST(cnt AS VARCHAR) ORDER BY source), ' ') AS vals,
                 CAST(sum(cnt * 2) AS BIGINT) AS doubled_total,
-                array_to_string(list(source ORDER BY source) FILTER (WHERE cnt > 5), ' ') AS big_keys
+                coalesce(array_to_string(list(source ORDER BY source) FILTER (WHERE cnt > 5), ' '), '') AS big_keys
               FROM c GROUP BY lang""")
     ),
 

@@ -26,8 +26,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextQueries {
 
-  /** whitespace tokens of the trimmed text */
-  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+  // tokenization + the 32-bit md5-prefix hash family live in [[Shared]]
+  import Shared.{tokens, SQL_TOKENS, h32, SQL_H32}
 
   /** word 3-shingles in document order (duplicates preserved); empty array
     * for docs shorter than 3 tokens. Built from the PASSED column via
@@ -51,16 +51,11 @@ object TextQueries {
   private val BANDS = 4
   private val ROWS_PER_BAND = NUM_HASHES / BANDS
 
-  /** 32-bit base hash of a string: first 8 md5 hex chars as a Long.
-    * Computed ONCE per shingle/token; the per-seed MinHash values derive
-    * from it with cheap affine transforms (the universal-hash family
-    * h_j(x) = (a_j·h(x) + b_j) mod 2^32) instead of a fresh md5 per seed —
-    * 16× less digest work on the hot path. a_j·h < 2^20·2^32 = 2^52, so
-    * every intermediate is exact in both Long and DOUBLE-free BIGINT math.
-    */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
+  // Per-seed MinHash values derive from Shared.h32 with cheap affine
+  // transforms (the universal-hash family h_j(x) = (a_j·h(x) + b_j) mod
+  // 2^32) instead of a fresh md5 per seed — 16× less digest work on the
+  // hot path. a_j·h < 2^20·2^32 = 2^52, so every intermediate is exact in
+  // both Long and DOUBLE-free BIGINT math.
   /** deterministic LCG-derived affine constants (a_j odd, both < 2^20) */
   private def hashA(j: Int): Long = ((1103515245L * (j + 1) + 12345) % 1048576) | 1L
   private def hashB(j: Int): Long = (1103515245L * (j + 101) + 12345) % 1048576
@@ -76,12 +71,9 @@ object TextQueries {
   // interpreted HOF lambdas lose to the unrolled per-seed expressions.
   // Keep the unrolled form; the fixed analysis cost is paid once per plan.
 
-  // ── SQL fragments shared by the DuckDB oracles ─────────────────────────
-  private val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+  // ── SQL fragments shared by the DuckDB oracles (rest in [[Shared]]) ────
   private def SQL_SHINGLES(t: String) =
     s"list_distinct(list_transform(range(1, len($t)-1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]))"
-  private def SQL_H32(x: String) =
-    s"CAST(('0x' || substring(md5($x), 1, 8)) AS BIGINT)"
   private def SQL_MINHASH(j: Int) =
     s"list_aggregate(list_transform(shh, h -> (h * ${hashA(j)} + ${hashB(j)}) % 4294967296), 'min')"
 
@@ -578,14 +570,20 @@ object TextQueries {
             .select(col("b").as("id"), col("comp"))
           l.union(prop).groupBy("id").agg(min("comp").as("comp"))
         }
-        while (iter < 25) {
+        var converged = false
+        while (!converged && iter < 25) {
           val next = hop(hop(labels)).localCheckpoint()
           val nextSum = labelSum(next)
           labels = next
           iter += 1
-          if (nextSum == prevSum) iter = 25
+          converged = nextSum == prevSum
           prevSum = nextSum
         }
+        // a wrong answer must never be silent: 25 rounds = 50 hops covers
+        // any near-dup component of diameter ≤ 50; beyond that, fail loudly
+        // rather than emit partial components
+        if (!converged) throw new IllegalStateException(
+          s"q73: label propagation did not converge in $iter rounds")
         labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
       },
       Some("WITH RECURSIVE " + SQL_SIMHASH_FP.stripPrefix("WITH ") + """,

@@ -150,7 +150,7 @@ class RtcdbScanBuilder(root: String, table: String, declared: StructType)
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(specs) => new RtcdbAggScan(root, table, specs)
+    case Some(specs) => new RtcdbAggScan(root, table, declared, specs)
     case None => new RtcdbScan(root, table, declared, required, pushed)
   }
 }
@@ -168,8 +168,8 @@ final case class RtcdbAggPartition(values: Array[Long], isNull: Array[Boolean])
   * files, one single-row partition out. Data files are never opened —
   * RtcdbSourceSpec proves it by deleting them first.
   */
-class RtcdbAggScan(root: String, table: String, specs: Seq[RtcdbAggSpec])
-    extends Scan with Batch {
+class RtcdbAggScan(root: String, table: String, declared: StructType,
+    specs: Seq[RtcdbAggSpec]) extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(specs.map {
     case RtcdbCountAll(_) => StructField("count", LongType, nullable = false)
@@ -187,8 +187,20 @@ class RtcdbAggScan(root: String, table: String, specs: Seq[RtcdbAggSpec])
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // scan length = shortest column across the WHOLE table (the reference's
+    // loop-termination rule, src/storage.rs:313-322). The row scan enforces
+    // this; truncate here too so a pushed COUNT/MIN/MAX can never disagree
+    // with the same query computed through the row path. Columns not named
+    // by the aggregate contribute via index-file size only (missing index
+    // ⇒ no constraint, matching the row scan).
+    val nBlocks = declared.fieldNames.flatMap { c =>
+      val p = indexPath(Paths.get(root), table, c)
+      if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
+      else None
+    }.min
     val cache = scala.collection.mutable.Map.empty[String, Array[IndexEntry]]
-    def entries(c: String) = cache.getOrElseUpdate(c, entriesOf(c))
+    def entries(c: String) =
+      cache.getOrElseUpdate(c, entriesOf(c).take(nBlocks))
     def guard(c: String, es: Array[IndexEntry]): Unit = es.foreach { e =>
       if (java.nio.ByteBuffer.wrap(e.min).getLong < 0 ||
           java.nio.ByteBuffer.wrap(e.max).getLong < 0)
@@ -298,10 +310,18 @@ class RtcdbScan(root: String, table: String, declared: StructType,
         case _ => None
       }
     }
-    // intersect on repeated application (conservative: keep all sets)
-    runtimeInSets = sets.groupBy(_._1).map { case (c, vs) =>
-      c -> vs.map(_._2.toSet).reduce(_ intersect _).toArray.sorted
+    // intersect across predicates in this call AND any earlier filter()
+    // call — Spark may deliver runtime filters from different joins in
+    // separate invocations, and each one can only shrink the key sets
+    val incoming = sets.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.map(_._2.toSet).reduce(_ intersect _)
     }
+    runtimeInSets = (runtimeInSets.keySet ++ incoming.keySet).iterator.map {
+      c =>
+        val merged = (runtimeInSets.get(c).map(_.toSet).toSeq ++
+          incoming.get(c).toSeq).reduce(_ intersect _)
+        c -> merged.toArray.sorted
+    }.toMap
   }
 
   /** columns the reader must materialize: the required schema, or the first
@@ -387,9 +407,24 @@ class RtcdbScan(root: String, table: String, declared: StructType,
           s"rtcdb: column '$c' holds uint64 values >= 2^63, which are not " +
             "representable as Spark LongType; refusing to read")
     }
-    // scan length = shortest column (reference loop-termination semantics,
-    // src/storage.rs:313-322); equal for consistent writes
-    val nBlocks = if (perCol.isEmpty) 0 else perCol.values.map(_.length).min
+    // scan length = shortest column across the WHOLE table, not just the
+    // projected subset. The reference stops at the shortest column *being
+    // read* (src/storage.rs:313-322), which makes row counts depend on the
+    // projection for inconsistent tables — a §1.4-class defect we don't
+    // replicate. Equal for consistent writes; table-wide min keeps every
+    // projection (and the pushed-aggregate path) in agreement otherwise.
+    // Unplanned columns contribute via index-file SIZE only (40 B/entry,
+    // one stat call) — their data files are never touched, and a missing
+    // index (column physically removed) simply can't constrain the scan.
+    val nBlocks =
+      if (perCol.isEmpty) 0
+      else declared.fieldNames.flatMap { c =>
+        perCol.get(c).map(_.length).orElse {
+          val p = indexPath(Paths.get(root), table, c)
+          if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
+          else None
+        }
+      }.min
 
     val colFilters: Map[String, Array[Filter]] = pushed.groupBy {
       case EqualTo(a, _) => a

@@ -153,16 +153,6 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("whole-stage codegen covers the scan→filter→aggregate pipeline") {
     // AQE only shows codegen spans in the final (post-execution) plan
     val df = SparkEntry.queries("q04_tpch_q1")(spark, sf)

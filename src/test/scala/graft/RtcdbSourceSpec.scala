@@ -126,19 +126,12 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     // the DPP benefit heuristic is stats-based and vetoes pruning on
     // kilobyte-sized test tables; force the decision (at real scale the
     // default heuristic passes on its own)
-    val olds = Seq(
+    withConf(
       "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
-      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000")
-      .map { case (k, v) =>
-        val o = spark.conf.getOption(k); spark.conf.set(k, v); k -> o
-      }
-    try {
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000") {
       val q = readEvents(root).join(broadcast(dim), col("id") === col("user_id"))
         .agg(count(lit(1)).as("n"))
       assert(q.collect().head.getLong(0) == 100L)
-    } finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
     assert(RtcdbScanStats.runtimeFilteredScans.get() >= 1,
       "runtime filter was never delivered to the scan")
@@ -230,6 +223,28 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     // COUNT(col) on a non-nullable source column also pushes
     val n2 = readEvents(root).agg(count(col("id"))).collect().head.getLong(0)
     assert(n2 == 2500L)
+  }
+
+  test("aggregate pushdown agrees with the row scan on truncated tables") {
+    val root = freshDb("aggtrunc")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 2500L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    // truncate ONE column's index to 2 blocks — the reference's unequal-
+    // length case (its read loop stops at the shortest column being read,
+    // src/storage.rs:313-322). Scan length is the table-wide minimum, so
+    // BOTH paths must see exactly 2 × 1024 rows.
+    val idIdx = Paths.get(root, "events.id.index")
+    Files.write(idIdx, Files.readAllBytes(idIdx).take(2 * 40))
+    val pushed = readEvents(root).agg(
+      count(lit(1)).as("n"), max(col("timestamp")).as("mx"))
+      .collect().head
+    // row path: a residual filter disables pushdown; predicate keeps all rows
+    val scanned = readEvents(root).filter(col("timestamp") > 0)
+      .agg(count(lit(1))).collect().head.getLong(0)
+    assert(pushed.getLong(0) == 2048L, s"pushed count=${pushed.getLong(0)}")
+    assert(scanned == 2048L, s"row-scan count=$scanned")
+    // the pushed MAX must also ignore blocks past the truncation point
+    assert(pushed.getLong(1) == 1700000000L + 2048L)
   }
 
   test("aggregate pushdown declines: filters, grouping, string min/max") {

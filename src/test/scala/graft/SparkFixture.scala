@@ -8,6 +8,19 @@ import org.apache.spark.sql.SparkSession
   */
 trait SparkFixture {
   lazy val spark: SparkSession = SparkFixture.session
+
+  /** run `body` with session confs temporarily set, restoring prior values
+    * (shared by every spec that needs scoped conf overrides)
+    */
+  def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 object SparkFixture {
