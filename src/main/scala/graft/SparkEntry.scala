@@ -17,7 +17,8 @@ object SparkEntry {
       operators.SimilarityQueries.all ++
       operators.MultimodalQueries.all ++
       operators.EventQueries.all ++
-      operators.ExtQueries.all
+      operators.ExtQueries.all ++
+      operators.ShapeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

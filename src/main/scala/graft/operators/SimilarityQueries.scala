@@ -346,6 +346,67 @@ object SimilarityQueries {
                 / count(*) AS mean_val
               FROM embeddings, range(1, 65) t(i)
               GROUP BY 1, 2""")
+    ),
+
+    // ── SemDeDup: semantic dedup via cluster-then-intra-cluster cosine ────
+    QueryDef(
+      "q126_semdedup",
+      // the SemDeDup recipe (Abbas et al. 2023): coarse-cluster the corpus,
+      // then within each cluster mark every vector whose cosine to a
+      // SMALLER-id cluster-mate exceeds the threshold as a removable
+      // near-duplicate (keep-lowest-id policy). Clustering bounds the
+      // pairwise stage to per-cluster blocks — the trick that makes
+      // semantic dedup feasible at corpus scale (at 100 TB, K grows ~√N so
+      // cluster sizes stay bounded; K=8 here). Assignment is a broadcast
+      // argmax; the pair join is an equi-join on cluster id.
+      // (This synthetic corpus has no true near-dups — max pair cosine
+      // ≈0.46 — so the threshold 0.35 marks the top-similarity tail; the
+      // mechanics are threshold-independent.)
+      (s, d) => {
+        val K = 8
+        val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val w = Window.partitionBy("vid")
+          .orderBy(col("__d").desc, col("cent_id").asc)
+        val assigned = embeddings(s, d)
+          .select(col("vec_id").as("vid"), col("embedding").as("v"))
+          .crossJoin(broadcast(cent))
+          .withColumn("__d", dot(col("v"), col("centv")))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .select("vid", "v", "cent_id")
+        val aa = assigned.select(col("cent_id"), col("vid").as("a"),
+          col("v").as("va"))
+        val bb = assigned.select(col("cent_id").as("cb"), col("vid").as("b"),
+          col("v").as("vb"))
+        val removed = aa
+          .join(bb, col("cent_id") === col("cb") && col("a") < col("b"))
+          .withColumn("cos",
+            dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+          .filter(col("cos") > 0.35)
+          .select("cent_id", "b").distinct()
+        assigned.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+          .join(removed.groupBy("cent_id").agg(count(lit(1)).as("n_removed")),
+            Seq("cent_id"), "left_outer")
+          .select(col("cent_id"), col("n_vecs"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              assigned AS (SELECT vid, v, cent_id FROM (
+                SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${SQL_DOT("e.embedding", "c.centv")} DESC, c.cent_id) AS rk
+                FROM embeddings e, cent c) WHERE rk = 1),
+              removed AS (SELECT DISTINCT x.cent_id, y.vid AS b
+                FROM assigned x JOIN assigned y
+                  ON x.cent_id = y.cent_id AND x.vid < y.vid
+                WHERE ${SQL_DOT("x.v", "y.v")} / (${SQL_NORM("x.v")} * ${SQL_NORM("y.v")}) > 0.35)
+              SELECT s.cent_id, s.n_vecs,
+                CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+              FROM (SELECT cent_id, count(*) AS n_vecs FROM assigned GROUP BY 1) s
+              LEFT JOIN (SELECT cent_id, count(*) AS n_removed FROM removed GROUP BY 1) r
+                USING (cent_id)""")
     )
   )
 }

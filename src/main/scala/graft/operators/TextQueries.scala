@@ -768,6 +768,59 @@ object TextQueries {
                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
                     FROM documents)
               WHERE rn <= 10 GROUP BY lang""")
+    ),
+
+    // ── PII redaction (email / phone / long-number scrubbing) ─────────────
+    QueryDef(
+      "q127_pii_redact",
+      // the training-corpus PII scrub: count then replace emails, phone
+      // numbers, and long digit runs with typed placeholder tokens. The
+      // corpus itself is digit-free, so each doc is first extended with
+      // deterministic synthetic PII derived from its own key (identical
+      // expression in both engines) — the redaction then does real work on
+      // every row and the oracle hash proves pattern-for-pattern parity
+      // (patterns stay in the Java-regex ∩ RE2 common subset, like q98).
+      // Replacement order matters and is pinned: emails first (they
+      // contain digits), then phones, then bare digit runs. Pure per-row
+      // compute — zero shuffles, scales linearly.
+      (s, d) => {
+        val EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+        val NUMID = "\\b[0-9]{4,}\\b"
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@"), col("source"),
+          lit(".net or call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ref "), (col("doc_id") * 7919 + 10007).cast("string"))
+        Tables.documents(s, d)
+          .withColumn("pii_text", pii)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("pii_text"), lit(EMAIL), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("pii_text"), lit(PHONE), lit(0)))
+              .cast("long").as("n_phones"),
+            size(regexp_extract_all(col("pii_text"), lit(NUMID), lit(0)))
+              .cast("long").as("n_ids"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+              EMAIL, "<EMAIL>"), PHONE, "<PHONE>"), NUMID, "<ID>"))
+              .as("redacted_md5"))
+      },
+      Some("""WITH pii AS (SELECT doc_id,
+                text || ' contact user' || doc_id || '@' || source ||
+                  '.net or call 415-555-' ||
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                  ' ref ' || CAST(doc_id * 7919 + 10007 AS VARCHAR) AS pii_text
+              FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(pii_text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(pii_text, '\b[0-9]{4,}\b')) AS BIGINT) AS n_ids,
+                md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+                  '\b[0-9]{4,}\b', '<ID>', 'g')) AS redacted_md5
+              FROM pii""")
     )
   )
 }

@@ -93,7 +93,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q76_kmeans_step" /* K=8 centroid broadcast against every vector */,
       "q80_edit_distance" /* bounded all-pairs, like q36/q39b/q43 */,
       "q89_contamination" /* cross join of two single-row aggregates */,
-      "q95_bm25" /* 1-row broadcast of corpus stats (N, Σdl), like q57 */)
+      "q95_bm25" /* 1-row broadcast of corpus stats (N, Σdl), like q57 */,
+      "q125_tpch_q22_idlerich" /* 1-row global-average broadcast, like q89 */,
+      "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
