@@ -20,9 +20,10 @@ object vec {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }
 
-/** Session extension registering `vec_dot` for SQL-text users
-  * (`spark.sql.extensions=graft.functions.GraftExtensions`). The Column API
-  * above works without registration.
+/** Session extension (`spark.sql.extensions=graft.functions.GraftExtensions`)
+  * registering `vec_dot` for SQL-text users and the range-join rewrite rule
+  * ([[graft.plans.RangeJoinRule]], inert until its bucket-width conf is
+  * set). The Column API above works without registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -30,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule())
   }
 }

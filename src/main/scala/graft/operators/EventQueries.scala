@@ -200,6 +200,36 @@ object EventQueries {
               FROM (SELECT * FROM events WHERE event_type = 'click') c
               ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
                 ON c.user_id = v.user_id AND v.ts <= c.ts""")
+    ),
+
+    QueryDef(
+      "q128_range_join_bucketed",
+      // equi-key-LESS point-in-interval join: every view (any user) that
+      // happened inside any user's 15-minute first-error incident window.
+      // The naive form is a pure theta join — BroadcastNestedLoopJoin,
+      // O(|views|·|incidents|) — which [[operators.RangeJoin]] re-expresses
+      // as a bucketized equi-join (one shuffle; see its scaladoc for the
+      // cost model). Timestamps compare in µs on both engines (ts DIV 1000
+      // ≡ DuckDB's TIMESTAMP read of the same nanosecond parquet).
+      (s, d) => {
+        val us = Tables.events(s, d).withColumn("tus", expr("ts DIV 1000"))
+        val incidents = us.filter(col("event_type") === "error")
+          .groupBy(col("user_id").as("iuser"))
+          .agg(min("tus").as("istart"))
+          .withColumn("iend", col("istart") + lit(900000000L))
+        val views = us.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("vuser"), col("tus"))
+        RangeJoin.pointInInterval(views, "tus",
+            incidents, "istart", "iend", bucketWidth = 900000000L)
+          .select("iuser", "view_id", "vuser")
+      },
+      Some("""WITH inc AS (SELECT user_id AS iuser, min(ts) AS istart
+                FROM events WHERE event_type = 'error' GROUP BY 1)
+              SELECT iuser, v.event_id AS view_id, v.user_id AS vuser
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              JOIN inc ON v.ts >= istart
+                      AND v.ts <= istart + INTERVAL 15 MINUTE""")
     )
   )
 }
