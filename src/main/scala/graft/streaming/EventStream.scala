@@ -209,4 +209,61 @@ object EventStream {
           Iterator.single(userId -> next)
       }
   }
+
+  // ── transformWithState (the Spark 4 arbitrary-state successor) ─────────
+
+  final case class Alert(user_id: Long, threshold_cents: Long,
+      total_cents: Long)
+
+  /** Per-user cumulative-spend alerts: one row each time a user's running
+    * `value` total crosses another multiple of `stepCents`. State is a
+    * single typed `ValueState[Long]` (total in exact cents) managed by the
+    * `transformWithState` API — typed state variables, explicit TimeMode,
+    * TTL support, RocksDB-backed — the extension point that replaces
+    * `flatMapGroupsWithState` for new stateful operators. Requires
+    * `spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider`.
+    */
+  def spendAlerts(events: Dataset[Ev],
+      stepCents: Long = 10000L): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).transformWithState(
+      new SpendAlertProcessor(stepCents),
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      OutputMode.Append())
+  }
+
+  class SpendAlertProcessor(stepCents: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Alert] {
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders}
+
+    @transient private var totalCents: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totalCents = getHandle.getValueState[Long]("totalCents",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Alert] = {
+      val prev = if (totalCents.exists()) totalCents.get() else 0L
+      // exact cents accumulation (double values are 2-decimal by contract);
+      // events fold in iterator order within the batch — each threshold is
+      // crossed exactly once regardless of batching
+      var total = prev
+      val alerts = Seq.newBuilder[Alert]
+      rows.foreach { e =>
+        val next = total + math.round(e.value * 100)
+        val kPrev = total / stepCents
+        val kNext = next / stepCents
+        var k = kPrev + 1
+        while (k <= kNext) {
+          alerts += Alert(userId, k * stepCents, next)
+          k += 1
+        }
+        total = next
+      }
+      totalCents.update(total)
+      alerts.result().iterator
+    }
+  }
 }

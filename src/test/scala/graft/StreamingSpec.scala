@@ -195,4 +195,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(last(8L).getDouble(1) == 4.0)
     } finally q.stop()
   }
+
+  test("transformWithState emits each spend threshold exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the transformWithState operator requires the RocksDB state store
+    withConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[EventStream.Ev]
+      // step = 5.00 so small fixture values cross thresholds quickly
+      val q = EventStream.spendAlerts(input.toDS(), stepCents = 500L)
+        .writeStream
+        .format("memory")
+        .queryName("spend_alerts_sink")
+        .outputMode("append")
+        .start()
+      try {
+        input.addData(
+          EventStream.Ev(1L, 1000L, 7L, 3.00),   // total 3.00 — no alert
+          EventStream.Ev(2L, 2000L, 7L, 3.00),   // 6.00 — crosses 5.00
+          EventStream.Ev(3L, 1500L, 8L, 12.00))  // 12.00 — crosses 5, 10
+        q.processAllAvailable()
+        input.addData(
+          EventStream.Ev(4L, 9000L, 7L, 4.50),   // 10.50 — crosses 10.00
+          EventStream.Ev(5L, 9500L, 8L, 1.00))   // 13.00 — nothing new
+        q.processAllAvailable()
+        val rows = spark.table("spend_alerts_sink").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        assert(rows == Seq(
+          (7L, 500L, 600L), (7L, 1000L, 1050L),
+          (8L, 500L, 1200L), (8L, 1000L, 1200L)))
+      } finally q.stop()
+    }
+  }
 }
