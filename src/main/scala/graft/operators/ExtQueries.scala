@@ -747,6 +747,35 @@ object ExtQueries {
                     n_tokens := CAST(len(t[i*32+1:i*32+64]) AS BIGINT),
                     first_tok := t[i*32+1]))) AS u
                 FROM tok)""")
+    ),
+
+    // ── string codec functions (base64 / hex / ascii / translate / parts) ─
+    QueryDef(
+      "q129_string_codec",
+      // the binary-adjacent string family q91 doesn't cover: base64 and
+      // hex encodings (Spark hex is uppercase, DuckDB lowercase — pinned
+      // via lower()), character codecs (ascii/chr), character-map
+      // translate, delimited-field extraction (split_part), substring
+      // search (instr). ASCII-only corpus ⇒ byte/char semantics agree.
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          base64(substring(col("text"), 1, 12).cast("binary")).as("b64"),
+          lower(hex(substring(col("text"), 1, 8))).as("hx"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("first_code"),
+          concat(chr(lit(65) + col("doc_id") % 26), col("lang")).as("tag"),
+          translate(substring(col("text"), 1, 40), "aeiou", "01234").as("tr"),
+          expr("split_part(text, ' ', 3)").as("third_field"),
+          instr(col("text"), "table").cast("long").as("pos_table")),
+      Some("""SELECT doc_id,
+                to_base64(encode(substring(text, 1, 12))) AS b64,
+                lower(hex(substring(text, 1, 8))) AS hx,
+                CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_code,
+                chr(65 + CAST(doc_id % 26 AS INT)) || lang AS tag,
+                translate(substring(text, 1, 40), 'aeiou', '01234') AS tr,
+                split_part(text, ' ', 3) AS third_field,
+                CAST(instr(text, 'table') AS BIGINT) AS pos_table
+              FROM documents""")
     )
   )
 }

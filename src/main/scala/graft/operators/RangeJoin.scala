@@ -45,4 +45,30 @@ object RangeJoin {
       .filter(col(pt) >= col(start) && col(pt) <= col(end))
       .drop("__rj_bucket")
   }
+
+  /** All (left, right) interval pairs that overlap:
+    * `[s1,e1] ∩ [s2,e2] ≠ ∅` (inclusive bounds, i.e. `s1 ≤ e2 ∧ s2 ≤ e1`).
+    *
+    * Both sides explode to their buckets, so a true pair shares EVERY
+    * bucket of the overlap — the join would emit it once per shared
+    * bucket. Exactly-once comes from nominating one canonical bucket per
+    * pair: the bucket containing the overlap's left endpoint
+    * (`greatest(s1,s2)`), a value computable only once both rows meet.
+    * No dropDuplicates pass, so nothing downstream re-shuffles.
+    */
+  def intervalOverlap(left: DataFrame, s1: String, e1: String,
+      right: DataFrame, s2: String, e2: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__rj_bucket",
+        explode(sequence(expr(s"$s DIV $bucketWidth"),
+          expr(s"$e DIV $bucketWidth"), lit(1L))))
+    exploded(left, s1, e1)
+      .join(exploded(right, s2, e2), Seq("__rj_bucket"))
+      .filter(col(s1) <= col(e2) && col(s2) <= col(e1))
+      .filter(col("__rj_bucket") ===
+        expr(s"greatest($s1, $s2) DIV $bucketWidth"))
+      .drop("__rj_bucket")
+  }
 }

@@ -86,13 +86,18 @@ object ShapeQueries {
       // top supplier(s) by quarterly revenue: the per-supplier revenue
       // aggregate is computed once and consumed twice (scalar max + the
       // equality probe). Decimal revenue keeps the max-equality exact; the
-      // 1-row max and the supplier dim both broadcast.
+      // 1-row max and the supplier dim both broadcast. localCheckpoint
+      // pins the (small, per-supplier) aggregate so the second consumer
+      // cannot re-derive the lineitem scan+shuffle: self-join re-aliasing
+      // breaks Exchange canonical equality, so ReuseExchange never fires
+      // here and without the checkpoint the fact is scanned twice.
       (s, d) => {
         val revenue = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
             col("l_shipdate") < ts("1996-04-01 00:00:00"))
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(rev).as("total_rev"))
+          .localCheckpoint()
         val top = revenue.agg(max(col("total_rev")).as("m"))
         revenue.join(broadcast(top), col("total_rev") === col("m"))
           .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
@@ -118,17 +123,22 @@ object ShapeQueries {
       // part's average quantity. The correlated average is restated as
       // 5·qty·n < Σqty — exact decimal/integer math, no division anywhere
       // near the comparison. Filtered parts broadcast; the per-part stats
-      // aggregate and the probe share one shuffle key (l_partkey).
+      // come from whole-partition WINDOW aggregates, so the probe rows and
+      // their group totals share ONE shuffle on l_partkey — no stats
+      // self-join, and the filtered fact is scanned exactly once (a
+      // groupBy + re-join form scans it twice: self-join re-aliasing
+      // defeats ReuseExchange, see q120).
       (s, d) => {
         val pp = Tables.part(s, d)
           .filter(col("p_brand") === "Brand#23" && col("p_size") <= 5)
           .select("p_partkey")
-        val lp = Tables.lineitem(s, d)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_partkey")
+        Tables.lineitem(s, d)
           .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
           .select("l_partkey", "l_quantity", "l_extendedprice")
-        val st = lp.groupBy(col("l_partkey").as("k"))
-          .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
-        lp.join(st, col("l_partkey") === col("k"))
+          .withColumn("sq", sum(dec(col("l_quantity"))).over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
           .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sq"))
           .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
             .as("avg_yearly"))

@@ -375,6 +375,9 @@ object SimilarityQueries {
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1)
           .select("vid", "v", "cent_id")
+          // three consumers (both pair sides + the member count) — pin the
+          // assignment so the centroid argmax runs once, not three times
+          .localCheckpoint()
         val aa = assigned.select(col("cent_id"), col("vid").as("a"),
           col("v").as("va"))
         val bb = assigned.select(col("cent_id").as("cb"), col("vid").as("b"),

@@ -56,6 +56,28 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
     assert(n == naive(p, i).count())
   }
 
+  test("interval-overlap join matches the naive theta join, exactly once") {
+    // per-user activity spans: [first event, first event + 6 h] from two
+    // disjoint event-type populations — arbitrary overlapping intervals
+    val us = Tables.events(spark, sf).withColumn("tus", expr("ts DIV 1000"))
+    def spans(tpe: String, idc: String, sc: String, ec: String): DataFrame =
+      us.filter(col("event_type") === tpe)
+        .groupBy(col("user_id").as(idc))
+        .agg(min("tus").as(sc))
+        .withColumn(ec, col(sc) + lit(21600000000L))
+    val l = spans("error", "eu", "es", "ee")
+    val r = spans("view", "vu", "vs", "ve")
+    val naive = l.join(r, col("es") <= col("ve") && col("vs") <= col("ee"))
+      .select("eu", "vu").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(naive.nonEmpty && naive.length == naive.toSet.size)
+    for (w <- Seq(600000000L, 21600000000L, 86400000000L)) {
+      val got = RangeJoin.intervalOverlap(l, "es", "ee", r, "vs", "ve", w)
+        .select("eu", "vu").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == naive.length, s"width=$w: dupes or misses")
+      assert(got.toSet == naive.toSet, s"width=$w")
+    }
+  }
+
   test("optimizer rule rewrites the theta join and matches its rows") {
     val (p, i) = pointsAndIntervals
     val before = naive(p, i).queryExecution.executedPlan.toString
