@@ -572,7 +572,9 @@ object TextQueries {
         }
         var converged = false
         while (!converged && iter < 25) {
-          val next = hop(hop(labels)).localCheckpoint()
+          // LAZY checkpoint: the convergence probe right below is the
+          // action that materializes it — one job per round, not two
+          val next = hop(hop(labels)).localCheckpoint(eager = false)
           val nextSum = labelSum(next)
           labels = next
           iter += 1

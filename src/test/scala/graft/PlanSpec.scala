@@ -155,6 +155,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fact-fact joins can run as sort-merge when hash build won't fit") {
+    // the third physical join strategy (after broadcast + shuffled-hash):
+    // when neither side fits a hash build, SMJ spills gracefully — the
+    // 100 TB fallback. preferSortMergeJoin models that regime locally.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true") {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+      val q = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate pipeline") {
     // AQE only shows codegen spans in the final (post-execution) plan
     val df = SparkEntry.queries("q04_tpch_q1")(spark, sf)
