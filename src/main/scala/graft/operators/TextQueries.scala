@@ -823,6 +823,65 @@ object TextQueries {
                   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
                   '\b[0-9]{4,}\b', '<ID>', 'g')) AS redacted_md5
               FROM pii""")
+    ),
+
+    // ── temperature-weighted source mixing (training-mix composition) ─────
+    QueryDef(
+      "q130_temperature_mix",
+      // the standard corpus-mixing recipe: per-source quotas ∝ n_s^α with
+      // α = 0.5 (temperature flattening — big sources are down-weighted,
+      // small ones boosted), then each source contributes its quota of
+      // docs ranked by the q33 quality signal. Determinism: sqrt is
+      // IEEE-exact in both engines; the weight sum goes through the
+      // rounded-decimal trick; the quota division is one pinned double
+      // expression; the quality ranking tie-breaks on doc_id. One
+      // aggregation + one window + two broadcast joins — fact scanned
+      // once per branch, no all-pairs anything.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("alpha_ratio",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+              .cast("double") / length(col("text")))
+        val stats = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+          .withColumn("w",
+            round(sqrt(col("n_s").cast("double")), 6).cast(DecimalType(18, 6)))
+        val tot = stats.agg(sum(col("w")).as("T"))
+        val quotas = stats.crossJoin(broadcast(tot))
+          .withColumn("quota", floor(lit(1000.0) * col("w").cast("double") /
+            col("T").cast("double")))
+          .select("source", "quota")
+        val rk = Window.partitionBy("source")
+          .orderBy(col("alpha_ratio").desc, col("doc_id").asc)
+        docs.withColumn("rn", row_number().over(rk).cast("long"))
+          .join(broadcast(quotas), "source")
+          .filter(col("rn") <= col("quota"))
+          .groupBy("source")
+          .agg(max(col("quota")).as("quota"),
+            count(lit(1)).as("n_selected"),
+            sum(col("len")).as("sum_len"))
+      },
+      Some("""WITH q AS (SELECT doc_id, source,
+                CAST(length(text) AS BIGINT) AS len,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / length(text) AS alpha_ratio
+              FROM documents),
+              st AS (SELECT source, count(*) AS n_s,
+                CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+              FROM q GROUP BY 1),
+              tot AS (SELECT sum(w) AS T FROM st),
+              quotas AS (SELECT source,
+                CAST(floor(1000.0 * CAST(w AS DOUBLE) / CAST(T AS DOUBLE)) AS BIGINT) AS quota
+              FROM st, tot),
+              ranked AS (SELECT doc_id, source, len,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY alpha_ratio DESC, doc_id) AS rn FROM q)
+              SELECT source, max(quota) AS quota,
+                count(*) AS n_selected,
+                CAST(sum(len) AS BIGINT) AS sum_len
+              FROM ranked JOIN quotas USING (source)
+              WHERE rn <= quota
+              GROUP BY source""")
     )
   )
 }

@@ -95,7 +95,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q89_contamination" /* cross join of two single-row aggregates */,
       "q95_bm25" /* 1-row broadcast of corpus stats (N, Σdl), like q57 */,
       "q125_tpch_q22_idlerich" /* 1-row global-average broadcast, like q89 */,
-      "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */)
+      "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */,
+      "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
