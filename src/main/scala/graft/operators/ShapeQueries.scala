@@ -321,6 +321,49 @@ object ShapeQueries {
                                 WHERE o_custkey = c_custkey
                                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
               GROUP BY 1""")
+    ),
+
+    // ── null-safe equi join (<=> / IS NOT DISTINCT FROM) ──────────────────
+    QueryDef(
+      "q131_nullsafe_join",
+      // NULL join keys: plain `=` drops null-keyed rows on both sides;
+      // `<=>` matches null with null (one hash-join key, null as a real
+      // key value). Keys are NULLIF-derived so both behaviors are
+      // exercised on real data: segment is null for BUILDING customers,
+      // priority-bucket null for 5-LOW orders. The output contrasts the
+      // two predicates' match counts per segment.
+      (s, d) => {
+        val a = Tables.customer(s, d)
+          .filter(col("c_custkey") % 50 === 0)
+          .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+            col("c_custkey"))
+        val b = Tables.customer(s, d)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg2"),
+            col("c_custkey").as("ck2"))
+        val nullSafe = a.join(b, col("seg") <=> col("seg2"))
+          .groupBy(coalesce(col("seg"), lit("<null>")).as("k"))
+          .agg(count(lit(1)).as("n_nullsafe"))
+        val strict = a.join(b, col("seg") === col("seg2"))
+          .groupBy(coalesce(col("seg"), lit("<null>")).as("k"))
+          .agg(count(lit(1)).as("n_strict"))
+        nullSafe.join(strict, Seq("k"), "left_outer")
+          .select(col("k"), col("n_nullsafe"),
+            coalesce(col("n_strict"), lit(0L)).as("n_strict"))
+      },
+      Some("""WITH a AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_custkey
+                         FROM customer WHERE c_custkey % 50 = 0),
+              b AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg2,
+                           c_custkey AS ck2
+                    FROM customer WHERE c_custkey % 3 = 0),
+              ns AS (SELECT coalesce(seg, '<null>') AS k, count(*) AS n_nullsafe
+                     FROM a JOIN b ON seg IS NOT DISTINCT FROM seg2
+                     GROUP BY 1),
+              st AS (SELECT coalesce(seg, '<null>') AS k, count(*) AS n_strict
+                     FROM a JOIN b ON seg = seg2
+                     GROUP BY 1)
+              SELECT k, n_nullsafe, coalesce(n_strict, 0) AS n_strict
+              FROM ns LEFT JOIN st USING (k)""")
     )
   )
 }
