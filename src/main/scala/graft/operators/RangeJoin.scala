@@ -33,17 +33,28 @@ object RangeJoin {
     * (inclusive). Column sets of the two inputs must be disjoint; the
     * bound columns are long-typed (epoch micros in the event queries).
     */
+  private val Bucket = "__rj_bucket"
+
+  private def checkInputs(bucketWidth: Long, dfs: DataFrame*): Unit = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    dfs.foreach(df => require(!df.columns.contains(Bucket),
+      s"input already has a '$Bucket' column — it would be consumed and dropped"))
+  }
+
   def pointInInterval(points: DataFrame, pt: String,
       intervals: DataFrame, start: String, end: String,
       bucketWidth: Long): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
-    val pts = points.withColumn("__rj_bucket", expr(s"$pt DIV $bucketWidth"))
-    val ivs = intervals.withColumn("__rj_bucket",
-      explode(sequence(expr(s"$start DIV $bucketWidth"),
-        expr(s"$end DIV $bucketWidth"), lit(1L))))
-    pts.join(ivs, Seq("__rj_bucket"))
+    checkInputs(bucketWidth, points, intervals)
+    val pts = points.withColumn(Bucket, expr(s"$pt DIV $bucketWidth"))
+    // inverted intervals (end < start) match nothing in the theta form;
+    // drop them BEFORE the explode — sequence(hi, lo, +1) would throw
+    val ivs = intervals.filter(col(start) <= col(end))
+      .withColumn(Bucket,
+        explode(sequence(expr(s"$start DIV $bucketWidth"),
+          expr(s"$end DIV $bucketWidth"), lit(1L))))
+    pts.join(ivs, Seq(Bucket))
       .filter(col(pt) >= col(start) && col(pt) <= col(end))
-      .drop("__rj_bucket")
+      .drop(Bucket)
   }
 
   /** All (left, right) interval pairs that overlap:
@@ -59,16 +70,17 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, s1: String, e1: String,
       right: DataFrame, s2: String, e2: String,
       bucketWidth: Long): DataFrame = {
-    require(bucketWidth > 0, "bucketWidth must be positive")
+    checkInputs(bucketWidth, left, right)
     def exploded(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn("__rj_bucket",
-        explode(sequence(expr(s"$s DIV $bucketWidth"),
-          expr(s"$e DIV $bucketWidth"), lit(1L))))
+      df.filter(col(s) <= col(e)) // inverted spans overlap nothing; see above
+        .withColumn(Bucket,
+          explode(sequence(expr(s"$s DIV $bucketWidth"),
+            expr(s"$e DIV $bucketWidth"), lit(1L))))
     exploded(left, s1, e1)
-      .join(exploded(right, s2, e2), Seq("__rj_bucket"))
+      .join(exploded(right, s2, e2), Seq(Bucket))
       .filter(col(s1) <= col(e2) && col(s2) <= col(e1))
-      .filter(col("__rj_bucket") ===
+      .filter(col(Bucket) ===
         expr(s"greatest($s1, $s2) DIV $bucketWidth"))
-      .drop("__rj_bucket")
+      .drop(Bucket)
   }
 }
