@@ -31,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in ONE JVM: 8g forced GC churn onto
+  // late-suite bench queries (round-2 driver run: 3-13x outliers). The box
+  // has 128 GiB; 24g keeps full-suite GC pressure off individual timings.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -117,14 +117,20 @@ object SimilarityQueries {
       (s, d) => {
         val NPLANES = 8
         // plane p component i = (((1103515245*(p*64+i) + 12345) mod 2^31) / 2^31) - 0.5
-        // — a fixed LCG, exactly computable in both engines in integer space.
-        def planeAt(p: Int, i: Column): Column =
-          ((lit(1103515245L) * (lit(p * 64L) + i) + lit(12345L))
-            .mod(lit(2147483648L))).cast("double") / lit(2147483648.0) - lit(0.5)
+        // — a fixed LCG. Every step is exact in double (integers < 2^53,
+        // division by 2^31, minus 0.5), so precomputing the weights HERE
+        // and embedding them as literal arrays yields bit-identical values
+        // to the per-row SQL formula the oracle still uses — while turning
+        // each signature bit into one codegen'd weighted dot instead of a
+        // 64-element sequence + LCG re-derivation per row per plane (the
+        // round-2 driver bench's worst cold outlier, 11× its warm time).
+        val planes: Array[Array[Double]] = Array.tabulate(NPLANES, 64) {
+          (p, i) =>
+            ((1103515245L * (p * 64L + i) + 12345L) % 2147483648L).toDouble /
+              2147483648.0 - 0.5
+        }
         def sigBit(v: Column, p: Int): Column =
-          when(fsum(zip_with(asDouble(v),
-            sequence(lit(0), lit(63)).cast("array<double>"),
-            (x, i) => x * planeAt(p, i))) >= 0, lit(1)).otherwise(lit(0))
+          when(dot(v, typedlit(planes(p))) >= 0, lit(1)).otherwise(lit(0))
         def sig(v: Column): Column =
           concat_ws("", (0 until NPLANES).map(p => sigBit(v, p)): _*)
 

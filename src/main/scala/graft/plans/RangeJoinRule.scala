@@ -32,7 +32,13 @@ import org.apache.spark.sql.types.LongType
   * Off by default: fires only when `spark.graft.rangeJoin.bucketWidth`
   * (in the bound columns' units) is set positive — bucket width is a
   * data-dependent choice (pick ≈ the typical interval span), like the
-  * bin size of Databricks' range-join hint. Registered by
+  * bin size of Databricks' range-join hint. A non-numeric value disables
+  * the rewrite (logged) rather than failing the optimizer. The interval
+  * side explodes to span/width buckets per row, so a width far below the
+  * typical span inflates the build side (and a span/width over the max
+  * array size fails the Sequence at runtime) — the bounds are per-row
+  * columns, unknowable at plan time, so choosing a sane width is the
+  * caller's contract, exactly as with Databricks' bin size. Registered by
   * [[graft.functions.GraftExtensions]]; also usable via
   * `spark.experimental.extraOptimizations`.
   */
@@ -65,7 +71,12 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthKey, "0").toLong
+    // a malformed width must disable the rewrite, not throw inside the
+    // optimizer (which would break every query in the session)
+    val width = conf.getConfString(WidthKey, "0").toLongOption.getOrElse {
+      logWarning(s"$WidthKey is not a long; range-join rewrite disabled")
+      0L
+    }
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>

@@ -193,11 +193,14 @@ class RtcdbAggScan(root: String, table: String, declared: StructType,
     // with the same query computed through the row path. Columns not named
     // by the aggregate contribute via index-file size only (missing index
     // ⇒ no constraint, matching the row scan).
+    // a table directory with NO index files at all is an empty table (the
+    // row scan reads it as zero rows): minOption, not .min, so a pushed
+    // COUNT(*) returns 0 instead of throwing on the empty collection
     val nBlocks = declared.fieldNames.flatMap { c =>
       val p = indexPath(Paths.get(root), table, c)
       if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
       else None
-    }.min
+    }.minOption.getOrElse(0)
     val cache = scala.collection.mutable.Map.empty[String, Array[IndexEntry]]
     def entries(c: String) =
       cache.getOrElseUpdate(c, entriesOf(c).take(nBlocks))
@@ -210,7 +213,13 @@ class RtcdbAggScan(root: String, table: String, declared: StructType,
     }
     val results = specs.map {
       case RtcdbCountAll(via) =>
-        // fixed 8-byte big-endian codec ⇒ decompressed bytes / 8 = rows
+        // fixed 8-byte big-endian codec ⇒ decompressed bytes / 8 = rows.
+        // Block-grain consistency contract: every writer (reference
+        // storage.rs and RtcdbFormat alike) emits the SAME rows-per-block
+        // for every column of a block, so counting via any one long column
+        // agrees with the row path; a hand-corrupted store that violates
+        // this diverges in both paths equally (each sizes block k by one
+        // column's entry k).
         (entries(via).map(_.decompressedSize / 8).sum, false)
       case RtcdbMinLong(c) =>
         val es = entries(c); guard(c, es)

@@ -238,31 +238,43 @@ object EventStream {
     import org.apache.spark.sql.{Encoders}
 
     @transient private var totalCents: ValueState[Long] = _
+    @transient private var maxAlertedK: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       totalCents = getHandle.getValueState[Long]("totalCents",
         Encoders.scalaLong, TTLConfig.NONE)
+      // high-water mark of the highest threshold multiple ever alerted:
+      // a refund (negative value) may drop the total below a threshold and
+      // a later purchase re-cross it — "alert once per threshold" means
+      // only multiples ABOVE this mark ever fire
+      maxAlertedK = getHandle.getValueState[Long]("maxAlertedK",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[Alert] = {
       val prev = if (totalCents.exists()) totalCents.get() else 0L
+      var maxK = if (maxAlertedK.exists()) maxAlertedK.get() else 0L
       // exact cents accumulation (double values are 2-decimal by contract);
       // events fold in iterator order within the batch — each threshold is
-      // crossed exactly once regardless of batching
+      // crossed exactly once regardless of batching or refunds
       var total = prev
       val alerts = Seq.newBuilder[Alert]
       rows.foreach { e =>
         val next = total + math.round(e.value * 100)
-        val kPrev = total / stepCents
-        val kNext = next / stepCents
-        var k = kPrev + 1
+        // floorDiv: a negative running total truncates toward -inf, so
+        // threshold k=1 still means "reached stepCents", never shifted
+        val kNext = Math.floorDiv(next, stepCents)
+        var k = maxK + 1
         while (k <= kNext) {
           alerts += Alert(userId, k * stepCents, next)
           k += 1
         }
+        maxK = math.max(maxK, kNext)
         total = next
       }
       totalCents.update(total)
+      maxAlertedK.update(maxK)
       alerts.result().iterator
     }
   }

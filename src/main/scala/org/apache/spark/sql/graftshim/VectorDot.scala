@@ -1,13 +1,15 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd dot product over two `array<float>` columns.
+/** Native codegen'd dot product over two numeric array columns
+  * (`array<float>` or `array<double>` on each side independently).
   *
   * The declarative form (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) runs on
   * Catalyst's interpreted higher-order-function path — per-element lambda
@@ -18,16 +20,30 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Semantics are IDENTICAL to the HOF form: a sequential left-to-right fold
   * in double of `(double)a(i) * (double)b(i)` — the same IEEE operation
   * order, so results hash-match the DuckDB oracle exactly like the HOF
-  * implementation did. Length = min of the two arrays (inputs are fixed-dim
-  * in practice). Lives under org.apache.spark.sql because the expression
-  * plumbing (ExpressionUtils, AbstractDataType) is private[sql]; the
-  * engine-facing API is graft.functions.vec.
+  * implementation did. Mixed float×double support exists for weighted
+  * projections against driver-computed constant planes (q42's hyperplane
+  * signatures), where rounding the weights to float would change results.
+  * Length = min of the two arrays (inputs are fixed-dim in practice).
+  * Lives under org.apache.spark.sql because the expression plumbing
+  * (ExpressionUtils) is private[sql]; the engine-facing API is
+  * graft.functions.vec.
   */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -35,18 +51,27 @@ case class VectorDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VectorDot =
     copy(left = newLeft, right = newRight)
 
+  private def getter(e: Expression): (ArrayData, Int) => Double =
+    if (elemType(e).contains(DoubleType)) (a, i) => a.getDouble(i)
+    else (a, i) => a.getFloat(i).toDouble
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val gx = getter(left); val gy = getter(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += gx(x, i) * gy(y, i)
       i += 1
     }
     acc
   }
+
+  private def genGet(e: Expression, arr: String, i: String): String =
+    if (elemType(e).contains(DoubleType)) s"$arr.getDouble($i)"
+    else s"(double) $arr.getFloat($i)"
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
@@ -57,7 +82,7 @@ case class VectorDot(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  $acc += ${genGet(left, x, i)} * ${genGet(right, y, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

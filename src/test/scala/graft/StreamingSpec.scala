@@ -220,10 +220,17 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           EventStream.Ev(4L, 9000L, 7L, 4.50),   // 10.50 — crosses 10.00
           EventStream.Ev(5L, 9500L, 8L, 1.00))   // 13.00 — nothing new
         q.processAllAvailable()
+        // refund drops user 7 below already-alerted thresholds; re-crossing
+        // them must NOT re-alert (high-water mark), only NEW multiples fire
+        input.addData(
+          EventStream.Ev(6L, 9600L, 7L, -6.00),  // 4.50 — below 5.00 again
+          EventStream.Ev(7L, 9700L, 7L, 6.50),   // 11.00 — re-crosses 5,10: silent
+          EventStream.Ev(8L, 9800L, 7L, 5.00))   // 16.00 — crosses 15.00: alert
+        q.processAllAvailable()
         val rows = spark.table("spend_alerts_sink").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
         assert(rows == Seq(
-          (7L, 500L, 600L), (7L, 1000L, 1050L),
+          (7L, 500L, 600L), (7L, 1000L, 1050L), (7L, 1500L, 1600L),
           (8L, 500L, 1200L), (8L, 1000L, 1200L)))
       } finally q.stop()
     }
