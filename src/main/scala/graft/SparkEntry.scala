@@ -18,7 +18,9 @@ object SparkEntry {
       operators.MultimodalQueries.all ++
       operators.EventQueries.all ++
       operators.ExtQueries.all ++
-      operators.ShapeQueries.all
+      operators.ShapeQueries.all ++
+      operators.PartsuppQueries.all ++
+      operators.SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

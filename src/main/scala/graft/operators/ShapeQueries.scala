@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -85,21 +86,27 @@ object ShapeQueries {
       "q120_tpch_q15_topsupp",
       // top supplier(s) by quarterly revenue: the per-supplier revenue
       // aggregate is computed once and consumed twice (scalar max + the
-      // equality probe). Decimal revenue keeps the max-equality exact; the
-      // 1-row max and the supplier dim both broadcast. localCheckpoint
-      // pins the (small, per-supplier) aggregate so the second consumer
-      // cannot re-derive the lineitem scan+shuffle: self-join re-aliasing
-      // breaks Exchange canonical equality, so ReuseExchange never fires
-      // here and without the checkpoint the fact is scanned twice.
+      // equality probe). Decimal revenue keeps the max-equality exact.
+      // The max is a GLOBAL window over the aggregate: the view's two
+      // consumers collapse into one pass over the (order-of-|supplier|,
+      // i.e. already fact-reduced) aggregate, so the lineitem scan runs
+      // ONCE with ordinary recomputable lineage. This replaces a
+      // localCheckpoint (executor-pinned, lineage-severed — one lost
+      // executor failed the query at scale); a reuse-exchange split was
+      // tried and does NOT work here: self-join attribute dedup re-aliases
+      // one subtree, breaking Exchange canonical equality. The
+      // single-partition window input is the aggregate, not the fact —
+      // the same data volume the old 1-row max broadcast already forced
+      // through one node.
       (s, d) => {
         val revenue = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
             col("l_shipdate") < ts("1996-04-01 00:00:00"))
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(rev).as("total_rev"))
-          .localCheckpoint()
-        val top = revenue.agg(max(col("total_rev")).as("m"))
-        revenue.join(broadcast(top), col("total_rev") === col("m"))
+        revenue
+          .withColumn("m", max(col("total_rev")).over(Window.partitionBy()))
+          .filter(col("total_rev") === col("m"))
           .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
             col("supplier_no") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),

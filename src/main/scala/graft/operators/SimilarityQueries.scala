@@ -381,9 +381,17 @@ object SimilarityQueries {
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1)
           .select("vid", "v", "cent_id")
-          // three consumers (both pair sides + the member count) — pin the
-          // assignment so the centroid argmax runs once, not three times
-          .localCheckpoint()
+          // the two pair-join sides share the exchange below this
+          // repartition (the q38 reuse pattern; PlanSpec asserts the
+          // ReusedExchange), so the heavy self-join computes the argmax
+          // once — and unlike the localCheckpoint this replaces, nothing
+          // pins to executor storage: an executor loss recomputes from
+          // lineage instead of failing the job. The member-count branch
+          // re-derives (join constraint inference breaks canonical plan
+          // equality) but costs only a scan + broadcast argmax, no extra
+          // shuffle — cheaper at scale than durably writing the whole
+          // corpus-sized assignment.
+          .repartition(s.sparkContext.defaultParallelism, col("cent_id"))
         val aa = assigned.select(col("cent_id"), col("vid").as("a"),
           col("v").as("va"))
         val bb = assigned.select(col("cent_id").as("cb"), col("vid").as("b"),

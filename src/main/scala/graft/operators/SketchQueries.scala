@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates promoted to driver-visible oracle rows.
+  *
+  * Sketches (HLL, frequent-items) are approximate and their estimates are
+  * NOT hash-stable across engines in general — the accuracy-bound checks
+  * live in the spec suite. These two queries pin the *exact-recovery*
+  * regime instead: every sketched domain here is far below the sketch's
+  * capacity (≤7 distinct values vs 2^12 HLL registers / 10⁴ tracked
+  * items), where both Spark sketch families return EXACT answers by
+  * construction — so a plain `count(DISTINCT)`/`GROUP BY count` oracle is
+  * a legitimate equality check, and any estimator regression (register
+  * width, seed, merge bug) breaks the hash match loudly.
+  *
+  * Scale posture: sketches are the 100 TB answer to distinct-count and
+  * top-k — constant-size state, partial+final merge, no exact-distinct
+  * expand-shuffle. Both queries aggregate in one pass with map-side
+  * partials.
+  */
+object SketchQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── distinct-count sketches in the exact-recovery regime ──────────────
+    QueryDef(
+      "q136_sketch_distinct",
+      // Both families side by side per group: approx_count_distinct
+      // (HyperLogLog++) and the Apache DataSketches HLL pair
+      // (hll_sketch_agg → hll_sketch_estimate). Domains: 3 return flags,
+      // 7 ship years.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(
+            approx_count_distinct(col("l_returnflag")).as("nd_flag"),
+            approx_count_distinct(year(col("l_shipdate"))).as("nd_year"),
+            hll_sketch_estimate(hll_sketch_agg(col("l_returnflag")))
+              .as("nd_flag_ds"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT l_linestatus,
+                count(DISTINCT l_returnflag) AS nd_flag,
+                count(DISTINCT year(l_shipdate)) AS nd_year,
+                count(DISTINCT l_returnflag) AS nd_flag_ds,
+                count(*) AS n_rows
+              FROM lineitem GROUP BY 1""")
+    ),
+
+    // ── frequent-items sketch in the exact-recovery regime ────────────────
+    QueryDef(
+      "q137_sketch_topk",
+      // approx_top_k tracks 10⁴ items by default; over a 3-value domain
+      // every count is exact, so exploding the sketch result reproduces
+      // the full GROUP BY — counts AND items.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .agg(expr("approx_top_k(l_returnflag, 3)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("item"), col("e.count").as("cnt")),
+      Some("""SELECT l_returnflag AS item, count(*) AS cnt
+              FROM lineitem GROUP BY 1""")
+    ),
+
+    // ── deliberately skewed shuffle join (AQE skew-split coverage) ────────
+    QueryDef(
+      "q138_skew_join",
+      // Hot-key join: collapsing most order keys onto one value makes a
+      // single shuffle partition hold >90% of the fact. Correctness here is
+      // oracle-checked like any join; the AQE skew handling (runtime split
+      // of the oversized partition, spark.sql.adaptive.skewJoin) is
+      // asserted plan-level in SaltingSpec with lowered thresholds, and
+      // [[Salting.saltedJoin]] is the static fallback when AQE can't fire
+      // (broadcast-side or non-sort-merge plans).
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("hot_key",
+            when(col("l_orderkey") % 100 =!= 0, lit(0L))
+              .otherwise(col("l_orderkey")))
+        val o = Tables.orders(s, d)
+          .withColumn("hot_key",
+            when(col("o_orderkey") % 100 =!= 0, lit(0L))
+              .otherwise(col("o_orderkey")))
+          .groupBy("hot_key")
+          .agg(count(lit(1)).as("n_orders"))
+        li.join(o, "hot_key")
+          .groupBy("hot_key", "n_orders")
+          .agg(count(lit(1)).cast("long").as("n_li"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+      },
+      Some("""WITH lk AS (SELECT *, CASE WHEN l_orderkey % 100 <> 0 THEN 0
+                  ELSE l_orderkey END AS hot_key FROM lineitem),
+              ok AS (SELECT CASE WHEN o_orderkey % 100 <> 0 THEN 0
+                  ELSE o_orderkey END AS hot_key, count(*) AS n_orders
+                FROM orders GROUP BY 1)
+              SELECT hot_key, n_orders, count(*) AS n_li,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lk JOIN ok USING (hot_key)
+              GROUP BY 1, 2""")
+    )
+  )
+}

@@ -533,27 +533,36 @@ object TextQueries {
       // Implementation is distributed min-label propagation to a fixpoint:
       // each round ships every node's current label to its neighbors and
       // keeps the minimum — O(diameter) rounds, each one shuffle join + one
-      // shuffle aggregation, with localCheckpoint truncating the growing
-      // lineage (the standard Spark iteration pattern). At extreme scale the
-      // round count drops to O(log n) with the large-star/small-star
-      // transform; near-dup graph diameters are tiny in practice.
+      // shuffle aggregation, with RELIABLE checkpoints truncating the
+      // growing lineage (localCheckpoint would pin loop state to executor
+      // storage and sever lineage — one lost executor over a many-round
+      // job at 100 TB fails the whole query; reliable checkpoint survives
+      // it, costing one small write per round of label-table size, not
+      // fact size). At extreme scale the round count drops to O(log n)
+      // with the large-star/small-star transform; near-dup graph diameters
+      // are tiny in practice.
       // Edges here: simhash Hamming ≤ 2 over the bounded q39b subset (at
       // 100 TB the edge source is q38's LSH banding, not all-pairs).
       (s, d) => {
+        // reliable checkpoint location: deployment sets a durable FS path
+        // (HDFS/S3); default to the local tmpdir for single-node runs
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(
+            sys.props("java.io.tmpdir") + "/graft-checkpoints")
         // fingerprints feed the two cross-join branches AND the initial
         // labels — materialize them exactly once
         val fp = simhashFingerprints(s, d).filter(col("doc_id") < 250)
-          .localCheckpoint()
+          .checkpoint()
         val a = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
         val b = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
-        // localCheckpoint: edges are scanned every round — compute them once
+        // checkpoint: edges are scanned every round — compute them once
         val edges = a.crossJoin(b).filter(col("a") < col("b"))
           .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
           .select("a", "b")
-          .localCheckpoint()
+          .checkpoint()
         val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         var labels = fp.select(col("doc_id").as("id"), col("doc_id").as("comp"))
-          .localCheckpoint()
+          .checkpoint()
         // labels only ever decrease, so Σcomp strictly decreases until the
         // fixpoint — a single scalar aggregate per round detects
         // convergence without a compare join
@@ -574,7 +583,7 @@ object TextQueries {
         while (!converged && iter < 25) {
           // LAZY checkpoint: the convergence probe right below is the
           // action that materializes it — one job per round, not two
-          val next = hop(hop(labels)).localCheckpoint(eager = false)
+          val next = hop(hop(labels)).checkpoint(eager = false)
           val nextSum = labelSum(next)
           labels = next
           iter += 1

@@ -96,7 +96,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q95_bm25" /* 1-row broadcast of corpus stats (N, Σdl), like q57 */,
       "q125_tpch_q22_idlerich" /* 1-row global-average broadcast, like q89 */,
       "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */,
-      "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */)
+      "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,
+      "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
+      "q133_tpch_q11_value" /* 1-row broadcasts: |supplier| + the Q11 total */,
+      "q134_tpch_q16_suppcnt" /* 1-row |supplier| broadcast (partsupp synth) */,
+      "q135_tpch_q20_excess" /* 1-row |supplier| broadcast (partsupp synth) */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
@@ -171,6 +175,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val p = q.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
     }
+  }
+
+  test("multi-consumer plans compute the shared subtree once, nothing executor-pinned") {
+    // q120/q126 replaced localCheckpoint (executor-pinned, lineage-severed
+    // — one lost executor fails the query at scale): q120 collapses its
+    // twice-consumed aggregate through a global window-max, q126 shares
+    // one repartition exchange across its three consumers (q38 pattern).
+    // The asserted property is the OUTCOME: the expensive source is
+    // scanned once per declared use, and no plan leaf is a pre-materialized
+    // RDD (which is how any checkpoint variant would surface).
+    def executed(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("LogicalRDD"),
+        s"$name still materializes via checkpoint:\n$analyzed")
+      df.collect()
+      // the AQE string repeats the tree under "== Initial Plan ==" —
+      // count scans only in what actually ran
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val p120 = executed("q120_tpch_q15_topsupp")
+    assert("lineitem\\.parquet".r.findAllIn(p120).size == 1,
+      s"q120 must scan the fact exactly once:\n$p120")
+    val p126 = executed("q126_semdedup")
+    // both pair-join sides share one exchange (ReusedExchange); the
+    // member-count branch re-derives (join-side constraint inference
+    // breaks canonical equality) — scan + broadcast argmax, no shuffle.
+    // ≤3 scans = centroid scan + shared pair subtree + count branch;
+    // without reuse this would be 4.
+    assert(p126.contains("ReusedExchange"),
+      s"q126 pair-join sides must share one exchange:\n$p126")
+    assert("embeddings\\.parquet".r.findAllIn(p126).size <= 3,
+      s"q126 must not recompute the assignment per pair side:\n$p126")
   }
 
   test("whole-stage codegen covers the scan→filter→aggregate pipeline") {
