@@ -32,22 +32,37 @@ object MultimodalQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // ── typed metadata over opaque binary content ─────────────────────────
+    // ── typed metadata parsed FROM the binary content bytes ───────────────
     QueryDef(
       "q45_media_meta",
-      (s, d) =>
-        media(s, d).groupBy("kind").agg(
+      // The binary column carries real format headers (PNG signature +
+      // IHDR dims, RIFF/WAVE sample rate, MP4 ftyp + duration) and every
+      // output value below is decoded from THOSE BYTES by
+      // [[Multimodal.parseMeta]] — magic-number dispatch, u32 BE/LE field
+      // reads, payload offset — not taken from any generation-side column.
+      // The oracle reproduces the values from the generative formulas, so
+      // any mis-parse (wrong offset, wrong endianness, wrong magic) breaks
+      // the hash match. min/max md5 run over the PARSED payload slice —
+      // they only agree with the oracle's md5(text) if the header-length
+      // decode is exact.
+      (s, d) => {
+        val m = Multimodal.withBinaryHeaders(media(s, d))
+          .withColumn("p", Multimodal.parseMeta(col("content")))
+        m.groupBy(col("p.kind").as("kind")).agg(
           count(lit(1)).as("n_media"),
-          sum(col("meta.width").cast("long")).as("sum_w"),
-          sum(col("meta.height").cast("long")).as("sum_h"),
-          sum(col("meta.duration_ms")).as("sum_dur"),
-          min(md5(col("content"))).as("min_md5"),
-          max(md5(col("content"))).as("max_md5")),
+          sum(col("p.width").cast("long")).as("sum_w"),
+          sum(col("p.height").cast("long")).as("sum_h"),
+          sum(col("p.sample_rate").cast("long")).as("sum_rate"),
+          sum(col("p.duration_ms").cast("long")).as("sum_dur"),
+          min(md5(Multimodal.payload(col("content"), col("p")))).as("min_md5"),
+          max(md5(Multimodal.payload(col("content"), col("p")))).as("max_md5"))
+      },
       Some(s"""$SQL_MEDIA
               SELECT kind, count(*) AS n_media,
-              CAST(sum(width) AS BIGINT) AS sum_w,
-              CAST(sum(height) AS BIGINT) AS sum_h,
-              CAST(sum(duration_ms) AS BIGINT) AS sum_dur,
+              CASE WHEN kind = 'image' THEN CAST(sum(width) AS BIGINT) END AS sum_w,
+              CASE WHEN kind = 'image' THEN CAST(sum(height) AS BIGINT) END AS sum_h,
+              CASE WHEN kind = 'audio' THEN CAST(count(*) * 16000 AS BIGINT) END AS sum_rate,
+              CASE WHEN kind = 'video' THEN CAST(sum(duration_ms) AS BIGINT) END AS sum_dur,
               min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
               FROM media GROUP BY kind""")
     ),

@@ -27,16 +27,28 @@ import RtcdbFormat._
   *  - **column pruning** (README stage "read only needed columns"): only
   *    the requested columns' `.data`/`.index` files are ever opened —
   *    [[SupportsPushDownRequiredColumns]];
-  *  - **zone-map block skipping** (README stages 1-2: index range location
-  *    + min/max filtering): pushed filters are evaluated against each
-  *    block's 40-byte index entry on the driver and non-qualifying blocks
-  *    are never read — [[SupportsPushDownFilters]]. String zone maps are
+  *  - **index range location** (README stage 1, the declared binary
+  *    search, `README.md:54`): filters on the LEADING column — the sort
+  *    key under the format's "rows pre-sorted by column order" contract
+  *    (`README.md:44`) — are binary-searched against the index on the
+  *    driver: O(log n) single-entry probes locate the qualifying block
+  *    range, so driver planning work is O(log n + #columns), never
+  *    O(#blocks). At 10⁹ blocks that is ~30 probes of 40 bytes vs tens of
+  *    GB of driver reads;
+  *  - **zone-map block filtering** (README stage 2) runs in the EXECUTOR
+  *    readers: each input partition bulk-reads its own slice of the index
+  *    (40 B/block/column) and drops non-qualifying blocks before opening
+  *    any data bytes — [[SupportsPushDownFilters]]. String zone maps are
   *    8-byte prefixes, so string pruning is conservative (a block is only
   *    skipped when the prefix comparison *proves* no row matches); all
   *    filters are also left in the plan for exact row-level evaluation
   *    (README stage 3 = Spark's FilterExec);
   *  - blocks are split across input partitions for parallel scan — the
-  *    stage the single-threaded reference could never reach.
+  *    stage the single-threaded reference could never reach;
+  *  - COUNT/MIN/MAX aggregates are answered from the index alone, as a
+  *    PARTIAL pushdown: each partition folds its index slice executor-side
+  *    and Spark's final aggregate merges the partials — the index fold is
+  *    distributed, not a driver loop.
   *
   * Usage:
   * `spark.read.format("rtcdb").option("path", root).option("table", t).load()`
@@ -66,13 +78,24 @@ class RtcdbDataSource extends TableProvider with DataSourceRegister {
 }
 
 class RtcdbTable(root: String, table: String, declared: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"rtcdb:$table"
-  override def schema(): StructType = declared
+  // surfaced nullable for write compatibility (AppendData.byName rejects
+  // nullable→non-null); the format itself has NO null encoding — the
+  // writer enforces non-nullness per cell at runtime, the reference's
+  // batch-abort semantics (data.rs:10-13)
+  override def schema(): StructType =
+    StructType(declared.fields.map(_.copy(nullable = true)))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RtcdbScanBuilder(root, table, declared)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new RtcdbWriteBuilder(root, table, info.schema())
 }
 
 class RtcdbScanBuilder(root: String, table: String, declared: StructType)
@@ -113,6 +136,10 @@ class RtcdbScanBuilder(root: String, table: String, declared: StructType)
   // String min/max are 8-byte PREFIXES (truncated, src/storage.rs:30-37) —
   // not exact values — so they are never pushed. Filters or grouping force
   // row-level evaluation, so those plans are not pushed either.
+  // Pushdown is PARTIAL (supportCompletePushDown = false): each input
+  // partition folds its own index slice and Spark's final aggregate merges
+  // the per-partition rows — at 10⁹ blocks the fold runs on executors, not
+  // as a driver loop over the whole index.
   private def parseAgg(agg: Aggregation): Option[Seq[RtcdbAggSpec]] = {
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
     val longCols = declared.fields.filter(_.dataType == LongType).map(_.name)
@@ -139,8 +166,7 @@ class RtcdbScanBuilder(root: String, table: String, declared: StructType)
     if (specs.forall(_.isDefined)) Some(specs.flatten.toSeq) else None
   }
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    parseAgg(agg).isDefined
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     parseAgg(agg) match {
@@ -161,12 +187,17 @@ final case class RtcdbCountAll(countVia: String) extends RtcdbAggSpec
 final case class RtcdbMinLong(col: String) extends RtcdbAggSpec
 final case class RtcdbMaxLong(col: String) extends RtcdbAggSpec
 
-final case class RtcdbAggPartition(values: Array[Long], isNull: Array[Boolean])
+/** one index-slice fold task: blocks [blockStart, blockEnd) */
+final case class RtcdbAggPartition(specs: Seq[RtcdbAggSpec],
+    indexPaths: Map[String, String], blockStart: Int, blockEnd: Int)
     extends InputPartition
 
-/** Index-only aggregate scan: one driver-side pass over the (tiny) index
-  * files, one single-row partition out. Data files are never opened —
-  * RtcdbSourceSpec proves it by deleting them first.
+/** Index-only aggregate scan (PARTIAL pushdown): the driver plans
+  * block-range slices from index-file *sizes* alone (one stat call per
+  * column, no entry reads); each executor partition folds its slice of
+  * 40-byte entries and emits one partial row; Spark's final aggregate
+  * merges. Data files are never opened — RtcdbSourceSpec proves it by
+  * deleting them first.
   */
 class RtcdbAggScan(root: String, table: String, declared: StructType,
     specs: Seq[RtcdbAggSpec]) extends Scan with Batch {
@@ -180,58 +211,33 @@ class RtcdbAggScan(root: String, table: String, declared: StructType,
   override def description(): String =
     s"rtcdb table=$table PushedAggregates=[${specs.mkString(", ")}] (index-only)"
 
-  private def entriesOf(col: String): Array[IndexEntry] = {
-    val bytes = Files.readAllBytes(indexPath(Paths.get(root), table, col))
-    bytes.grouped(IndexEntryBytes).filter(_.length == IndexEntryBytes)
-      .map(IndexEntry.fromBytes).toArray
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
     // scan length = shortest column across the WHOLE table (the reference's
-    // loop-termination rule, src/storage.rs:313-322). The row scan enforces
-    // this; truncate here too so a pushed COUNT/MIN/MAX can never disagree
-    // with the same query computed through the row path. Columns not named
-    // by the aggregate contribute via index-file size only (missing index
-    // ⇒ no constraint, matching the row scan).
-    // a table directory with NO index files at all is an empty table (the
-    // row scan reads it as zero rows): minOption, not .min, so a pushed
-    // COUNT(*) returns 0 instead of throwing on the empty collection
+    // loop-termination rule, src/storage.rs:313-322) — from index-file
+    // SIZES only. The row scan enforces the same rule, so a pushed
+    // COUNT/MIN/MAX can never disagree with the row path. A table
+    // directory with NO index files at all is an empty table: zero
+    // partitions, and the final aggregate correctly yields 0/NULL.
     val nBlocks = declared.fieldNames.flatMap { c =>
       val p = indexPath(Paths.get(root), table, c)
       if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
       else None
     }.minOption.getOrElse(0)
-    val cache = scala.collection.mutable.Map.empty[String, Array[IndexEntry]]
-    def entries(c: String) =
-      cache.getOrElseUpdate(c, entriesOf(c).take(nBlocks))
-    def guard(c: String, es: Array[IndexEntry]): Unit = es.foreach { e =>
-      if (java.nio.ByteBuffer.wrap(e.min).getLong < 0 ||
-          java.nio.ByteBuffer.wrap(e.max).getLong < 0)
-        throw new IllegalStateException(
-          s"rtcdb: column '$c' holds uint64 values >= 2^63, which are not " +
-            "representable as Spark LongType; refusing to read")
-    }
-    val results = specs.map {
-      case RtcdbCountAll(via) =>
-        // fixed 8-byte big-endian codec ⇒ decompressed bytes / 8 = rows.
-        // Block-grain consistency contract: every writer (reference
-        // storage.rs and RtcdbFormat alike) emits the SAME rows-per-block
-        // for every column of a block, so counting via any one long column
-        // agrees with the row path; a hand-corrupted store that violates
-        // this diverges in both paths equally (each sizes block k by one
-        // column's entry k).
-        (entries(via).map(_.decompressedSize / 8).sum, false)
-      case RtcdbMinLong(c) =>
-        val es = entries(c); guard(c, es)
-        if (es.isEmpty) (0L, true)
-        else (es.map(e => java.nio.ByteBuffer.wrap(e.min).getLong).min, false)
-      case RtcdbMaxLong(c) =>
-        val es = entries(c); guard(c, es)
-        if (es.isEmpty) (0L, true)
-        else (es.map(e => java.nio.ByteBuffer.wrap(e.max).getLong).max, false)
-    }
-    Array(RtcdbAggPartition(results.map(_._1).toArray,
-      results.map(_._2).toArray))
+    if (nBlocks == 0) return Array.empty
+    val involved = specs.map {
+      case RtcdbCountAll(via) => via
+      case RtcdbMinLong(c) => c
+      case RtcdbMaxLong(c) => c
+    }.distinct
+    val paths = involved.map(c =>
+      c -> indexPath(Paths.get(root), table, c).toString).toMap
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val slices = math.max(1, math.min(nBlocks, parallelism))
+    val per = math.ceil(nBlocks.toDouble / slices).toInt
+    (0 until nBlocks by per).map(s =>
+      RtcdbAggPartition(specs, paths, s, math.min(s + per, nBlocks))
+        : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -243,31 +249,133 @@ class RtcdbAggReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[RtcdbAggPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
-      private val row = new GenericInternalRow(
-        p.values.indices.map(i =>
-          if (p.isNull(i)) null else p.values(i): Any).toArray)
+      private lazy val row: InternalRow = {
+        val cache = scala.collection.mutable.Map.empty[String, Array[IndexEntry]]
+        def entries(c: String) = cache.getOrElseUpdate(c,
+          RtcdbPruning.readEntryRange(p.indexPaths(c), p.blockStart, p.blockEnd))
+        def guard(c: String, es: Array[IndexEntry]): Unit =
+          es.foreach(RtcdbPruning.guardU64(c, _))
+        val vals = p.specs.map {
+          case RtcdbCountAll(via) =>
+            // fixed 8-byte big-endian codec ⇒ decompressed bytes / 8 = rows.
+            // Block-grain consistency contract: every writer (reference
+            // storage.rs and RtcdbFormat alike) emits the SAME
+            // rows-per-block for every column of a block, so counting via
+            // any one long column agrees with the row path.
+            (entries(via).map(_.decompressedSize / 8).sum, false)
+          case RtcdbMinLong(c) =>
+            val es = entries(c); guard(c, es)
+            (es.map(e => java.nio.ByteBuffer.wrap(e.min).getLong).min, false)
+          case RtcdbMaxLong(c) =>
+            val es = entries(c); guard(c, es)
+            (es.map(e => java.nio.ByteBuffer.wrap(e.max).getLong).max, false)
+        }
+        new GenericInternalRow(
+          vals.map(v => if (v._2) null else v._1: Any).toArray)
+      }
       override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
+        if (emitted) false else { emitted = true; row; true }
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }
 }
 
-/** test/observability hook: block counts from the most recent planning */
+/** test/observability hook: block counts from the most recent planning.
+  * Executor readers update planned/pruned; the driver's binary search
+  * updates driverIndexEntryReads. Plain statics are exact under local[*]
+  * (one JVM — the test environment); a multi-node deployment would surface
+  * the same counts as SQL metrics instead.
+  */
 object RtcdbScanStats {
   val plannedBlocks = new AtomicLong(0)
   val prunedBlocks = new AtomicLong(0)
   val runtimeFilteredScans = new AtomicLong(0)
+  /** 40-byte entries read ON THE DRIVER during planning — the O(log n)
+    * proof (RtcdbSourceSpec asserts this stays logarithmic + constant) */
+  val driverIndexEntryReads = new AtomicLong(0)
   def reset(): Unit = {
     plannedBlocks.set(0); prunedBlocks.set(0); runtimeFilteredScans.set(0)
+    driverIndexEntryReads.set(0)
   }
 }
 
-final case class RtcdbColSpec(name: String, isLong: Boolean, dataPath: String)
-final case class RtcdbBlockSpec(entries: Array[IndexEntry])
-final case class RtcdbInputPartition(cols: Array[RtcdbColSpec],
-    blocks: Array[RtcdbBlockSpec]) extends InputPartition
+/** shared block-level pruning logic — driver (binary search probes) and
+  * executor readers (zone-map evaluation) use the identical predicates
+  */
+object RtcdbPruning extends Serializable {
+
+  def guardU64(c: String, e: IndexEntry): Unit = {
+    if (java.nio.ByteBuffer.wrap(e.min).getLong < 0 ||
+        java.nio.ByteBuffer.wrap(e.max).getLong < 0)
+      throw new IllegalStateException(
+        s"rtcdb: column '$c' holds uint64 values >= 2^63, which are not " +
+          "representable as Spark LongType; refusing to read")
+  }
+
+  /** bulk-read entries [from, until) of one index file */
+  def readEntryRange(path: String, from: Int, until: Int): Array[IndexEntry] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val n = math.max(0, until - from)
+      val buf = new Array[Byte](n * IndexEntryBytes)
+      raf.seek(from.toLong * IndexEntryBytes)
+      raf.readFully(buf)
+      Array.tabulate(n)(i => IndexEntry.fromBytes(
+        java.util.Arrays.copyOfRange(buf, i * IndexEntryBytes,
+          (i + 1) * IndexEntryBytes)))
+    } finally raf.close()
+  }
+
+  /** can any row in this block satisfy the filter? (false ⇒ provably none) */
+  def blockMayMatch(col: String, isLong: Boolean, e: IndexEntry,
+      f: Filter): Boolean = {
+    if (isLong) {
+      val mn = java.nio.ByteBuffer.wrap(e.min).getLong
+      val mx = java.nio.ByteBuffer.wrap(e.max).getLong
+      f match {
+        case EqualTo(`col`, v: Long)            => v >= mn && v <= mx
+        case GreaterThan(`col`, v: Long)        => mx > v
+        case GreaterThanOrEqual(`col`, v: Long) => mx >= v
+        case LessThan(`col`, v: Long)           => mn < v
+        case LessThanOrEqual(`col`, v: Long)    => mn <= v
+        case _ => true
+      }
+    } else {
+      // 8-byte prefix zone map: skip only when the prefix order PROVES
+      // emptiness (prefix(a) < prefix(b) ⇒ a < b; equal prefixes prove
+      // nothing)
+      def p(v: Any): Array[Byte] = prefix8(v.asInstanceOf[String])
+      f match {
+        case EqualTo(`col`, v) =>
+          !(compareBytes(p(v), e.min) < 0 || compareBytes(p(v), e.max) > 0)
+        case GreaterThan(`col`, v)        => !(compareBytes(e.max, p(v)) < 0)
+        case GreaterThanOrEqual(`col`, v) => !(compareBytes(e.max, p(v)) < 0)
+        case LessThan(`col`, v)           => !(compareBytes(e.min, p(v)) > 0)
+        case LessThanOrEqual(`col`, v)    => !(compareBytes(e.min, p(v)) > 0)
+        case _ => true
+      }
+    }
+  }
+
+  /** any value of the (sorted) runtime key set inside the block's range? */
+  def anyKeyInRange(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
+    val i = java.util.Arrays.binarySearch(sorted, mn)
+    val from = if (i >= 0) i else -(i + 1)
+    from < sorted.length && sorted(from) <= mx
+  }
+}
+
+final case class RtcdbColSpec(name: String, isLong: Boolean,
+    dataPath: String, indexPath: String)
+final case class RtcdbInputPartition(
+    outputCols: Array[RtcdbColSpec],
+    /** filter/runtime columns NOT in the output — index entries needed for
+      * zone-map eval, data files never opened */
+    filterOnlyCols: Array[RtcdbColSpec],
+    blockStart: Int, blockEnd: Int,
+    pushed: Array[Filter],
+    runtimeInSets: Map[String, Array[Long]]) extends InputPartition
 
 class RtcdbScan(root: String, table: String, declared: StructType,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch
@@ -340,142 +448,151 @@ class RtcdbScan(root: String, table: String, declared: StructType,
     if (required.fieldNames.isEmpty) Array(declared.fieldNames.head)
     else required.fieldNames
 
-  /** columns whose index entries we need: output cols ∪ filtered cols (the
-    * union guarantees every output column has entries even if Spark ever
-    * prunes the schema below the filtered columns)
-    */
-  private def plannedCols: Array[String] = {
-    val filterCols = pushed.flatMap {
+  private def isLongCol(name: String): Boolean =
+    declared(name).dataType == LongType
+
+  private def colSpec(c: String): RtcdbColSpec = RtcdbColSpec(c, isLongCol(c),
+    dataPath(Paths.get(root), table, c).toString,
+    indexPath(Paths.get(root), table, c).toString)
+
+  // ── driver-side binary search on the leading (sorted) column ───────────
+  // Under the format's sort contract the leading column's per-block mins
+  // AND maxes are non-decreasing, so each conservative block predicate
+  // (the same ones blockMayMatch evaluates) is monotone over the block
+  // sequence — a lower-bound binary search locates its boundary in
+  // ⌈log₂ n⌉ single-entry probes. Executors re-evaluate every filter per
+  // block inside the returned range, so the search can only SKIP
+  // provably-empty prefixes/suffixes, never admit a wrong row. Disable
+  // via spark.graft.rtcdb.assumeSorted=false for tables written outside
+  // the sort contract (planning then degrades to full-range, with all
+  // pruning still executor-side).
+  private def probe(raf: RandomAccessFile, b: Int): IndexEntry = {
+    raf.seek(b.toLong * IndexEntryBytes)
+    val buf = new Array[Byte](IndexEntryBytes)
+    raf.readFully(buf)
+    RtcdbScanStats.driverIndexEntryReads.incrementAndGet()
+    val e = IndexEntry.fromBytes(buf)
+    if (isLongCol(declared.fieldNames.head)) RtcdbPruning.guardU64(
+      declared.fieldNames.head, e)
+    e
+  }
+
+  /** first block in [0, n) satisfying monotone `pred`, else n */
+  private def lowerBound(raf: RandomAccessFile, n: Int,
+      pred: IndexEntry => Boolean): Int = {
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (pred(probe(raf, mid))) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** block range [lo, hi) that may satisfy all leading-column filters */
+  private def leadingRange(nBlocks: Int): (Int, Int) = {
+    val leading = declared.fieldNames.head
+    val fs = pushed.filter {
+      case EqualTo(a, _) => a == leading
+      case GreaterThan(a, _) => a == leading
+      case GreaterThanOrEqual(a, _) => a == leading
+      case LessThan(a, _) => a == leading
+      case LessThanOrEqual(a, _) => a == leading
+      case _ => false
+    }
+    val assumeSorted = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.rtcdb.assumeSorted", "true") == "true"
+    if (fs.isEmpty || !assumeSorted) return (0, nBlocks)
+    val raf = new RandomAccessFile(
+      indexPath(Paths.get(root), table, leading).toString, "r")
+    try {
+      val isLong = isLongCol(leading)
+      def mn(e: IndexEntry) = java.nio.ByteBuffer.wrap(e.min).getLong
+      def mx(e: IndexEntry) = java.nio.ByteBuffer.wrap(e.max).getLong
+      def pfx(v: Any) = prefix8(v.asInstanceOf[String])
+      var lo = 0
+      var hi = nBlocks
+      fs.foreach { f =>
+        val (flo, fhi) = (f, isLong) match {
+          case (EqualTo(_, v: Long), true) =>
+            (lowerBound(raf, nBlocks, mx(_) >= v),
+              lowerBound(raf, nBlocks, mn(_) > v))
+          case (GreaterThan(_, v: Long), true) =>
+            (lowerBound(raf, nBlocks, mx(_) > v), nBlocks)
+          case (GreaterThanOrEqual(_, v: Long), true) =>
+            (lowerBound(raf, nBlocks, mx(_) >= v), nBlocks)
+          case (LessThan(_, v: Long), true) =>
+            (0, lowerBound(raf, nBlocks, mn(_) >= v))
+          case (LessThanOrEqual(_, v: Long), true) =>
+            (0, lowerBound(raf, nBlocks, mn(_) > v))
+          // string bounds mirror blockMayMatch's conservative prefix rules
+          case (EqualTo(_, v), false) =>
+            (lowerBound(raf, nBlocks, e => compareBytes(e.max, pfx(v)) >= 0),
+              lowerBound(raf, nBlocks, e => compareBytes(e.min, pfx(v)) > 0))
+          case (GreaterThan(_, v), false) =>
+            (lowerBound(raf, nBlocks, e => compareBytes(e.max, pfx(v)) >= 0),
+              nBlocks)
+          case (GreaterThanOrEqual(_, v), false) =>
+            (lowerBound(raf, nBlocks, e => compareBytes(e.max, pfx(v)) >= 0),
+              nBlocks)
+          case (LessThan(_, v), false) =>
+            (0, lowerBound(raf, nBlocks, e => compareBytes(e.min, pfx(v)) > 0))
+          case (LessThanOrEqual(_, v), false) =>
+            (0, lowerBound(raf, nBlocks, e => compareBytes(e.min, pfx(v)) > 0))
+          case _ => (0, nBlocks)
+        }
+        lo = math.max(lo, flo)
+        hi = math.min(hi, fhi)
+      }
+      (lo, math.max(lo, hi))
+    } finally raf.close()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // scan length = shortest column across the WHOLE table, not just the
+    // projected subset — from index-file SIZES only (one stat per column;
+    // the reference stops at the shortest column *being read*,
+    // src/storage.rs:313-322, which makes row counts depend on the
+    // projection for inconsistent tables — a §1.4-class defect we don't
+    // replicate). No index entry is read driver-side except the O(log n)
+    // binary-search probes below.
+    val nBlocks = declared.fieldNames.flatMap { c =>
+      val p = indexPath(Paths.get(root), table, c)
+      if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
+      else None
+    }.minOption.getOrElse(0)
+    if (nBlocks == 0) return Array.empty
+
+    // README.md:54's declared binary search: O(log n) driver probes
+    val (lo, hi) = leadingRange(nBlocks)
+    RtcdbScanStats.prunedBlocks.addAndGet((nBlocks - (hi - lo)).toLong)
+    if (runtimeInSets.nonEmpty)
+      RtcdbScanStats.runtimeFilteredScans.incrementAndGet()
+    if (lo >= hi) return Array.empty
+
+    val outNames = outputColNames
+    val filterCols = (pushed.flatMap {
       case EqualTo(a, _) => Some(a)
       case GreaterThan(a, _) => Some(a)
       case GreaterThanOrEqual(a, _) => Some(a)
       case LessThan(a, _) => Some(a)
       case LessThanOrEqual(a, _) => Some(a)
       case _ => None
-    }
-    (outputColNames ++ filterCols ++ runtimeInSets.keys).distinct
-  }
+    } ++ runtimeInSets.keys).distinct.filterNot(outNames.contains)
 
-  /** any value of the (sorted) runtime key set inside the block's range? */
-  private def anyKeyInRange(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
-    val i = java.util.Arrays.binarySearch(sorted, mn)
-    val from = if (i >= 0) i else -(i + 1)
-    from < sorted.length && sorted(from) <= mx
-  }
+    val outputCols = outNames.map(colSpec)
+    val filterOnly = filterCols.map(colSpec)
 
-  private def isLongCol(name: String): Boolean =
-    declared(name).dataType == LongType
-
-  private def entriesOf(col: String): Array[IndexEntry] = {
-    val bytes = Files.readAllBytes(indexPath(Paths.get(root), table, col))
-    bytes.grouped(IndexEntryBytes).filter(_.length == IndexEntryBytes)
-      .map(IndexEntry.fromBytes).toArray
-  }
-
-  /** can any row in this block satisfy the filter? (false ⇒ provably none) */
-  private def blockMayMatch(col: String, e: IndexEntry, f: Filter): Boolean = {
-    if (isLongCol(col)) {
-      val mn = java.nio.ByteBuffer.wrap(e.min).getLong
-      val mx = java.nio.ByteBuffer.wrap(e.max).getLong
-      f match {
-        case EqualTo(`col`, v: Long)            => v >= mn && v <= mx
-        case GreaterThan(`col`, v: Long)        => mx > v
-        case GreaterThanOrEqual(`col`, v: Long) => mx >= v
-        case LessThan(`col`, v: Long)           => mn < v
-        case LessThanOrEqual(`col`, v: Long)    => mn <= v
-        case _ => true
-      }
-    } else {
-      // 8-byte prefix zone map: skip only when the prefix order PROVES
-      // emptiness (prefix(a) < prefix(b) ⇒ a < b; equal prefixes prove
-      // nothing)
-      def p(v: Any): Array[Byte] = prefix8(v.asInstanceOf[String])
-      f match {
-        case EqualTo(`col`, v) =>
-          !(compareBytes(p(v), e.min) < 0 || compareBytes(p(v), e.max) > 0)
-        case GreaterThan(`col`, v)        => !(compareBytes(e.max, p(v)) < 0)
-        case GreaterThanOrEqual(`col`, v) => !(compareBytes(e.max, p(v)) < 0)
-        case LessThan(`col`, v)           => !(compareBytes(e.min, p(v)) > 0)
-        case LessThanOrEqual(`col`, v)    => !(compareBytes(e.min, p(v)) > 0)
-        case _ => true
-      }
-    }
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val cols = plannedCols
-    val perCol = cols.map(c => c -> entriesOf(c)).toMap
-    // u64 guard: the reference format allows values >= 2^63, but those decode
-    // negative as Spark LongType and invert zone-map ordering (signed vs
-    // unsigned). The write path already rejects them; reject such files at
-    // read time too instead of silently mis-pruning / mis-decoding.
-    for ((c, es) <- perCol if isLongCol(c); e <- es) {
-      if (java.nio.ByteBuffer.wrap(e.min).getLong < 0 ||
-          java.nio.ByteBuffer.wrap(e.max).getLong < 0)
-        throw new IllegalStateException(
-          s"rtcdb: column '$c' holds uint64 values >= 2^63, which are not " +
-            "representable as Spark LongType; refusing to read")
-    }
-    // scan length = shortest column across the WHOLE table, not just the
-    // projected subset. The reference stops at the shortest column *being
-    // read* (src/storage.rs:313-322), which makes row counts depend on the
-    // projection for inconsistent tables — a §1.4-class defect we don't
-    // replicate. Equal for consistent writes; table-wide min keeps every
-    // projection (and the pushed-aggregate path) in agreement otherwise.
-    // Unplanned columns contribute via index-file SIZE only (40 B/entry,
-    // one stat call) — their data files are never touched, and a missing
-    // index (column physically removed) simply can't constrain the scan.
-    val nBlocks =
-      if (perCol.isEmpty) 0
-      else declared.fieldNames.flatMap { c =>
-        perCol.get(c).map(_.length).orElse {
-          val p = indexPath(Paths.get(root), table, c)
-          if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
-          else None
-        }
-      }.min
-
-    val colFilters: Map[String, Array[Filter]] = pushed.groupBy {
-      case EqualTo(a, _) => a
-      case GreaterThan(a, _) => a
-      case GreaterThanOrEqual(a, _) => a
-      case LessThan(a, _) => a
-      case LessThanOrEqual(a, _) => a
-      case _ => ""
-    }
-
-    val outputCols = outputColNames.map(c => RtcdbColSpec(c, isLongCol(c),
-      dataPath(Paths.get(root), table, c).toString))
-
-    val surviving = (0 until nBlocks).filter { b =>
-      colFilters.forall { case (c, fs) =>
-        c.isEmpty || fs.forall(f => blockMayMatch(c, perCol(c)(b), f))
-      } && runtimeInSets.forall { case (c, keys) =>
-        !isLongCol(c) || {
-          val e = perCol(c)(b)
-          anyKeyInRange(keys,
-            java.nio.ByteBuffer.wrap(e.min).getLong,
-            java.nio.ByteBuffer.wrap(e.max).getLong)
-        }
-      }
-    }
-    RtcdbScanStats.plannedBlocks.addAndGet(surviving.size.toLong)
-    RtcdbScanStats.prunedBlocks.addAndGet((nBlocks - surviving.size).toLong)
-    if (runtimeInSets.nonEmpty)
-      RtcdbScanStats.runtimeFilteredScans.incrementAndGet()
-
-    val blockSpecs = surviving.map { b =>
-      RtcdbBlockSpec(outputCols.map(c => perCol(c.name)(b)))
-    }.toArray
-
-    // chunk contiguous block runs across the default parallelism
+    // contiguous block ranges across the default parallelism; executors
+    // bulk-read their own 40 B/block/column index slices and zone-map
+    // filter there — the driver never materializes per-block entries
+    val total = hi - lo
     val parallelism = org.apache.spark.sql.SparkSession.active
       .sparkContext.defaultParallelism
-    val slices = math.max(1, math.min(blockSpecs.length, parallelism))
-    val perSlice = math.ceil(blockSpecs.length.toDouble / slices).toInt
-    if (blockSpecs.isEmpty) Array.empty
-    else blockSpecs.grouped(perSlice)
-      .map(bs => RtcdbInputPartition(outputCols, bs): InputPartition).toArray
+    val slices = math.max(1, math.min(total, parallelism))
+    val per = math.ceil(total.toDouble / slices).toInt
+    (lo until hi by per).map(s =>
+      RtcdbInputPartition(outputCols, filterOnly, s, math.min(s + per, hi),
+        pushed, runtimeInSets): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -487,10 +604,70 @@ class RtcdbReaderFactory(countOnly: Boolean) extends PartitionReaderFactory {
     new RtcdbPartitionReader(partition.asInstanceOf[RtcdbInputPartition], countOnly)
 }
 
+/** Executor-side reader: bulk-reads its slice of index entries (one seek +
+  * one read per column), evaluates zone maps + runtime IN sets per block
+  * (README stage 2, moved off the driver), then decodes only surviving
+  * blocks' data bytes.
+  */
 class RtcdbPartitionReader(part: RtcdbInputPartition, countOnly: Boolean)
     extends PartitionReader[InternalRow] {
 
-  private val files = part.cols.map(c => new RandomAccessFile(c.dataPath, "r"))
+  private val nBlocksInRange = part.blockEnd - part.blockStart
+
+  // entries for every involved column, for this partition's block range
+  private val outputEntries: Array[Array[IndexEntry]] =
+    part.outputCols.map(c =>
+      RtcdbPruning.readEntryRange(c.indexPath, part.blockStart, part.blockEnd))
+  private val filterEntries: Array[Array[IndexEntry]] =
+    part.filterOnlyCols.map(c =>
+      RtcdbPruning.readEntryRange(c.indexPath, part.blockStart, part.blockEnd))
+
+  locally {
+    // u64 guard: the reference format allows values >= 2^63, but those
+    // decode negative as Spark LongType and invert zone-map ordering
+    // (signed vs unsigned). The write path already rejects them; reject
+    // such files at read time too instead of silently mis-pruning.
+    part.outputCols.zip(outputEntries).foreach { case (c, es) =>
+      if (c.isLong) es.foreach(RtcdbPruning.guardU64(c.name, _))
+    }
+    part.filterOnlyCols.zip(filterEntries).foreach { case (c, es) =>
+      if (c.isLong) es.foreach(RtcdbPruning.guardU64(c.name, _))
+    }
+  }
+
+  /** zone-map + runtime-set evaluation for block `b` (range-relative) */
+  private def blockSurvives(b: Int): Boolean = {
+    def colEntry(name: String): Option[(RtcdbColSpec, IndexEntry)] = {
+      val oi = part.outputCols.indexWhere(_.name == name)
+      if (oi >= 0) Some((part.outputCols(oi), outputEntries(oi)(b)))
+      else {
+        val fi = part.filterOnlyCols.indexWhere(_.name == name)
+        if (fi >= 0) Some((part.filterOnlyCols(fi), filterEntries(fi)(b)))
+        else None
+      }
+    }
+    part.pushed.forall { f =>
+      val name = f match {
+        case EqualTo(a, _) => a
+        case GreaterThan(a, _) => a
+        case GreaterThanOrEqual(a, _) => a
+        case LessThan(a, _) => a
+        case LessThanOrEqual(a, _) => a
+        case _ => ""
+      }
+      name.isEmpty || colEntry(name).forall { case (c, e) =>
+        RtcdbPruning.blockMayMatch(c.name, c.isLong, e, f)
+      }
+    } && part.runtimeInSets.forall { case (name, keys) =>
+      colEntry(name).forall { case (c, e) =>
+        !c.isLong || RtcdbPruning.anyKeyInRange(keys,
+          java.nio.ByteBuffer.wrap(e.min).getLong,
+          java.nio.ByteBuffer.wrap(e.max).getLong)
+      }
+    }
+  }
+
+  private val files = part.outputCols.map(c => new RandomAccessFile(c.dataPath, "r"))
   private var blockIdx = -1
   private var rows: Array[InternalRow] = Array.empty
   private var rowIdx = 0
@@ -498,10 +675,14 @@ class RtcdbPartitionReader(part: RtcdbInputPartition, countOnly: Boolean)
 
   private def loadNextBlock(): Boolean = {
     blockIdx += 1
-    if (blockIdx >= part.blocks.length) return false
-    val spec = part.blocks(blockIdx)
-    val colVals: Array[Array[Any]] = part.cols.zipWithIndex.map { case (c, i) =>
-      val raw = readBlock(files(i), spec.entries(i))
+    while (blockIdx < nBlocksInRange && !blockSurvives(blockIdx)) {
+      RtcdbScanStats.prunedBlocks.incrementAndGet()
+      blockIdx += 1
+    }
+    if (blockIdx >= nBlocksInRange) return false
+    RtcdbScanStats.plannedBlocks.incrementAndGet()
+    val colVals: Array[Array[Any]] = part.outputCols.zipWithIndex.map { case (c, i) =>
+      val raw = readBlock(files(i), outputEntries(i)(blockIdx))
       if (c.isLong) decodeLongs(raw).map(_.asInstanceOf[Any])
       else decodeStringBytes(raw)
         .map(UTF8String.fromBytes(_).asInstanceOf[Any])
@@ -509,7 +690,7 @@ class RtcdbPartitionReader(part: RtcdbInputPartition, countOnly: Boolean)
     val n = colVals.head.length
     rows = Array.tabulate(n) { r =>
       if (countOnly) empty
-      else new GenericInternalRow(part.cols.indices.map(c => colVals(c)(r)).toArray)
+      else new GenericInternalRow(part.outputCols.indices.map(c => colVals(c)(r)).toArray)
     }
     rowIdx = 0
     true

@@ -34,4 +34,43 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     // 4 equal slices cover >= 4*(len/4) - 3 bytes of every doc
     assert(perDoc.forall(_.getLong(2) > 0L))
   }
+
+  test("binary headers round-trip: synthesize → parse recovers every field from bytes") {
+    val media = Multimodal.withBinaryHeaders(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, sf)))
+      .withColumn("p", Multimodal.parseMeta(col("content")))
+    // every parsed field equals the generation-side meta it was encoded
+    // from — wrong magic, offset, or endianness fails here row-by-row
+    val bad = media.filter(
+      col("p.kind") =!= col("kind") ||
+        (col("kind") === "image" &&
+          (col("p.width") =!= col("meta.width") ||
+            col("p.height") =!= col("meta.height"))) ||
+        (col("kind") === "audio" &&
+          col("p.sample_rate") =!= col("meta.sample_rate")) ||
+        (col("kind") === "video" &&
+          col("p.duration_ms") =!= col("meta.duration_ms").cast("int")))
+      .count()
+    assert(bad == 0L, s"$bad rows mis-parsed")
+    // payload slicing: bytes after the parsed header == the original text
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val payloads = media.select(col("media_id").as("doc_id"),
+      Multimodal.payload(col("content"), col("p")).cast("string").as("ptext"))
+    val diff = payloads.join(docs, "doc_id")
+      .filter(col("ptext") =!= col("text")).count()
+    assert(diff == 0L, s"$diff payloads differ from source text")
+  }
+
+  test("parser is total: garbage bytes parse to kind=unknown, null fields") {
+    val s = spark
+    import s.implicits._
+    val junk = Seq(Array[Byte](1, 2, 3), Array[Byte](), "hello".getBytes)
+      .toDF("content")
+      .select(Multimodal.parseMeta(col("content")).as("p"))
+      .select("p.kind", "p.width", "p.sample_rate").collect()
+    assert(junk.forall(r => r.getString(0) == "unknown" && r.isNullAt(1) &&
+      r.isNullAt(2)))
+  }
 }
