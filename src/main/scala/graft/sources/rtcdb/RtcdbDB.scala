@@ -42,6 +42,24 @@ final class RtcdbDB private (val root: Path, val spark: SparkSession) {
     RtcdbFormat.write(root.toString, name, schema, rows)
   }
 
+  /** Distributed append ingest — the 100 TB path for the byte format:
+    * delegates to the DSv2 writer ([[RtcdbWrite]]), which declares the
+    * format's sort contract to Spark (range-sort planned by Catalyst),
+    * encodes+compresses per task, and commits by zero-copy concatenation.
+    * Same per-cell semantics as the row path (nulls/mismatches abort the
+    * batch, enforced executor-side).
+    */
+  def write(name: String, df: DataFrame): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      throw new IllegalArgumentException("Mismatched data type")
+    df.write.format("rtcdb")
+      .option("path", root.toString).option("table", name)
+      .mode("append").save()
+  }
+
   /** the read path (`src/storage.rs:299-351`'s intent, alive): a DataFrame
     * over the block format with pruning + pushdown via the V2 source
     */

@@ -222,6 +222,15 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
       db.write("events", Seq(Row("a", "bad", 1L)))
     }
     intercept[IllegalArgumentException] { RtcdbDB.open(dir + "_nope") }
+    // distributed ingest through the same facade (the 100 TB path)
+    val sess = spark
+    import sess.implicits._
+    db.write("events", (10L until 2000L).map(i => (s"bulk$i", i, i))
+      .toDF("event", "timestamp", "id"))
+    assert(db.table("events").count() == 2L + 1990L)
+    intercept[Exception] {
+      db.write("events", Seq(("x", 1L)).toDF("event", "timestamp"))
+    }
   }
 
   test("metadata.json round-trips the reference serde shape") {
