@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import graft.sources.rtcdb.RtcdbFormat
 
 /** Sketch aggregates promoted to driver-visible oracle rows.
   *
@@ -99,6 +100,51 @@ object SketchQueries {
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
               FROM lk JOIN ok USING (hot_key)
               GROUP BY 1, 2""")
+    ),
+
+    // ── the rtcdb byte-format source, driver-visible end to end ───────────
+    QueryDef(
+      "q139_rtcdb_roundtrip",
+      // orders flows through the reference's OWN on-disk format: the
+      // distributed DSv2 writer (sort contract → staged parts → zero-copy
+      // commit) produces a golden-byte store, the DSv2 reader scans it
+      // back with a leading-column range filter (binary-searched planning
+      // + zone-map skips live in this very plan), and the aggregate must
+      // hash-match DuckDB computing the same thing straight off parquet —
+      // any corruption in encode, compress, index, prune, or decode breaks
+      // the row hashes.
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType, nullable = false),
+          StructField("o_custkey", LongType, nullable = false),
+          StructField("o_orderpriority", StringType, nullable = false)))
+        // session-scoped store, keyed by the sf dir so scales don't collide
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-rtcdb-rt",
+          java.lang.Integer.toHexString(d.hashCode))
+        java.nio.file.Files.createDirectories(dir)
+        RtcdbFormat.writeMetadata(dir, Seq("orders" -> schema))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+          .write.format("rtcdb")
+          .option("path", dir.toString).option("table", "orders")
+          .mode("overwrite").save()
+        s.read.format("rtcdb")
+          .option("path", dir.toString).option("table", "orders")
+          .load()
+          .filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 100000L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_key"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+                count(DISTINCT o_custkey) AS n_cust
+              FROM orders
+              WHERE o_orderkey >= 1000 AND o_orderkey < 100000
+              GROUP BY 1""")
     )
   )
 }

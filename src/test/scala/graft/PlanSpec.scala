@@ -84,6 +84,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("partsupp shapes: broadcast dims, real semi/anti joins (q132/q134/q135)") {
+    // the synthesized-partsupp TPC-H shapes keep the fact side streaming:
+    // dim reductions broadcast, exclusions are real anti joins, the
+    // excess-stock chain prunes with a semi join BEFORE its aggregation
+    val p132 = plan("q132_tpch_q2_mincost")
+    assert("BroadcastHashJoin".r.findAllIn(p132).size >= 2, p132)
+    assert(p132.contains("Window"), p132)
+    val p134 = plan("q134_tpch_q16_suppcnt")
+    assert(p134.contains("LeftAnti"), p134)
+    val p135 = plan("q135_tpch_q20_excess")
+    assert(p135.contains("LeftSemi"), p135)
+  }
+
   test("no query plans an unintentional cartesian product") {
     // bounded all-pairs comparisons are deliberately cartesian; everything
     // else must join with keys
