@@ -278,4 +278,78 @@ object EventStream {
       alerts.result().iterator
     }
   }
+
+  // ── transformWithState with EVENT-TIME TIMERS ──────────────────────────
+
+  /** Ev + the watermark column event-time timers require */
+  final case class EvT(event_id: Long, ts: Long, user_id: Long,
+      value: Double, event_time: java.sql.Timestamp)
+  final case class IdleAlert(user_id: Long, last_ts: Long, n_events: Long)
+
+  /** Idle-session detection via event-time TIMERS: each user's state keeps
+    * (last event time, event count); every batch re-arms a timer at
+    * `last + gapMs`, and when the WATERMARK passes that expiry
+    * `handleExpiredTimer` emits one idle alert and clears the state —
+    * the push-based complement of the gap-sessionization in `sessionAgg`
+    * (which only emits when a later batch happens to close the window).
+    * Timer bookkeeping is O(1) per key: stale timers are deleted on
+    * re-arm, and a belt-and-braces staleness guard on expiry keeps the
+    * operator correct even if one slips through. State and timers are
+    * bounded by the live-key count — the 100 TB requirement for any
+    * stateful streaming operator.
+    */
+  def idleAlerts(events: Dataset[Ev], gapMs: Long = 10000L,
+      watermarkDelay: String = "2 seconds"): Dataset[IdleAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .as[EvT]
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new IdleSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class IdleSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, IdleAlert] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var lastTs: ValueState[Long] = _
+    @transient private var nEvents: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+      nEvents = getHandle.getValueState[Long]("nEvents",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[EvT],
+        timerValues: TimerValues): Iterator[IdleAlert] = {
+      var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      rows.foreach { e => last = math.max(last, e.ts); n += 1 }
+      lastTs.update(last)
+      nEvents.update(n)
+      // one live timer per key: drop the previous arm, set the new one
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[IdleAlert] = {
+      // staleness guard: only the CURRENT session-end timer may emit
+      if (lastTs.exists() &&
+          expiredTimerInfo.getExpiryTimeInMs() >= lastTs.get() + gapMs) {
+        val out = IdleAlert(userId, lastTs.get(), nEvents.get())
+        lastTs.clear(); nEvents.clear()
+        Iterator.single(out)
+      } else Iterator.empty
+    }
+  }
 }

@@ -235,4 +235,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       } finally q.stop()
     }
   }
+
+  test("event-time timers: idle sessions emit exactly one alert when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[EventStream.Ev]
+      // gap 10s, watermark delay 2s (test timeline in small ms values)
+      val q = EventStream.idleAlerts(input.toDS(), gapMs = 10000L)
+        .writeStream
+        .format("memory")
+        .queryName("idle_alerts_sink")
+        .outputMode("append")
+        .start()
+      try {
+        // user 7: events at 1s..5s → last=5s, timer armed at 15s
+        input.addData(
+          EventStream.Ev(1L, 1000L, 7L, 1.0),
+          EventStream.Ev(2L, 5000L, 7L, 1.0))
+        q.processAllAvailable()
+        // watermark is still ~3s — no alert yet
+        assert(spark.table("idle_alerts_sink").count() == 0L)
+        // user 8 event at 60s advances the watermark past 15s…
+        input.addData(EventStream.Ev(3L, 60000L, 8L, 1.0))
+        q.processAllAvailable()
+        // …and one more batch lets the new watermark drive timer expiry
+        input.addData(EventStream.Ev(4L, 61000L, 8L, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("idle_alerts_sink").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(rows == Seq((7L, 5000L, 2L)), s"got $rows")
+        // the alert fired once: state cleared, no re-emission on later batches
+        input.addData(EventStream.Ev(5L, 120000L, 8L, 1.0))
+        q.processAllAvailable()
+        val again = spark.table("idle_alerts_sink").collect()
+          .filter(_.getLong(0) == 7L)
+        assert(again.length == 1)
+      } finally q.stop()
+    }
+  }
 }
