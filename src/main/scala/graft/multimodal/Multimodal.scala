@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video as opaque `binary` content
@@ -173,6 +173,88 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ── REAL codec path: BMP end to end (no stub anywhere) ─────────────────
+  // [[BmpCodec]] is a genuine 24-bit BMP implementation; these operators
+  // run it through the batch (mapPartitions) extension point — the same
+  // shape a JPEG/audio codec would use, but with nothing faked: encode,
+  // strict decode, per-channel feature extraction, and nearest-neighbor
+  // resize all operate on real pixel bytes and are oracle-checked
+  // (q140/q141) against closed-form pixel arithmetic.
+
+  final case class BmpStats(media_id: Long, width: Long, height: Long,
+      sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** the deterministic pixel formula shared with the DuckDB oracle:
+    * pix(id, x, y, c) = ((id·31 + (y·w + x)·3 + c) · 7) mod 256
+    */
+  def bmpPixel(id: Long, w: Int, x: Int, y: Int, c: Int): Int =
+    (((id * 31 + (y.toLong * w + x) * 3 + c) * 7) % 256).toInt
+
+  /** real BMP media from any id column: dimensions from the id
+    * (w ∈ 2..7, h ∈ 2..5), pixels from the closed-form formula, bytes
+    * from the REAL encoder — every downstream read crosses the actual
+    * file format
+    */
+  def bmpMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 6 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              px((y * w + x) * 3 + c) = bmpPixel(id, w, x, y, c).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        id -> BmpCodec.encode(BmpCodec.Bmp(w, h, px))
+      }
+    }
+  }
+
+  /** REAL decode + feature extraction: strict BMP decode, exact integer
+    * per-channel sums; undecodable rows are dropped (never crash, never
+    * fake)
+    */
+  def bmpChannelStats(media: Dataset[(Long, Array[Byte])]): Dataset[BmpStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      BmpCodec.decode(bytes).map { img =>
+        val (b, g, r) = BmpCodec.channelSums(img)
+        BmpStats(id, img.width.toLong, img.height.toLong, b, g, r)
+      }
+    })
+  }
+
+  /** REAL resize: decode → nearest-neighbor resample → re-encode →
+    * re-decode → stats, exercising both codec directions plus the kernel
+    */
+  def bmpResizeStats(media: Dataset[(Long, Array[Byte])], w2: Int,
+      h2: Int): Dataset[BmpStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      for {
+        img <- BmpCodec.decode(bytes)
+        resized = BmpCodec.resizeNearest(img, w2, h2)
+        back <- BmpCodec.decode(BmpCodec.encode(resized))
+      } yield {
+        val (b, g, r) = BmpCodec.channelSums(back)
+        BmpStats(id, back.width.toLong, back.height.toLong, b, g, r)
+      }
+    })
   }
 
   /** STUB RESIZE: rewrites meta.width/height and stamps a checksum of the

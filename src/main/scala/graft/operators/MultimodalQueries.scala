@@ -120,6 +120,58 @@ object MultimodalQueries {
                      CAST(length(frame) AS BIGINT) AS frame_bytes,
                      md5(frame) AS frame_md5
               FROM f""")
+    ),
+
+    // ── REAL image codec: encode → decode → channel features ──────────────
+    QueryDef(
+      "q140_bmp_decode",
+      // Nothing stubbed: real 24-bit BMPs are built by the real encoder
+      // (BITMAPFILEHEADER/INFOHEADER, bottom-up padded BGR rows), decoded
+      // back by the strict decoder, and reduced to exact per-channel byte
+      // sums — all through the batch (mapPartitions) extension point. The
+      // oracle recomputes the sums from the closed-form pixel formula, so
+      // ANY byte-level defect (row padding, bottom-up flip, channel order,
+      // header field) breaks the hash match.
+      (s, d) => {
+        val m = Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.bmpChannelStats(m).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                CAST(doc_id % 6 + 2 AS BIGINT) AS width,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS height FROM documents)
+              SELECT media_id, width, height,
+                CAST(sum(((media_id*31 + (y*width + x)*3 + 0)*7) % 256) AS BIGINT) AS sum_b,
+                CAST(sum(((media_id*31 + (y*width + x)*3 + 1)*7) % 256) AS BIGINT) AS sum_g,
+                CAST(sum(((media_id*31 + (y*width + x)*3 + 2)*7) % 256) AS BIGINT) AS sum_r
+              FROM m, unnest(range(height)) t(y), unnest(range(width)) u(x)
+              GROUP BY 1, 2, 3""")
+    ),
+
+    // ── REAL resize kernel: nearest-neighbor resample, re-encoded ─────────
+    QueryDef(
+      "q141_bmp_resize",
+      // decode → nearest-neighbor resize to 3×2 → re-encode → re-decode →
+      // sums: both codec directions plus the resample kernel in one
+      // verified pass. Oracle: target pixel (x2,y2) reads source
+      // (x2·w/3, y2·h/2) with truncating division — the standard mapping,
+      // restated in SQL.
+      (s, d) => {
+        val m = Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.bmpResizeStats(m, 3, 2).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS h FROM documents),
+              px AS (SELECT media_id, w, h,
+                (x2*w) // 3 AS sx, (y2*h) // 2 AS sy
+                FROM m, unnest(range(2)) t(y2), unnest(range(3)) u(x2))
+              SELECT media_id, CAST(3 AS BIGINT) AS width,
+                CAST(2 AS BIGINT) AS height,
+                CAST(sum(((media_id*31 + (sy*w + sx)*3 + 0)*7) % 256) AS BIGINT) AS sum_b,
+                CAST(sum(((media_id*31 + (sy*w + sx)*3 + 1)*7) % 256) AS BIGINT) AS sum_g,
+                CAST(sum(((media_id*31 + (sy*w + sx)*3 + 2)*7) % 256) AS BIGINT) AS sum_r
+              FROM px
+              GROUP BY 1""")
     )
   )
 }

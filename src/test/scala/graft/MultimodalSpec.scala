@@ -73,4 +73,42 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(junk.forall(r => r.getString(0) == "unknown" && r.isNullAt(1) &&
       r.isNullAt(2)))
   }
+
+  test("BMP codec: encode/decode round-trips exactly at awkward widths") {
+    import graft.multimodal.BmpCodec
+    // widths 2..5 cover every row-padding remainder (3w mod 4 = 2,1,0,3)
+    for (w <- 2 to 5; h <- 2 to 4) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val img = BmpCodec.Bmp(w, h, px)
+      val back = BmpCodec.decode(BmpCodec.encode(img))
+      assert(back.isDefined, s"${w}x$h failed to decode")
+      assert(back.get.width == w && back.get.height == h)
+      assert(back.get.pixels.toSeq == px.toSeq,
+        s"${w}x$h pixels corrupted through encode/decode")
+    }
+  }
+
+  test("BMP codec: strict decode rejects foreign and truncated bytes") {
+    import graft.multimodal.BmpCodec
+    assert(BmpCodec.decode("not a bmp at all".getBytes).isEmpty)
+    assert(BmpCodec.decode(Array[Byte]('B', 'M', 1, 2)).isEmpty)
+    val ok = BmpCodec.encode(BmpCodec.Bmp(3, 2, new Array[Byte](18)))
+    assert(BmpCodec.decode(ok).isDefined)
+    assert(BmpCodec.decode(ok.take(ok.length - 5)).isEmpty, "truncated pixel data must be rejected")
+    // 8-bit/compressed variants are out of scope -> None, not garbage
+    val bpp8 = ok.clone(); bpp8(28) = 8
+    assert(BmpCodec.decode(bpp8).isEmpty)
+  }
+
+  test("BMP resize: nearest-neighbor mapping is the closed-form one") {
+    import graft.multimodal.BmpCodec
+    val w = 4; val h = 4
+    val px = Array.tabulate(w * h * 3)(i => (i % 256).toByte)
+    val img = BmpCodec.Bmp(w, h, px)
+    val r = BmpCodec.resizeNearest(img, 2, 2)
+    for (y2 <- 0 until 2; x2 <- 0 until 2; c <- 0 until 3) {
+      val sx = x2 * w / 2; val sy = y2 * h / 2
+      assert(r.pixels((y2 * 2 + x2) * 3 + c) == px((sy * w + sx) * 3 + c))
+    }
+  }
 }
