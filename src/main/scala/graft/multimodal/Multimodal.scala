@@ -257,6 +257,64 @@ object Multimodal {
     })
   }
 
+  // ── REAL audio path: PCM WAV (see [[WavCodec]]) ────────────────────────
+
+  final case class WavStats(media_id: Long, sample_rate: Long,
+      n_samples: Long, sum_sq: Long, peak: Long)
+
+  /** the deterministic sample formula shared with the DuckDB oracle:
+    * s(id, i) = ((id·13 + i·7) mod 2003) − 1001  (signed, fits 16-bit)
+    */
+  def wavSample(id: Long, i: Int): Short =
+    (((id * 13 + i.toLong * 7) % 2003) - 1001).toShort
+
+  /** real PCM WAV media from any id column: n ∈ 10..59 samples, rate from
+    * the id, bytes from the REAL encoder
+    */
+  def wavMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (id % 50 + 10).toInt
+      val rate = (8000 + (id % 3) * 4000).toInt
+      id -> WavCodec.encode(WavCodec.Wav(rate,
+        Array.tabulate(n)(i => wavSample(id, i))))
+    })
+  }
+
+  /** REAL decode + features: strict chunk-walking decode, exact integer
+    * Σs²/peak; undecodable rows dropped
+    */
+  def wavStats(media: Dataset[(Long, Array[Byte])]): Dataset[WavStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      WavCodec.decode(bytes).map { w =>
+        val (n, sumSq, peak) = WavCodec.stats(w)
+        WavStats(id, w.sampleRate.toLong, n, sumSq, peak)
+      }
+    })
+  }
+
+  /** REAL resample: decode → nearest-neighbor to n2 → re-encode →
+    * re-decode → features (both codec directions + the kernel)
+    */
+  def wavResampleStats(media: Dataset[(Long, Array[Byte])], n2: Int,
+      newRate: Int): Dataset[WavStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      for {
+        w <- WavCodec.decode(bytes)
+        back <- WavCodec.decode(WavCodec.encode(
+          WavCodec.resampleNearest(w, n2, newRate)))
+      } yield {
+        val (n, sumSq, peak) = WavCodec.stats(back)
+        WavStats(id, back.sampleRate.toLong, n, sumSq, peak)
+      }
+    })
+  }
+
   /** STUB RESIZE: rewrites meta.width/height and stamps a checksum of the
     * would-be resized pixels (here: md5 of the original content + target
     * box — a real resize kernel goes where the md5 is).

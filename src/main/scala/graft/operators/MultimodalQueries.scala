@@ -172,6 +172,50 @@ object MultimodalQueries {
                 CAST(sum(((media_id*31 + (sy*w + sx)*3 + 2)*7) % 256) AS BIGINT) AS sum_r
               FROM px
               GROUP BY 1""")
+    ),
+
+    // ── REAL audio codec: PCM WAV decode → integer features ───────────────
+    QueryDef(
+      "q142_wav_decode",
+      // Real RIFF/WAVE bytes from the real encoder, decoded by the strict
+      // chunk-walking decoder; features are exact integers (Σ s², peak).
+      // Oracle recomputes from the closed-form sample formula — any codec
+      // defect (chunk offsets, endianness, sign handling) breaks the hash.
+      (s, d) => {
+        val m = Multimodal.wavMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.wavStats(m).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+                CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples FROM documents),
+              sm AS (SELECT media_id, sample_rate, n_samples,
+                ((media_id*13 + i*7) % 2003) - 1001 AS s
+                FROM m, unnest(range(n_samples)) t(i))
+              SELECT media_id, sample_rate, n_samples,
+                CAST(sum(s*s) AS BIGINT) AS sum_sq,
+                CAST(max(abs(s)) AS BIGINT) AS peak
+              FROM sm GROUP BY 1, 2, 3""")
+    ),
+
+    // ── REAL resample kernel: nearest-neighbor, re-encoded ────────────────
+    QueryDef(
+      "q143_wav_resample",
+      // decode → resample to 16 samples @16kHz → re-encode → re-decode →
+      // features; oracle restates out(j) = in(j·n / 16) in SQL.
+      (s, d) => {
+        val m = Multimodal.wavMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.wavResampleStats(m, 16, 16000).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                CAST(doc_id % 50 + 10 AS BIGINT) AS n FROM documents),
+              sm AS (SELECT media_id,
+                ((media_id*13 + ((j*n) // 16)*7) % 2003) - 1001 AS s
+                FROM m, unnest(range(16)) t(j))
+              SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate,
+                CAST(16 AS BIGINT) AS n_samples,
+                CAST(sum(s*s) AS BIGINT) AS sum_sq,
+                CAST(max(abs(s)) AS BIGINT) AS peak
+              FROM sm GROUP BY 1""")
     )
   )
 }

@@ -111,4 +111,42 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(r.pixels((y2 * 2 + x2) * 3 + c) == px((sy * w + sx) * 3 + c))
     }
   }
+
+  test("WAV codec: round-trip, foreign-chunk skipping, strict rejection") {
+    import graft.multimodal.WavCodec
+    val w = WavCodec.Wav(16000, Array[Short](0, 100, -100, 32767, -32768, 7))
+    val bytes = WavCodec.encode(w)
+    val back = WavCodec.decode(bytes)
+    assert(back.exists(b => b.sampleRate == 16000 &&
+      b.samples.toSeq == w.samples.toSeq))
+    // real-world files interleave foreign chunks (LIST/INFO): splice one
+    // between fmt and data — the chunk walk must skip it and still decode
+    val bb = java.nio.ByteBuffer.allocate(bytes.length + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(bytes, 0, 36)                        // RIFF..WAVE + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(7)
+      .put("INFOxyz".getBytes("US-ASCII"))      // 7-byte payload…
+    bb.put(Array[Byte](0))                      // …plus its word-align pad
+    bb.put(bytes, 36, bytes.length - 36)        // data chunk
+    val withList = java.util.Arrays.copyOf(bb.array(), bb.position())
+    // fix the RIFF size field for the larger file
+    java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withList.length - 8)
+    val back2 = WavCodec.decode(withList)
+    assert(back2.exists(_.samples.toSeq == w.samples.toSeq),
+      "decoder must skip foreign chunks")
+    // strict rejections: wrong magic, stereo, truncated data
+    assert(WavCodec.decode("RIFFxxxxNOPE".getBytes).isEmpty)
+    val stereo = bytes.clone(); stereo(22) = 2
+    assert(WavCodec.decode(stereo).isEmpty)
+    assert(WavCodec.decode(bytes.take(bytes.length - 3)).isEmpty)
+  }
+
+  test("WAV resample: nearest-neighbor mapping is the closed-form one") {
+    import graft.multimodal.WavCodec
+    val in = WavCodec.Wav(8000, Array.tabulate[Short](10)(i => (i * 11).toShort))
+    val out = WavCodec.resampleNearest(in, 4, 16000)
+    assert(out.sampleRate == 16000)
+    assert(out.samples.toSeq == Seq(0, 2, 5, 7).map(i => (i * 11).toShort))
+  }
 }
