@@ -59,15 +59,30 @@ object BmpCodec {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val dataOffset = bb.getInt(10)
-    val w = bb.getInt(18)
-    val h = bb.getInt(22)
-    val planes = bb.getShort(26)
-    val bpp = bb.getShort(28)
-    val compression = bb.getInt(30)
+    decodeDib(bytes, 14, Some(dataOffset))
+  }
+
+  /** decode a headerless DIB (BITMAPINFOHEADER + bottom-up padded pixels)
+    * starting at `off` — the form AVI '00db' video frames carry; the BMP
+    * file decode above is this plus the 14-byte file header. `pixelsAt`
+    * overrides the pixel offset when a file header declared one.
+    */
+  def decodeDib(bytes: Array[Byte], off: Int,
+      pixelsAt: Option[Int] = None): Option[Bmp] = {
+    if (off < 0 || off + 40 > bytes.length) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(off) != 40) return None // BITMAPINFOHEADER only
+    val w = bb.getInt(off + 4)
+    val h = bb.getInt(off + 8)
+    val planes = bb.getShort(off + 12)
+    val bpp = bb.getShort(off + 14)
+    val compression = bb.getInt(off + 16)
     if (planes != 1 || bpp != 24 || compression != 0) return None
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val dataOffset = pixelsAt.getOrElse(off + 40)
     val rs = rowSize(w)
-    if (dataOffset.toLong + rs.toLong * h > bytes.length) return None
+    if (dataOffset < 0 || dataOffset.toLong + rs.toLong * h > bytes.length)
+      return None
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -77,6 +92,14 @@ object BmpCodec {
       y += 1
     }
     Some(Bmp(w, h, out))
+  }
+
+  /** encode just the DIB part (info header + bottom-up padded rows) —
+    * what an AVI '00db' frame chunk carries
+    */
+  def encodeDib(img: Bmp): Array[Byte] = {
+    val full = encode(img)
+    java.util.Arrays.copyOfRange(full, 14, full.length)
   }
 
   /** exact per-channel byte sums (B, G, R) — the feature-extraction kernel

@@ -257,6 +257,69 @@ object Multimodal {
     })
   }
 
+  // ── REAL video path: RIFF/AVI with DIB frames (see [[AviCodec]]) ───────
+
+  final case class AviFrameStats(media_id: Long, frame_idx: Long,
+      width: Long, height: Long, sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** per-frame pixel formula shared with the DuckDB oracle:
+    * pix(id, f, x, y, c) = ((id·31 + f·101 + (y·w + x)·3 + c) · 7) mod 256
+    */
+  def aviPixel(id: Long, f: Int, w: Int, x: Int, y: Int, c: Int): Int =
+    (((id * 31 + f.toLong * 101 + (y.toLong * w + x) * 3 + c) * 7) % 256).toInt
+
+  /** real AVI media: n ∈ 2..5 frames of (2..7)×(2..5) DIBs at 25 fps,
+    * through the real container encoder
+    */
+  def aviMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 6 + 2).toInt
+      val h = (id % 4 + 2).toInt
+      val n = (id % 4 + 2).toInt
+      val frames = (0 until n).map { f =>
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              px((y * w + x) * 3 + c) = aviPixel(id, f, w, x, y, c).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        BmpCodec.Bmp(w, h, px)
+      }
+      id -> AviCodec.encode(AviCodec.Avi(40000, frames))
+    })
+  }
+
+  /** REAL frame sampling: container walk → every `stride`-th frame → DIB
+    * decode → exact per-channel sums. The previous byte-slice
+    * `sampleFrames` remains for opaque content; this path is the real
+    * thing for the real container.
+    */
+  def aviSampledFrameStats(media: Dataset[(Long, Array[Byte])],
+      stride: Int): Dataset[AviFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      AviCodec.decode(bytes).toSeq.flatMap { v =>
+        v.frames.zipWithIndex.collect {
+          case (frame, f) if f % stride == 0 =>
+            val (b, g, r) = BmpCodec.channelSums(frame)
+            AviFrameStats(id, f.toLong, frame.width.toLong,
+              frame.height.toLong, b, g, r)
+        }
+      }
+    })
+  }
+
   // ── REAL audio path: PCM WAV (see [[WavCodec]]) ────────────────────────
 
   final case class WavStats(media_id: Long, sample_rate: Long,

@@ -216,6 +216,33 @@ object MultimodalQueries {
                 CAST(sum(s*s) AS BIGINT) AS sum_sq,
                 CAST(max(abs(s)) AS BIGINT) AS peak
               FROM sm GROUP BY 1""")
+    ),
+
+    // ── REAL video container: AVI walk → frame sample → DIB decode ────────
+    QueryDef(
+      "q144_avi_frames",
+      // Real RIFF/AVI files (hdrl/avih + movi with per-frame '00db' DIBs)
+      // built by the real container encoder; the query walks the container,
+      // samples every 2nd frame, decodes each DIB and reduces to exact
+      // channel sums. The oracle recomputes from the closed-form per-frame
+      // pixel formula — container offsets, frame order, DIB row flips and
+      // channel order are all load-bearing.
+      (s, d) => {
+        val m = Multimodal.aviMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.aviSampledFrameStats(m, 2).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                CAST(doc_id % 6 + 2 AS BIGINT) AS width,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS height,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS n FROM documents),
+              fr AS (SELECT media_id, width, height, f
+                FROM m, unnest(range(n)) t(f) WHERE f % 2 = 0)
+              SELECT media_id, CAST(f AS BIGINT) AS frame_idx, width, height,
+                CAST(sum(((media_id*31 + f*101 + (y*width + x)*3 + 0)*7) % 256) AS BIGINT) AS sum_b,
+                CAST(sum(((media_id*31 + f*101 + (y*width + x)*3 + 1)*7) % 256) AS BIGINT) AS sum_g,
+                CAST(sum(((media_id*31 + f*101 + (y*width + x)*3 + 2)*7) % 256) AS BIGINT) AS sum_r
+              FROM fr, unnest(range(height)) t(y), unnest(range(width)) u(x)
+              GROUP BY 1, 2, 3, 4""")
     )
   )
 }

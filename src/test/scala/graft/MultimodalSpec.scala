@@ -149,4 +149,27 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out.sampleRate == 16000)
     assert(out.samples.toSeq == Seq(0, 2, 5, 7).map(i => (i * 11).toShort))
   }
+
+  test("AVI container: round-trip, header fields, corrupt-frame rejection") {
+    import graft.multimodal.{AviCodec, BmpCodec}
+    val frames = (0 until 3).map { f =>
+      BmpCodec.Bmp(3, 2, Array.tabulate(18)(i => ((i * 13 + f * 7) % 256).toByte))
+    }
+    val bytes = AviCodec.encode(AviCodec.Avi(40000, frames))
+    val back = AviCodec.decode(bytes)
+    assert(back.isDefined)
+    assert(back.get.microsPerFrame == 40000)
+    assert(back.get.frames.length == 3)
+    for (f <- 0 until 3)
+      assert(back.get.frames(f).pixels.toSeq == frames(f).pixels.toSeq,
+        s"frame $f corrupted")
+    // not an AVI
+    assert(AviCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    // corrupt one frame's DIB header -> whole file rejected, not shrunk
+    val moviAt = bytes.indexOfSlice("movi".getBytes)
+    val firstDib = bytes.indexOfSlice("00db".getBytes, moviAt) + 8
+    val corrupt = bytes.clone(); corrupt(firstDib) = 99 // info-header size != 40
+    assert(AviCodec.decode(corrupt).isEmpty,
+      "corrupt frame must fail the file, not silently drop")
+  }
 }
