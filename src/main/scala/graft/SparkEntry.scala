@@ -20,7 +20,8 @@ object SparkEntry {
       operators.ExtQueries.all ++
       operators.ShapeQueries.all ++
       operators.PartsuppQueries.all ++
-      operators.SketchQueries.all
+      operators.SketchQueries.all ++
+      operators.GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

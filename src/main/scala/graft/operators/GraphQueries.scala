@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond q73's connected components: PageRank
+  * in EXACT FIXED-POINT arithmetic. Floating-point PageRank cannot be
+  * oracle-checked across engines (summation order changes the doubles);
+  * scaling ranks to integers (×10⁶) with truncating division makes every
+  * iteration a pure BIGINT computation both engines evaluate identically —
+  * and the fixed-point error (≤ outdeg ulps per node per round) is
+  * irrelevant to the ranking use case.
+  *
+  * Scale posture: each iteration is one equi-join (contributions flow
+  * src→dst) plus one hash aggregation — the standard distributed PageRank
+  * shape. A fixed iteration count keeps the lineage bounded (3 rounds
+  * here; a convergence-driven variant would add q73's reliable-checkpoint
+  * loop discipline).
+  */
+object GraphQueries {
+
+  /** rank scale: 1.0 ≡ 10⁶ (damping 0.85 becomes ×85 … div 100) */
+  private val S = 1000000L
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q145_pagerank_fixedpoint",
+      // Graph: the customer↔supplier bipartite trade graph (an edge per
+      // distinct trading pair, directed both ways so every node has in-
+      // and out-degree ≥ 1 — no dangling-mass handling needed). Node ids
+      // disambiguate the two key spaces by parity.
+      (s, d) => {
+        // loop-invariant tables are RELIABLY checkpointed once (the q73
+        // discipline): without it the final action's lineage contains the
+        // orders⋈lineitem-distinct subtree once per iteration per consumer
+        // — measured 3× slower — and localCheckpoint would trade that for
+        // executor-loss fragility
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(
+            sys.props("java.io.tmpdir") + "/graft-checkpoints")
+        val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst"))).checkpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          .checkpoint()
+        // one count on a tiny aggregate → the scalar N (legitimate
+        // driver-side scalar, same pattern as q73's convergence probe)
+        val n = deg.count()
+        val base = (15L * S) / (100L * n)
+        var ranks = deg.select(col("src").as("node"), lit(S / n).as("r"))
+        for (_ <- 1 to 3) {
+          val contribs = edges
+            .join(deg, "src")
+            .join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("r div outdeg").as("c"))
+            .groupBy("dst")
+            .agg(sum(col("c")).as("cs"))
+          ranks = contribs.select(col("dst").as("node"),
+            (lit(base) + expr("(85 * cs) div 100")).as("r"))
+        }
+        ranks.orderBy(col("r").desc, col("node")).limit(20)
+      },
+      Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              edges AS (SELECT src, dst FROM e0
+                        UNION ALL SELECT dst, src FROM e0),
+              deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM deg),
+              r0 AS (SELECT src AS node, CAST(1000000 // n AS BIGINT) AS r FROM deg, nn),
+              r1 AS (SELECT e.dst AS node,
+                       CAST((15 * 1000000) // (100 * (SELECT n FROM nn))
+                         + (85 * sum(r0.r // d.outdeg)) // 100 AS BIGINT) AS r
+                     FROM edges e
+                     JOIN deg d ON d.src = e.src
+                     JOIN r0 ON r0.node = e.src
+                     GROUP BY 1),
+              r2 AS (SELECT e.dst AS node,
+                       CAST((15 * 1000000) // (100 * (SELECT n FROM nn))
+                         + (85 * sum(r1.r // d.outdeg)) // 100 AS BIGINT) AS r
+                     FROM edges e
+                     JOIN deg d ON d.src = e.src
+                     JOIN r1 ON r1.node = e.src
+                     GROUP BY 1),
+              r3 AS (SELECT e.dst AS node,
+                       CAST((15 * 1000000) // (100 * (SELECT n FROM nn))
+                         + (85 * sum(r2.r // d.outdeg)) // 100 AS BIGINT) AS r
+                     FROM edges e
+                     JOIN deg d ON d.src = e.src
+                     JOIN r2 ON r2.node = e.src
+                     GROUP BY 1)
+              SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""")
+    ),
+
+    // ── one-pass column profiler (ops/data-quality tooling) ───────────────
+    QueryDef(
+      "q146_column_profile",
+      // The warehouse "profile this table" primitive: per-column min/max/
+      // distinct-count plus row count, computed in ONE scan (a single
+      // aggregate projection, no per-column passes). Output is long form
+      // (column, metric rows) so the shape survives schema evolution.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val agg = li.agg(
+          count(lit(1)).as("n_rows"),
+          min("l_quantity").as("qty_min"), max("l_quantity").as("qty_max"),
+          countDistinct("l_quantity").as("qty_nd"),
+          min("l_discount").as("disc_min"), max("l_discount").as("disc_max"),
+          countDistinct("l_discount").as("disc_nd"),
+          min("l_returnflag").as("rf_min"), max("l_returnflag").as("rf_max"),
+          countDistinct("l_returnflag").as("rf_nd"))
+        agg.select(explode(array(
+          struct(lit("l_quantity").as("column"),
+            col("qty_min").cast("double").as("min_val"),
+            col("qty_max").cast("double").as("max_val"),
+            col("qty_nd").as("n_distinct"), col("n_rows")),
+          struct(lit("l_discount").as("column"),
+            col("disc_min").cast("double").as("min_val"),
+            col("disc_max").cast("double").as("max_val"),
+            col("disc_nd").as("n_distinct"), col("n_rows")),
+          struct(lit("l_returnflag").as("column"),
+            lit(null).cast("double").as("min_val"),
+            lit(null).cast("double").as("max_val"),
+            col("rf_nd").as("n_distinct"), col("n_rows"))
+        )).as("p")).select("p.*")
+      },
+      Some("""WITH a AS (SELECT count(*) AS n_rows,
+                min(l_quantity) AS qmin, max(l_quantity) AS qmax,
+                count(DISTINCT l_quantity) AS qnd,
+                min(l_discount) AS dmin, max(l_discount) AS dmax,
+                count(DISTINCT l_discount) AS dnd,
+                count(DISTINCT l_returnflag) AS rnd
+              FROM lineitem)
+              SELECT 'l_quantity' AS "column", CAST(qmin AS DOUBLE) AS min_val,
+                CAST(qmax AS DOUBLE) AS max_val, qnd AS n_distinct, n_rows FROM a
+              UNION ALL
+              SELECT 'l_discount', CAST(dmin AS DOUBLE), CAST(dmax AS DOUBLE),
+                dnd, n_rows FROM a
+              UNION ALL
+              SELECT 'l_returnflag', NULL, NULL, rnd, n_rows FROM a""")
+    )
+  )
+}
