@@ -109,6 +109,45 @@ final class DB private (val root: Path, val spark: SparkSession) {
     writeValidated(guarded, name, schema)
   }
 
+  /** Compaction — the small-files remedy every append-only warehouse
+    * needs: N appends leave N×P files whose per-file row-group statistics
+    * overlap, degrading both scan planning (file-listing cost) and
+    * zone-map pruning (overlapping min/max ranges prune nothing). Rewrites
+    * the table as one globally range-sorted layout targeting
+    * `targetFileBytes` per file, then swaps directories atomically
+    * (write to `<table>.__compact`, move the old dir away, move the new
+    * one in, delete the old — a crash before the final move leaves the
+    * original table intact).
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    val dir = tableDir(name)
+    if (!Files.exists(dir)) return (0, 0)
+    def parquetFiles(p: Path): Seq[Path] =
+      Files.walk(p).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+    val before = parquetFiles(dir)
+    if (before.isEmpty) return (0, 0)
+    val totalBytes = before.map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val sortCols = schema.fieldNames.map(col).toSeq
+    val tmp = root.resolve(s"$name.__compact")
+    spark.read.schema(schema).parquet(dir.toString)
+      .repartitionByRange(nFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").option("compression", "lz4")
+      .parquet(tmp.toString)
+    val nAfter = parquetFiles(tmp).size
+    val old = root.resolve(s"$name.__old")
+    Files.move(dir, old)
+    Files.move(tmp, dir)
+    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    (before.size, nAfter)
+  }
+
   /** Range-sorted LZ4 Parquet append — realizes `README.md:44`'s sort
     * contract so min/max pruning works (SURVEY.md §1.3, §7.4.3).
     */

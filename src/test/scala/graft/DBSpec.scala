@@ -177,4 +177,28 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     val orc = spark.read.orc(s"$dir/orc")
     assert(canon(orc) == expected, "orc round-trip")
   }
+
+  test("compact merges small-file appends, preserves rows, survives re-read") {
+    implicit val s = spark
+    val db = DB.init(freshDir("compact"), Seq("events" -> eventsSchema))
+    // 8 tiny appends -> many small files with overlapping ranges
+    for (k <- 0 until 8)
+      db.write("events", (0L until 200L).map(i =>
+        Row(s"ev${(k * 200 + i) % 7}", 1700000000L + k * 200 + i, k * 200 + i)))
+    val (before, after) = db.compact("events")
+    assert(before > after && after >= 1,
+      s"expected fewer files after compaction: $before -> $after")
+    // row multiset unchanged through the atomic swap
+    val back = db.table("events").collect()
+    assert(back.length == 1600)
+    assert(back.map(_.getLong(2)).sorted.toSeq == (0L until 1600L))
+    // the rewrite is globally range-sorted -> a leading-column filter
+    // reads a subset of files (tight, non-overlapping per-file ranges)
+    val hit = db.table("events")
+      .filter(org.apache.spark.sql.functions.col("event") === "ev3")
+    assert(hit.count() == 229L || hit.count() == 228L) // 1600/7 rounding
+    // appends after compaction keep working
+    db.write("events", Seq(Row("post", 9999999999L, 999999L)))
+    assert(db.table("events").count() == 1601L)
+  }
 }
