@@ -77,6 +77,28 @@ object TextQueries {
   private def SQL_MINHASH(j: Int) =
     s"list_aggregate(list_transform(shh, h -> (h * ${hashA(j)} + ${hashB(j)}) % 4294967296), 'min')"
 
+  /** Banded LSH keys (doc_id, band, bh) for ANY (doc_id, text) frame —
+    * batch or streaming: the q38 signature pipeline without the
+    * batch-only repartition (a streaming source brings its own
+    * partitioning). Shared with [[graft.streaming.EventStream]]'s online
+    * near-dup operator so the two surfaces can never drift.
+    */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(size(tokens(col("text"))) >= 3)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("sh", shingles(col("t")))
+      .withColumn("shh", transform(col("sh"), h32(_)))
+    base
+      .select(col("doc_id") +:
+        (0 until NUM_HASHES).map(j => minhash(col("shh"), j).as(s"mh$j")): _*)
+      .select(col("doc_id"), explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", (0 until ROWS_PER_BAND).map(r =>
+            col(s"mh${b * ROWS_PER_BAND + r}")): _*)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** documents with doc_id, sh (distinct 3-shingles) — both engines.
     *
     * The round-robin repartition spreads the compute-bound shingle→minhash

@@ -279,6 +279,47 @@ object EventStream {
     }
   }
 
+  // ── streaming near-duplicate detection (online MinHash-LSH) ────────────
+
+  final case class DupCandidate(doc_id: Long, dup_of: Long)
+
+  /** ONLINE near-dup detection: the streaming form of q38's MinHash-LSH.
+    * Each document explodes to its 4 (band, bandHash) keys
+    * ([[graft.operators.TextQueries.bandKeys]] — the identical signature
+    * pipeline); per bucket, keyed state remembers the FIRST claimant, and
+    * any later arrival in an occupied bucket emits a (doc, dup_of)
+    * candidate against that first claimant. Multi-band hits dedupe
+    * downstream on doc_id (same candidate semantics as the batch query).
+    *
+    * State is one long per non-empty bucket — bounded by corpus
+    * signature diversity, not stream length, and each key is touched by
+    * exactly the docs that hash into it: the shape that survives an
+    * unbounded ingest stream. Deterministic under replay: within a batch,
+    * claimants resolve by min doc_id before emission. Works identically
+    * on a batch frame (flatMapGroupsWithState executes once per group).
+    */
+  def nearDupCandidates(docs: DataFrame): Dataset[DupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextQueries.bandKeys(docs)
+      .select(col("band"), col("bh"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (band, bh, _) => (band, bh) }
+      .flatMapGroupsWithState[Long, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[(Int, String, Long)],
+            state: GroupState[Long]) =>
+          // batch arrivals resolve deterministically: smallest id first
+          val ids = rows.map(_._3).toArray.sorted
+          val owner = state.getOption.getOrElse {
+            val first = ids.head
+            state.update(first)
+            first
+          }
+          ids.iterator.filter(_ != owner).map(DupCandidate(_, owner))
+      }
+  }
+
   // ── transformWithState with EVENT-TIME TIMERS ──────────────────────────
 
   /** Ev + the watermark column event-time timers require */

@@ -275,4 +275,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       } finally q.stop()
     }
   }
+
+  test("streaming near-dup: LSH bucket state flags duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupCandidates(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog"
+      val b = "entirely different content about spark and columnar engines"
+      input.addData((1L, a), (2L, b))
+      q.processAllAvailable()
+      assert(spark.table("neardup_sink").count() == 0L, "unique docs must not flag")
+      // doc 3 duplicates doc 1 (all bands collide); doc 4 is new
+      input.addData((3L, a), (4L, "yet another unrelated document body here"))
+      q.processAllAvailable()
+      val cands = spark.table("neardup_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands == Set((3L, 1L)), s"got $cands")
+      // in-batch duplicate pair: both new, smaller id wins ownership
+      input.addData((6L, b + " v2 extra"), (5L, b + " v2 extra"))
+      q.processAllAvailable()
+      val cands2 = spark.table("neardup_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands2 == Set((3L, 1L), (6L, 5L)), s"got $cands2")
+      // batch execution of the SAME operator agrees with the stream
+      val batchCands = EventStream.nearDupCandidates(
+        Seq((1L, a), (2L, b), (3L, a), (4L, "yet another unrelated document body here"),
+          (5L, b + " v2 extra"), (6L, b + " v2 extra"))
+          .toDF("doc_id", "text"))
+        .collect().map(c => (c.doc_id, c.dup_of)).toSet
+      assert(batchCands == cands2, s"batch $batchCands != stream $cands2")
+    } finally q.stop()
+  }
 }
