@@ -126,26 +126,68 @@ final class DB private (val root: Path, val spark: SparkSession) {
       throw new IllegalArgumentException(s"Table not found: $name"))
     val dir = tableDir(name)
     if (!Files.exists(dir)) return (0, 0)
-    def parquetFiles(p: Path): Seq[Path] =
-      Files.walk(p).iterator().asScala
-        .filter(f => f.toString.endsWith(".parquet")).toSeq
     val before = parquetFiles(dir)
     if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    atomicRewrite(name, spark.read.schema(schema).parquet(dir.toString),
+      schema, Some(nFiles))
+    (before.size, parquetFiles(dir).size)
+  }
+
+  /** SCD1 upsert (MERGE semantics on plain parquet): rows of `df` REPLACE
+    * existing rows sharing the same `keys` values; everything else is
+    * preserved. Validation matches the distributed [[write]] (schema
+    * equality, whole-batch null abort); the rewrite reuses the compaction
+    * swap, so readers either see the old table or the fully-merged one —
+    * never a partial state.
+    *
+    * Scale note: this is the rewrite-on-merge form (cost O(table)); the
+    * at-scale refinement is partition-scoped rewrites via
+    * [[writePartitioned]] layouts (only directories containing touched
+    * keys re-write), which composes with this same swap primitive.
+    */
+  def upsert(name: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+      s"upsert keys must be table columns, got $keys")
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      throw new IllegalArgumentException("Mismatched data type")
+    val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
+    if (!df.filter(anyNull).isEmpty)
+      throw new IllegalArgumentException("Mismatched data type")
+    val kept = table(name)
+      .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    atomicRewrite(name, kept.unionByName(df), schema, None)
+  }
+
+  private def parquetFiles(p: Path): Seq[Path] =
+    Files.walk(p).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet")).toSeq
+
+  /** write `df` as the table's new range-sorted contents, then swap
+    * directories atomically (temp write → move-aside → move-in → delete;
+    * a crash before the final move leaves the original table intact)
+    */
+  private def atomicRewrite(name: String, df: DataFrame, schema: StructType,
+      nFiles: Option[Int]): Unit = {
+    val dir = tableDir(name)
     val sortCols = schema.fieldNames.map(col).toSeq
-    val tmp = root.resolve(s"$name.__compact")
-    spark.read.schema(schema).parquet(dir.toString)
-      .repartitionByRange(nFiles, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val tmp = root.resolve(s"$name.__rewrite")
+    val repart = nFiles match {
+      case Some(n) => df.repartitionByRange(n, sortCols: _*)
+      case None => df.repartitionByRange(sortCols: _*)
+    }
+    repart.sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").option("compression", "lz4")
       .parquet(tmp.toString)
-    val nAfter = parquetFiles(tmp).size
     val old = root.resolve(s"$name.__old")
-    Files.move(dir, old)
+    if (Files.exists(dir)) Files.move(dir, old)
     Files.move(tmp, dir)
-    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    (before.size, nAfter)
+    if (Files.exists(old))
+      Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
   /** Range-sorted LZ4 Parquet append — realizes `README.md:44`'s sort

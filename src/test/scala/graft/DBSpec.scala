@@ -201,4 +201,26 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     db.write("events", Seq(Row("post", 9999999999L, 999999L)))
     assert(db.table("events").count() == 1601L)
   }
+
+  test("upsert replaces rows by key, keeps the rest, swaps atomically") {
+    implicit val s = spark
+    import s.implicits._
+    val db = DB.init(freshDir("upsert"), Seq("events" -> eventsSchema))
+    db.write("events", (0L until 100L).map(i => Row(s"v1_$i", 1000L + i, i)))
+    // replace ids 10..19, insert ids 100..104
+    val delta = ((10L until 20L) ++ (100L until 105L))
+      .map(i => (s"v2_$i", 2000L + i, i)).toDF("event", "timestamp", "id")
+    db.upsert("events", delta, Seq("id"))
+    val back = db.table("events").collect()
+      .map(r => r.getLong(2) -> r.getString(0)).toMap
+    assert(back.size == 105)
+    assert(back(5L) == "v1_5")          // untouched
+    assert(back(15L) == "v2_15")        // replaced
+    assert(back(102L) == "v2_102")      // inserted
+    // schema mismatch / null batch still abort, table unchanged
+    intercept[IllegalArgumentException] {
+      db.upsert("events", Seq((1L, "x")).toDF("id", "event"), Seq("id"))
+    }
+    assert(db.table("events").count() == 105L)
+  }
 }
