@@ -91,11 +91,31 @@ object Bench {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
     // stdout line: short keys + 2 decimals so the whole line fits in the
-    // driver's 2000-char tail window; headline fields LAST (see scaladoc)
+    // driver's 2000-char tail window; headline fields LAST (see scaladoc).
+    // Degradation ladder as the suite grows: 2 decimals → 1 decimal →
+    // slowest 110 queries + an "other" aggregate — the headline total and
+    // the slow tail (what the per-query gate actually inspects) always
+    // survive; the full table is in BENCH_SELF.json regardless.
     def shortKey(n: String): String = n.takeWhile(_ != '_')
-    val compactQs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, 2) }
-      .mkString("{", ",", "}")
-    println(s"""{"queries":$compactQs,"failed":$failedJson,"sf":"$sfDir","metric":"total","value":$totalStr,"unit":"sec"}""")
+    def line(qsJson: String): String =
+      s"""{"queries":$qsJson,"failed":$failedJson,"sf":"$sfDir","metric":"total","value":$totalStr,"unit":"sec"}"""
+    def render(dec: Int, entries: Seq[(String, Double)], extra: String): String =
+      line(entries.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, dec) }
+        .mkString("{", ",", extra + "}"))
+    val budget = 1900
+    val full2 = render(2, results, "")
+    val out =
+      if (full2.length <= budget) full2
+      else {
+        val full1 = render(1, results, "")
+        if (full1.length <= budget) full1
+        else {
+          val keep = results.sortBy(-_._2).take(110).sortBy(_._1)
+          val rest = results.map(_._2).sum - keep.map(_._2).sum
+          render(1, keep, s""","other":${fmt(math.max(rest, 0), 1)}""")
+        }
+      }
+    println(out)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
