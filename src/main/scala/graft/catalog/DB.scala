@@ -184,6 +184,9 @@ final class DB private (val root: Path, val spark: SparkSession) {
       .write.mode("overwrite").option("compression", "lz4")
       .parquet(tmp.toString)
     val old = root.resolve(s"$name.__old")
+    // a stale __old from a crashed prior rewrite must not block this one
+    if (Files.exists(old))
+      Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     if (Files.exists(dir)) Files.move(dir, old)
     Files.move(tmp, dir)
     if (Files.exists(old))

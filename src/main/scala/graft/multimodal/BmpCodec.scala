@@ -78,7 +78,9 @@ object BmpCodec {
     val bpp = bb.getShort(off + 14)
     val compression = bb.getInt(off + 16)
     if (planes != 1 || bpp != 24 || compression != 0) return None
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    // bound so w·h·3 and row math stay in Int range (2^13 × 2^13 × 3 < 2^31):
+    // a hostile header must not drive a negative-size allocation
+    if (w <= 0 || h <= 0 || w > (1 << 13) || h > (1 << 13)) return None
     val dataOffset = pixelsAt.getOrElse(off + 40)
     val rs = rowSize(w)
     if (dataOffset < 0 || dataOffset.toLong + rs.toLong * h > bytes.length)

@@ -53,19 +53,27 @@ object GraphQueries {
         // one count on a tiny aggregate → the scalar N (legitimate
         // driver-side scalar, same pattern as q73's convergence probe)
         val n = deg.count()
-        val base = (15L * S) / (100L * n)
-        var ranks = deg.select(col("src").as("node"), lit(S / n).as("r"))
-        for (_ <- 1 to 3) {
-          val contribs = edges
-            .join(deg, "src")
-            .join(ranks, col("src") === col("node"))
-            .select(col("dst"), expr("r div outdeg").as("c"))
-            .groupBy("dst")
-            .agg(sum(col("c")).as("cs"))
-          ranks = contribs.select(col("dst").as("node"),
-            (lit(base) + expr("(85 * cs) div 100")).as("r"))
+        // empty graph → empty ranking (never a division by zero)
+        if (n == 0) {
+          import org.apache.spark.sql.types.{LongType, StructField, StructType}
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("node", LongType),
+              StructField("r", LongType))))
+        } else {
+          val base = (15L * S) / (100L * n)
+          var ranks = deg.select(col("src").as("node"), lit(S / n).as("r"))
+          for (_ <- 1 to 3) {
+            val contribs = edges
+              .join(deg, "src")
+              .join(ranks, col("src") === col("node"))
+              .select(col("dst"), expr("r div outdeg").as("c"))
+              .groupBy("dst")
+              .agg(sum(col("c")).as("cs"))
+            ranks = contribs.select(col("dst").as("node"),
+              (lit(base) + expr("(85 * cs) div 100")).as("r"))
+          }
+          ranks.orderBy(col("r").desc, col("node")).limit(20)
         }
-        ranks.orderBy(col("r").desc, col("node")).limit(20)
       },
       Some(s"""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
