@@ -376,7 +376,9 @@ object EventStream {
       lastTs.update(last)
       nEvents.update(n)
       // one live timer per key: drop the previous arm, set the new one
-      getHandle.listTimers().foreach(t =>
+      // (materialize before deleting — never mutate under a live state
+      // iterator)
+      getHandle.listTimers().toSeq.foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))
       getHandle.registerTimer(last + gapMs)
       Iterator.empty
