@@ -163,6 +163,40 @@ final class DB private (val root: Path, val spark: SparkSession) {
     atomicRewrite(name, kept.unionByName(df), schema, None)
   }
 
+  /** Z-ordered (Morton-curve) ingest: rows sort by the bit-interleave of
+    * two long columns, so per-file min/max ranges stay tight on BOTH
+    * dimensions — a filter on EITHER column prunes files/row-groups,
+    * where a linear sort only ever prunes on its leading column. This is
+    * the multi-dimensional clustering layout (Databricks OPTIMIZE ZORDER,
+    * Iceberg sort orders) expressed as a pure Column expression: the
+    * classic mask-spread interleave, 12 bitwise ops per row, whole-stage
+    * codegen, no UDF.
+    *
+    * Same validation as [[write]]; appends compose (re-[[compact]] after
+    * many appends to restore global clustering).
+    */
+  def writeZOrdered(name: String, df: DataFrame, colA: String,
+      colB: String): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    require(Seq(colA, colB).forall(c => schema.fields.exists(f =>
+      f.name == c && f.dataType.typeName == "long")),
+      s"z-order columns must be long table columns, got $colA/$colB")
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      throw new IllegalArgumentException("Mismatched data type")
+    val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
+    if (!df.filter(anyNull).isEmpty)
+      throw new IllegalArgumentException("Mismatched data type")
+    val z = DB.zValue(col(colA), col(colB))
+    df.withColumn("__z", z)
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("append").option("compression", "lz4")
+      .parquet(tableDir(name).toString)
+  }
+
   private def parquetFiles(p: Path): Seq[Path] =
     Files.walk(p).iterator().asScala
       .filter(f => f.toString.endsWith(".parquet")).toSeq
@@ -284,6 +318,27 @@ final class DB private (val root: Path, val spark: SparkSession) {
 }
 
 object DB {
+
+  /** Morton (Z-order) value: bit-interleave of the low 32 bits of two
+    * longs — `spread(a) | spread(b) << 1` with the classic mask-spread
+    * ladder. Pure Column arithmetic (codegen'd); inputs beyond 32 bits
+    * contribute their low 32 (the curve's usual domain contract — rank or
+    * bucket wider keys first).
+    */
+  def zValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      var v = x.bitwiseAND(lit(0xFFFFFFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+      v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+      v
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
 
   /** Create a database: writes `metadata.json` holding every table's schema
     * (≙ `DB::init`, `/root/reference/src/lib.rs:31-38`).

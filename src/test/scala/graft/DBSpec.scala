@@ -223,4 +223,52 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     }
     assert(db.table("events").count() == 105L)
   }
+
+  test("z-ordered layout prunes files on BOTH dimensions; linear sort on one") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name, countDistinct}
+    val gridSchema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val db = DB.init(freshDir("zorder"), Seq(
+      "zgrid" -> gridSchema, "lingrid" -> gridSchema))
+    // 256x256 grid; ~16+ files after range partitioning
+    val grid = spark.range(0, 65536)
+      .select((col("id") % 256).as("x"),
+        org.apache.spark.sql.functions.expr("id div 256").as("y"),
+        col("id").as("v"))
+    withConf("spark.sql.shuffle.partitions" -> "16",
+      // AQE would coalesce this kilobyte-scale fixture into one file;
+      // at real scale the 16 range partitions are genuine
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      db.writeZOrdered("zgrid", grid.toDF(), "x", "y")
+      db.write("lingrid", grid.toDF())   // linear: range-sorted by (x, y, v)
+    }
+    def filesTouched(table: String, cond: org.apache.spark.sql.Column): Long =
+      db.table(table).filter(cond)
+        .select(input_file_name().as("f")).distinct().count()
+    def totalFiles(table: String): Long =
+      db.table(table).select(input_file_name().as("f")).distinct().count()
+    val zTotal = totalFiles("zgrid")
+    assert(zTotal >= 8, s"fixture too small: $zTotal files")
+    // narrow filter on x AND on y must each touch a strict subset of a
+    // z-ordered table's files (tight per-file ranges on both dims)
+    val zx = filesTouched("zgrid", col("x") < 16)
+    val zy = filesTouched("zgrid", col("y") < 16)
+    assert(zx < zTotal && zy < zTotal,
+      s"z-order must prune on both dims: x→$zx, y→$zy of $zTotal")
+    // the linear layout prunes on its leading column only: a y-filter
+    // touches every file (y varies fully inside each x-sorted file)
+    val lTotal = totalFiles("lingrid")
+    val ly = filesTouched("lingrid", col("y") < 16)
+    val lx = filesTouched("lingrid", col("x") < 16)
+    assert(lx < lTotal, s"leading-column pruning broken: $lx of $lTotal")
+    assert(ly == lTotal,
+      s"expected no second-dim pruning in the linear layout: $ly of $lTotal")
+    // layouts store the same rows
+    assert(db.table("zgrid").count() == 65536L &&
+      db.table("lingrid").count() == 65536L)
+  }
 }
