@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import graft.sources.rtcdb.RtcdbFormat
+import scala.jdk.CollectionConverters._
 
 /** Sketch aggregates promoted to driver-visible oracle rows.
   *
@@ -144,6 +145,51 @@ object SketchQueries {
                 count(DISTINCT o_custkey) AS n_cust
               FROM orders
               WHERE o_orderkey >= 1000 AND o_orderkey < 100000
+              GROUP BY 1""")
+    ),
+
+    // ── Z-ordered catalog layout, driver-visible end to end ───────────────
+    QueryDef(
+      "q147_zorder_roundtrip",
+      // lineitem's (orderkey, partkey) projection flows through the
+      // catalog's Z-ordered writer (Morton interleave → range sort) and
+      // back; the filter lands on the SECOND clustering dimension — the
+      // one a linear sort could never skip on — and the aggregate must
+      // hash-match DuckDB reading the raw parquet. Proves the interleave
+      // and the layout round-trip lose nothing.
+      (s, d) => {
+        import graft.catalog.DB
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("okey", LongType, nullable = false),
+          StructField("pkey", LongType, nullable = false),
+          StructField("qty_c", LongType, nullable = false)))
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-zorder-rt",
+          java.lang.Integer.toHexString(d.hashCode)).toString
+        implicit val spark = s
+        val db = DB.init(dir, Seq("zli" -> schema))
+        // overwrite-by-recreate: delete any prior run's table dir
+        val t = java.nio.file.Paths.get(dir, "zli")
+        if (java.nio.file.Files.exists(t))
+          java.nio.file.Files.walk(t).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        db.writeZOrdered("zli",
+          Tables.lineitem(s, d).select(
+            col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
+            round(col("l_quantity") * 100).cast("long").as("qty_c")),
+          "okey", "pkey")
+        db.table("zli")
+          .filter(col("pkey") < 200L)
+          .groupBy((col("pkey") % 10).as("pbucket"))
+          .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("sum_qty_c"),
+            sum(col("okey")).as("sum_okey"))
+      },
+      Some("""SELECT l_partkey % 10 AS pbucket, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+              FROM lineitem
+              WHERE l_partkey < 200
               GROUP BY 1""")
     )
   )
