@@ -914,5 +914,37 @@ object TextQueries {
               WHERE rn <= quota
               GROUP BY source""")
     )
+
+    ,
+    // ── the ONLINE near-dup operator, driver-visible (batch semantics) ────
+    QueryDef(
+      "q148_online_neardup",
+      // [[graft.streaming.EventStream.nearDupCandidates]] run in batch
+      // mode: flatMapGroupsWithState executes each LSH bucket group once,
+      // the in-batch claimant rule resolves to min doc_id — which is
+      // exactly expressible in SQL (owner = min per bucket, candidates =
+      // the rest), so the stateful operator's semantics get a hash-exact
+      // oracle. Multi-band hits dedupe to distinct pairs.
+      (s, d) =>
+        graft.streaming.EventStream.nearDupCandidates(
+            Tables.documents(s, d).select("doc_id", "text"))
+          .toDF().distinct(),
+      Some(s"""$SQL_WITH_SHINGLES,
+              hashed AS (SELECT doc_id, sh,
+                list_transform(sh, s -> ${SQL_H32("s")}) AS shh
+                FROM shingled WHERE len(sh) > 0),
+              sig AS (SELECT doc_id,
+                [${(0 until NUM_HASHES).map(SQL_MINHASH).mkString(", ")}] AS mh
+                FROM hashed),
+              bands AS (SELECT doc_id, b,
+                md5(CAST(mh[4*b+1] AS VARCHAR) || ',' || CAST(mh[4*b+2] AS VARCHAR) || ',' ||
+                    CAST(mh[4*b+3] AS VARCHAR) || ',' || CAST(mh[4*b+4] AS VARCHAR)) AS bh
+                FROM sig, unnest([0,1,2,3]) AS u(b)),
+              owners AS (SELECT b, bh, min(doc_id) AS owner
+                FROM bands GROUP BY 1, 2)
+              SELECT DISTINCT x.doc_id, o.owner AS dup_of
+              FROM bands x JOIN owners o ON x.b = o.b AND x.bh = o.bh
+              WHERE x.doc_id <> o.owner""")
+    )
   )
 }
