@@ -310,4 +310,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(batchCands == cands2, s"batch $batchCands != stream $cands2")
     } finally q.stop()
   }
+
+  test("streaming aggregate maintains a catalog table via upsert (materialized view)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.catalog.DB
+    // derive the view schema from the aggregation itself (batch run)
+    val probe = EventStream.tumblingAgg(
+      Seq((60_000_000_000L, "view", 1.0)).toDF("ts", "event_type", "value"))
+    val mvSchema = org.apache.spark.sql.types.StructType(
+      probe.schema.fields.map(_.copy(nullable = false)))
+    val db = DB.init(
+      java.nio.file.Files.createTempDirectory("graft_mv").toString,
+      Seq("mv" -> mvSchema))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventStream
+      .tumblingAgg(input.toDS().toDF("ts", "event_type", "value"),
+        "1 minute", "10 minutes")
+      .writeStream
+      .outputMode("update")   // only changed windows flow per batch
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // incremental materialized-view maintenance: changed windows
+        // REPLACE their previous values by key
+        if (!df.isEmpty) db.upsert("mv", df, Seq("window_start", "event_type"))
+        ()
+      }
+      .start()
+    try {
+      def nanos(min: Long): Long = min * 60L * 1000000000L
+      input.addData(
+        (nanos(0) + 1000, "view", 1.00), (nanos(0) + 2000, "view", 2.50),
+        (nanos(1), "click", 4.00))
+      q.processAllAvailable()
+      // second batch UPDATES window [0,1) and adds a new window
+      input.addData((nanos(0) + 3000, "view", 0.50), (nanos(2), "view", 9.99))
+      q.processAllAvailable()
+      val got = db.table("mv").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+      // the maintained table equals the batch aggregation of ALL the data
+      val want = EventStream.tumblingAgg(Seq(
+          (nanos(0) + 1000, "view", 1.00), (nanos(0) + 2000, "view", 2.50),
+          (nanos(1), "click", 4.00), (nanos(0) + 3000, "view", 0.50),
+          (nanos(2), "view", 9.99)).toDF("ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+      assert(got == want, s"mv: $got\nbatch: $want")
+      assert(got.exists { case (ts, t, n, sv) =>
+        ts == 0L && t == "view" && n == 3L && sv == 4.0 })  // updated window
+    } finally q.stop()
+  }
 }
