@@ -946,5 +946,73 @@ object TextQueries {
               FROM bands x JOIN owners o ON x.b = o.b AND x.bh = o.bh
               WHERE x.doc_id <> o.owner""")
     )
+
+    ,
+    // ── Gopher/C4-style quality-rule filter (per-rule pass accounting) ────
+    QueryDef(
+      "q149_quality_rules",
+      // The published LLM-corpus quality heuristics (Gopher §A1.1, C4) in
+      // EXACT integer form: every ratio threshold is restated as a cross-
+      // multiplication (5·n_alpha ≥ 4·n_words ⟺ ratio ≥ 0.8) so both
+      // engines compare integers, never doubles. One zero-shuffle per-row
+      // pass + a single global aggregate of rule counters.
+      (s, d) => {
+        val t = tokens(col("text"))
+        val nW = size(t).cast("long")
+        val sumLen = aggregate(t, lit(0L), (a, w) => a + length(w).cast("long"))
+        val nAlpha = size(filter(t, w => w.rlike("[a-zA-Z]"))).cast("long")
+        val nSym = (length(col("text")) -
+          length(regexp_replace(col("text"), "[#…{}<>\\[\\]]", ""))).cast("long")
+        val nChars = length(col("text")).cast("long")
+        // "stopwords" = the corpus's own function-word analogs (the test
+        // corpus is synthetic word soup with no English the/of/and)
+        val stops = size(array_intersect(t,
+          array(lit("join"), lit("hash"), lit("row"), lit("scan"), lit("data"))))
+        val pLen = nW >= 5 && nW <= 10000
+        val pWordLen = sumLen >= nW * 3 && sumLen <= nW * 10
+        val pAlpha = nAlpha * 5 >= nW * 4
+        val pSym = nSym * 10 < nChars
+        val pStop = stops >= 2
+        Tables.documents(s, d)
+          .select(pLen.as("a"), pWordLen.as("b"), pAlpha.as("c"),
+            pSym.as("e"), pStop.as("f"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("a"), 1L).otherwise(0L)).as("n_pass_len"),
+            sum(when(col("b"), 1L).otherwise(0L)).as("n_pass_wordlen"),
+            sum(when(col("c"), 1L).otherwise(0L)).as("n_pass_alpha"),
+            sum(when(col("e"), 1L).otherwise(0L)).as("n_pass_sym"),
+            sum(when(col("f"), 1L).otherwise(0L)).as("n_pass_stop"),
+            sum(when(col("a") && col("b") && col("c") && col("e") && col("f"),
+              1L).otherwise(0L)).as("n_keep"))
+      },
+      Some(s"""WITH q AS (SELECT
+                $SQL_TOKENS AS t,
+                length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '[#…{}<>\\[\\]]', '', 'g')) AS n_sym,
+                text
+              FROM documents),
+              r AS (SELECT
+                len(t) AS n_w,
+                list_aggregate(list_transform(t, w -> len(w)), 'sum') AS sum_len,
+                len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+                n_sym, n_chars,
+                len(list_intersect(t, ['join','hash','row','scan','data'])) AS stops
+              FROM q),
+              p AS (SELECT
+                (n_w >= 5 AND n_w <= 10000) AS a,
+                (sum_len >= n_w * 3 AND sum_len <= n_w * 10) AS b,
+                (n_alpha * 5 >= n_w * 4) AS c,
+                (n_sym * 10 < n_chars) AS e,
+                (stops >= 2) AS f
+              FROM r)
+              SELECT count(*) AS n_docs,
+                CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+                CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+                CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_alpha,
+                CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_sym,
+                CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
+                CAST(sum(CASE WHEN a AND b AND c AND e AND f THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+              FROM p""")
+    )
   )
 }
