@@ -457,50 +457,55 @@ object TextQueries {
     // ── MinHash + LSH banding: near-dup candidate pairs at scale ──────────
     QueryDef(
       "q38_minhash_lsh",
-      // Scale shape: the expensive subtree (shingles → base hashes) is
-      // evaluated ONCE — it sits below a repartition exchange whose map
-      // output all three consumers (banding, both Jaccard-confirm joins)
-      // share via Catalyst's ReuseExchange; band buckets come from a single
-      // hash aggregation (`groupBy(band, bh)`), and candidate pairs are
-      // generated inside each bucket with array HOFs, never via a self-join
-      // that would plan the signature computation twice. Only (a, b) id
-      // pairs shuffle between stages.
+      // Scale shape: the expensive subtree (shingles → base hashes →
+      // minhash signatures) has exactly ONE consumer by construction — the
+      // shingle set rides WITH its band keys through the single band hash
+      // aggregation, and the Jaccard confirmation reads each bucket's
+      // member (id, shingles) list in place, so there are no confirm joins
+      // at all and nothing depends on Catalyst ReuseExchange deciding to
+      // dedupe a shared subtree (the r3 driver run showed that reuse can
+      // silently fail, tripling the signature compute). The price is
+      // shipping each doc's shingle set BANDS (=4) times through the band
+      // shuffle; the win is a structurally guaranteed single execution —
+      // PlanSpec asserts it as "exactly one documents scan, zero joins".
+      // Candidate pairs are generated inside each bucket with array HOFs,
+      // never via a self-join; a pair caught by several bands recomputes
+      // its (cheap, deterministic) Jaccard per bucket and collapses in the
+      // final (a, b) dedup, which shuffles only ids + one double.
       (s, d) => {
         val sh = withShingles(s, d, nonEmpty = true)
           .withColumn("shh", transform(col("sh"), h32(_)))
-          .select("doc_id", "sh", "shh")
-          // reusable exchange point: the shingle+hash compute above runs
-          // exactly once (its shuffle map output is shared by the three
-          // consumers below); payload is the shingle set, a few × the text
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         // band hash = md5 over the band's ROWS_PER_BAND signature values
         val banded = sh
-          .select(col("doc_id") +:
+          .select(col("doc_id") +: col("sh") +:
             (0 until NUM_HASHES).map(j => minhash(col("shh"), j).as(s"mh$j")): _*)
-          .select(col("doc_id"), explode(array((0 until BANDS).map(b =>
-            struct(lit(b).as("band"),
-              md5(concat_ws(",", (0 until ROWS_PER_BAND).map(r =>
-                col(s"mh${b * ROWS_PER_BAND + r}")): _*)).as("bh"))): _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-        // one aggregation → bucket member lists → ordered pairs per bucket
-        val pairs = banded
+          .select(col("doc_id"), col("sh"),
+            explode(array((0 until BANDS).map(b =>
+              struct(lit(b).as("band"),
+                md5(concat_ws(",", (0 until ROWS_PER_BAND).map(r =>
+                  col(s"mh${b * ROWS_PER_BAND + r}")): _*)).as("bh"))): _*)).as("bb"))
+          .select(col("doc_id"), col("sh"),
+            col("bb.band").as("band"), col("bb.bh").as("bh"))
+        // one aggregation → bucket member (id, shingles) lists → ordered
+        // pairs per bucket with Jaccard computed in place (sort_array on
+        // the struct orders by the leading id field, so a < b holds)
+        banded
           .groupBy("band", "bh")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
+          .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
+            col("sh").as("sh")))).as("ms"))
+          .filter(size(col("ms")) >= 2)
           .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> " +
-              "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"))
+            "flatten(transform(ms, (x, i) -> " +
+              "transform(slice(ms, i + 2, size(ms)), y -> " +
+              "struct(x.id AS a, y.id AS b, x.sh AS sha, y.sh AS shb))))"))
             .as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .dropDuplicates("a", "b")
-        pairs
-          .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-          .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("inter",
+            size(array_intersect(col("p.sha"), col("p.shb"))).cast("long"))
           .withColumn("jaccard", col("inter").cast("double") /
-            ((size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))
+            ((size(col("p.sha")) + size(col("p.shb"))).cast("long") - col("inter")))
           .filter(col("jaccard") >= 0.5)
-          .select("a", "b", "jaccard")
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("jaccard"))
+          .dropDuplicates("a", "b")
       },
       Some(s"""$SQL_WITH_SHINGLES,
               hashed AS (SELECT doc_id, sh,
@@ -592,10 +597,11 @@ object TextQueries {
           df.agg(sum("comp")).collect()(0).getLong(0)
         var prevSum = labelSum(labels)
         var iter = 0
-        // two propagation hops per materialized round: labels cross two
-        // edges before each checkpoint + convergence probe, halving the
-        // round count (and the fixed per-round job overhead) for the same
-        // fixpoint
+        // ONE propagation hop per materialized round (measured: a second
+        // hop before each checkpoint doubles the joins per round, and at
+        // near-dup graph diameters — tiny in practice — the extra join
+        // costs more than the saved per-round job overhead; r3 bench
+        // regressed 2.14→2.82 s with double-hop)
         def hop(l: org.apache.spark.sql.DataFrame) = {
           val prop = sym.join(l, sym("a") === l("id"))
             .select(col("b").as("id"), col("comp"))
@@ -605,15 +611,15 @@ object TextQueries {
         while (!converged && iter < 25) {
           // LAZY checkpoint: the convergence probe right below is the
           // action that materializes it — one job per round, not two
-          val next = hop(hop(labels)).checkpoint(eager = false)
+          val next = hop(labels).checkpoint(eager = false)
           val nextSum = labelSum(next)
           labels = next
           iter += 1
           converged = nextSum == prevSum
           prevSum = nextSum
         }
-        // a wrong answer must never be silent: 25 rounds = 50 hops covers
-        // any near-dup component of diameter ≤ 50; beyond that, fail loudly
+        // a wrong answer must never be silent: 25 rounds covers any
+        // near-dup component of diameter ≤ 25; beyond that, fail loudly
         // rather than emit partial components
         if (!converged) throw new IllegalStateException(
           s"q73: label propagation did not converge in $iter rounds")
@@ -745,22 +751,26 @@ object TextQueries {
       "q89_contamination",
       // docs from source 'src0' act as the benchmark; a candidate document
       // is contaminated if it shares ANY 3-shingle with the benchmark.
-      // Shape: explode shingles → distinct benchmark set → LEFT SEMI join →
-      // distinct doc count. At 100 TB both sides shuffle on the shingle
-      // hash; the benchmark side is usually small enough to broadcast.
+      // Shape: explode shingles → distinct benchmark set → BROADCAST LEFT
+      // SEMI join → distinct doc count. The benchmark side (distinct
+      // 3-shingles of one held-out source) is orders of magnitude smaller
+      // than the candidate corpus and fits an executor build table even at
+      // 100 TB corpus scale, so the candidate side never shuffles; if a
+      // deployment's benchmark outgrows the broadcast threshold, dropping
+      // the hint falls back to the shuffled semi join.
       (s, d) => {
-        // two-branch semi join, measured fastest of three shapes at sf0.1:
-        // the src0 filter pushes below the shingle compute so the (small)
-        // benchmark side only shingles benchmark docs, and the semi join's
-        // build side is the distinct shingle set. (Tried: localCheckpoint
-        // to share one explode — materialization cost beat the saved
-        // recompute; single-pass groupBy(s3)+collect_set — pays for ALL
-        // shingles, not just benchmark ones.)
+        // two-branch semi join: the src0 filter pushes below the shingle
+        // compute so the (small) benchmark side only shingles benchmark
+        // docs, and the semi join's build side is the distinct shingle
+        // set, broadcast to skip shuffling the exploded candidate side.
+        // (Tried: localCheckpoint to share one explode — materialization
+        // cost beat the saved recompute; single-pass groupBy(s3)+
+        // collect_set — pays for ALL shingles, not just benchmark ones.)
         val sh = withShingles(s, d, nonEmpty = true)
           .select(col("doc_id"), col("source"), explode(col("sh")).as("s3"))
         val bench = sh.filter(col("source") === "src0").select("s3").distinct()
         val contaminated = sh.filter(col("source") =!= "src0")
-          .join(bench, Seq("s3"), "left_semi")
+          .join(broadcast(bench), Seq("s3"), "left_semi")
           .agg(countDistinct(col("doc_id")).as("n_contaminated"))
         val candidates = Tables.documents(s, d)
           .filter(col("source") =!= "src0")

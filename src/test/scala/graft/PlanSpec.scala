@@ -50,6 +50,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q38 (MinHash-LSH): signature subtree executes exactly once — no joins at all") {
+    // the flagship 100 TB dedup path must not rely on Catalyst deciding to
+    // reuse a shared exchange: the shingle→minhash pipeline has one
+    // consumer BY CONSTRUCTION (shingles ride through the band
+    // aggregation), so the executed plan scans documents once and contains
+    // zero join operators of any kind
+    val df = SparkEntry.queries("q38_minhash_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"q38 must scan documents exactly once:\n$p")
+    assert(!p.contains("Join"), s"q38 must plan no joins:\n$p")
+  }
+
   test("q29 (as-of join): single shuffle on the key, no range cross-join") {
     val p = plan("q29_asof_join")
     assert(!p.contains("CartesianProduct"), p)
