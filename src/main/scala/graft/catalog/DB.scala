@@ -101,13 +101,22 @@ final class DB private (val root: Path, val spark: SparkSession) {
     val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
     if (!df.filter(anyNull).isEmpty)
       throw new IllegalArgumentException("Mismatched data type")
-    val guarded = df.select(schema.fields.map { f =>
+    writeValidated(nullGuarded(df, schema), name, schema)
+  }
+
+  /** Null-guarded projection: the written plan itself raises on any null
+    * cell, so a NON-DETERMINISTIC source that passes the pre-scan null
+    * check cannot materialize nulls on the (separate) write-time
+    * evaluation. Shared by every write path — the pre-scan gives the
+    * clean whole-batch abort before any file exists; this guard makes
+    * the abort airtight without persisting the input.
+    */
+  private def nullGuarded(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
       when(col(f.name).isNull,
         raise_error(lit("Mismatched data type")).cast(f.dataType))
         .otherwise(col(f.name)).as(f.name)
     }.toSeq: _*)
-    writeValidated(guarded, name, schema)
-  }
 
   /** Compaction — the small-files remedy every append-only warehouse
     * needs: N appends leave N×P files whose per-file row-group statistics
@@ -158,9 +167,13 @@ final class DB private (val root: Path, val spark: SparkSession) {
     val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
     if (!df.filter(anyNull).isEmpty)
       throw new IllegalArgumentException("Mismatched data type")
+    // the rewrite re-evaluates df: guard the written projection so a
+    // non-deterministic input that passed the pre-scan still can't land
+    // nulls (see nullGuarded)
+    val guarded = nullGuarded(df, schema)
     val kept = table(name)
-      .join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    atomicRewrite(name, kept.unionByName(df), schema, None)
+      .join(guarded.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    atomicRewrite(name, kept.unionByName(guarded), schema, None)
   }
 
   /** Z-ordered (Morton-curve) ingest: rows sort by the bit-interleave of
@@ -189,7 +202,7 @@ final class DB private (val root: Path, val spark: SparkSession) {
     if (!df.filter(anyNull).isEmpty)
       throw new IllegalArgumentException("Mismatched data type")
     val z = DB.zValue(col(colA), col(colB))
-    df.withColumn("__z", z)
+    nullGuarded(df, schema).withColumn("__z", z)
       .repartitionByRange(col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
@@ -273,7 +286,7 @@ final class DB private (val root: Path, val spark: SparkSession) {
     // the data-column ordering inside each directory is preserved exactly
     val sortCols = (partitionCols ++
       schema.fieldNames.filterNot(partitionCols.contains)).map(col)
-    df.repartition(partitionCols.map(col): _*)
+    nullGuarded(df, schema).repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
       .write
       .mode("append")
@@ -298,7 +311,7 @@ final class DB private (val root: Path, val spark: SparkSession) {
       throw new IllegalArgumentException("Mismatched data type")
     val cat = bucketedName(name)
     spark.sql(s"DROP TABLE IF EXISTS $cat")
-    df.write
+    nullGuarded(df, schema).write
       .mode("overwrite")
       .option("compression", "lz4")
       // external table: data lives under the DB root, not the warehouse dir

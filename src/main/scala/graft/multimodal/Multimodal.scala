@@ -104,7 +104,13 @@ object Multimodal {
         substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
     }
     val isPng = substring(content, 1, 8) === lit(PngMagic)
-    val isWav = substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII"))
+    // RIFF alone is just a container magic (AVI, WebP, and WAV all use
+    // it): require the 'WAVE' form tag at bytes 9-12 — mirroring
+    // WavCodec's check — so other RIFF variants fall through to
+    // kind='unknown' instead of decoding a garbage sample_rate at the
+    // canonical fmt-chunk offset
+    val isWav = substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+      substring(content, 9, 4) === lit("WAVE".getBytes("US-ASCII"))
     val isMp4 = substring(content, 5, 4) === lit("ftyp".getBytes("US-ASCII"))
     val nullInt = lit(null).cast("int")
     struct(

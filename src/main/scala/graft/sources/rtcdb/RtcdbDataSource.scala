@@ -506,6 +506,17 @@ class RtcdbScan(root: String, table: String, declared: StructType,
       indexPath(Paths.get(root), table, leading).toString, "r")
     try {
       val isLong = isLongCol(leading)
+      // u64 guard over the WHOLE index in O(1) probes: the binary search
+      // below compares entries as SIGNED longs, but the format sorts
+      // uint64 UNSIGNED — a file holding values >= 2^63 (negative as
+      // signed Long) would make lowerBound land on wrong boundaries and
+      // silently exclude matching blocks, and those excluded entries are
+      // never probed, so a probe-local guard can't see them. Under the
+      // unsigned sort contract any such value sorts to the tail, so the
+      // LAST entry's max catches it; probing the first entry too guards
+      // the trivially-cheap other end. probe() itself raises the
+      // "refusing to read" error for a long leading column.
+      if (isLong) { probe(raf, 0); probe(raf, nBlocks - 1) }
       def mn(e: IndexEntry) = java.nio.ByteBuffer.wrap(e.min).getLong
       def mx(e: IndexEntry) = java.nio.ByteBuffer.wrap(e.max).getLong
       def pfx(v: Any) = prefix8(v.asInstanceOf[String])

@@ -113,36 +113,63 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
       Files.deleteIfExists(dataPath(rootP, table, c))
       Files.deleteIfExists(indexPath(rootP, table, c))
     }
-    // stitch parts in partition order: data bytes via zero-copy channel
-    // transfer, index entries rebased by the running column offset
+    // Stitch parts in partition order — data first, index published LAST:
+    // phase 1 appends every column's data bytes (zero-copy channel
+    // transfer) and collects that column's rebased index entries in
+    // memory; phase 2 then publishes each column's index via
+    // copy-to-temp + atomic rename. Every reader derives its scan length
+    // from the SHORTEST column's index (the min-across-columns rule in
+    // both scan paths), and data bytes are durable before any index
+    // entry references them — so a concurrent reader observes a
+    // consistent prefix (old or new table state, never a per-column
+    // mixed block count that would let a pushed COUNT disagree with the
+    // row path), and a crash mid-commit leaves only whole-entry index
+    // files — no torn trailing entry. The index copy is cheap next to
+    // the data move (40 B/block vs the block bytes themselves).
+    val newEntries: Array[Array[Byte]] =
+      schema.fieldNames.zipWithIndex.map { case (c, ci) =>
+        val dataOut = FileChannel.open(dataPath(rootP, table, c),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+          StandardOpenOption.APPEND)
+        val entryBuf = new ByteArrayOutputStream()
+        try {
+          var base = dataOut.size()
+          messages.foreach {
+            case RtcdbTaskCommit(parts) if parts.nonEmpty =>
+              val part = parts(ci)
+              val in = FileChannel.open(Paths.get(part.partPath),
+                StandardOpenOption.READ)
+              try {
+                var pos = 0L
+                while (pos < in.size()) pos += in.transferTo(pos,
+                  in.size() - pos, dataOut)
+              } finally in.close()
+              // rebase each entry's start position onto the final file
+              part.entryBytes.grouped(IndexEntryBytes).foreach { eb =>
+                val e = IndexEntry.fromBytes(eb)
+                entryBuf.write(
+                  e.copy(startPosition = e.startPosition + base).toBytes)
+              }
+              base += part.dataLength
+            case _ => ()
+          }
+          dataOut.force(false)
+        } finally dataOut.close()
+        entryBuf.toByteArray
+      }
     schema.fieldNames.zipWithIndex.foreach { case (c, ci) =>
-      val dataOut = FileChannel.open(dataPath(rootP, table, c),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.APPEND)
-      val idxOut = Files.newOutputStream(indexPath(rootP, table, c),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.APPEND)
-      try {
-        var base = dataOut.size()
-        messages.foreach {
-          case RtcdbTaskCommit(parts) if parts.nonEmpty =>
-            val part = parts(ci)
-            val in = FileChannel.open(Paths.get(part.partPath),
-              StandardOpenOption.READ)
-            try {
-              var pos = 0L
-              while (pos < in.size()) pos += in.transferTo(pos,
-                in.size() - pos, dataOut)
-            } finally in.close()
-            // rebase each entry's start position onto the final file
-            part.entryBytes.grouped(IndexEntryBytes).foreach { eb =>
-              val e = IndexEntry.fromBytes(eb)
-              idxOut.write(e.copy(startPosition = e.startPosition + base).toBytes)
-            }
-            base += part.dataLength
-          case _ => ()
-        }
-      } finally { dataOut.close(); idxOut.close() }
+      val idx = indexPath(rootP, table, c)
+      val tmp = idx.resolveSibling(
+        s".${idx.getFileName}.commit-${UUID.randomUUID().toString.take(8)}")
+      if (Files.exists(idx)) Files.copy(idx, tmp) else Files.createFile(tmp)
+      Files.write(tmp, newEntries(ci), StandardOpenOption.APPEND)
+      try Files.move(tmp, idx, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, idx,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     // staged parts consumed — clean up
     messages.foreach {

@@ -74,6 +74,23 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       r.isNullAt(2)))
   }
 
+  test("non-WAVE RIFF containers (AVI, WebP) parse as unknown, not audio") {
+    // RIFF is a container magic shared by AVI/WebP/WAV; only the 'WAVE'
+    // form tag at bytes 9-12 justifies decoding a sample_rate at the
+    // canonical fmt-chunk offset — anything else would yield garbage
+    val s = spark
+    import s.implicits._
+    def riff(form: String): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](0x10, 0, 0, 0) ++
+        form.getBytes("US-ASCII") ++ Array.fill(20)(0x42.toByte)
+    val rows = Seq(riff("AVI "), riff("WEBP"), riff("WAVE")).toDF("content")
+      .select(Multimodal.parseMeta(col("content")).as("p"))
+      .select("p.kind", "p.sample_rate").collect()
+    assert(rows(0).getString(0) == "unknown" && rows(0).isNullAt(1))
+    assert(rows(1).getString(0) == "unknown" && rows(1).isNullAt(1))
+    assert(rows(2).getString(0) == "audio")
+  }
+
   test("BMP codec: encode/decode round-trips exactly at awkward widths") {
     import graft.multimodal.BmpCodec
     // widths 2..5 cover every row-padding remainder (3w mod 4 = 2,1,0,3)

@@ -285,6 +285,82 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     assert(pushed.getLong(1) == 1700000000L + 2048L)
   }
 
+  test("row scan reads the shortest-column prefix on unequal column files") {
+    // the reference's loop-termination contract (EOF on any column's index
+    // stops the scan — scan length = shortest column, src/storage.rs:
+    // 313-322). The writer can't produce such tables, but the read path
+    // must honor the contract on files that arrive that way: rows, not
+    // garbage or a hang, and exactly the shortest column's block count.
+    val root = freshDb("shortcol")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 2500L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    val idIdx = Paths.get(root, "events.id.index")
+    Files.write(idIdx, Files.readAllBytes(idIdx).take(2 * 40))
+    val rows = readEvents(root).select("id", "timestamp").collect()
+    assert(rows.length == 2048, s"expected shortest-column prefix, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).max == 2048L)
+    assert(rows.map(_.getLong(1)).max == 1700000000L + 2048L)
+    // projecting ONLY the untruncated columns must still honor the
+    // TABLE-wide minimum (not the projected subset's), so row counts can
+    // never depend on the projection — the reference's §1.4-class defect
+    // we deliberately do not replicate
+    assert(readEvents(root).select("event").count() == 2048L)
+  }
+
+  test("a torn trailing index entry is ignored, never decoded as garbage") {
+    // crash-mid-append artifact: a trailing fragment smaller than one
+    // 40-byte entry. Whole-entry units only — the fragment must not
+    // corrupt the scan, shift block boundaries, or hang the reader.
+    val root = freshDb("torn")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 2500L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    val tsIdx = Paths.get(root, "events.timestamp.index")
+    Files.write(tsIdx, Files.readAllBytes(tsIdx) ++ Array.fill(13)(0x7F.toByte))
+    val back = readEvents(root)
+    assert(back.count() == 2500L)
+    assert(back.agg(max(col("timestamp"))).collect().head.getLong(0) ==
+      1700000000L + 2500L)
+    // pushed aggregate path sees the same floor(size/40) block count
+    assert(back.agg(count(lit(1))).collect().head.getLong(0) == 2500L)
+  }
+
+  test("u64 values >= 2^63 anywhere in a sorted leading column abort planning") {
+    // the reference format holds uint64; Spark LongType can't represent
+    // values >= 2^63 (they decode negative and invert zone-map order).
+    // The driver's binary search probes only O(log n) entries, so the
+    // guard additionally probes the FIRST and LAST entries: under the
+    // unsigned sort contract any >= 2^63 value sorts to the tail, so the
+    // last entry's max catches it even when the search itself would never
+    // land there — refusing to read beats silently excluding blocks.
+    val longLeadSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("event", StringType, nullable = false)))
+    val dir = Files.createTempDirectory("rtcdb_u64")
+    RtcdbFormat.writeMetadata(dir, Seq("events" -> longLeadSchema))
+    val root = dir.toString
+    RtcdbFormat.write(root, "events", longLeadSchema,
+      (1L to 2500L).map(i => Row(i, s"e$i")))
+    // hand-patch the LAST index entry's max to a >= 2^63 value (the writer
+    // itself rejects them, so such a file can only arrive from outside)
+    val idIdx = Paths.get(root, "events.id.index")
+    val bytes = Files.readAllBytes(idIdx)
+    val patched = bytes.clone()
+    patched(bytes.length - 8) = 0x80.toByte // big-endian max, high bit set
+    Files.write(idIdx, patched)
+    val df = spark.read.format("rtcdb").option("path", root)
+      .option("table", "events").load()
+    // a leading-column range filter triggers the driver binary search; the
+    // probed midpoints never touch the poisoned tail entry, but the O(1)
+    // tail probe must
+    val e = intercept[Exception] {
+      df.filter(col("id") < 100L).collect()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    val msg = Option(rootCause(e).getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("refusing to read"), s"unexpected error: $msg")
+  }
+
   test("aggregate pushdown declines: filters, grouping, string min/max") {
     val root = freshDb("aggdecline")
     val rows = (1L to 500L).map(i => Row(f"e$i%04d", 1700000000L + i, i))
