@@ -51,6 +51,60 @@ object SimilarityQueries {
   private def SQL_NORM(a: String) =
     s"sqrt(list_aggregate(list_transform(range(1, ${SQL_DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))"
 
+  /** Multi-probe IVF top-3 (q151's body, parameterized so QueriesSpec can
+    * measure recall across nprobe settings): queries = vec_id 8-12,
+    * corpus = vec_id >= 13, centroids = vec_id < 8, each corpus vector in
+    * its argmax-dot bucket, each query probing its top `nprobe` buckets.
+    */
+  private[graft] def ivfMultiprobe(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val K = 8
+    val e = embeddings(s, d)
+    val cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    def rank(df: DataFrame, idc: String, vc: String): DataFrame = {
+      val w = Window.partitionBy(idc)
+        .orderBy(col("__d").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cent))
+        .withColumn("__d", dot(col(vc), col("centv")))
+        .withColumn("__rk", row_number().over(w))
+    }
+    val corpus = rank(e.filter(col("vec_id") >= 13)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        "cid", "cv")
+      .filter(col("__rk") === 1).drop("__d", "__rk", "centv")
+    val qs = rank(e.filter(col("vec_id").between(8, 12))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv")
+      .filter(col("__rk") <= nprobe).drop("__d", "__rk", "centv")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    broadcast(qs).join(corpus, "cent_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "cid", "cos", "rk")
+  }
+
+  /** exact brute-force top-3 over the SAME splits as [[ivfMultiprobe]] —
+    * the recall denominator (an independent cross-join evaluation, no IVF
+    * machinery shared)
+    */
+  private[graft] def exactTop3(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id").between(8, 12))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.filter(col("vec_id") >= 13)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("cos", dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "cid", "cos", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── embedding column stats (norms, per-label) ─────────────────────────
@@ -220,6 +274,48 @@ object SimilarityQueries {
                   row_number() OVER (PARTITION BY qid
                     ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
                 FROM qs, cent) WHERE rk = 1),
+              scored AS (SELECT qid, cid,
+                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                FROM q_a JOIN corpus_a USING (cent_id))
+              SELECT qid, cid, cos,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+              FROM scored
+              QUALIFY rk <= 3""")
+    ),
+
+    // ── multi-probe IVF: bounded-recall-loss ANN (the q44 refinement) ─────
+    QueryDef(
+      "q151_ann_ivf_multiprobe",
+      // Single-probe IVF (q44) trades SILENT recall loss for speed: a
+      // query near a Voronoi boundary misses true neighbors assigned to
+      // the runner-up centroid, and nothing reports it. Probing the top
+      // NPROBE centroids bounds that loss — scan cost rises to ~NPROBE/K
+      // of the corpus (still K/NPROBE× cheaper than brute force) and
+      // recall approaches brute-force as NPROBE→K. QueriesSpec MEASURES
+      // recall@3 against the exact scan on the same splits: multi-probe
+      // must dominate single-probe and reach 1.0 at NPROBE=K. Probe
+      // fan-out is rows in the broadcast query table (one row per
+      // (query, probed centroid)), so the corpus side still streams
+      // through one broadcast equi-join — the 100 TB shape; candidate
+      // sets per probe are disjoint (each corpus vector lives in exactly
+      // one bucket), so no dedup stage is needed.
+      (s, d) => ivfMultiprobe(s, d, nprobe = 2),
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              corpus AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 13),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              corpus_a AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, cent) WHERE rk = 1),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, cent) WHERE rk <= 2),
               scored AS (SELECT qid, cid,
                 ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
                 FROM q_a JOIN corpus_a USING (cent_id))

@@ -123,6 +123,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q95_bm25" /* 1-row broadcast of corpus stats (N, Σdl), like q57 */,
       "q125_tpch_q22_idlerich" /* 1-row global-average broadcast, like q89 */,
       "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */,
+      "q151_ann_ivf_multiprobe" /* K=8 centroid broadcast, like q44 */,
       "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,
       "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
       "q133_tpch_q11_value" /* 1-row broadcasts: |supplier| + the Q11 total */,

@@ -45,6 +45,28 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Long]("rk")).forall(rk => rk >= 1 && rk <= 3))
   }
 
+  test("multi-probe IVF recall@3 dominates single-probe and is exact at nprobe=K") {
+    import graft.operators.SimilarityQueries
+    // ground truth: independent brute-force top-3 on the same splits
+    val truth = SimilarityQueries.exactTop3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val got = SimilarityQueries.ivfMultiprobe(spark, sf, nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1); val r2 = recall(2); val rK = recall(8)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below single-probe $r1")
+    // at nprobe=K every bucket is probed — the candidate set is the whole
+    // corpus, so the result IS the exact top-3
+    assert(rK == 1.0, s"nprobe=K recall $rK != 1.0")
+    // floor: these synthetic embeddings are near-uniform (no real cluster
+    // structure), so IVF recall tracks raw bucket coverage ~ nprobe/K —
+    // probing 2 of 8 buckets must recover at least that coverage fraction
+    // (measured 0.4 on this fixture; real clustered corpora sit far higher)
+    assert(r2 >= 2.0 / 8, s"nprobe=2 recall $r2 below bucket coverage")
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     // sketch output can't hash-match a DuckDB oracle (different sketch
     // impls), so accuracy is asserted here instead of in the query list
