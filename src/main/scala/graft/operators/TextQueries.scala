@@ -171,6 +171,45 @@ object TextQueries {
        fp AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id)"""
 
+  /** winnowing constants: K-token rolling hash, min of W consecutive */
+  private val WIN_K = 8
+  private val WIN_W = 4
+  private val WIN_M = 65536L
+
+  /** Per-document winnowing fingerprint sets (q152's body, exposed so the
+    * spec can assert the guarantee on the SETS, which the driver query
+    * only summarizes): columns doc_id, nwin, wh (all window hashes), fps
+    * (distinct winnowed fingerprints). See q152's scaladoc for the exact
+    * integer-arithmetic contract shared with the oracle.
+    */
+  private[graft] def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    val K = WIN_K; val W = WIN_W; val M = WIN_M
+    // 31^(K-1-j) mod M, j = 0..K-1 — precomputed literals, shared
+    // verbatim with the SQL oracle
+    val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
+    val t = tokens(col("text"))
+    val hx = transform(t, x => h32(x) % lit(M))
+    val nWin = size(col("hx")) - (K - 1)
+    val wh = transform(sequence(lit(1), col("nwin")), i =>
+      (0 until K).map(j =>
+        element_at(col("hx"), (i + lit(j)).cast("int")) * lit(pow(j)) % lit(M))
+        .reduce(_ + _) % lit(M))
+    val fps = array_distinct(transform(
+      sequence(lit(1), col("nwin") - (W - 1)), i =>
+        array_min(slice(col("wh"), i.cast("int"), lit(W)))))
+    Tables.documents(s, d)
+      // ≥ K+W-1 tokens ⟺ ≥ 1 winnow window; cheap pre-shuffle filter,
+      // then spread the per-row hash ladder across cores (see
+      // withShingles scaladoc)
+      .filter(size(tokens(col("text"))) >= K + W - 1)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("hx", hx)
+      .withColumn("nwin", nWin)
+      .withColumn("wh", wh)
+      .withColumn("fps", fps)
+      .select(col("doc_id"), col("nwin"), col("wh"), col("fps"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── exact deduplication (hash-groupBy; SURVEY.md §2.4) ────────────────
@@ -373,6 +412,52 @@ object TextQueries {
       Some("""SELECT doc_id,
               substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
               FROM documents""")
+    ),
+
+    // ── winnowing fingerprints (rolling hash; Schleimer et al. 2003) ──────
+    QueryDef(
+      "q152_winnow_fingerprint",
+      // The plagiarism-detection / partial-overlap dedup primitive the
+      // whole-document hash (q35) can't provide: k-token rolling hashes,
+      // winnowed to the minimum of each w-hash window, guarantee any
+      // shared token run of length >= k+w-1 yields at least one shared
+      // fingerprint — local overlaps surface even when documents differ
+      // globally. Pure per-row array math (zero shuffle before the final
+      // per-doc projection); every step is exact integer arithmetic
+      // below 2^32, so both engines compute identical values:
+      //   token hash   = h32(token) mod 2^16        (< 2^16)
+      //   window hash  = Σ_j (hx[i+j]·31^(k-1-j) mod 2^16) mod 2^16
+      //     (each term reduced BEFORE the sum: products < 2^32, the
+      //      8-term sum < 2^19 — exact in BIGINT and double alike)
+      //   fingerprints = distinct min of each w=4 consecutive window
+      // At 100 TB the downstream join on fingerprint is a hash-shuffle
+      // equi-join, same scale shape as q38's band buckets.
+      (s, d) =>
+        winnowFingerprints(s, d)
+          .select(col("doc_id"),
+            col("nwin").cast("long").as("n_windows"),
+            size(col("fps")).cast("long").as("n_fps"),
+            array_min(col("wh")).as("min_fp")),
+      { val K = 8; val W = 4; val M = 65536L
+        val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
+        val terms = (0 until K).map(j =>
+          s"(hx[i+$j] * ${pow(j)}) % $M").mkString(" + ")
+        Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+                hxt AS (SELECT doc_id,
+                  list_transform(t, x -> ${SQL_H32("x")} % $M) AS hx
+                  FROM tok WHERE len(t) >= ${K + W - 1}),
+                whs AS (SELECT doc_id, hx, len(hx) - ${K - 1} AS nwin,
+                  list_transform(range(1, len(hx) - ${K - 1} + 1),
+                    i -> ($terms) % $M) AS wh
+                  FROM hxt),
+                fp AS (SELECT doc_id, nwin, wh,
+                  list_distinct(list_transform(range(1, nwin - ${W - 1} + 1),
+                    i -> list_aggregate(wh[i:i+${W - 1}], 'min'))) AS fps
+                  FROM whs)
+                SELECT doc_id, CAST(nwin AS BIGINT) AS n_windows,
+                  CAST(len(fps) AS BIGINT) AS n_fps,
+                  CAST(list_aggregate(wh, 'min') AS BIGINT) AS min_fp
+                FROM fp""") }
     ),
 
     // ── n-gram Jaccard near-dup, bounded all-pairs variant ────────────────

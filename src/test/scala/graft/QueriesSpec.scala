@@ -67,6 +67,30 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= 2.0 / 8, s"nprobe=2 recall $r2 below bucket coverage")
   }
 
+  test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
+    import graft.operators.TextQueries
+    val s = spark
+    import s.implicits._
+    // two documents that only overlap in one 11-token run (k+w-1 = 11):
+    // winnowing MUST select at least one common fingerprint from it,
+    // while globally the documents differ
+    val run = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $run tail1 tail2"),
+      (2L, s"$run one two three four five six seven eight nine"),
+      (3L, "totally different text with nothing in common at all " +
+        "padding words to pass the minimum token filter easily"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val fps = TextQueries.winnowFingerprints(spark, dir)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      s"shared run produced no shared fingerprint: ${fps(1L)} vs ${fps(2L)}")
+    assert((fps(1L) intersect fps(3L)).isEmpty,
+      "unrelated documents should not collide on this fixture")
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     // sketch output can't hash-match a DuckDB oracle (different sketch
     // impls), so accuracy is asserted here instead of in the query list
