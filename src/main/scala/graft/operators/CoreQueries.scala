@@ -195,6 +195,43 @@ object CoreQueries {
     ),
 
     QueryDef(
+      "q153_bucketed_colocated_join",
+      // The co-located-join LAYOUT, driver-visible end to end: both join
+      // sides are written hash-bucketed (+ bucket-sorted) on the join key
+      // via DB.writeBucketed, so the join and the follow-up aggregation on
+      // that key both consume the scans' existing bucketing — ZERO shuffle
+      // exchanges in the whole plan (PlanSpec asserts it). At 100 TB this
+      // is the layout that makes repeated fact-fact joins affordable: the
+      // shuffle is paid ONCE at write time and amortized over every query
+      // on the key, instead of re-shuffling both sides per query. The
+      // dimension side broadcasts (allowed); grouping stays on the bucket
+      // key so the agg inherits the partitioning.
+      (s, d) => {
+        import graft.catalog.DB
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        implicit val sp: SparkSession = s
+        val db = DB.init(
+          java.nio.file.Files.createTempDirectory("graft_q153").toString,
+          Seq("orders" -> o.schema, "customer" -> c.schema))
+        db.writeBucketed("orders", o, numBuckets = 16, Seq("o_custkey"))
+        db.writeBucketed("customer", c, numBuckets = 16, Seq("c_custkey"))
+        val bo = db.bucketedTable("orders")
+        val bc = db.bucketedTable("customer")
+        bo.join(bc, col("o_custkey") === col("c_custkey"))
+          .groupBy("o_custkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_price"))
+      },
+      Some("""SELECT o_custkey, c_mktsegment, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2""")
+    ),
+
+    QueryDef(
       "q11_tpch_q3",
       (s, d) =>
         Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")

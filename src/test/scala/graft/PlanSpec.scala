@@ -64,6 +64,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"q38 must plan no joins:\n$p")
   }
 
+  test("q151 (multi-probe IVF): probe join is a broadcast equi-join, corpus never shuffles") {
+    // the probe fan-out lives in the small broadcast query table (one row
+    // per (query, probed centroid)); the corpus side must stream through a
+    // BroadcastHashJoin on cent_id — a sort-merge or shuffled-hash join
+    // here would shuffle the whole corpus per query batch at 100 TB
+    val p = plan("q151_ann_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q153 (bucketed layout): join + agg on the bucket key plan zero shuffles") {
+    // the write-once-shuffle-never layout: both sides bucketed on the join
+    // key, the aggregation grouped on it — the executed plan must contain
+    // no shuffle exchange at all (broadcast exchanges are fine: the dim
+    // side broadcasting is the point of a small build side)
+    val df = SparkEntry.queries("q153_bucketed_colocated_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg must not shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"bucketed join/agg must not shuffle:\n$p")
+  }
+
   test("q29 (as-of join): single shuffle on the key, no range cross-join") {
     val p = plan("q29_asof_join")
     assert(!p.contains("CartesianProduct"), p)
