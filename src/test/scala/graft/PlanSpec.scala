@@ -64,6 +64,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"q38 must plan no joins:\n$p")
   }
 
+  test("q152 (winnowing): one documents scan, no joins — pure per-row pipeline") {
+    val df = SparkEntry.queries("q152_winnow_fingerprint")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"q152 must scan documents exactly once:\n$p")
+    assert(!p.contains("Join"), s"q152 must plan no joins:\n$p")
+  }
+
   test("q151 (multi-probe IVF): probe join is a broadcast equi-join, corpus never shuffles") {
     // the probe fan-out lives in the small broadcast query table (one row
     // per (query, probed centroid)); the corpus side must stream through a

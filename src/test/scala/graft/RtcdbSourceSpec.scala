@@ -324,6 +324,26 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     assert(back.agg(count(lit(1))).collect().head.getLong(0) == 2500L)
   }
 
+  test("crash between data append and index publish leaves a readable OLD view") {
+    // the staged commit's crash window: phase 1 (data bytes appended +
+    // fsync'd) completed, phase 2 (index rename) never ran. Readers derive
+    // scan length from the index, so the dangling data bytes must be
+    // invisible: row scan and pushed COUNT both see exactly the old table.
+    val root = freshDb("crashwin")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 2000L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    val before = readEvents(root).count()
+    // simulate phase-1-only: garbage appended to every column's DATA file,
+    // index files untouched
+    Seq("event", "timestamp", "id").foreach { c =>
+      val p = Paths.get(root, s"events.$c.data")
+      Files.write(p, Files.readAllBytes(p) ++ Array.fill(999)(0x55.toByte))
+    }
+    assert(readEvents(root).count() == before)
+    assert(readEvents(root).agg(count(lit(1))).collect().head.getLong(0) == before)
+    assert(readEvents(root).agg(max(col("id"))).collect().head.getLong(0) == 2000L)
+  }
+
   test("u64 values >= 2^63 anywhere in a sorted leading column abort planning") {
     // the reference format holds uint64; Spark LongType can't represent
     // values >= 2^63 (they decode negative and invert zone-map order).
