@@ -1,6 +1,8 @@
 package graft.sources.rtcdb
 
 import java.io.{ByteArrayOutputStream, RandomAccessFile}
+
+import scala.jdk.CollectionConverters._
 import java.nio.channels.FileChannel
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.UUID
@@ -159,6 +161,12 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
       }
     schema.fieldNames.zipWithIndex.foreach { case (c, ci) =>
       val idx = indexPath(rootP, table, c)
+      // sweep temps a crashed prior commit left behind (they are inert —
+      // readers only open the canonical index path — but unbounded litter
+      // otherwise)
+      Files.list(rootP).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s".${idx.getFileName}.commit-"))
+        .foreach(p => Files.deleteIfExists(p))
       val tmp = idx.resolveSibling(
         s".${idx.getFileName}.commit-${UUID.randomUUID().toString.take(8)}")
       if (Files.exists(idx)) Files.copy(idx, tmp) else Files.createFile(tmp)
