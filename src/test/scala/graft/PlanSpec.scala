@@ -64,6 +64,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"q38 must plan no joins:\n$p")
   }
 
+  test("q89 (decontamination): the benchmark shingle set builds a broadcast semi join") {
+    // the candidate side must stream (never shuffle its exploded shingles);
+    // the held-out benchmark's distinct shingle set is the broadcast build
+    val p = plan("q89_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"q89 semi join must be broadcast:\n$p")
+  }
+
   test("q152 (winnowing): one documents scan, no joins — pure per-row pipeline") {
     val df = SparkEntry.queries("q152_winnow_fingerprint")(spark, sf)
     df.collect()

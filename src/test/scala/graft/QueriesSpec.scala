@@ -45,6 +45,38 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Long]("rk")).forall(rk => rk >= 1 && rk <= 3))
   }
 
+  test("winnowing HOF ladder matches a plain-Scala reference on a random corpus") {
+    import graft.operators.TextQueries
+    val s = spark
+    import s.implicits._
+    // tiny alphabet + repeated tokens force hash collisions and repeated
+    // runs — the regimes where an off-by-one in the window ladder hides
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 100).map { i =>
+      val n = 11 + rnd.nextInt(60)
+      (i.toLong, (0 until n).map(_ =>
+        ("abcde" (rnd.nextInt(5))).toString * (1 + rnd.nextInt(3))).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("winprop").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.winnowFingerprints(spark, dir)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // independent plain-Scala evaluation of the same contract
+    def h32(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val M = 65536L; val K = 8; val W = 4
+    val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
+    val want = docs.map { case (id, text) =>
+      val hx = text.trim.split("\\s+").map(h32(_) % M)
+      val wh = (0 to hx.length - K).map(i =>
+        (0 until K).map(j => hx(i + j) * pow(j) % M).sum % M)
+      id -> (0 to wh.length - W).map(i => wh.slice(i, i + W).min).toSet
+    }.toMap
+    assert(got == want)
+  }
+
   test("multi-probe IVF recall@3 dominates single-probe and is exact at nprobe=K") {
     import graft.operators.SimilarityQueries
     // ground truth: independent brute-force top-3 on the same splits
