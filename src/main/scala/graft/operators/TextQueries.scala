@@ -171,10 +171,15 @@ object TextQueries {
        fp AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id)"""
 
-  /** winnowing constants: K-token rolling hash, min of W consecutive */
+  /** winnowing constants: K-token rolling hash, min of W consecutive.
+    * M = 2^20 keeps every intermediate exact (token-hash and power both
+    * < M ⟹ products < 2^40, the 8-term sum < 2^43 — far below 2^53) while
+    * giving the fingerprint space enough selectivity that the q154 bucket
+    * join's pair counts track true overlap, not hash collisions.
+    */
   private val WIN_K = 8
   private val WIN_W = 4
-  private val WIN_M = 65536L
+  private val WIN_M = 1048576L
 
   /** Per-document winnowing fingerprint sets (q152's body, exposed so the
     * spec can assert the guarantee on the SETS, which the driver query
@@ -190,12 +195,23 @@ object TextQueries {
     val t = tokens(col("text"))
     val hx = transform(t, x => h32(x) % lit(M))
     val nWin = size(col("hx")) - (K - 1)
-    val wh = transform(sequence(lit(1), col("nwin")), i =>
+    // Every expression below is TOTAL for any row — no conditional
+    // branches, just clamped bounds: a downstream generator (q154's
+    // explode) plants an implicit predicate on fps that Catalyst may
+    // reorder BELOW the row filter, so these get evaluated on rows the
+    // filter would have dropped, where sequence(1, n<=0) would run
+    // DESCENDING and slice would see start 0. greatest(·, 1) keeps the
+    // sequences ascending, and try_element_at turns the then-possible
+    // out-of-bounds lookups into nulls instead of ANSI errors; such rows
+    // produce one garbage [null] window that the ≥ K+W-1 token filter
+    // discards, and on every surviving row the values are identical to
+    // the unclamped form.
+    val wh = transform(sequence(lit(1), greatest(col("nwin"), lit(1))), i =>
       (0 until K).map(j =>
-        element_at(col("hx"), (i + lit(j)).cast("int")) * lit(pow(j)) % lit(M))
+        try_element_at(col("hx"), (i + lit(j)).cast("int")) * lit(pow(j)) % lit(M))
         .reduce(_ + _) % lit(M))
     val fps = array_distinct(transform(
-      sequence(lit(1), col("nwin") - (W - 1)), i =>
+      sequence(lit(1), greatest(col("nwin") - (W - 1), lit(1))), i =>
         array_min(slice(col("wh"), i.cast("int"), lit(W)))))
     Tables.documents(s, d)
       // ≥ K+W-1 tokens ⟺ ≥ 1 winnow window; cheap pre-shuffle filter,
@@ -425,10 +441,10 @@ object TextQueries {
       // globally. Pure per-row array math (zero shuffle before the final
       // per-doc projection); every step is exact integer arithmetic
       // below 2^32, so both engines compute identical values:
-      //   token hash   = h32(token) mod 2^16        (< 2^16)
-      //   window hash  = Σ_j (hx[i+j]·31^(k-1-j) mod 2^16) mod 2^16
-      //     (each term reduced BEFORE the sum: products < 2^32, the
-      //      8-term sum < 2^19 — exact in BIGINT and double alike)
+      //   token hash   = h32(token) mod 2^20        (< 2^20)
+      //   window hash  = Σ_j (hx[i+j]·31^(k-1-j) mod 2^20) mod 2^20
+      //     (each term reduced BEFORE the sum: products < 2^40, the
+      //      8-term sum < 2^23 — exact in BIGINT and double alike)
       //   fingerprints = distinct min of each w=4 consecutive window
       // At 100 TB the downstream join on fingerprint is a hash-shuffle
       // equi-join, same scale shape as q38's band buckets.
@@ -438,7 +454,7 @@ object TextQueries {
             col("nwin").cast("long").as("n_windows"),
             size(col("fps")).cast("long").as("n_fps"),
             array_min(col("wh")).as("min_fp")),
-      { val K = 8; val W = 4; val M = 65536L
+      { val K = WIN_K; val W = WIN_W; val M = WIN_M
         val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
         val terms = (0 until K).map(j =>
           s"(hx[i+$j] * ${pow(j)}) % $M").mkString(" + ")
@@ -458,6 +474,69 @@ object TextQueries {
                   CAST(len(fps) AS BIGINT) AS n_fps,
                   CAST(list_aggregate(wh, 'min') AS BIGINT) AS min_fp
                 FROM fp""") }
+    ),
+
+    // ── winnow-fingerprint candidate pairs (partial-overlap near-dup) ─────
+    QueryDef(
+      "q154_winnow_pairs",
+      // The downstream join q152 exists for: pairs of documents sharing
+      // winnowed fingerprints — the PARTIAL-overlap detector (MinHash/q38
+      // finds globally similar documents; a shared winnow fingerprint
+      // pins a shared local token run, e.g. a quoted passage or common
+      // boilerplate, even in globally different documents). Shape is
+      // q38's bucket pattern: explode fingerprints, ONE hash aggregation
+      // into per-fingerprint member lists, ordered pairs via array HOFs
+      // inside each bucket, then one (a, b) count aggregation — never a
+      // self-join over the fingerprint subtree, never cartesian. Guards:
+      // buckets above 64 members are dropped (a fingerprint shared by
+      // everything is boilerplate, not signal — and quadratic in pair
+      // count), and pairs must share >= 2 fingerprints (one shared value
+      // in the 2^20 space can be a collision; two is overlap evidence).
+      (s, d) =>
+        winnowFingerprints(s, d)
+          // explode_outer, NOT explode: plain explode plants an implicit
+          // `size(fps) > 0` predicate that pushdown rewrites through the
+          // projection chain with full alias substitution — duplicating
+          // the whole fingerprint ladder (8 hx copies inside wh) into a
+          // filter evaluated below the repartition, serial and interpreted
+          // (measured: turns a 2s stage into minutes). explode_outer adds
+          // no predicate; the null rows filter on the generator OUTPUT,
+          // which nothing can push below the Generate.
+          .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+          .filter(col("fp").isNotNull)
+          .groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, 64))
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> " +
+              "transform(slice(ids, i + 2, size(ids)), y -> " +
+              "struct(x AS a, y AS b))))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2),
+      { val K = WIN_K; val W = WIN_W; val M = WIN_M
+        val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
+        val terms = (0 until K).map(j =>
+          s"(hx[i+$j] * ${pow(j)}) % $M").mkString(" + ")
+        Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+                hxt AS (SELECT doc_id,
+                  list_transform(t, x -> ${SQL_H32("x")} % $M) AS hx
+                  FROM tok WHERE len(t) >= ${K + W - 1}),
+                whs AS (SELECT doc_id, len(hx) - ${K - 1} AS nwin,
+                  list_transform(range(1, len(hx) - ${K - 1} + 1),
+                    i -> ($terms) % $M) AS wh
+                  FROM hxt),
+                ex AS (SELECT doc_id, unnest(
+                  list_distinct(list_transform(range(1, nwin - ${W - 1} + 1),
+                    i -> list_aggregate(wh[i:i+${W - 1}], 'min')))) AS fp
+                  FROM whs),
+                ok AS (SELECT fp FROM ex GROUP BY fp
+                       HAVING count(*) BETWEEN 2 AND 64)
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+                FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
+                JOIN ok ON ok.fp = x.fp
+                GROUP BY 1, 2
+                HAVING count(*) >= 2""") }
     ),
 
     // ── n-gram Jaccard near-dup, bounded all-pairs variant ────────────────

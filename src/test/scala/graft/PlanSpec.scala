@@ -81,6 +81,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"q152 must plan no joins:\n$p")
   }
 
+  test("q154 (winnow pairs): one documents scan, bucket pairs without any join") {
+    // the q38 pattern for partial-overlap dedup: candidate pairs come from
+    // per-fingerprint member lists built by ONE aggregation — the plan
+    // must contain a single documents scan and no join operator (a
+    // self-join over the fingerprint subtree would double the ladder)
+    val df = SparkEntry.queries("q154_winnow_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"q154 must scan documents exactly once:\n$p")
+    assert(!p.contains("Join"), s"q154 must plan no joins:\n$p")
+  }
+
   test("q151 (multi-probe IVF): probe join is a broadcast equi-join, corpus never shuffles") {
     // the probe fan-out lives in the small broadcast query table (one row
     // per (query, probed centroid)); the corpus side must stream through a

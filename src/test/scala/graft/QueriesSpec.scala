@@ -66,7 +66,7 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     def h32(x: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
-    val M = 65536L; val K = 8; val W = 4
+    val M = 1048576L; val K = 8; val W = 4
     val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
     val want = docs.map { case (id, text) =>
       val hx = text.trim.split("\\s+").map(h32(_) % M)
