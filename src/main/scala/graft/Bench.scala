@@ -128,7 +128,10 @@ object Bench {
       if (full1.length <= LineBudget) full1
       else {
         val keep = results.sortBy(-_._2).take(110).sortBy(_._1)
-        val rest = results.map(_._2).sum - keep.map(_._2).sum
+        // sum only successful entries (failed queries carry a -1 sentinel
+        // that would understate "other"), mirroring the headline total
+        val rest = results.collect { case (_, v) if v >= 0 => v }.sum -
+          keep.collect { case (_, v) if v >= 0 => v }.sum
         render(1, keep, s""","other":${fmt(math.max(rest, 0), 1)}""")
       }
     }

@@ -220,11 +220,20 @@ object EventQueries {
         import org.apache.spark.sql.types.{DecimalType, StructType}
         val mvSchema = StructType(EventStream.tumblingAgg(Tables.events(s, d))
           .schema.fields.map(_.copy(nullable = false)))
-        val db = DB.init(
-          java.nio.file.Files.createTempDirectory("graft_q150_mv").toString,
-          Seq("mv" -> mvSchema))(s)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_q150_delta").toString
+        // FIXED scratch root per (tmpdir, sf), wiped at entry: repeated
+        // invocations must start from an empty MV (upsert would otherwise
+        // merge into the previous run's rows) and must not accumulate one
+        // temp directory per run
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_q150_${Integer.toHexString(d.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val db = DB.init(root.toString, Seq("mv" -> mvSchema))(s)
+        val tmp = s"$root/deltas"
         (0 until 2).foreach { b =>
           // materialize the delta aggregate to parquet before the merge:
           // it is MV-sized (thousands of rows, not raw-event-sized), and

@@ -181,6 +181,38 @@ object TextQueries {
   private val WIN_W = 4
   private val WIN_M = 1048576L
 
+  /** SQL-expr string: all ordered (i < j) element pairs of array column
+    * `arr`, each rendered by `mk(x, y)` — the per-bucket pair generator
+    * q38 and q154 share (array HOFs, never a self-join).
+    */
+  private def pairExpr(arr: String, mk: (String, String) => String): String =
+    s"flatten(transform($arr, (x, i) -> " +
+      s"transform(slice($arr, i + 2, size($arr)), y -> ${mk("x", "y")})))"
+
+  /** Shared DuckDB scaffold for the winnow oracles (q152, q154): the
+    * tok → hxt → whs → fpcte chain ending in per-doc fingerprint sets.
+    * ONE definition so the two oracles can never drift from each other
+    * or from the Spark-side constants.
+    */
+  private lazy val SQL_WINNOW_CTES: String = {
+    val K = WIN_K; val W = WIN_W; val M = WIN_M
+    val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
+    val terms = (0 until K).map(j =>
+      s"(hx[i+$j] * ${pow(j)}) % $M").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+        hxt AS (SELECT doc_id,
+          list_transform(t, x -> ${SQL_H32("x")} % $M) AS hx
+          FROM tok WHERE len(t) >= ${K + W - 1}),
+        whs AS (SELECT doc_id, len(hx) - ${K - 1} AS nwin,
+          list_transform(range(1, len(hx) - ${K - 1} + 1),
+            i -> ($terms) % $M) AS wh
+          FROM hxt),
+        fpcte AS (SELECT doc_id, nwin, wh,
+          list_distinct(list_transform(range(1, nwin - ${W - 1} + 1),
+            i -> list_aggregate(wh[i:i+${W - 1}], 'min'))) AS fps
+          FROM whs)"""
+  }
+
   /** Per-document winnowing fingerprint sets (q152's body, exposed so the
     * spec can assert the guarantee on the SETS, which the driver query
     * only summarizes): columns doc_id, nwin, wh (all window hashes), fps
@@ -454,26 +486,11 @@ object TextQueries {
             col("nwin").cast("long").as("n_windows"),
             size(col("fps")).cast("long").as("n_fps"),
             array_min(col("wh")).as("min_fp")),
-      { val K = WIN_K; val W = WIN_W; val M = WIN_M
-        val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
-        val terms = (0 until K).map(j =>
-          s"(hx[i+$j] * ${pow(j)}) % $M").mkString(" + ")
-        Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
-                hxt AS (SELECT doc_id,
-                  list_transform(t, x -> ${SQL_H32("x")} % $M) AS hx
-                  FROM tok WHERE len(t) >= ${K + W - 1}),
-                whs AS (SELECT doc_id, hx, len(hx) - ${K - 1} AS nwin,
-                  list_transform(range(1, len(hx) - ${K - 1} + 1),
-                    i -> ($terms) % $M) AS wh
-                  FROM hxt),
-                fp AS (SELECT doc_id, nwin, wh,
-                  list_distinct(list_transform(range(1, nwin - ${W - 1} + 1),
-                    i -> list_aggregate(wh[i:i+${W - 1}], 'min'))) AS fps
-                  FROM whs)
-                SELECT doc_id, CAST(nwin AS BIGINT) AS n_windows,
-                  CAST(len(fps) AS BIGINT) AS n_fps,
-                  CAST(list_aggregate(wh, 'min') AS BIGINT) AS min_fp
-                FROM fp""") }
+      Some(s"""$SQL_WINNOW_CTES
+              SELECT doc_id, CAST(nwin AS BIGINT) AS n_windows,
+                CAST(len(fps) AS BIGINT) AS n_fps,
+                CAST(list_aggregate(wh, 'min') AS BIGINT) AS min_fp
+              FROM fpcte""")
     ),
 
     // ── winnow-fingerprint candidate pairs (partial-overlap near-dup) ─────
@@ -507,36 +524,20 @@ object TextQueries {
           .groupBy("fp")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")).between(2, 64))
-          .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> " +
-              "transform(slice(ids, i + 2, size(ids)), y -> " +
-              "struct(x AS a, y AS b))))")).as("p"))
+          .select(explode(expr(pairExpr("ids", (x, y) =>
+            s"struct($x AS a, $y AS b)"))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2),
-      { val K = WIN_K; val W = WIN_W; val M = WIN_M
-        val pow = Array.iterate(1L, K)(p => p * 31L % M).reverse
-        val terms = (0 until K).map(j =>
-          s"(hx[i+$j] * ${pow(j)}) % $M").mkString(" + ")
-        Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
-                hxt AS (SELECT doc_id,
-                  list_transform(t, x -> ${SQL_H32("x")} % $M) AS hx
-                  FROM tok WHERE len(t) >= ${K + W - 1}),
-                whs AS (SELECT doc_id, len(hx) - ${K - 1} AS nwin,
-                  list_transform(range(1, len(hx) - ${K - 1} + 1),
-                    i -> ($terms) % $M) AS wh
-                  FROM hxt),
-                ex AS (SELECT doc_id, unnest(
-                  list_distinct(list_transform(range(1, nwin - ${W - 1} + 1),
-                    i -> list_aggregate(wh[i:i+${W - 1}], 'min')))) AS fp
-                  FROM whs),
-                ok AS (SELECT fp FROM ex GROUP BY fp
-                       HAVING count(*) BETWEEN 2 AND 64)
-                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
-                FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
-                JOIN ok ON ok.fp = x.fp
-                GROUP BY 1, 2
-                HAVING count(*) >= 2""") }
+      Some(s"""$SQL_WINNOW_CTES,
+              ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpcte),
+              ok AS (SELECT fp FROM ex GROUP BY fp
+                     HAVING count(*) BETWEEN 2 AND 64)
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+              FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              JOIN ok ON ok.fp = x.fp
+              GROUP BY 1, 2
+              HAVING count(*) >= 2""")
     ),
 
     // ── n-gram Jaccard near-dup, bounded all-pairs variant ────────────────
@@ -657,11 +658,15 @@ object TextQueries {
           .groupBy("band", "bh")
           .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
             col("sh").as("sh")))).as("ms"))
-          .filter(size(col("ms")) >= 2)
-          .select(explode(expr(
-            "flatten(transform(ms, (x, i) -> " +
-              "transform(slice(ms, i + 2, size(ms)), y -> " +
-              "struct(x.id AS a, y.id AS b, x.sh AS sha, y.sh AS shb))))"))
+          // upper cap: a band bucket every document falls into (empty-ish
+          // docs, shared boilerplate) is not near-dup signal, and its
+          // member list — which here carries full shingle sets — is the
+          // one unbounded aggregation state in this plan; cap it so a
+          // pathological key can never OOM an executor (mirrored in the
+          // oracle's HAVING)
+          .filter(size(col("ms")).between(2, 1024))
+          .select(explode(expr(pairExpr("ms", (x, y) =>
+            s"struct($x.id AS a, $y.id AS b, $x.sh AS sha, $y.sh AS shb)")))
             .as("p"))
           .withColumn("inter",
             size(array_intersect(col("p.sha"), col("p.shb"))).cast("long"))
@@ -681,9 +686,12 @@ object TextQueries {
                 md5(CAST(mh[4*b+1] AS VARCHAR) || ',' || CAST(mh[4*b+2] AS VARCHAR) || ',' ||
                     CAST(mh[4*b+3] AS VARCHAR) || ',' || CAST(mh[4*b+4] AS VARCHAR)) AS bh
                 FROM sig, unnest([0,1,2,3]) AS u(b)),
+              bsz AS (SELECT b, bh FROM bands GROUP BY b, bh
+                      HAVING count(*) BETWEEN 2 AND 1024),
               cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                 FROM bands x JOIN bands y
-                ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+                ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+                JOIN bsz ON bsz.b = x.b AND bsz.bh = x.bh)
               SELECT * FROM (
                 SELECT a, b,
                   CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)

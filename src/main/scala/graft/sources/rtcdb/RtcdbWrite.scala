@@ -115,6 +115,31 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
       Files.deleteIfExists(dataPath(rootP, table, c))
       Files.deleteIfExists(indexPath(rootP, table, c))
     }
+    // Repair pass: a crash BETWEEN a prior commit's per-column index
+    // renames leaves columns at different commit generations (one column
+    // carries the crashed commit's entries, another doesn't). Appending
+    // onto that state would positionally misalign blocks across columns —
+    // readers zip block k of every column into rows, so counts would stay
+    // consistent while ROWS silently interleaved two commits. Truncate
+    // every index to the common minimum entry count first: that is
+    // exactly the prefix every reader already observed under the
+    // shortest-column rule, and data files are append-only, so dropping
+    // the orphaned tail entries never invalidates a live reference (the
+    // tail's data bytes stay as inert dangling bytes).
+    val entryCounts = schema.fieldNames.map { c =>
+      val p = indexPath(rootP, table, c)
+      if (Files.exists(p)) Files.size(p) / IndexEntryBytes else 0L
+    }
+    val minEntries = if (entryCounts.isEmpty) 0L else entryCounts.min
+    if (entryCounts.exists(_ != minEntries))
+      schema.fieldNames.foreach { c =>
+        val p = indexPath(rootP, table, c)
+        if (Files.exists(p) && Files.size(p) / IndexEntryBytes > minEntries)
+          publishIndex(rootP, p) { tmp =>
+            val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
+            try ch.truncate(minEntries * IndexEntryBytes) finally ch.close()
+          }
+      }
     // Stitch parts in partition order — data first, index published LAST:
     // phase 1 appends every column's data bytes (zero-copy channel
     // transfer) and collects that column's rebased index entries in
@@ -160,23 +185,8 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
         entryBuf.toByteArray
       }
     schema.fieldNames.zipWithIndex.foreach { case (c, ci) =>
-      val idx = indexPath(rootP, table, c)
-      // sweep temps a crashed prior commit left behind (they are inert —
-      // readers only open the canonical index path — but unbounded litter
-      // otherwise)
-      Files.list(rootP).iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s".${idx.getFileName}.commit-"))
-        .foreach(p => Files.deleteIfExists(p))
-      val tmp = idx.resolveSibling(
-        s".${idx.getFileName}.commit-${UUID.randomUUID().toString.take(8)}")
-      if (Files.exists(idx)) Files.copy(idx, tmp) else Files.createFile(tmp)
-      Files.write(tmp, newEntries(ci), StandardOpenOption.APPEND)
-      try Files.move(tmp, idx, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          Files.move(tmp, idx,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      publishIndex(rootP, indexPath(rootP, table, c)) { tmp =>
+        Files.write(tmp, newEntries(ci), StandardOpenOption.APPEND)
       }
     }
     // staged parts consumed — clean up
@@ -185,6 +195,45 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
         parts.foreach(p => Files.deleteIfExists(Paths.get(p.partPath)))
       case _ => ()
     }
+  }
+
+  /** Publish one column's index: sweep stale temps, copy the current
+    * index to a temp sibling, apply `mutate` to the temp, fsync it, and
+    * atomically rename it over the canonical path — then best-effort
+    * fsync the directory so the rename itself survives power loss (the
+    * in-place append this replaced left old index bytes durable by
+    * construction; the rename path must not regress that).
+    */
+  private def publishIndex(rootP: java.nio.file.Path,
+      idx: java.nio.file.Path)(mutate: java.nio.file.Path => Unit): Unit = {
+    // sweep temps a crashed prior commit left behind (they are inert —
+    // readers only open the canonical index path — but unbounded litter
+    // otherwise)
+    val listing = Files.list(rootP)
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s".${idx.getFileName}.commit-"))
+      .foreach(p => Files.deleteIfExists(p))
+    finally listing.close()
+    val tmp = idx.resolveSibling(
+      s".${idx.getFileName}.commit-${UUID.randomUUID().toString.take(8)}")
+    if (Files.exists(idx)) Files.copy(idx, tmp) else Files.createFile(tmp)
+    mutate(tmp)
+    val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    try Files.move(tmp, idx, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, idx,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // POSIX requires a directory fsync to make the rename durable; not
+    // every filesystem supports opening a directory channel, hence
+    // best-effort
+    try {
+      val dch = FileChannel.open(rootP, StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: Exception => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

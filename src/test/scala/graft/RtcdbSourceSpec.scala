@@ -344,6 +344,39 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     assert(readEvents(root).agg(max(col("id"))).collect().head.getLong(0) == 2000L)
   }
 
+  test("commit repairs cross-generation indexes left by a crash between renames") {
+    // crash window: a prior commit renamed column A's index (carrying its
+    // entries) but died before column B's. The columns now sit at
+    // different commit generations; appending onto that state would
+    // positionally misalign blocks across columns (readers zip block k of
+    // every column into rows). The next commit must first truncate every
+    // index to the common minimum — the prefix readers already observed —
+    // then append.
+    val s = spark
+    import s.implicits._
+    val root = freshDb("repair")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 2048L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    // simulate the half-renamed state: 'event' alone gains one extra entry
+    val evIdx = Paths.get(root, "events.event.index")
+    val bytes = Files.readAllBytes(evIdx)
+    Files.write(evIdx, bytes ++ bytes.take(40))
+    Seq(("zz1", 1800000000L, 9001L), ("zz2", 1800000001L, 9002L))
+      .toDF("event", "timestamp", "id")
+      .write.format("rtcdb").option("path", root).option("table", "events")
+      .mode("append").save()
+    val back = readEvents(root)
+    assert(back.count() == 2050)
+    // the appended rows must be intact ACROSS columns (alignment proof)
+    val zz = back.filter(col("id") >= 9001L).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(zz == Set(("zz1", 9001L), ("zz2", 9002L)), s"misaligned: $zz")
+    // and every index is back to a single generation (equal entry counts)
+    val counts = Seq("event", "timestamp", "id").map(c =>
+      Files.size(Paths.get(root, s"events.$c.index")) / 40)
+    assert(counts.distinct.size == 1, s"unequal generations: $counts")
+  }
+
   test("u64 values >= 2^63 anywhere in a sorted leading column abort planning") {
     // the reference format holds uint64; Spark LongType can't represent
     // values >= 2^63 (they decode negative and invert zone-map order).
