@@ -217,6 +217,15 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
     val tmp = idx.resolveSibling(
       s".${idx.getFileName}.commit-${UUID.randomUUID().toString.take(8)}")
     if (Files.exists(idx)) Files.copy(idx, tmp) else Files.createFile(tmp)
+    // chop any torn trailing fragment (crash artifact smaller than one
+    // 40-byte entry) BEFORE mutating: readers already ignore it (they
+    // floor to whole entries), but appending after it would misalign
+    // every subsequent entry boundary
+    val whole = Files.size(tmp) / IndexEntryBytes * IndexEntryBytes
+    if (Files.size(tmp) != whole) {
+      val tch = FileChannel.open(tmp, StandardOpenOption.WRITE)
+      try tch.truncate(whole) finally tch.close()
+    }
     mutate(tmp)
     val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
     try ch.force(true) finally ch.close()

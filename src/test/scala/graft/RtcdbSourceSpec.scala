@@ -322,6 +322,17 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
       1700000000L + 2500L)
     // pushed aggregate path sees the same floor(size/40) block count
     assert(back.agg(count(lit(1))).collect().head.getLong(0) == 2500L)
+    // a commit AFTER the torn fragment must chop it before appending —
+    // otherwise every appended entry's boundary would misalign
+    val s = spark
+    import s.implicits._
+    Seq(("zz", 1800000000L, 9001L)).toDF("event", "timestamp", "id")
+      .write.format("rtcdb").option("path", root).option("table", "events")
+      .mode("append").save()
+    val after = readEvents(root)
+    assert(after.count() == 2501L)
+    assert(after.filter(col("id") === 9001L).collect()
+      .map(_.getString(0)).toSeq == Seq("zz"))
   }
 
   test("crash between data append and index publish leaves a readable OLD view") {
