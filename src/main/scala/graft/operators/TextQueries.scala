@@ -255,7 +255,7 @@ object TextQueries {
       .withColumn("nwin", nWin)
       .withColumn("wh", wh)
       .withColumn("fps", fps)
-      .select(col("doc_id"), col("nwin"), col("wh"), col("fps"))
+      .select(col("doc_id"), col("source"), col("nwin"), col("wh"), col("fps"))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -538,6 +538,55 @@ object TextQueries {
               JOIN ok ON ok.fp = x.fp
               GROUP BY 1, 2
               HAVING count(*) >= 2""")
+    ),
+
+    // ── winnow containment score (decontamination, PaLM/GPT-3 style) ─────
+    QueryDef(
+      "q155_winnow_containment",
+      // Per-document CONTAINMENT against a held-out benchmark source: the
+      // fraction of a candidate's winnow fingerprints present anywhere in
+      // the benchmark. This is the published decontamination heuristic
+      // (flag a training doc when ~70% of its n-gram fingerprints appear
+      // in an eval set) — q89's ANY-shared-shingle test is the recall-
+      // maximal variant; containment GRADES the overlap so borderline
+      // docs aren't thrown away. Two-branch shape like q89: the src0
+      // filter pushes below the fingerprint ladder on each branch (only
+      // benchmark docs ladder in the bench branch), the benchmark's
+      // distinct fingerprint set broadcasts, and n_fps falls out of the
+      // same exploded stream as n_shared (fingerprints are distinct per
+      // doc) — one aggregation, no join back. The 70% test is the exact
+      // integer cross-multiplication 10·shared >= 7·total.
+      (s, d) => {
+        val fp = winnowFingerprints(s, d)
+        val bench = fp.filter(col("source") === "src0")
+          .select(explode_outer(col("fps")).as("fp"))
+          .filter(col("fp").isNotNull)
+          .distinct()
+          .withColumn("hit", lit(1L))
+        fp.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+          .filter(col("fp").isNotNull)
+          .join(broadcast(bench), Seq("fp"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fps"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+          .withColumn("contaminated",
+            when(col("n_shared") * 10 >= col("n_fps") * 7, 1L).otherwise(0L))
+      },
+      Some(s"""$SQL_WINNOW_CTES,
+              f AS (SELECT fpcte.doc_id, d.source, fps
+                    FROM fpcte JOIN documents d ON fpcte.doc_id = d.doc_id),
+              bench AS (SELECT DISTINCT unnest(fps) AS fp FROM f
+                        WHERE source = 'src0'),
+              ex AS (SELECT doc_id, unnest(fps) AS fp FROM f
+                     WHERE source <> 'src0')
+              SELECT doc_id, count(*) AS n_fps,
+                CAST(sum(CASE WHEN fp IN (SELECT fp FROM bench)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                CAST(CASE WHEN sum(CASE WHEN fp IN (SELECT fp FROM bench)
+                              THEN 1 ELSE 0 END) * 10 >= count(*) * 7
+                     THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+              FROM ex GROUP BY doc_id""")
     ),
 
     // ── n-gram Jaccard near-dup, bounded all-pairs variant ────────────────

@@ -58,7 +58,8 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
         ("abcde" (rnd.nextInt(5))).toString * (1 + rnd.nextInt(3))).mkString(" "))
     }
     val dir = java.nio.file.Files.createTempDirectory("winprop").toString
-    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    docs.map { case (id, t) => (id, t, s"src${id % 3}") }
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
     val got = TextQueries.winnowFingerprints(spark, dir)
       .select("doc_id", "fps").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
@@ -109,11 +110,11 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     val run = (1 to 11).map(i => s"shared$i").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("winnow").toString
     Seq(
-      (1L, s"alpha beta gamma delta epsilon zeta $run tail1 tail2"),
-      (2L, s"$run one two three four five six seven eight nine"),
+      (1L, s"alpha beta gamma delta epsilon zeta $run tail1 tail2", "s1"),
+      (2L, s"$run one two three four five six seven eight nine", "s2"),
       (3L, "totally different text with nothing in common at all " +
-        "padding words to pass the minimum token filter easily"))
-      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+        "padding words to pass the minimum token filter easily", "s3"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
     val fps = TextQueries.winnowFingerprints(spark, dir)
       .select("doc_id", "fps").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
