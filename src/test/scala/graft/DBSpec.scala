@@ -141,6 +141,44 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     assert(db.table("events").count() == 2000)
   }
 
+  test("partition-scoped upsert rewrites ONLY the touched partitions") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("partupsert")
+    val db = DB.init(root, Seq("events" -> eventsSchema))
+    val rows = (1L to 2000L).map(i => Row(s"ev${i % 4}", 1700000000L + i, i))
+    db.writePartitioned("events",
+      s.createDataFrame(rows.asJava, eventsSchema), Seq("event"))
+    // snapshot the untouched partitions' exact file lists
+    def files(part: String): Set[String] = {
+      val d = java.nio.file.Paths.get(root, "events", s"event=$part")
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val before = Seq("ev0", "ev1", "ev3").map(p => p -> files(p)).toMap
+    // replace one ev2 row (key = event+id) and add a brand-new ev2 row
+    val batch = s.createDataFrame(Seq(
+      Row("ev2", 999L, 2L),       // id 2 exists in ev2 → replaced
+      Row("ev2", 888L, 9999L)     // new row
+    ).asJava, eventsSchema)
+    db.upsertPartitioned("events", batch, Seq("event"), Seq("event", "id"))
+    val t = db.table("events")
+    assert(t.count() == 2001)
+    assert(t.filter(col("id") === 2L).collect().map(_.getLong(1)).toSeq ==
+      Seq(999L))
+    assert(t.filter(col("id") === 9999L).count() == 1)
+    // untouched partitions: byte-identical file sets (no rewrite at all)
+    Seq("ev0", "ev1", "ev3").foreach { p =>
+      assert(files(p) == before(p), s"partition $p was rewritten")
+    }
+    // keys must contain the partition columns (a key that moved partitions
+    // would leave its old row alive)
+    intercept[IllegalArgumentException] {
+      db.upsertPartitioned("events", batch, Seq("event"), Seq("id"))
+    }
+  }
+
   test("leading-column filter reaches the parquet scan as a pushed filter") {
     implicit val s = spark
     val db = DB.init(freshDir("prune"), Seq("events" -> eventsSchema))
