@@ -270,6 +270,60 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q156_partitioned_mv",
+      // q150's MV maintenance at the 100 TB merge grain: the view is
+      // DIRECTORY-PARTITIONED on event_type and each batch merges through
+      // DB.upsertPartitioned, so only the partitions the delta touches
+      // rewrite — merge cost O(touched partitions), not O(view). The
+      // merged rows are computed ONLY for the delta's keys (old rows of
+      // those keys ⊎ delta, re-aggregated); untouched keys inside touched
+      // partitions survive via upsertPartitioned's anti-join, untouched
+      // partitions stay byte-identical (DBSpec proves that property).
+      // Oracle: the maintained view must equal the one-shot aggregate.
+      (s, d) => {
+        import graft.catalog.DB
+        import org.apache.spark.sql.types.{DecimalType, StructType}
+        val mvSchema = StructType(EventStream.tumblingAgg(Tables.events(s, d))
+          .schema.fields.map(_.copy(nullable = false)))
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_q156_${Integer.toHexString(d.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val db = DB.init(root.toString, Seq("mv" -> mvSchema))(s)
+        val tmp = s"$root/deltas"
+        (0 until 2).foreach { b =>
+          // durable MV-sized delta (see q150's rationale)
+          EventStream.tumblingAgg(
+            Tables.events(s, d).filter(pmod(col("event_id"), lit(2)) === b))
+            .write.mode("overwrite").parquet(s"$tmp/batch-$b")
+          val delta = s.read.parquet(s"$tmp/batch-$b")
+          // fully-merged rows for the DELTA's keys only (the unit a
+          // partition-scoped merge ships); exactness as in q150
+          val merged = db.table("mv")
+            .join(delta.select("window_start", "event_type").distinct(),
+              Seq("window_start", "event_type"), "left_semi")
+            .unionByName(delta)
+            .groupBy("window_start", "event_type")
+            .agg(sum(col("n")).as("n"),
+              sum(col("sum_value").cast(DecimalType(18, 2)))
+                .cast("double").as("sum_value"))
+            .select("window_start", "event_type", "n", "sum_value")
+          db.upsertPartitioned("mv", merged, Seq("event_type"),
+            Seq("window_start", "event_type"))
+        }
+        db.table("mv")
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2""")
+    ),
+
+    QueryDef(
       "q128_range_join_bucketed",
       // equi-key-LESS point-in-interval join: every view (any user) that
       // happened inside any user's 15-minute first-error incident window.
