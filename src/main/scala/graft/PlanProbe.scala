@@ -10,10 +10,14 @@ object PlanProbe {
     val d = "/root/testdata/sf0.1"
     Tables.lineitem(spark, d).groupBy("l_returnflag").count().collect()
     for (name <- args) {
+      // time construction separately: queries that materialize scratch
+      // intermediates (winnow family) run a real job inside fn()
+      val tC = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(s"PROBE $name ${(System.nanoTime()-t0)/1e9}")
+      val t1 = System.nanoTime()
+      println(s"PROBE $name construct=${(t0-tC)/1e9} exec=${(t1-t0)/1e9} total=${(t1-tC)/1e9}")
       df.explain("formatted")
     }
     spark.stop()

@@ -20,6 +20,19 @@ object vec {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }
 
+/** Column-API entry points for the custom aggregates. */
+object agg {
+  /** `collect_list` whose aggregation buffer is HARD-bounded at `cap + 1`
+    * elements — the safe form of the LSH bucket-cap pattern
+    * (implementation + contract: [[org.apache.spark.sql.graftshim.CollectListCapped]]).
+    * Callers MUST drop groups whose result exceeds `cap` elements
+    * (`filter(size(...) <= cap)`), exactly as with the filter-after-
+    * collect_list form this replaces.
+    */
+  def collectListCapped(c: Column, cap: Int): Column =
+    org.apache.spark.sql.graftshim.CollectListCapped.column(c, cap)
+}
+
 /** Session extension (`spark.sql.extensions=graft.functions.GraftExtensions`)
   * registering `vec_dot` for SQL-text users and the range-join rewrite rule
   * ([[graft.plans.RangeJoinRule]], inert until its bucket-width conf is

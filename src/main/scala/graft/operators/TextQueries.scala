@@ -213,13 +213,15 @@ object TextQueries {
           FROM whs)"""
   }
 
-  /** Per-document winnowing fingerprint sets (q152's body, exposed so the
-    * spec can assert the guarantee on the SETS, which the driver query
-    * only summarizes): columns doc_id, nwin, wh (all window hashes), fps
-    * (distinct winnowed fingerprints). See q152's scaladoc for the exact
+  /** The PURE winnowing ladder (no materialization): columns doc_id,
+    * source, nwin, wh (all window hashes), fps (distinct winnowed
+    * fingerprints). Exposed separately so PlanSpec can assert the ladder
+    * itself plans as one documents scan with zero joins; every query-facing
+    * consumer goes through [[winnowFingerprints]], which materializes this
+    * frame to scratch parquet first. See q152's scaladoc for the exact
     * integer-arithmetic contract shared with the oracle.
     */
-  private[graft] def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+  private[graft] def winnowLadder(s: SparkSession, d: String): DataFrame = {
     val K = WIN_K; val W = WIN_W; val M = WIN_M
     // 31^(K-1-j) mod M, j = 0..K-1 — precomputed literals, shared
     // verbatim with the SQL oracle
@@ -256,6 +258,41 @@ object TextQueries {
       .withColumn("wh", wh)
       .withColumn("fps", fps)
       .select(col("doc_id"), col("source"), col("nwin"), col("wh"), col("fps"))
+  }
+
+  /** Per-document winnowing fingerprint sets, MATERIALIZED to scratch
+    * parquet before any consumer reads them (r4 verdict task 1).
+    *
+    * Why materialize: the hx → wh → fps expression ladder is one huge
+    * projection (8 rolling-hash terms per window, HOF lambdas throughout).
+    * Left inline, its generated/interpreted code is large enough that
+    * JIT/code-cache pressure in a full-suite run made its cost
+    * nondeterministic by ~7× (driver r4: q154 8.66 s vs 1.22 s isolated).
+    * Writing the ladder output to scratch parquet evaluates it in exactly
+    * ONE well-isolated stage per query invocation; everything downstream
+    * (explode, bucket aggregation, containment join) reads plain parquet
+    * columns with ordinary small expressions. The write is INSIDE the
+    * query function, so benchmarks time the honest end-to-end cost.
+    *
+    * `keep` prunes the written columns to what the caller reads (wh — one
+    * hash per token window — is by far the widest; only q152 needs it).
+    * The scratch root carries the JVM pid so concurrent sessions on one
+    * machine never race on the directory, and the dataset-path hash so
+    * different inputs never collide; repeated invocations in one process
+    * overwrite one directory instead of accumulating copies (q153/q150
+    * pattern). At 100 TB this is a deliberate O(fingerprints) scratch
+    * write — the price of a deterministic constant factor on the flagship
+    * partial-overlap dedup path, same shape as the q150 delta pattern.
+    */
+  private[graft] def winnowFingerprints(s: SparkSession, d: String,
+      keep: Seq[String] = Seq("doc_id", "source", "nwin", "wh", "fps")): DataFrame = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_winnow_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode))
+    winnowLadder(s, d).select(keep.map(col): _*)
+      .write.mode("overwrite").option("compression", "lz4")
+      .parquet(root.toString)
+    s.read.parquet(root.toString)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -481,7 +518,7 @@ object TextQueries {
       // At 100 TB the downstream join on fingerprint is a hash-shuffle
       // equi-join, same scale shape as q38's band buckets.
       (s, d) =>
-        winnowFingerprints(s, d)
+        winnowFingerprints(s, d, Seq("doc_id", "nwin", "wh", "fps"))
           .select(col("doc_id"),
             col("nwin").cast("long").as("n_windows"),
             size(col("fps")).cast("long").as("n_fps"),
@@ -501,28 +538,24 @@ object TextQueries {
       // finds globally similar documents; a shared winnow fingerprint
       // pins a shared local token run, e.g. a quoted passage or common
       // boilerplate, even in globally different documents). Shape is
-      // q38's bucket pattern: explode fingerprints, ONE hash aggregation
-      // into per-fingerprint member lists, ordered pairs via array HOFs
-      // inside each bucket, then one (a, b) count aggregation — never a
-      // self-join over the fingerprint subtree, never cartesian. Guards:
-      // buckets above 64 members are dropped (a fingerprint shared by
-      // everything is boilerplate, not signal — and quadratic in pair
-      // count), and pairs must share >= 2 fingerprints (one shared value
-      // in the 2^20 space can be a collision; two is overlap evidence).
+      // q38's bucket pattern: explode the MATERIALIZED fingerprints
+      // (scratch parquet — see winnowFingerprints for why), ONE hash
+      // aggregation into per-fingerprint member lists, ordered pairs via
+      // array HOFs inside each bucket, then one (a, b) count aggregation —
+      // never a self-join over the fingerprint subtree, never cartesian.
+      // Guards: buckets above 64 members are dropped (a fingerprint shared
+      // by everything is boilerplate, not signal — and quadratic in pair
+      // count) with the member list HARD-bounded at 65 entries inside the
+      // aggregation buffer (agg.collectListCapped — a hot key accumulates
+      // O(cap), not O(bucket), before the size filter sees it), and pairs
+      // must share >= 2 fingerprints (one shared value in the 2^20 space
+      // can be a collision; two is overlap evidence).
       (s, d) =>
-        winnowFingerprints(s, d)
-          // explode_outer, NOT explode: plain explode plants an implicit
-          // `size(fps) > 0` predicate that pushdown rewrites through the
-          // projection chain with full alias substitution — duplicating
-          // the whole fingerprint ladder (8 hx copies inside wh) into a
-          // filter evaluated below the repartition, serial and interpreted
-          // (measured: turns a 2s stage into minutes). explode_outer adds
-          // no predicate; the null rows filter on the generator OUTPUT,
-          // which nothing can push below the Generate.
-          .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
-          .filter(col("fp").isNotNull)
+        winnowFingerprints(s, d, Seq("doc_id", "fps"))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
           .groupBy("fp")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .agg(sort_array(
+            graft.functions.agg.collectListCapped(col("doc_id"), 64)).as("ids"))
           .filter(size(col("ids")).between(2, 64))
           .select(explode(expr(pairExpr("ids", (x, y) =>
             s"struct($x AS a, $y AS b)"))).as("p"))
@@ -549,15 +582,16 @@ object TextQueries {
       // (flag a training doc when ~70% of its n-gram fingerprints appear
       // in an eval set) — q89's ANY-shared-shingle test is the recall-
       // maximal variant; containment GRADES the overlap so borderline
-      // docs aren't thrown away. Two-branch shape like q89: the src0
-      // filter pushes below the fingerprint ladder on each branch (only
-      // benchmark docs ladder in the bench branch), the benchmark's
-      // distinct fingerprint set broadcasts, and n_fps falls out of the
-      // same exploded stream as n_shared (fingerprints are distinct per
-      // doc) — one aggregation, no join back. The 70% test is the exact
-      // integer cross-multiplication 10·shared >= 7·total.
+      // docs aren't thrown away. Two-branch shape like q89 over ONE
+      // materialized fingerprint table (scratch parquet, written once per
+      // invocation — see winnowFingerprints): the src0 filter pushes into
+      // each branch's parquet scan, the benchmark's distinct fingerprint
+      // set broadcasts, and n_fps falls out of the same exploded stream as
+      // n_shared (fingerprints are distinct per doc) — one aggregation, no
+      // join back. The 70% test is the exact integer cross-multiplication
+      // 10·shared >= 7·total.
       (s, d) => {
-        val fp = winnowFingerprints(s, d)
+        val fp = winnowFingerprints(s, d, Seq("doc_id", "source", "fps"))
         val bench = fp.filter(col("source") === "src0")
           .select(explode_outer(col("fps")).as("fp"))
           .filter(col("fp").isNotNull)
@@ -705,14 +739,16 @@ object TextQueries {
         // the struct orders by the leading id field, so a < b holds)
         banded
           .groupBy("band", "bh")
-          .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
-            col("sh").as("sh")))).as("ms"))
           // upper cap: a band bucket every document falls into (empty-ish
           // docs, shared boilerplate) is not near-dup signal, and its
           // member list — which here carries full shingle sets — is the
-          // one unbounded aggregation state in this plan; cap it so a
-          // pathological key can never OOM an executor (mirrored in the
-          // oracle's HAVING)
+          // one potentially-unbounded aggregation state in this plan.
+          // agg.collectListCapped bounds it INSIDE the aggregation buffer
+          // (at most 1025 members accumulate, so a pathological key every
+          // document shares can never OOM an executor); the size filter
+          // then drops over-cap buckets, mirrored in the oracle's HAVING
+          .agg(sort_array(graft.functions.agg.collectListCapped(
+            struct(col("doc_id").as("id"), col("sh").as("sh")), 1024)).as("ms"))
           .filter(size(col("ms")).between(2, 1024))
           .select(explode(expr(pairExpr("ms", (x, y) =>
             s"struct($x.id AS a, $y.id AS b, $x.sh AS sha, $y.sh AS shb)")))

@@ -62,6 +62,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("documents\\.parquet".r.findAllIn(p).size == 1,
       s"q38 must scan documents exactly once:\n$p")
     assert(!p.contains("Join"), s"q38 must plan no joins:\n$p")
+    // the bucket member list must be the HARD-bounded aggregate, not a
+    // plain collect_list whose buffer materializes a hot key unbounded
+    // before the size filter (r4 verdict task 2)
+    assert(p.contains("collect_list_capped"),
+      s"q38 bucket lists must use the capped collect:\n$p")
   }
 
   test("q89 (decontamination): the benchmark shingle set builds a broadcast semi join") {
@@ -72,26 +77,44 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"q89 semi join must be broadcast:\n$p")
   }
 
-  test("q152 (winnowing): one documents scan, no joins — pure per-row pipeline") {
+  test("winnow ladder: one documents scan, no joins — pure per-row pipeline") {
+    // the hx → wh → fps expression ladder all winnow queries share
+    // (materialized to scratch parquet by winnowFingerprints before any
+    // consumer reads it — this asserts the MATERIALIZATION stage's shape)
+    val df = operators.TextQueries.winnowLadder(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"winnow ladder must scan documents exactly once:\n$p")
+    assert(!p.contains("Join"), s"winnow ladder must plan no joins:\n$p")
+  }
+
+  test("q152 (winnowing): reads the materialized fingerprints once, no joins") {
     val df = SparkEntry.queries("q152_winnow_fingerprint")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert("documents\\.parquet".r.findAllIn(p).size == 1,
-      s"q152 must scan documents exactly once:\n$p")
+    assert("graft_winnow".r.findAllIn(p).size >= 1 &&
+      "Scan parquet".r.findAllIn(p).size == 1,
+      s"q152 must read the winnow scratch exactly once:\n$p")
     assert(!p.contains("Join"), s"q152 must plan no joins:\n$p")
   }
 
-  test("q154 (winnow pairs): one documents scan, bucket pairs without any join") {
+  test("q154 (winnow pairs): one scratch scan, bucket pairs without any join") {
     // the q38 pattern for partial-overlap dedup: candidate pairs come from
-    // per-fingerprint member lists built by ONE aggregation — the plan
-    // must contain a single documents scan and no join operator (a
-    // self-join over the fingerprint subtree would double the ladder)
+    // per-fingerprint member lists built by ONE aggregation over the
+    // materialized fingerprint table — the plan must contain a single
+    // parquet scan (the scratch), no join operator (a self-join over the
+    // fingerprint subtree would double the work), and the HARD-bounded
+    // bucket aggregate (r4 verdict task 2)
     val df = SparkEntry.queries("q154_winnow_pairs")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert("documents\\.parquet".r.findAllIn(p).size == 1,
-      s"q154 must scan documents exactly once:\n$p")
+    assert("graft_winnow".r.findAllIn(p).size >= 1 &&
+      "Scan parquet".r.findAllIn(p).size == 1,
+      s"q154 must read the winnow scratch exactly once:\n$p")
     assert(!p.contains("Join"), s"q154 must plan no joins:\n$p")
+    assert(p.contains("collect_list_capped"),
+      s"q154 bucket lists must use the capped collect:\n$p")
   }
 
   test("q151 (multi-probe IVF): probe join is a broadcast equi-join, corpus never shuffles") {
