@@ -198,6 +198,26 @@ final class DB private (val root: Path, val spark: SparkSession) {
     * would delete), then written back under dynamic partition overwrite,
     * which replaces exactly the partitions present in the staged data and
     * leaves every other directory byte-identical (asserted in DBSpec).
+    *
+    * The read side is O(touched partitions) STATICALLY: the touched
+    * partition tuples (tiny — one row per partition) are collected to the
+    * driver and pushed as a literal partition filter on the table scan, so
+    * directory pruning never depends on runtime DPP deciding to fire
+    * against the semi join (asserted in DBSpec: the merge scan's
+    * PartitionFilters name the touched values).
+    *
+    * Durability contract — WEAKER than [[upsert]]: [[upsert]] swaps one
+    * directory atomically, so readers see old-or-new, never a mix. Dynamic
+    * partition overwrite commits each touched partition's directory
+    * independently; a crash mid-commit can leave a MIX OF GENERATIONS
+    * across the touched partitions (some merged, some old — a deleted key
+    * may survive in one partition while its replacement landed in
+    * another). Untouched partitions are never at risk. Recovery is to
+    * re-run the same upsert: the merge is idempotent (same-key rows
+    * replace). A production deployment that needs old-or-new across
+    * partitions layers a manifest/commit protocol (Iceberg/Delta-style
+    * snapshot pointer) on top; single-directory-swap semantics per
+    * partition is what plain parquet layout can promise.
     */
   def upsertPartitioned(name: String, df: DataFrame,
       partitionCols: Seq[String], keys: Seq[String]): Unit = {
@@ -214,37 +234,55 @@ final class DB private (val root: Path, val spark: SparkSession) {
     if (!df.filter(anyNull).isEmpty)
       throw new IllegalArgumentException("Mismatched data type")
     val guarded = nullGuarded(df, schema)
-    // the partitions this batch touches (small: one row per partition)
-    val touched = guarded.select(partitionCols.map(col): _*).distinct()
-    import org.apache.spark.sql.functions.broadcast
-    val current = table(name)
-      .join(broadcast(touched), partitionCols, "left_semi")
-    val kept = current
-      .join(guarded.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val merged = kept.unionByName(guarded)
+    val merged = upsertMergeInput(name, guarded, partitionCols, keys)
+      .getOrElse(return) // empty batch: nothing to merge, nothing to touch
     // stage: the merge READS the files dynamic overwrite will delete
     val tmp = root.resolve(s"$name.__upsert")
-    if (Files.exists(tmp))
+    def wipeTmp(): Unit = if (Files.exists(tmp))
       Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    merged.write.option("compression", "lz4").parquet(tmp.toString)
-    val staged = spark.read.schema(
-      StructType(schema.fields.map(_.copy(nullable = true))))
-      .parquet(tmp.toString)
-    val sortCols = (partitionCols ++
-      schema.fieldNames.filterNot(partitionCols.contains)).map(col)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try staged
-      .repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions(sortCols: _*)
-      .write.mode("overwrite").option("compression", "lz4")
-      .partitionBy(partitionCols: _*)
-      .parquet(tableDir(name).toString)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    wipeTmp()
+    try {
+      merged.write.option("compression", "lz4").parquet(tmp.toString)
+      val staged = spark.read.schema(
+        StructType(schema.fields.map(_.copy(nullable = true))))
+        .parquet(tmp.toString)
+      val sortCols = (partitionCols ++
+        schema.fieldNames.filterNot(partitionCols.contains)).map(col)
+      staged
+        .repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite").option("compression", "lz4")
+        // writer-scoped: a session-conf mutation here would race with any
+        // concurrent writer on the same SparkSession, silently giving it
+        // dynamic-overwrite semantics for the duration
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(tableDir(name).toString)
+    } finally wipeTmp() // staging residue must not outlive a failed merge
+  }
+
+  /** The partition-pruned merge input for [[upsertPartitioned]]: current
+    * rows of the TOUCHED partitions only, minus same-key rows, plus the
+    * batch. Exposed for DBSpec's pruning assertion. Returns None for an
+    * empty batch. The touched tuples are collected (one small driver round
+    * trip, one row per touched partition) and pushed as a literal filter:
+    * static partition pruning the planner can never decline, where the
+    * broadcast-semi-join form only prunes if runtime DPP fires.
+    */
+  private[graft] def upsertMergeInput(name: String, batch: DataFrame,
+      partitionCols: Seq[String], keys: Seq[String]): Option[DataFrame] = {
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) None
+    else {
+      val prune = touched.map(r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduce(_ || _)
+      val kept = table(name).filter(prune)
+        .join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      Some(kept.unionByName(batch))
     }
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
   /** Z-ordered (Morton-curve) ingest: rows sort by the bit-interleave of

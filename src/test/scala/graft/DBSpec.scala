@@ -179,6 +179,35 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("partition-scoped upsert READS only the touched partitions (static pruning)") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    val db = DB.init(freshDir("partprune"), Seq("events" -> eventsSchema))
+    val rows = (1L to 2000L).map(i => Row(s"ev${i % 4}", 1700000000L + i, i))
+    db.writePartitioned("events",
+      s.createDataFrame(rows.asJava, eventsSchema), Seq("event"))
+    val batch = s.createDataFrame(
+      Seq(Row("ev2", 999L, 2L)).asJava, eventsSchema)
+    // the merge input's scan must carry a LITERAL partition filter naming
+    // the touched value — O(touched partitions) by plan shape, not by
+    // hoping runtime DPP fires against the semi-join alternative
+    val merged = db.upsertMergeInput("events", batch,
+      Seq("event"), Seq("event", "id")).get
+    val p = merged.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.exists(f => f.contains("ev2")),
+      s"merge scan must statically prune to the touched partition:\n$p")
+    assert(!p.contains("dynamicpruning"),
+      s"pruning must not depend on runtime DPP:\n$p")
+    // and the pruned merge reads exactly the touched partition's rows:
+    // 500 current ev2 rows - 1 replaced + 1 batch row
+    assert(merged.count() == 500L)
+    // empty batch: nothing to merge
+    assert(db.upsertMergeInput("events",
+      s.createDataFrame(Seq.empty[Row].asJava, eventsSchema),
+      Seq("event"), Seq("event", "id")).isEmpty)
+  }
+
   test("leading-column filter reaches the parquet scan as a pushed filter") {
     implicit val s = spark
     val db = DB.init(freshDir("prune"), Seq("events" -> eventsSchema))
