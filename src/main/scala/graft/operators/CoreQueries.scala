@@ -212,13 +212,13 @@ object CoreQueries {
           .select("o_orderkey", "o_custkey", "o_totalprice")
         val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
         implicit val sp: SparkSession = s
-        // FIXED scratch root per (tmpdir, sf): repeated invocations
+        // FIXED scratch root per (tmpdir, pid, sf): repeated invocations
         // (bench min-of-N, repeated test runs) overwrite one directory
         // instead of accumulating sf-sized temp copies per run; the
         // catalog name derives from the root, so the session catalog
-        // holds one entry per table too (writeBucketed drops/recreates)
-        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_q153_${Integer.toHexString(d.hashCode)}")
+        // holds one entry per table too (writeBucketed drops/recreates),
+        // and the pid keeps concurrent sessions off each other's layouts
+        val root = Shared.scratchRoot("q153", d)
         java.nio.file.Files.createDirectories(root)
         val db = DB.init(root.toString,
           Seq("orders" -> o.schema, "customer" -> c.schema))

@@ -220,12 +220,12 @@ object EventQueries {
         import org.apache.spark.sql.types.{DecimalType, StructType}
         val mvSchema = StructType(EventStream.tumblingAgg(Tables.events(s, d))
           .schema.fields.map(_.copy(nullable = false)))
-        // FIXED scratch root per (tmpdir, sf), wiped at entry: repeated
-        // invocations must start from an empty MV (upsert would otherwise
-        // merge into the previous run's rows) and must not accumulate one
-        // temp directory per run
-        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_q150_${Integer.toHexString(d.hashCode)}")
+        // FIXED scratch root per (tmpdir, pid, sf), wiped at entry:
+        // repeated invocations must start from an empty MV (upsert would
+        // otherwise merge into the previous run's rows) and must not
+        // accumulate one temp directory per run; the pid keeps concurrent
+        // sessions off each other's MV state
+        val root = Shared.scratchRoot("q150", d)
         if (java.nio.file.Files.exists(root)) {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(root).iterator().asScala.toSeq
@@ -285,8 +285,7 @@ object EventQueries {
         import org.apache.spark.sql.types.{DecimalType, StructType}
         val mvSchema = StructType(EventStream.tumblingAgg(Tables.events(s, d))
           .schema.fields.map(_.copy(nullable = false)))
-        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_q156_${Integer.toHexString(d.hashCode)}")
+        val root = Shared.scratchRoot("q156", d)
         if (java.nio.file.Files.exists(root)) {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(root).iterator().asScala.toSeq

@@ -35,6 +35,19 @@ private[operators] object Shared {
   // ── text tokenization + the shared 32-bit hash family ──────────────────
   /** whitespace tokens of the trimmed text */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Fixed scratch root for queries that materialize layouts/intermediates:
+    * one directory per (tag, JVM, dataset dir), so repeated invocations in
+    * a process overwrite one directory instead of accumulating copies,
+    * while concurrent sessions on the same machine (different pids) and
+    * different datasets (path hash — pid scoping also confines any Int
+    * hashCode collision between data dirs to a single process) never race
+    * on the same path.
+    */
+  def scratchRoot(tag: String, d: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode))
   val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** 32-bit base hash of a string: first 8 md5 hex chars as a Long — the

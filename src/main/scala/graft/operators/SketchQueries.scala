@@ -120,10 +120,8 @@ object SketchQueries {
           StructField("o_orderkey", LongType, nullable = false),
           StructField("o_custkey", LongType, nullable = false),
           StructField("o_orderpriority", StringType, nullable = false)))
-        // session-scoped store, keyed by the sf dir so scales don't collide
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-rtcdb-rt",
-          java.lang.Integer.toHexString(d.hashCode))
+        // process-scoped store, keyed by the sf dir so scales don't collide
+        val dir = Shared.scratchRoot("rtcdb-rt", d)
         java.nio.file.Files.createDirectories(dir)
         RtcdbFormat.writeMetadata(dir, Seq("orders" -> schema))
         Tables.orders(s, d)
@@ -164,9 +162,7 @@ object SketchQueries {
           StructField("okey", LongType, nullable = false),
           StructField("pkey", LongType, nullable = false),
           StructField("qty_c", LongType, nullable = false)))
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-zorder-rt",
-          java.lang.Integer.toHexString(d.hashCode)).toString
+        val dir = Shared.scratchRoot("zorder-rt", d).toString
         implicit val spark = s
         val db = DB.init(dir, Seq("zli" -> schema))
         // overwrite-by-recreate: delete any prior run's table dir

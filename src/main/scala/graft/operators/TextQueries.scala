@@ -286,9 +286,7 @@ object TextQueries {
     */
   private[graft] def winnowFingerprints(s: SparkSession, d: String,
       keep: Seq[String] = Seq("doc_id", "source", "nwin", "wh", "fps")): DataFrame = {
-    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_winnow_${ProcessHandle.current().pid()}_" +
-        Integer.toHexString(d.hashCode))
+    val root = Shared.scratchRoot("winnow", d)
     winnowLadder(s, d).select(keep.map(col): _*)
       .write.mode("overwrite").option("compression", "lz4")
       .parquet(root.toString)

@@ -215,13 +215,15 @@ class RtcdbAggScan(root: String, table: String, declared: StructType,
     // scan length = shortest column across the WHOLE table (the reference's
     // loop-termination rule, src/storage.rs:313-322) — from index-file
     // SIZES only. The row scan enforces the same rule, so a pushed
-    // COUNT/MIN/MAX can never disagree with the row path. A table
-    // directory with NO index files at all is an empty table: zero
-    // partitions, and the final aggregate correctly yields 0/NULL.
-    val nBlocks = declared.fieldNames.flatMap { c =>
+    // COUNT/MIN/MAX can never disagree with the row path. A MISSING index
+    // file counts as 0 entries — the same rule the commit repair pass
+    // applies (RtcdbWrite) — so the crash window between a first commit's
+    // per-column index publishes reads as the consistent empty/old view
+    // instead of throwing on the unpublished column. A directory with no
+    // index files at all is likewise an empty table.
+    val nBlocks = declared.fieldNames.map { c =>
       val p = indexPath(Paths.get(root), table, c)
-      if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
-      else None
+      if (Files.exists(p)) (Files.size(p) / IndexEntryBytes).toInt else 0
     }.minOption.getOrElse(0)
     if (nBlocks == 0) return Array.empty
     val involved = specs.map {
@@ -564,12 +566,15 @@ class RtcdbScan(root: String, table: String, declared: StructType,
     // the reference stops at the shortest column *being read*,
     // src/storage.rs:313-322, which makes row counts depend on the
     // projection for inconsistent tables — a §1.4-class defect we don't
-    // replicate). No index entry is read driver-side except the O(log n)
-    // binary-search probes below.
-    val nBlocks = declared.fieldNames.flatMap { c =>
+    // replicate). A MISSING index file counts as 0 entries, matching the
+    // commit repair pass (RtcdbWrite): a crash between a first commit's
+    // per-column index publishes must read as the consistent empty/old
+    // view, not a FileNotFoundException on the unpublished column. No
+    // index entry is read driver-side except the O(log n) binary-search
+    // probes below.
+    val nBlocks = declared.fieldNames.map { c =>
       val p = indexPath(Paths.get(root), table, c)
-      if (Files.exists(p)) Some((Files.size(p) / IndexEntryBytes).toInt)
-      else None
+      if (Files.exists(p)) (Files.size(p) / IndexEntryBytes).toInt else 0
     }.minOption.getOrElse(0)
     if (nBlocks == 0) return Array.empty
 

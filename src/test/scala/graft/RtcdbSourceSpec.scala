@@ -71,14 +71,16 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     assert(readEvents(root).count() == 2)
   }
 
-  test("column pruning: only requested columns' files are opened") {
+  test("column pruning: only requested columns' data files are opened") {
     val root = freshDb("prune_cols")
     RtcdbFormat.write(root, "events", eventsSchema,
       (1L to 100L).map(i => Row(s"e$i", i, i)))
-    // delete the 'event' column files — a projected read that prunes the
-    // column must succeed; one that needs it must fail
+    // delete the 'event' column's DATA file only (its index stays, so the
+    // shortest-column scan length is unaffected — a missing INDEX means an
+    // unfinished commit and reads as the empty view, covered below): a
+    // projected read that prunes the column must succeed because it never
+    // opens the data file; one that needs the column must fail
     Files.delete(Paths.get(root, "events.event.data"))
-    Files.delete(Paths.get(root, "events.event.index"))
     // force actual reads of the surviving columns (count() would prune to
     // zero columns and fall back to the first declared column)
     val projected = readEvents(root).select("timestamp", "id").collect()
@@ -353,6 +355,30 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     assert(readEvents(root).count() == before)
     assert(readEvents(root).agg(count(lit(1))).collect().head.getLong(0) == before)
     assert(readEvents(root).agg(max(col("id"))).collect().head.getLong(0) == 2000L)
+  }
+
+  test("a missing per-column index reads as the consistent empty view") {
+    // first-commit crash window: the commit published some columns'
+    // index files but died before the rest. The repair pass counts a
+    // missing index as 0 entries (truncate-to-min), so the READ path must
+    // apply the same rule — shortest column = 0 blocks = empty table —
+    // instead of throwing FileNotFoundException on the unpublished column
+    val root = freshDb("missingidx")
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (1L to 100L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    Files.delete(Paths.get(root, "events.timestamp.index"))
+    assert(readEvents(root).count() == 0)
+    // pushed-aggregate (index-only) path applies the identical rule
+    assert(readEvents(root).agg(count(lit(1)))
+      .collect().head.getLong(0) == 0L)
+    // the next commit repairs: everything becomes readable again
+    val s = spark
+    import s.implicits._
+    Seq(("r1", 1800000000L, 9001L))
+      .toDF("event", "timestamp", "id")
+      .write.format("rtcdb").option("path", root).option("table", "events")
+      .mode("append").save()
+    assert(readEvents(root).count() == 1)
   }
 
   test("commit repairs cross-generation indexes left by a crash between renames") {
