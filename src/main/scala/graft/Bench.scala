@@ -69,28 +69,39 @@ object Bench {
       }
       // drain cross-query garbage before timing (see scaladoc)
       System.gc()
-      val (a, b) = (once(), once())
-      val best0 = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val two = Seq(once(), once())
       // slow tail: one more attempt to separate intrinsic cost from hiccups
-      val best = if (best0 > 1.5) { val c = once(); if (c < 0) best0 else math.min(best0, c) } else best0
-      name -> best
+      val runs = if (two.forall(_ >= 0) && two.min > 1.5) two :+ once() else two
+      // report the full run spread, not just the min: a driver-vs-self
+      // ratio can't distinguish machine noise from a real regression
+      // without knowing how much the query's own repeats varied (r4
+      // verdict task 5 — q59/q60/q62 doubled driver-side with no code
+      // change, and the bench gave no variance evidence either way)
+      val best = if (runs.exists(_ < 0)) -1.0 else runs.min
+      name -> (best, runs)
     }
+    val bests = results.map { case (k, (best, _)) => k -> best }
     // failed queries (-1 sentinel) must invalidate the suite, not shrink the
     // total: exclude them from the sum, list them, and exit nonzero
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = bests.collect { case (k, v) if v < 0 => k }
+    val total = bests.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double, dec: Int): String = if (v < 0) "-1" else s"%.${dec}f".format(v)
-    // full-precision, full-name record for the judge (repo root)
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+    // full-precision, full-name record for the judge (repo root): reported
+    // best per query PLUS the min/max spread of its repeats, so noise and
+    // regression are distinguishable after the fact
+    val fullQs = bests.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
+    val spreadQs = results.map { case (k, (_, runs)) =>
+      "\"" + k + "\":[" + fmt(runs.min, 4) + "," + fmt(runs.max, 4) + "]"
+    }.mkString("{", ",", "}")
     val totalStr = fmt(total, 2)
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$fullQs,"spread":$spreadQs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
-    println(stdoutLine(results, failed, sfDir))
+    println(stdoutLine(bests, failed, sfDir))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
