@@ -36,6 +36,77 @@ private[operators] object Shared {
   /** whitespace tokens of the trimmed text */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** ensure a RELIABLE checkpoint dir is set (deployment: durable HDFS/S3
+    * path; single-node runs default to the local tmpdir), then run body
+    */
+  def withCheckpointDir[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        sys.props("java.io.tmpdir") + "/graft-checkpoints")
+    body
+  }
+
+  /** Distributed connected components via min-label propagation to a
+    * fixpoint (the step after pair generation in any dedup pipeline —
+    * q73's loop, extracted so every candidate-pair source can reuse it):
+    * each round ships every node's current label to its neighbors and
+    * keeps the minimum — O(diameter) rounds, each one shuffle join + one
+    * shuffle aggregation, with RELIABLE checkpoints truncating the growing
+    * lineage (localCheckpoint would pin loop state to executor storage and
+    * sever lineage — one lost executor over a many-round job at 100 TB
+    * fails the whole query; reliable checkpoint survives it, costing one
+    * small write per round of label-table size, not fact size). At extreme
+    * scale the round count drops to O(log n) with the large-star/small-star
+    * transform; near-dup graph diameters are tiny in practice.
+    *
+    * Input: `nodes` with column id, `edges` with columns (a, b), treated
+    * as undirected. Output: (id, comp), comp = the component's min id.
+    */
+  def minLabelComponents(s: org.apache.spark.sql.SparkSession,
+      nodes: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withCheckpointDir(s) {
+      // checkpoint: edges are scanned every round — compute them once
+      val e = edges.select("a", "b").checkpoint()
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      var labels = nodes.select(col("id"), col("id").as("comp")).checkpoint()
+      // labels only ever decrease, so Σcomp strictly decreases until the
+      // fixpoint — a single scalar aggregate per round detects convergence
+      // without a compare join (null sum = empty node set = converged)
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        Option(df.agg(sum("comp")).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      var prevSum = labelSum(labels)
+      var iter = 0
+      // ONE propagation hop per materialized round (measured: a second
+      // hop before each checkpoint doubles the joins per round, and at
+      // near-dup graph diameters — tiny in practice — the extra join
+      // costs more than the saved per-round job overhead; r3 bench
+      // regressed 2.14→2.82 s with double-hop)
+      def hop(l: org.apache.spark.sql.DataFrame) = {
+        val prop = sym.join(l, sym("a") === l("id"))
+          .select(col("b").as("id"), col("comp"))
+        l.union(prop).groupBy("id").agg(min("comp").as("comp"))
+      }
+      var converged = false
+      while (!converged && iter < 25) {
+        // LAZY checkpoint: the convergence probe right below is the
+        // action that materializes it — one job per round, not two
+        val next = hop(labels).checkpoint(eager = false)
+        val nextSum = labelSum(next)
+        labels = next
+        iter += 1
+        converged = nextSum == prevSum
+        prevSum = nextSum
+      }
+      // a wrong answer must never be silent: 25 rounds covers any
+      // component of diameter ≤ 25; beyond that, fail loudly rather than
+      // emit partial components
+      if (!converged) throw new IllegalStateException(
+        s"minLabelComponents: label propagation did not converge in $iter rounds")
+      labels
+    }
+
   /** Fixed scratch root for queries that materialize layouts/intermediates:
     * one directory per (tag, JVM, dataset dir), so repeated invocations in
     * a process overwrite one directory instead of accumulating copies,

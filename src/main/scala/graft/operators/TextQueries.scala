@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.DecimalType
 object TextQueries {
 
   // tokenization + the 32-bit md5-prefix hash family live in [[Shared]]
-  import Shared.{tokens, SQL_TOKENS, h32, SQL_H32}
+  import Shared.{tokens, SQL_TOKENS, h32, SQL_H32,
+    minLabelComponents, withCheckpointDir}
 
   /** word 3-shingles in document order (duplicates preserved); empty array
     * for docs shorter than 3 tokens. Built from the PASSED column via
@@ -293,6 +294,38 @@ object TextQueries {
     s.read.parquet(root.toString)
   }
 
+  /** q154's body — winnow-fingerprint candidate pairs (a, b, n_shared) —
+    * exposed so q158 can close them into clusters. See q154's scaladoc
+    * for the bucket-cap and >= 2-shared-fingerprints contracts.
+    */
+  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(s, d, Seq("doc_id", "fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(
+        graft.functions.agg.collectListCapped(col("doc_id"), 64)).as("ids"))
+      .filter(size(col("ids")).between(2, 64))
+      .select(explode(expr(pairExpr("ids", (x, y) =>
+        s"struct($x AS a, $y AS b)"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+
+  /** [[SQL_WINNOW_CTES]] extended through the q154 pair pipeline (ex → ok
+    * → wpairs), shared by the q154 and q158 oracles so the pair semantics
+    * can never drift between the pair query and its closure.
+    */
+  private lazy val SQL_WINNOW_PAIR_CTES: String =
+    s"""$SQL_WINNOW_CTES,
+        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpcte),
+        ok AS (SELECT fp FROM ex GROUP BY fp
+               HAVING count(*) BETWEEN 2 AND 64),
+        wpairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+          FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
+          JOIN ok ON ok.fp = x.fp
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ── exact deduplication (hash-groupBy; SURVEY.md §2.4) ────────────────
@@ -548,27 +581,39 @@ object TextQueries {
       // O(cap), not O(bucket), before the size filter sees it), and pairs
       // must share >= 2 fingerprints (one shared value in the 2^20 space
       // can be a collision; two is overlap evidence).
-      (s, d) =>
-        winnowFingerprints(s, d, Seq("doc_id", "fps"))
-          .select(col("doc_id"), explode(col("fps")).as("fp"))
-          .groupBy("fp")
-          .agg(sort_array(
-            graft.functions.agg.collectListCapped(col("doc_id"), 64)).as("ids"))
-          .filter(size(col("ids")).between(2, 64))
-          .select(explode(expr(pairExpr("ids", (x, y) =>
-            s"struct($x AS a, $y AS b)"))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 2),
-      Some(s"""$SQL_WINNOW_CTES,
-              ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpcte),
-              ok AS (SELECT fp FROM ex GROUP BY fp
-                     HAVING count(*) BETWEEN 2 AND 64)
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
-              FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
-              JOIN ok ON ok.fp = x.fp
-              GROUP BY 1, 2
-              HAVING count(*) >= 2""")
+      (s, d) => winnowPairs(s, d),
+      Some(s"$SQL_WINNOW_PAIR_CTES SELECT a, b, n_shared FROM wpairs")
+    ),
+
+    // ── winnow-pair clusters (partial-overlap dedup, closed) ─────────────
+    QueryDef(
+      "q158_winnow_clusters",
+      // The full partial-overlap dedup pipeline, end to end: q154's
+      // candidate pairs transitively closed into clusters with the SAME
+      // distributed min-label fixpoint q38's output feeds (q73) — the
+      // winnow analogue of the MinHash dedup path. Cluster id = min doc_id
+      // (the converged label, which is also the canonical-representative
+      // election). Pair graph is tiny relative to the corpus (only docs
+      // sharing >= 2 winnow fingerprints), so the fixpoint rounds run on
+      // checkpointed label tables orders of magnitude smaller than the
+      // documents scan that produced them.
+      (s, d) => {
+        val pairs = winnowPairs(s, d)
+        val edges = pairs.select("a", "b")
+        val nodes = edges.select(col("a").as("id"))
+          .union(edges.select(col("b").as("id"))).distinct()
+        minLabelComponents(s, nodes, edges)
+          .groupBy("comp").agg(count(lit(1)).as("n_members"))
+      },
+      Some("WITH RECURSIVE " + SQL_WINNOW_PAIR_CTES.stripPrefix("WITH ") + """,
+           wedges AS (SELECT a, b FROM wpairs
+                      UNION ALL SELECT b AS a, a AS b FROM wpairs),
+           wnodes AS (SELECT DISTINCT a AS id FROM wedges),
+           reach AS (SELECT id, id AS r FROM wnodes
+                     UNION
+                     SELECT e.b, reach.r FROM reach JOIN wedges e ON e.a = reach.id),
+           comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+           SELECT comp, count(*) AS n_members FROM comp GROUP BY comp""")
     ),
 
     // ── winnow containment score (decontamination, PaLM/GPT-3 style) ─────
@@ -826,58 +871,18 @@ object TextQueries {
       // Edges here: simhash Hamming ≤ 2 over the bounded q39b subset (at
       // 100 TB the edge source is q38's LSH banding, not all-pairs).
       (s, d) => {
-        // reliable checkpoint location: deployment sets a durable FS path
-        // (HDFS/S3); default to the local tmpdir for single-node runs
-        if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(
-            sys.props("java.io.tmpdir") + "/graft-checkpoints")
         // fingerprints feed the two cross-join branches AND the initial
         // labels — materialize them exactly once
-        val fp = simhashFingerprints(s, d).filter(col("doc_id") < 250)
-          .checkpoint()
+        val fp = withCheckpointDir(s) {
+          simhashFingerprints(s, d).filter(col("doc_id") < 250).checkpoint()
+        }
         val a = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
         val b = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
-        // checkpoint: edges are scanned every round — compute them once
         val edges = a.crossJoin(b).filter(col("a") < col("b"))
           .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
           .select("a", "b")
-          .checkpoint()
-        val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-        var labels = fp.select(col("doc_id").as("id"), col("doc_id").as("comp"))
-          .checkpoint()
-        // labels only ever decrease, so Σcomp strictly decreases until the
-        // fixpoint — a single scalar aggregate per round detects
-        // convergence without a compare join
-        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(sum("comp")).collect()(0).getLong(0)
-        var prevSum = labelSum(labels)
-        var iter = 0
-        // ONE propagation hop per materialized round (measured: a second
-        // hop before each checkpoint doubles the joins per round, and at
-        // near-dup graph diameters — tiny in practice — the extra join
-        // costs more than the saved per-round job overhead; r3 bench
-        // regressed 2.14→2.82 s with double-hop)
-        def hop(l: org.apache.spark.sql.DataFrame) = {
-          val prop = sym.join(l, sym("a") === l("id"))
-            .select(col("b").as("id"), col("comp"))
-          l.union(prop).groupBy("id").agg(min("comp").as("comp"))
-        }
-        var converged = false
-        while (!converged && iter < 25) {
-          // LAZY checkpoint: the convergence probe right below is the
-          // action that materializes it — one job per round, not two
-          val next = hop(labels).checkpoint(eager = false)
-          val nextSum = labelSum(next)
-          labels = next
-          iter += 1
-          converged = nextSum == prevSum
-          prevSum = nextSum
-        }
-        // a wrong answer must never be silent: 25 rounds covers any
-        // near-dup component of diameter ≤ 25; beyond that, fail loudly
-        // rather than emit partial components
-        if (!converged) throw new IllegalStateException(
-          s"q73: label propagation did not converge in $iter rounds")
+        val labels = minLabelComponents(s,
+          fp.select(col("doc_id").as("id")), edges)
         labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
       },
       Some("WITH RECURSIVE " + SQL_SIMHASH_FP.stripPrefix("WITH ") + """,
