@@ -51,32 +51,48 @@ object SimilarityQueries {
   private def SQL_NORM(a: String) =
     s"sqrt(list_aggregate(list_transform(range(1, ${SQL_DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))"
 
+  /** IVF splits shared by q44/q151 and the QueriesSpec re-rank proof:
+    * queries = vec_id 8-12, corpus = vec_id >= 13, centroids = vec_id < 8.
+    * `rank` scores a side against every (broadcast) centroid by dot
+    * product and ranks the centroids per row.
+    */
+  private def ivfRank(s: SparkSession, d: String, lo: Long, hi: Long,
+      idc: String, vc: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    val w = Window.partitionBy(idc)
+      .orderBy(col("__d").desc, col("cent_id").asc)
+    e.filter(col("vec_id") >= lo && col("vec_id") <= hi)
+      .select(col("vec_id").as(idc), col("embedding").as(vc))
+      .crossJoin(broadcast(cent))
+      .withColumn("__d", dot(col(vc), col("centv")))
+      .withColumn("__rk", row_number().over(w))
+  }
+
+  /** corpus vectors in their argmax-dot bucket: (cent_id, cid, cv) */
+  private[graft] def ivfCorpusAssign(s: SparkSession, d: String): DataFrame =
+    ivfRank(s, d, 13L, Long.MaxValue, "cid", "cv")
+      .filter(col("__rk") === 1).drop("__d", "__rk", "centv")
+
+  /** each query's top `nprobe` buckets: (cent_id, qid, qv) */
+  private[graft] def ivfQueryProbes(s: SparkSession, d: String,
+      nprobe: Int): DataFrame =
+    ivfRank(s, d, 8L, 12L, "qid", "qv")
+      .filter(col("__rk") <= nprobe).drop("__d", "__rk", "centv")
+
   /** Multi-probe IVF top-3 (q151's body, parameterized so QueriesSpec can
-    * measure recall across nprobe settings): queries = vec_id 8-12,
-    * corpus = vec_id >= 13, centroids = vec_id < 8, each corpus vector in
-    * its argmax-dot bucket, each query probing its top `nprobe` buckets.
+    * measure recall across nprobe settings). The candidate set is
+    * approximate (buckets probed by centroid dot product); the returned
+    * ORDER is not — candidates re-rank by exact cosine on the full
+    * vectors, so the top-k is exact within the probed set at any nprobe
+    * (QueriesSpec asserts top-1 agreement with brute force whenever the
+    * true neighbor's bucket was probed).
     */
   private[graft] def ivfMultiprobe(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
-    val K = 8
-    val e = embeddings(s, d)
-    val cent = e.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-    def rank(df: DataFrame, idc: String, vc: String): DataFrame = {
-      val w = Window.partitionBy(idc)
-        .orderBy(col("__d").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cent))
-        .withColumn("__d", dot(col(vc), col("centv")))
-        .withColumn("__rk", row_number().over(w))
-    }
-    val corpus = rank(e.filter(col("vec_id") >= 13)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
-        "cid", "cv")
-      .filter(col("__rk") === 1).drop("__d", "__rk", "centv")
-    val qs = rank(e.filter(col("vec_id").between(8, 12))
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        "qid", "qv")
-      .filter(col("__rk") <= nprobe).drop("__d", "__rk", "centv")
+    val corpus = ivfCorpusAssign(s, d)
+    val qs = ivfQueryProbes(s, d, nprobe)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     broadcast(qs).join(corpus, "cent_id")
       .withColumn("cos", dot(col("qv"), col("cv")) /

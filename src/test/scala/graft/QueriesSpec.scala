@@ -100,6 +100,38 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= 2.0 / 8, s"nprobe=2 recall $r2 below bucket coverage")
   }
 
+  test("IVF re-rank: top-1 is brute-force-exact whenever the true bucket was probed") {
+    import graft.operators.SimilarityQueries
+    // the candidate SET is approximate (probed buckets); the ORDER within
+    // it must be exact (cosine on full vectors) — so whenever a query's
+    // probe set covers the true nearest neighbor's bucket, IVF top-1 must
+    // equal the brute-force top-1, at EVERY nprobe
+    val truth1 = SimilarityQueries.exactTop3(spark, sf).collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketOf = SimilarityQueries.ivfCorpusAssign(spark, sf)
+      .select("cid", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var covered = 0
+    (1 to 8).foreach { nprobe =>
+      val probed = SimilarityQueries.ivfQueryProbes(spark, sf, nprobe)
+        .select("qid", "cent_id").collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val got1 = SimilarityQueries.ivfMultiprobe(spark, sf, nprobe).collect()
+        .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+      truth1.foreach { case (qid, cid) =>
+        if (probed(qid).contains(bucketOf(cid))) {
+          covered += 1
+          assert(got1(qid) == cid,
+            s"nprobe=$nprobe qid=$qid: true bucket probed but top-1 " +
+              s"${got1(qid)} != brute-force $cid")
+        }
+      }
+    }
+    // the property must not hold vacuously (at nprobe=8 every bucket is
+    // probed, so every query is covered at least once)
+    assert(covered >= truth1.size, s"only $covered covered cases")
+  }
+
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
     import graft.operators.TextQueries
     val s = spark
