@@ -263,6 +263,64 @@ object Multimodal {
     })
   }
 
+  // ── REAL entropy-coded image path: PNG (see [[PngCodec]]) ──────────────
+
+  final case class PngStats(media_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** the deterministic pixel formula shared with the DuckDB oracle
+    * (constants distinct from [[bmpPixel]]'s so the two paths can never
+    * accidentally validate each other):
+    * pix(id, x, y, c) = ((id·37 + (y·w + x)·3 + c) · 11) mod 256
+    */
+  def pngPixel(id: Long, w: Int, x: Int, y: Int, c: Int): Int =
+    (((id * 37 + (y.toLong * w + x) * 3 + c) * 11) % 256).toInt
+
+  /** real PNG media from any id column: dimensions from the id
+    * (w ∈ 2..6, h ∈ 2..6 — h reaches 6 so the encoder's per-row filter
+    * cycle y mod 5 exercises ALL FIVE filter types incl. Paeth), pixels
+    * from the closed-form formula, bytes from the REAL encoder (zlib
+    * DEFLATE, multi-IDAT)
+    */
+  def pngMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 5 + 2).toInt
+      val h = (id % 5 + 2).toInt
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            px((y * w + x) * 3 + c) = pngPixel(id, w, x, y, c).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      id -> PngCodec.encode(PngCodec.Png(w, h, px))
+    })
+  }
+
+  /** REAL decode + feature extraction through the entropy coder: strict
+    * PNG decode (inflate + unfilter), exact integer per-channel sums;
+    * undecodable rows are dropped (never crash, never fake)
+    */
+  def pngChannelStats(media: Dataset[(Long, Array[Byte])]): Dataset[PngStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      PngCodec.decode(bytes).map { img =>
+        val (r, g, b) = PngCodec.channelSums(img)
+        PngStats(id, img.width.toLong, img.height.toLong, r, g, b)
+      }
+    })
+  }
+
   // ── REAL video path: RIFF/AVI with DIB frames (see [[AviCodec]]) ───────
 
   final case class AviFrameStats(media_id: Long, frame_idx: Long,

@@ -174,6 +174,33 @@ object MultimodalQueries {
               GROUP BY 1""")
     ),
 
+    // ── REAL entropy-coded image codec: PNG encode → decode → features ────
+    QueryDef(
+      "q157_png_decode",
+      // The last multimodal gap closed: real truecolor PNGs — zlib DEFLATE
+      // streams split across multiple IDAT chunks, every row filtered with
+      // a DIFFERENT filter type (y mod 5 cycles None/Sub/Up/Average/Paeth)
+      // — built by the real encoder and decoded back through the JDK
+      // Inflater + the five unfilter predictors, reduced to exact
+      // per-channel sums. The oracle recomputes the sums from the
+      // closed-form pixel formula, so any defect in the zlib framing,
+      // chunk CRCs, filter reconstruction, or channel order breaks the
+      // hash match. Per-row byte decode, zero shuffle — the q140 shape.
+      (s, d) => {
+        val m = Multimodal.pngMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.pngChannelStats(m).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                CAST(doc_id % 5 + 2 AS BIGINT) AS width,
+                CAST(doc_id % 5 + 2 AS BIGINT) AS height FROM documents)
+              SELECT media_id, width, height,
+                CAST(sum(((media_id*37 + (y*width + x)*3 + 0)*11) % 256) AS BIGINT) AS sum_r,
+                CAST(sum(((media_id*37 + (y*width + x)*3 + 1)*11) % 256) AS BIGINT) AS sum_g,
+                CAST(sum(((media_id*37 + (y*width + x)*3 + 2)*11) % 256) AS BIGINT) AS sum_b
+              FROM m, unnest(range(height)) t(y), unnest(range(width)) u(x)
+              GROUP BY 1, 2, 3""")
+    ),
+
     // ── REAL audio codec: PCM WAV decode → integer features ───────────────
     QueryDef(
       "q142_wav_decode",

@@ -129,6 +129,68 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("PNG codec: round-trip exercises all five filters and multi-IDAT") {
+    import graft.multimodal.PngCodec
+    // h >= 6 guarantees rows filtered with every type 0..4 (y mod 5);
+    // pixel buffers large enough to split the zlib stream across IDATs
+    for (w <- 2 to 6; h <- Seq(2, 5, 6)) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 53 + 7) % 256).toByte)
+      val img = PngCodec.Png(w, h, px)
+      val bytes = PngCodec.encode(img)
+      val back = PngCodec.decode(bytes)
+      assert(back.isDefined, s"${w}x$h failed to decode")
+      assert(back.get.width == w && back.get.height == h)
+      assert(back.get.pixels.toSeq == px.toSeq,
+        s"${w}x$h pixels corrupted through encode/decode")
+    }
+    // a 40x40 image deflates past 96 bytes → multiple IDAT chunks for real
+    val big = PngCodec.Png(40, 40,
+      Array.tabulate(40 * 40 * 3)(i => ((i * 131) % 256).toByte))
+    val bytes = PngCodec.encode(big)
+    val idats = "IDAT".r.findAllIn(new String(bytes, "ISO-8859-1")).size
+    assert(idats >= 2, s"expected multi-IDAT, got $idats chunk(s)")
+    assert(PngCodec.decode(bytes).get.pixels.toSeq == big.pixels.toSeq)
+  }
+
+  test("PNG codec: strict decode rejects garbage, truncation, and hostile lengths") {
+    import graft.multimodal.PngCodec
+    val ok = PngCodec.encode(PngCodec.Png(5, 6,
+      Array.tabulate(5 * 6 * 3)(i => (i % 256).toByte)))
+    assert(PngCodec.decode(ok).isDefined)
+    // foreign bytes / wrong signature
+    assert(PngCodec.decode("definitely not a png".getBytes).isEmpty)
+    assert(PngCodec.decode(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
+    // truncated stream: every prefix must fail closed, never throw
+    for (cut <- Seq(10, 20, 33, ok.length / 2, ok.length - 1))
+      assert(PngCodec.decode(ok.take(cut)).isEmpty, s"prefix $cut accepted")
+    // overflow chunk length: huge declared length must not read OOB
+    val hostile = ok.clone()
+    hostile(8) = 0x7f; hostile(9) = 0xff.toByte // IHDR length -> ~2^31
+    assert(PngCodec.decode(hostile).isEmpty)
+    // corrupt CRC on IHDR
+    val badCrc = ok.clone(); badCrc(29) = (badCrc(29) ^ 0x5a).toByte
+    assert(PngCodec.decode(badCrc).isEmpty)
+    // corrupt zlib payload: flip a byte inside the first IDAT's data
+    val idatPos = new String(ok, "ISO-8859-1").indexOf("IDAT")
+    val badZ = ok.clone(); badZ(idatPos + 6) = (badZ(idatPos + 6) ^ 0xff).toByte
+    assert(PngCodec.decode(badZ).isEmpty, "corrupt IDAT accepted")
+    // unsupported variants: bit depth 16, palette color, interlaced
+    for ((off, v) <- Seq((24, 16.toByte), (25, 3.toByte), (28, 1.toByte))) {
+      val variant = ok.clone(); variant(off) = v
+      // CRC now mismatches too, but the decoder must reject either way
+      assert(PngCodec.decode(variant).isEmpty, s"variant at $off accepted")
+    }
+    // hostile dimensions: width 2^20 with CRC recomputed — dimension bound
+    // must reject before any allocation
+    val wide = ok.clone()
+    val bb = java.nio.ByteBuffer.wrap(wide)
+    bb.putInt(16, 1 << 20)
+    val crc = new java.util.zip.CRC32
+    crc.update(wide, 12, 17)
+    bb.putInt(29, crc.getValue.toInt)
+    assert(PngCodec.decode(wide).isEmpty, "hostile width accepted")
+  }
+
   test("WAV codec: round-trip, foreign-chunk skipping, strict rejection") {
     import graft.multimodal.WavCodec
     val w = WavCodec.Wav(16000, Array[Short](0, 100, -100, 32767, -32768, 7))
