@@ -48,8 +48,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // LOAD SENTINEL (r5 verdict task 2): a fixed trivial probe — identical
+    // work every invocation, touching scheduler + all cores but no query
+    // code — whose time is therefore a pure function of machine
+    // contention. Timed immediately before each query and emitted
+    // per-query in BENCH_SELF.json, so a contended driver run (sentinel
+    // inflated suite-wide) is distinguishable from a real regression in
+    // one query (sentinel flat, query slow) straight from the artifact.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 22, 1L, cpus.toInt).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // warmup: exercise scan + shuffle + codegen machinery once, untimed
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
+    sentinel() // warm the probe's own codegen path too
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -69,6 +82,7 @@ object Bench {
       }
       // drain cross-query garbage before timing (see scaladoc)
       System.gc()
+      val sent = sentinel()
       val two = Seq(once(), once())
       // slow tail: one more attempt to separate intrinsic cost from hiccups
       val runs = if (two.forall(_ >= 0) && two.min > 1.5) two :+ once() else two
@@ -78,9 +92,9 @@ object Bench {
       // verdict task 5 — q59/q60/q62 doubled driver-side with no code
       // change, and the bench gave no variance evidence either way)
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
-      name -> (best, runs)
+      name -> (best, runs, sent)
     }
-    val bests = results.map { case (k, (best, _)) => k -> best }
+    val bests = results.map { case (k, (best, _, _)) => k -> best }
     // failed queries (-1 sentinel) must invalidate the suite, not shrink the
     // total: exclude them from the sum, list them, and exit nonzero
     val failed = bests.collect { case (k, v) if v < 0 => k }
@@ -92,16 +106,24 @@ object Bench {
     // regression are distinguishable after the fact
     val fullQs = bests.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val spreadQs = results.map { case (k, (_, runs)) =>
+    val spreadQs = results.map { case (k, (_, runs, _)) =>
       "\"" + k + "\":[" + fmt(runs.min, 4) + "," + fmt(runs.max, 4) + "]"
     }.mkString("{", ",", "}")
+    // per-query load sentinel (see sentinel() scaladoc): flat ≈ idle run;
+    // suite-wide inflation ≈ contended machine, not a code regression
+    val sentQs = results.map { case (k, (_, _, sent)) =>
+      "\"" + k + "\":" + fmt(sent, 4)
+    }.mkString("{", ",", "}")
+    val sentSorted = results.map(_._2._3).sorted
+    val sentMed =
+      if (sentSorted.isEmpty) 0.0 else sentSorted(sentSorted.size / 2)
     val totalStr = fmt(total, 2)
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$fullQs,"spread":$spreadQs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
-    println(stdoutLine(bests, failed, sfDir))
+    println(stdoutLine(bests, failed, sfDir, sentMed))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -121,14 +143,16 @@ object Bench {
     * survive; the full table is in BENCH_SELF.json regardless.
     */
   private[graft] def stdoutLine(results: Seq[(String, Double)],
-      failed: Seq[String], sfDir: String): String = {
+      failed: Seq[String], sfDir: String, sentMed: Double = -1.0): String = {
     def fmt(v: Double, dec: Int): String =
       if (v < 0) "-1" else s"%.${dec}f".format(v)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalStr = fmt(results.collect { case (_, v) if v >= 0 => v }.sum, 2)
     def shortKey(n: String): String = n.takeWhile(_ != '_')
+    // sent_med: median load-sentinel time (-1 = not measured); an inflated
+    // value marks the whole run as contended — see sentinel() in main
     def line(qsJson: String): String =
-      s"""{"queries":$qsJson,"failed":$failedJson,"sf":"$sfDir","metric":"total","value":$totalStr,"unit":"sec"}"""
+      s"""{"queries":$qsJson,"failed":$failedJson,"sf":"$sfDir","sent_med":${fmt(sentMed, 3)},"metric":"total","value":$totalStr,"unit":"sec"}"""
     def render(dec: Int, entries: Seq[(String, Double)], extra: String): String =
       line(entries.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", extra + "}"))

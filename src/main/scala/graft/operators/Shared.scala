@@ -113,12 +113,62 @@ private[operators] object Shared {
     * while concurrent sessions on the same machine (different pids) and
     * different datasets (path hash — pid scoping also confines any Int
     * hashCode collision between data dirs to a single process) never race
-    * on the same path.
+    * on the same path. Every root handed out is registered for recursive
+    * deletion at JVM exit, and the first call per process also sweeps
+    * stale `graft_*` roots whose owning pid is no longer alive, so
+    * repeated benchmark/test processes don't accumulate unbounded tmp
+    * usage (the roots hold sf-sized bucketed table copies / fingerprint
+    * ladders).
     */
-  def scratchRoot(tag: String, d: String): java.nio.file.Path =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+  def scratchRoot(tag: String, d: String): java.nio.file.Path = {
+    scratchJanitor // one-time per process: exit hook + stale sweep
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_${tag}_${ProcessHandle.current().pid()}_" +
         Integer.toHexString(d.hashCode))
+    createdScratchRoots.add(p)
+    p
+  }
+
+  private val createdScratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      // best-effort: a file vanishing mid-walk (another cleaner, the OS
+      // tmp reaper) must not abort the rest of the sweep
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]()).forEach {
+        (q: Path) => try Files.deleteIfExists(q)
+          catch { case _: java.io.IOException => () }
+      } finally walk.close()
+    }
+  }
+
+  /** One-time janitor: (a) an exit hook deleting every scratch root this
+    * JVM created — scratch is by definition reproducible, so nothing of
+    * value can be lost; (b) a startup sweep of `graft_<tag>_<pid>_<hash>`
+    * directories whose pid is dead (crashed/killed JVMs never reach their
+    * exit hook). Live pids — including this one — are never touched, so
+    * concurrent sessions remain safe.
+    */
+  private lazy val scratchJanitor: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdScratchRoots.forEach(deleteRecursively(_))))
+    val self = ProcessHandle.current().pid()
+    val pat = java.util.regex.Pattern.compile("graft_.+_(\\d+)_[0-9a-f]+")
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val ls = java.nio.file.Files.list(tmp)
+    try ls.forEach { (p: java.nio.file.Path) =>
+      val m = pat.matcher(p.getFileName.toString)
+      if (m.matches()) {
+        val pid = m.group(1).toLong
+        if (pid != self && !ProcessHandle.of(pid).map[Boolean](_.isAlive)
+              .orElse(false))
+          deleteRecursively(p)
+      }
+    } finally ls.close()
+  }
   val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** 32-bit base hash of a string: first 8 md5 hex chars as a Long — the
