@@ -49,13 +49,94 @@ final class DB private (val root: Path, val spark: SparkSession) {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"Table not found: $name"))
     val dir = tableDir(name)
-    if (Files.exists(dir))
-      spark.read.schema(schema).parquet(dir.toString)
-        // directory-partitioned layouts surface partition columns LAST
-        // regardless of the requested schema; pin the declared order so
-        // positional access never depends on the physical layout
-        .select(schema.fieldNames.map(col): _*)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    snapshotFiles(name) match {
+      // snapshot-committed table (see upsertPartitioned): the manifest IS
+      // the table — files on disk outside it are uncommitted or
+      // superseded and must stay invisible. basePath keeps partition-
+      // column inference (and PartitionFilters pruning) identical to the
+      // whole-directory read.
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", dir.toString).schema(schema)
+          .parquet(files.map(f => dir.resolve(f).toString): _*)
+          .select(schema.fieldNames.map(col): _*)
+      case Some(_) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case None if Files.exists(dir) =>
+        spark.read.schema(schema).parquet(dir.toString)
+          // directory-partitioned layouts surface partition columns LAST
+          // regardless of the requested schema; pin the declared order so
+          // positional access never depends on the physical layout
+          .select(schema.fieldNames.map(col): _*)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+
+  // ── snapshot manifest (old-or-new commit for partition-grain merges) ──
+  /** `_snapshot.json` — the per-table snapshot pointer [[upsertPartitioned]]
+    * commits through (underscore prefix: Spark's directory reader already
+    * ignores it as metadata). Holds the relative paths of every CURRENT
+    * data file; absent for tables that only ever saw whole-directory
+    * operations (their single-swap semantics need no manifest).
+    */
+  private def snapshotPath(name: String): Path =
+    tableDir(name).resolve("_snapshot.json")
+
+  /** current committed file set, or None when the table has no manifest */
+  private[graft] def snapshotFiles(name: String): Option[Seq[String]] = {
+    val p = snapshotPath(name)
+    if (!Files.exists(p)) None
+    else {
+      val doc = new ObjectMapper().readTree(Files.readString(p))
+      Some(doc.get("files").elements().asScala.map(_.asText()).toSeq)
+    }
+  }
+
+  /** THE commit point: stage the new manifest to a temp sibling, fsync,
+    * atomically move over `_snapshot.json`, fsync the directory — the
+    * same staged-rename discipline as the rtcdb index commit
+    * (RtcdbWrite.scala), so readers see the old file set or the new one,
+    * never a mix, even across power loss.
+    */
+  private def commitSnapshot(name: String, files: Seq[String]): Unit = {
+    val mapper = new ObjectMapper()
+    val doc = mapper.createObjectNode()
+    val arr = doc.putArray("files")
+    files.sorted.foreach(arr.add)
+    val tmp = tableDir(name).resolve("_snapshot.json.tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)))
+      ch.force(true)
+    } finally ch.close()
+    Files.move(tmp, snapshotPath(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // POSIX: the rename itself needs a directory fsync to be durable;
+    // not every filesystem allows opening a directory channel — best
+    // effort, matching the rtcdb write path
+    try {
+      val dch = java.nio.channels.FileChannel.open(tableDir(name),
+        java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: Exception => () }
+  }
+
+  /** data files under the table dir, relative to it (manifest encoding) */
+  private def listRelParquet(name: String): Seq[String] = {
+    val dir = tableDir(name)
+    if (!Files.exists(dir)) Seq.empty
+    else parquetFiles(dir).map(f => dir.relativize(f).toString)
+  }
+
+  /** relative parent dir of a relative file path ("" at table root) */
+  private def parentRel(relFile: String): String = {
+    val i = relFile.lastIndexOf('/')
+    if (i < 0) "" else relFile.substring(0, i)
   }
 
   /** Append-only batch ingest of driver-side rows, mirroring
@@ -144,8 +225,11 @@ final class DB private (val root: Path, val spark: SparkSession) {
     if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    atomicRewrite(name, spark.read.schema(schema).parquet(dir.toString),
-      schema, Some(nFiles))
+    // read through table(): on a snapshot-committed table the manifest is
+    // the truth — a raw directory read would resurrect superseded files.
+    // The rewrite's directory swap discards the manifest along with the
+    // old generation, returning the table to plain single-swap semantics.
+    atomicRewrite(name, table(name), schema, Some(nFiles))
     (before.size, parquetFiles(dir).size)
   }
 
@@ -169,16 +253,28 @@ final class DB private (val root: Path, val spark: SparkSession) {
     if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
         schema.fields.map(f => (f.name, f.dataType)).toSeq)
       throw new IllegalArgumentException("Mismatched data type")
-    val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
-    if (!df.filter(anyNull).isEmpty)
-      throw new IllegalArgumentException("Mismatched data type")
-    // the rewrite re-evaluates df: guard the written projection so a
-    // non-deterministic input that passed the pre-scan still can't land
-    // nulls (see nullGuarded)
-    val guarded = nullGuarded(df, schema)
-    val kept = table(name)
-      .join(guarded.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    atomicRewrite(name, kept.unionByName(guarded), schema, None)
+    // STAGE-AND-VALIDATE in ONE evaluation: the null-guarded projection
+    // raises on any null cell while the batch is staged to an invisible
+    // temp dir — the same whole-batch abort a pre-scan gives (staging
+    // residue is wiped, the table untouched), but the caller's plan is
+    // evaluated exactly once. Before, the pre-scan + key anti-join +
+    // rewrite each re-evaluated it: three computations of a possibly
+    // expensive merge plan (measured on q150's MV loop: the dominant
+    // per-batch cost).
+    val tmp = root.resolve(s"$name.__stage")
+    def wipeTmp(): Unit = if (Files.exists(tmp))
+      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    wipeTmp()
+    try {
+      nullGuarded(df, schema).write
+        .option("compression", "lz4").parquet(tmp.toString)
+      val staged = spark.read.schema(
+        StructType(schema.fields.map(_.copy(nullable = true))))
+        .parquet(tmp.toString)
+      val kept = table(name)
+        .join(staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      atomicRewrite(name, kept.unionByName(staged), schema, None)
+    } finally wipeTmp()
   }
 
   /** Partition-scoped SCD1 upsert — the at-scale refinement [[upsert]]'s
@@ -206,18 +302,20 @@ final class DB private (val root: Path, val spark: SparkSession) {
     * against the semi join (asserted in DBSpec: the merge scan's
     * PartitionFilters name the touched values).
     *
-    * Durability contract — WEAKER than [[upsert]]: [[upsert]] swaps one
-    * directory atomically, so readers see old-or-new, never a mix. Dynamic
-    * partition overwrite commits each touched partition's directory
-    * independently; a crash mid-commit can leave a MIX OF GENERATIONS
-    * across the touched partitions (some merged, some old — a deleted key
-    * may survive in one partition while its replacement landed in
-    * another). Untouched partitions are never at risk. Recovery is to
-    * re-run the same upsert: the merge is idempotent (same-key rows
-    * replace). A production deployment that needs old-or-new across
-    * partitions layers a manifest/commit protocol (Iceberg/Delta-style
-    * snapshot pointer) on top; single-directory-swap semantics per
-    * partition is what plain parquet layout can promise.
+    * Durability contract — old-or-new, SAME strength as [[upsert]] (r5
+    * verdict task 4): the merge never deletes or overwrites a live file.
+    * New files are APPENDED next to the old generation, then a per-table
+    * snapshot manifest (`_snapshot.json`, the Iceberg/Delta snapshot-
+    * pointer idea on plain parquet) is atomically swapped to the new file
+    * set — that single staged rename is the commit point, so a reader
+    * sees the complete old view or the complete new view across ALL
+    * touched partitions, never a mix of generations. A crash before the
+    * swap leaves only invisible uncommitted files (swept by the next
+    * upsert); a crash after it leaves superseded files that are equally
+    * invisible through the manifest. Readers resolve the manifest in
+    * [[table]]; at 100 TB the manifest is the same driver-side
+    * file-listing a directory scan needs anyway, just pinned to a
+    * consistent generation set.
     */
   def upsertPartitioned(name: String, df: DataFrame,
       partitionCols: Seq[String], keys: Seq[String]): Unit = {
@@ -230,34 +328,53 @@ final class DB private (val root: Path, val spark: SparkSession) {
     if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
         schema.fields.map(f => (f.name, f.dataType)).toSeq)
       throw new IllegalArgumentException("Mismatched data type")
-    val anyNull = schema.fieldNames.map(col(_).isNull).reduce(_ || _)
-    if (!df.filter(anyNull).isEmpty)
-      throw new IllegalArgumentException("Mismatched data type")
-    val guarded = nullGuarded(df, schema)
-    val merged = upsertMergeInput(name, guarded, partitionCols, keys)
-      .getOrElse(return) // empty batch: nothing to merge, nothing to touch
-    // stage: the merge READS the files dynamic overwrite will delete
+    val dir = tableDir(name)
+    // the committed view this merge starts from: the manifest if one
+    // exists, else the live listing (first snapshot commit adopts it)
+    val current = snapshotFiles(name).getOrElse(listRelParquet(name))
+    val currentSet = current.toSet
+    // sweep residue of a crashed prior merge: files outside the manifest
+    // are uncommitted or superseded — invisible to readers, safe to drop
+    if (Files.exists(snapshotPath(name)))
+      listRelParquet(name).filterNot(currentSet)
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
     val tmp = root.resolve(s"$name.__upsert")
     def wipeTmp(): Unit = if (Files.exists(tmp))
       Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     wipeTmp()
     try {
-      merged.write.option("compression", "lz4").parquet(tmp.toString)
-      val staged = spark.read.schema(
-        StructType(schema.fields.map(_.copy(nullable = true))))
-        .parquet(tmp.toString)
+      // STAGE-AND-VALIDATE the batch in ONE evaluation (see upsert): the
+      // null guard raises during this invisible staging write, giving the
+      // whole-batch abort without a pre-scan, and the touched-partition
+      // probe + merge below re-read tiny parquet instead of re-running
+      // the caller's plan
+      val nullableSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+      nullGuarded(df, schema).write
+        .option("compression", "lz4").parquet(s"$tmp/batch")
+      val batch = spark.read.schema(nullableSchema).parquet(s"$tmp/batch")
+      val merged = upsertMergeInput(name, batch, partitionCols, keys)
+        .getOrElse(return) // empty batch: nothing to merge, nothing to touch
+      // stage the merge too: it READS the old generation the commit will
+      // supersede
+      merged.write.option("compression", "lz4").parquet(s"$tmp/merged")
+      val staged = spark.read.schema(nullableSchema).parquet(s"$tmp/merged")
       val sortCols = (partitionCols ++
         schema.fieldNames.filterNot(partitionCols.contains)).map(col)
       staged
         .repartition(partitionCols.map(col): _*)
         .sortWithinPartitions(sortCols: _*)
-        .write.mode("overwrite").option("compression", "lz4")
-        // writer-scoped: a session-conf mutation here would race with any
-        // concurrent writer on the same SparkSession, silently giving it
-        // dynamic-overwrite semantics for the duration
-        .option("partitionOverwriteMode", "dynamic")
+        .write.mode("append").option("compression", "lz4")
         .partitionBy(partitionCols: _*)
-        .parquet(tableDir(name).toString)
+        .parquet(dir.toString)
+      // every touched partition carries ≥1 batch row, so the new
+      // generation's directories are exactly the touched partitions
+      val newFiles = listRelParquet(name).filterNot(currentSet)
+      val replacedDirs = newFiles.map(parentRel).toSet
+      val (superseded, kept) =
+        current.partition(f => replacedDirs.contains(parentRel(f)))
+      commitSnapshot(name, kept ++ newFiles) // ← THE commit point
+      // post-commit cleanup (best-effort: already invisible via manifest)
+      superseded.foreach(f => Files.deleteIfExists(dir.resolve(f)))
     } finally wipeTmp() // staging residue must not outlive a failed merge
   }
 
@@ -332,10 +449,19 @@ final class DB private (val root: Path, val spark: SparkSession) {
     val dir = tableDir(name)
     val sortCols = schema.fieldNames.map(col).toSeq
     val tmp = root.resolve(s"$name.__rewrite")
-    val repart = nFiles match {
-      case Some(n) => df.repartitionByRange(n, sortCols: _*)
-      case None => df.repartitionByRange(sortCols: _*)
+    // When the caller doesn't pin a file count, derive it from the
+    // CURRENT on-disk size (≈ the rewrite's size for merge-style
+    // rewrites): file count scales with data at 100 TB, while a small
+    // table rewrites to ONE file instead of spark.sql.shuffle.partitions
+    // shards — an upsert loop on an MV-sized table otherwise pays a
+    // range-sampling job plus a 32-tiny-file write+read per merge
+    // (measured: the dominant cost of q150's maintenance steps).
+    val n = nFiles.getOrElse {
+      val bytes = if (Files.exists(dir)) parquetFiles(dir).map(Files.size).sum
+        else 0L
+      math.max(1, math.ceil(bytes.toDouble / (128L * 1024 * 1024)).toInt)
     }
+    val repart = df.repartitionByRange(n, sortCols: _*)
     repart.sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").option("compression", "lz4")
       .parquet(tmp.toString)
@@ -395,6 +521,11 @@ final class DB private (val root: Path, val spark: SparkSession) {
     // the data-column ordering inside each directory is preserved exactly
     val sortCols = (partitionCols ++
       schema.fieldNames.filterNot(partitionCols.contains)).map(col)
+    // snapshot-committed tables: record the physical listing BEFORE the
+    // append so only THIS batch's files join the manifest — residue from
+    // a crashed merge must stay invisible, not get adopted
+    val before = if (Files.exists(snapshotPath(name)))
+      Some(listRelParquet(name).toSet) else None
     nullGuarded(df, schema).repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
       .write
@@ -402,6 +533,10 @@ final class DB private (val root: Path, val spark: SparkSession) {
       .option("compression", "lz4")
       .partitionBy(partitionCols: _*)
       .parquet(tableDir(name).toString)
+    before.foreach { b =>
+      val cur = snapshotFiles(name).get
+      commitSnapshot(name, cur ++ listRelParquet(name).filterNot(b))
+    }
   }
 
   /** session-catalog identifier for a bucketed table, unique per DB root */

@@ -234,21 +234,21 @@ object EventQueries {
         java.nio.file.Files.createDirectories(root)
         val db = DB.init(root.toString, Seq("mv" -> mvSchema))(s)
         val tmp = s"$root/deltas"
+        // ONE raw scan prepares BOTH micro-batch deltas (the replay FEED,
+        // not the maintenance): aggregating with the batch tag as an
+        // extra group column and writing partitioned by it costs one
+        // events pass where per-batch aggregation would pay a full scan
+        // per batch. The deltas are MV-sized parquet; every maintenance
+        // step below reads only its own partition and NEVER rescans raw
+        // events — the property that makes an MV worth having at 100 TB.
+        EventStream.tumblingAgg(
+            Tables.events(s, d)
+              .withColumn("batch", pmod(col("event_id"), lit(2))),
+            extraGroup = Seq("batch"))
+          .write.mode("overwrite").partitionBy("batch").parquet(tmp)
         (0 until 2).foreach { b =>
-          // materialize the delta aggregate to parquet before the merge:
-          // it is MV-sized (thousands of rows, not raw-event-sized), and
-          // upsert's validation + rewrite evaluate their input more than
-          // once — without this durable materialization each evaluation
-          // would rescan this batch's raw events, which is exactly what
-          // incremental maintenance exists to avoid. (A durable delta is
-          // also the replayable unit a production maintenance pipeline
-          // keeps; measured faster here than .persist(), whose
-          // InMemoryRelation scan overhead exceeds a small parquet round
-          // trip.)
-          EventStream.tumblingAgg(
-            Tables.events(s, d).filter(pmod(col("event_id"), lit(2)) === b))
-            .write.mode("overwrite").parquet(s"$tmp/batch-$b")
-          val delta = s.read.parquet(s"$tmp/batch-$b")
+          val delta = s.read.parquet(tmp).filter(col("batch") === b)
+            .select("window_start", "event_type", "n", "sum_value")
           // additive merge: re-aggregate MV ⊎ delta. Exactness: each
           // delta's sum_value is an exact DECIMAL(18,2) rendered as
           // double; the cast below recovers that exact decimal (repr
@@ -259,6 +259,8 @@ object EventQueries {
             .agg(sum(col("n")).as("n"),
               sum(col("sum_value").cast(DecimalType(18, 2)))
                 .cast("double").as("sum_value"))
+          // upsert stages-and-validates its input in ONE evaluation, so
+          // the lazy merge plan is computed exactly once (DB.upsert)
           db.upsert("mv", merged, Seq("window_start", "event_type"))
         }
         db.table("mv")
@@ -294,12 +296,15 @@ object EventQueries {
         java.nio.file.Files.createDirectories(root)
         val db = DB.init(root.toString, Seq("mv" -> mvSchema))(s)
         val tmp = s"$root/deltas"
+        // one raw scan prepares both micro-batch deltas (see q150)
+        EventStream.tumblingAgg(
+            Tables.events(s, d)
+              .withColumn("batch", pmod(col("event_id"), lit(2))),
+            extraGroup = Seq("batch"))
+          .write.mode("overwrite").partitionBy("batch").parquet(tmp)
         (0 until 2).foreach { b =>
-          // durable MV-sized delta (see q150's rationale)
-          EventStream.tumblingAgg(
-            Tables.events(s, d).filter(pmod(col("event_id"), lit(2)) === b))
-            .write.mode("overwrite").parquet(s"$tmp/batch-$b")
-          val delta = s.read.parquet(s"$tmp/batch-$b")
+          val delta = s.read.parquet(tmp).filter(col("batch") === b)
+            .select("window_start", "event_type", "n", "sum_value")
           // fully-merged rows for the DELTA's keys only (the unit a
           // partition-scoped merge ships); exactness as in q150
           val merged = db.table("mv")
@@ -311,8 +316,10 @@ object EventQueries {
               sum(col("sum_value").cast(DecimalType(18, 2)))
                 .cast("double").as("sum_value"))
             .select("window_start", "event_type", "n", "sum_value")
-          db.upsertPartitioned("mv", merged, Seq("event_type"),
-            Seq("window_start", "event_type"))
+          // upsertPartitioned stages-and-validates its input in ONE
+          // evaluation, so the lazy merge plan is computed exactly once
+          db.upsertPartitioned("mv", merged,
+            Seq("event_type"), Seq("window_start", "event_type"))
         }
         db.table("mv")
       },

@@ -30,21 +30,28 @@ object EventStream {
 
   /** Tumbling event-time window aggregation — one code path for batch and
     * streaming (watermark only applies on a streaming DF).
+    *
+    * `extraGroup` names additional input columns to group by and carry
+    * through (appended after the canonical output columns) — e.g. a
+    * replay-batch tag, letting an MV maintenance harness prepare every
+    * micro-batch delta in ONE input scan (q150/q156).
     */
   def tumblingAgg(
       events: DataFrame,
       window: String = "1 minute",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      extraGroup: Seq[String] = Seq.empty): DataFrame = {
     val e = withEventTime(events)
     val wm = if (e.isStreaming) e.withWatermark("event_time", watermark) else e
     wm.groupBy(
-        org.apache.spark.sql.functions.window(col("event_time"), window).as("w"),
-        col("event_type"))
+        (Seq(
+          org.apache.spark.sql.functions.window(col("event_time"), window).as("w"),
+          col("event_type")) ++ extraGroup.map(col)): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
+      .select((Seq(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value")) ++ extraGroup.map(col)): _*)
   }
 
   /** Hopping (sliding) event-time windows: every event lands in

@@ -208,6 +208,57 @@ class DBSpec extends AnyFunSuite with SparkFixture {
       Seq("event"), Seq("event", "id")).isEmpty)
   }
 
+  test("snapshot manifest gives old-or-new across partitions on a crashed merge") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("snapcrash")
+    val db = DB.init(root, Seq("events" -> eventsSchema))
+    val rows = (1L to 400L).map(i => Row(s"ev${i % 4}", 1700000000L + i, i))
+    db.writePartitioned("events",
+      s.createDataFrame(rows.asJava, eventsSchema), Seq("event"))
+    // first real merge creates the manifest
+    db.upsertPartitioned("events",
+      s.createDataFrame(Seq(Row("ev1", 111L, 1L)).asJava, eventsSchema),
+      Seq("event"), Seq("event", "id"))
+    val committedView = db.table("events").collect().map(_.toSeq).toSet
+    assert(committedView.size == 400)
+    // simulate a merge that CRASHED between its data append and its
+    // manifest swap: new-generation files exist in two partition dirs,
+    // the manifest was never moved — exactly the old mixed-generations
+    // window the dynamic-overwrite form had
+    val torn = s.createDataFrame(Seq(
+      Row("ev1", 777L, 1L), Row("ev2", 777L, 2L)).asJava, eventsSchema)
+    torn.write.mode("append").option("compression", "lz4")
+      .partitionBy("event").parquet(s"$root/events")
+    // readers must see the complete OLD view — no torn generation mix
+    assert(db.table("events").collect().map(_.toSeq).toSet == committedView)
+    assert(db.table("events").filter(col("timestamp") === 777L).isEmpty)
+    // the next merge sweeps the residue, then commits cleanly
+    db.upsertPartitioned("events",
+      s.createDataFrame(Seq(Row("ev2", 222L, 2L)).asJava, eventsSchema),
+      Seq("event"), Seq("event", "id"))
+    val t = db.table("events")
+    assert(t.count() == 400)
+    assert(t.filter(col("id") === 2L).collect().map(_.getLong(1)).toSeq ==
+      Seq(222L))
+    assert(t.filter(col("timestamp") === 777L).isEmpty,
+      "uncommitted residue must never surface")
+    // disk agrees with the manifest after cleanup: no orphans, and the
+    // manifest view equals the physical directory view
+    val manifest = db.snapshotFiles("events").get.toSet
+    val physical = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "events"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .map(f => java.nio.file.Paths.get(root, "events").relativize(f).toString)
+      .toSet
+    assert(physical == manifest, s"orphans left: ${physical.diff(manifest)}")
+    // appends after snapshot adoption stay visible (manifest keeps up)
+    db.writePartitioned("events",
+      s.createDataFrame(Seq(Row("ev9", 1L, 9001L)).asJava, eventsSchema),
+      Seq("event"))
+    assert(db.table("events").count() == 401)
+  }
+
   test("leading-column filter reaches the parquet scan as a pushed filter") {
     implicit val s = spark
     val db = DB.init(freshDir("prune"), Seq("events" -> eventsSchema))
