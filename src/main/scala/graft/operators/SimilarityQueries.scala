@@ -51,16 +51,17 @@ object SimilarityQueries {
   private def SQL_NORM(a: String) =
     s"sqrt(list_aggregate(list_transform(range(1, ${SQL_DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))"
 
-  /** IVF splits shared by q44/q151 and the QueriesSpec re-rank proof:
-    * queries = vec_id 8-12, corpus = vec_id >= 13, centroids = vec_id < 8.
-    * `rank` scores a side against every (broadcast) centroid by dot
-    * product and ranks the centroids per row.
+  /** IVF splits shared by q44/q151/q159 and the QueriesSpec re-rank proof:
+    * queries = vec_id 8-12, corpus = vec_id >= 13, seed centroids =
+    * vec_id < 8 (overridable with a learned codebook — q159). `rank`
+    * scores a side against every (broadcast) centroid by dot product and
+    * ranks the centroids per row.
     */
   private def ivfRank(s: SparkSession, d: String, lo: Long, hi: Long,
-      idc: String, vc: String): DataFrame = {
+      idc: String, vc: String, cents: Option[DataFrame] = None): DataFrame = {
     val e = embeddings(s, d)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    val cent = cents.getOrElse(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
     val w = Window.partitionBy(idc)
       .orderBy(col("__d").desc, col("cent_id").asc)
     e.filter(col("vec_id") >= lo && col("vec_id") <= hi)
@@ -71,15 +72,68 @@ object SimilarityQueries {
   }
 
   /** corpus vectors in their argmax-dot bucket: (cent_id, cid, cv) */
-  private[graft] def ivfCorpusAssign(s: SparkSession, d: String): DataFrame =
-    ivfRank(s, d, 13L, Long.MaxValue, "cid", "cv")
+  private[graft] def ivfCorpusAssign(s: SparkSession, d: String,
+      cents: Option[DataFrame] = None): DataFrame =
+    ivfRank(s, d, 13L, Long.MaxValue, "cid", "cv", cents)
       .filter(col("__rk") === 1).drop("__d", "__rk", "centv")
 
   /** each query's top `nprobe` buckets: (cent_id, qid, qv) */
   private[graft] def ivfQueryProbes(s: SparkSession, d: String,
-      nprobe: Int): DataFrame =
-    ivfRank(s, d, 8L, 12L, "qid", "qv")
+      nprobe: Int, cents: Option[DataFrame] = None): DataFrame =
+    ivfRank(s, d, 8L, 12L, "qid", "qv", cents)
       .filter(col("__rk") <= nprobe).drop("__d", "__rk", "centv")
+
+  /** `iters` Lloyd mean-updates of the 8 seed centroids (vec_id < 8),
+    * trained on the IVF corpus split only (queries stay unseen, the honest
+    * ANN regime). One iteration = broadcast-argmax assignment (exactly
+    * q76's E-step) + per-dimension mean via posexplode → hash aggregation
+    * (q83's M-step reduction) re-packed into a vector with a
+    * deterministic sort. Means use the rounded-decimal sum so both
+    * engines compute bit-identical codebooks; clusters that lose all
+    * members drop out (the group simply vanishes — both engines agree),
+    * so the learned codebook may have < 8 entries.
+    */
+  private[graft] def lloydCentroids(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    val corpus = embeddings(s, d).filter(col("vec_id") >= 13)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    var cent = embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("centv"))
+    (0 until iters).foreach { _ =>
+      val w = Window.partitionBy("cid")
+        .orderBy(col("__d").desc, col("cent_id").asc)
+      val assigned = corpus.crossJoin(broadcast(cent))
+        .withColumn("__d", dot(col("cv"), col("centv")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("cent_id"), col("cv"))
+      cent = assigned
+        .select(col("cent_id"), posexplode(asDouble(col("cv"))).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centv"))
+    }
+    cent
+  }
+
+  /** The trained codebook as a small literal table: the K×dim learned
+    * centroids are MODEL PARAMETERS — collecting them to the driver is the
+    * one legitimate driver round-trip in an ANN pipeline (bounded by K,
+    * not data), and re-broadcasting the literals means the 2-iteration
+    * training chain executes ONCE instead of once per consumer plan
+    * (corpus assignment + query probing would otherwise each recompute
+    * it).
+    */
+  private[graft] def trainedCodebook(s: SparkSession, d: String): DataFrame = {
+    val learned = lloydCentroids(s, d, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    import s.implicits._
+    learned.toDF("cent_id", "centv")
+  }
 
   /** Multi-probe IVF top-3 (q151's body, parameterized so QueriesSpec can
     * measure recall across nprobe settings). The candidate set is
@@ -90,9 +144,9 @@ object SimilarityQueries {
     * true neighbor's bucket was probed).
     */
   private[graft] def ivfMultiprobe(s: SparkSession, d: String,
-      nprobe: Int): DataFrame = {
-    val corpus = ivfCorpusAssign(s, d)
-    val qs = ivfQueryProbes(s, d, nprobe)
+      nprobe: Int, cents: Option[DataFrame] = None): DataFrame = {
+    val corpus = ivfCorpusAssign(s, d, cents)
+    val qs = ivfQueryProbes(s, d, nprobe, cents)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     broadcast(qs).join(corpus, "cent_id")
       .withColumn("cos", dot(col("qv"), col("cv")) /
@@ -332,6 +386,72 @@ object SimilarityQueries {
                   row_number() OVER (PARTITION BY qid
                     ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
                 FROM qs, cent) WHERE rk <= 2),
+              scored AS (SELECT qid, cid,
+                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                FROM q_a JOIN corpus_a USING (cent_id))
+              SELECT qid, cid, cos,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+              FROM scored
+              QUALIFY rk <= 3""")
+    ),
+
+    // ── IVF with a TRAINED codebook (the 100 TB-credible variant) ─────────
+    QueryDef(
+      "q159_ann_ivf_trained",
+      // q151 partitions the corpus around 8 FIXED corpus vectors — fine
+      // for proving the multi-probe machinery, but a real deployment
+      // learns its codebook, because centroid quality is what converts
+      // nprobe/K scan-cost savings into recall (r5 verdict task 5). Here
+      // the codebook is 2 Lloyd iterations over the corpus split (assign
+      // = q76's broadcast argmax; update = q83's posexplode mean
+      // reduction), then the SAME multi-probe pipeline runs against the
+      // learned centroids. Every arithmetic step — rounded-decimal means,
+      // sequential dot folds, id tie-breaks — is bit-identical in the
+      // DuckDB oracle's unrolled iterations, so bucket assignments,
+      // probes, and the final exact re-rank all hash-match.
+      // QueriesSpec measures the recall@3 curve across nprobe on this
+      // codebook (monotone, exact at full probe).
+      (s, d) => ivfMultiprobe(s, d, nprobe = 2,
+        cents = Some(trainedCodebook(s, d))),
+      Some(s"""WITH corpus AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 13),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              c0 AS (SELECT vec_id AS cent_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centv
+                FROM embeddings WHERE vec_id < 8),
+              a0 AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, c0) WHERE rk = 1),
+              c1 AS (SELECT cent_id, list(m ORDER BY i) AS centv FROM (
+                SELECT cent_id, i,
+                  CAST(sum(CAST(round(CAST(cv[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) AS m
+                FROM a0, range(1, ${SQL_DIM + 1}) t(i)
+                GROUP BY cent_id, i) GROUP BY cent_id),
+              a1 AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, c1) WHERE rk = 1),
+              c2 AS (SELECT cent_id, list(m ORDER BY i) AS centv FROM (
+                SELECT cent_id, i,
+                  CAST(sum(CAST(round(CAST(cv[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) AS m
+                FROM a1, range(1, ${SQL_DIM + 1}) t(i)
+                GROUP BY cent_id, i) GROUP BY cent_id),
+              corpus_a AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, c2) WHERE rk = 1),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, c2) WHERE rk <= 2),
               scored AS (SELECT qid, cid,
                 ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
                 FROM q_a JOIN corpus_a USING (cent_id))

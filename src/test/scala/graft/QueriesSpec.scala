@@ -100,6 +100,29 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= 2.0 / 8, s"nprobe=2 recall $r2 below bucket coverage")
   }
 
+  test("trained IVF codebook: recall@3 curve is monotone and exact at full probe") {
+    import graft.operators.SimilarityQueries
+    val truth = SimilarityQueries.exactTop3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = SimilarityQueries.trainedCodebook(spark, sf)
+    // Lloyd can drop empty clusters; probe counts range over what's left
+    val k = cents.count().toInt
+    assert(k >= 2 && k <= 8, s"degenerate codebook: $k centroids")
+    val curve = (1 to k).map { np =>
+      val got = SimilarityQueries.ivfMultiprobe(spark, sf, np, Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    // candidate sets grow with nprobe, so recall must never decrease …
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"recall curve not monotone: $curve")
+    }
+    // … and at nprobe=k every bucket is probed: the result IS exact top-3
+    assert(curve.last == 1.0, s"full probe must be exact: $curve")
+    info(s"trained-codebook recall@3 by nprobe: " +
+      curve.zipWithIndex.map { case (r, i) => s"${i + 1}→$r" }.mkString(", "))
+  }
+
   test("IVF re-rank: top-1 is brute-force-exact whenever the true bucket was probed") {
     import graft.operators.SimilarityQueries
     // the candidate SET is approximate (probed buckets); the ORDER within
