@@ -321,6 +321,65 @@ object Multimodal {
     })
   }
 
+  /** [[pngPixel]] generalized to any channel count (q160's gray/RGBA
+    * media): pix(id, x, y, c) = ((id·37 + (y·w + x)·nch + c) · 11) mod 256
+    * — the nch=3 case IS pngPixel, so the formula family stays one thing
+    * across the PNG queries.
+    */
+  def pngPixelN(id: Long, w: Int, x: Int, y: Int, c: Int, nch: Int): Int =
+    (((id * 37 + (y.toLong * w + x) * nch + c) * 11) % 256).toInt
+
+  final case class PngMultiStats(media_id: Long, color_type: Long,
+      width: Long, height: Long, channel: Long, sum_v: Long)
+
+  /** real PNG media across the color types corpora actually contain:
+    * even ids encode GRAYSCALE (color type 0, 1 channel), odd ids RGBA
+    * (color type 6, 4 channels) — through the same real encoder (zlib,
+    * filter cycle, multi-IDAT). Dimensions w ∈ 2..6, h ∈ 2..5.
+    */
+  def pngMultiMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val colorType = if (id % 2 == 0) 0 else 6
+      val nch = PngCodec.channelsOf(colorType)
+      val w = (id % 5 + 2).toInt
+      val h = (id % 4 + 2).toInt
+      val px = new Array[Byte](w * h * nch)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < nch) {
+            px((y * w + x) * nch + c) = pngPixelN(id, w, x, y, c, nch).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      id -> PngCodec.encode(PngCodec.Png(w, h, px, colorType))
+    })
+  }
+
+  /** strict multi-format decode + per-channel reduction: one output row
+    * per (image, channel) so gray and RGBA rows coexist in one typed
+    * result; undecodable rows are dropped (never crash, never fake)
+    */
+  def pngMultiStats(media: Dataset[(Long, Array[Byte])]): Dataset[PngMultiStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      PngCodec.decode(bytes).toSeq.flatMap { img =>
+        PngCodec.channelSumsN(img).zipWithIndex.map { case (sv, c) =>
+          PngMultiStats(id, img.colorType.toLong, img.width.toLong,
+            img.height.toLong, c.toLong, sv)
+        }
+      }
+    })
+  }
+
   // ── REAL video path: RIFF/AVI with DIB frames (see [[AviCodec]]) ───────
 
   final case class AviFrameStats(media_id: Long, frame_idx: Long,

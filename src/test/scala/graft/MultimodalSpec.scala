@@ -191,6 +191,90 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(PngCodec.decode(wide).isEmpty, "hostile width accepted")
   }
 
+  test("PNG codec: grayscale and RGBA round-trip with per-type left offsets") {
+    import graft.multimodal.PngCodec
+    // h >= 6 cycles through every filter; the bpp-aware "left" neighbor
+    // (1 byte for gray, 4 for RGBA) is what each unfilter must get right
+    for (ct <- Seq(0, 6); w <- 2 to 6; h <- Seq(2, 5, 6)) {
+      val nch = PngCodec.channelsOf(ct)
+      val px = Array.tabulate(w * h * nch)(i => ((i * 89 + 3) % 256).toByte)
+      val img = PngCodec.Png(w, h, px, ct)
+      val back = PngCodec.decode(PngCodec.encode(img))
+      assert(back.isDefined, s"ct=$ct ${w}x$h failed to decode")
+      assert(back.get.colorType == ct && back.get.channels == nch)
+      assert(back.get.pixels.toSeq == px.toSeq,
+        s"ct=$ct ${w}x$h pixels corrupted through encode/decode")
+    }
+    // channel sums: gray 1 entry, RGBA 4 (alpha last)
+    val g = PngCodec.Png(2, 1, Array[Byte](10, 20), 0)
+    assert(PngCodec.channelSumsN(g).toSeq == Seq(30L))
+    val a = PngCodec.Png(1, 2, Array[Byte](1, 2, 3, 4, 10, 20, 30, 40), 6)
+    assert(PngCodec.channelSumsN(a).toSeq == Seq(11L, 22L, 33L, 44L))
+    // palette (3) and gray+alpha (4) stay rejected even with a valid CRC
+    val okRgb = PngCodec.encode(PngCodec.Png(3, 3,
+      Array.tabulate(27)(i => i.toByte)))
+    for (ctBad <- Seq(3.toByte, 4.toByte)) {
+      val v = okRgb.clone()
+      v(25) = ctBad
+      val crc = new java.util.zip.CRC32
+      crc.update(v, 12, 17)
+      java.nio.ByteBuffer.wrap(v).putInt(29, crc.getValue.toInt)
+      assert(PngCodec.decode(v).isEmpty, s"color type $ctBad accepted")
+    }
+  }
+
+  test("PNG codec: zlib stream with truncated Adler-32 trailer is rejected") {
+    import graft.multimodal.PngCodec
+    import java.nio.ByteBuffer
+    // Build a PNG whose zlib stream decompresses to EXACTLY the expected
+    // scanline bytes but is cut before its Adler-32 trailer — the r5
+    // advice case: byte count alone used to accept it.
+    val img = PngCodec.Png(4, 3, Array.tabulate(4 * 3 * 3)(i => (i * 7).toByte))
+    val good = PngCodec.encode(img)
+    // reassemble the single zlib stream from the IDAT chunks
+    val s = new String(good, "ISO-8859-1")
+    val z = new java.io.ByteArrayOutputStream
+    var at = s.indexOf("IDAT")
+    val idatSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (at >= 0) {
+      val len = ByteBuffer.wrap(good).getInt(at - 4)
+      idatSpans += ((at - 4, len))
+      z.write(good, at + 4, len)
+      at = s.indexOf("IDAT", at + 4)
+    }
+    val zbytes = z.toByteArray
+    assert(zbytes.length > 4)
+    val cut = java.util.Arrays.copyOfRange(zbytes, 0, zbytes.length - 4)
+    // sanity: the cut stream still yields every scanline byte
+    val inf = new java.util.zip.Inflater(false)
+    inf.setInput(cut)
+    val raw = new Array[Byte](3 * (1 + 4 * 3))
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) got = raw.length + 1 else got += n
+    }
+    assert(got == raw.length, "fixture broken: cut stream must still inflate fully")
+    assert(!inf.finished(), "fixture broken: stream must NOT be finished")
+    inf.end()
+    // rebuild the PNG: IHDR verbatim, ONE IDAT carrying the cut stream
+    val out = new java.io.ByteArrayOutputStream
+    out.write(good, 0, idatSpans.head._1) // signature + IHDR
+    val lenB = ByteBuffer.allocate(4).putInt(cut.length).array()
+    out.write(lenB)
+    out.write("IDAT".getBytes("US-ASCII"))
+    out.write(cut)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(cut)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    val iend = s.indexOf("IEND")
+    out.write(good, iend - 4, good.length - (iend - 4))
+    assert(PngCodec.decode(out.toByteArray).isEmpty,
+      "truncated Adler-32 trailer must be rejected")
+    // and the unmodified original still decodes
+    assert(PngCodec.decode(good).exists(_.pixels.toSeq == img.pixels.toSeq))
+  }
+
   test("WAV codec: round-trip, foreign-chunk skipping, strict rejection") {
     import graft.multimodal.WavCodec
     val w = WavCodec.Wav(16000, Array[Short](0, 100, -100, 32767, -32768, 7))
