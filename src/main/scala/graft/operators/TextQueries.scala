@@ -329,20 +329,86 @@ object TextQueries {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
 
-  /** [[SQL_WINNOW_CTES]] extended through the q154 pair pipeline (ex → ok
-    * → wpairs), shared by the q154 and q158 oracles so the pair semantics
-    * can never drift between the pair query and its closure.
+  /** Skew-salted winnow pairs (r5 verdict task 8): q154 DROPS buckets
+    * above the cap outright — correct for pair generation (a fingerprint
+    * shared by everything is boilerplate, and its pair count is
+    * quadratic), but the *evidence* that two documents also share hot
+    * fingerprints vanished with the bucket. This variant keeps cold-bucket
+    * pair semantics BIT-IDENTICAL to q154 (same explode → capped member
+    * list → in-bucket pair HOFs → ≥2-shared filter) and adds
+    * `n_hot_shared`: for every surviving pair, the exact count of HOT
+    * fingerprints (bucket > `hotAt` members) both endpoints carry.
+    *
+    * Skew mechanics, in two places:
+    *   - membership aggregation is TWO-LEVEL SALTED: level 1 groups by
+    *     (fp, doc_id mod 8) with the capped collect bounding every
+    *     per-key buffer at O(hotAt), level 2 merges the ≤8 partials —
+    *     exact global counts (sums of partial counts) even for a
+    *     fingerprint shared by half the corpus, with no single reducer
+    *     ever seeing the full hot bucket's members;
+    *   - hot evidence attaches by joining pairs to per-DOC hot
+    *     fingerprints (docs carry bounded fingerprint sets), never by
+    *     expanding the hot bucket itself — linear in pairs, the
+    *     quadratic pair cost stays paid only where it's bounded.
+    *
+    * At `hotAt` = 64 the pair columns are exactly q154 (QueriesSpec
+    * asserts equality); the declared q161 runs at `hotAt` = 2 —
+    * demonstration threshold, documented there — so the hot path is
+    * oracle-exercised on this corpus (whose largest real bucket is 6).
     */
-  private lazy val SQL_WINNOW_PAIR_CTES: String =
+  private[graft] def winnowPairsSalted(s: SparkSession, d: String,
+      hotAt: Int): DataFrame = {
+    val ex = winnowFingerprints(s, d, Seq("doc_id", "fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val partial = ex.withColumn("salt", pmod(col("doc_id"), lit(8)))
+      .groupBy("fp", "salt")
+      .agg(count(lit(1)).as("pn"),
+        graft.functions.agg.collectListCapped(col("doc_id"), hotAt + 1)
+          .as("pids"))
+    val buckets = partial.groupBy("fp")
+      .agg(sum(col("pn")).as("n_docs"),
+        flatten(collect_list(col("pids"))).as("ids0"))
+    // cold buckets: every salt partial was complete (partial size ≤
+    // bucket size ≤ hotAt < cap), so the flattened union is the exact
+    // member set
+    val pairs = buckets.filter(col("n_docs").between(2, hotAt))
+      .select(sort_array(col("ids0")).as("ids"))
+      .select(explode(expr(pairExpr("ids", (x, y) =>
+        s"struct($x AS a, $y AS b)"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    val hotByDoc = ex.join(
+      broadcast(buckets.filter(col("n_docs") > hotAt).select("fp")), "fp")
+    val ha = hotByDoc.select(col("doc_id").as("a"), col("fp").as("fpa"))
+    val hb = hotByDoc.select(col("doc_id").as("hbdoc"), col("fp").as("fpb"))
+    pairs
+      .join(ha, Seq("a"), "left_outer")
+      .join(hb, col("b") === col("hbdoc") && col("fpa") === col("fpb"),
+        "left_outer")
+      .groupBy("a", "b", "n_shared")
+      .agg(sum(when(col("fpb").isNotNull, 1L).otherwise(0L))
+        .as("n_hot_shared"))
+  }
+
+  /** [[SQL_WINNOW_CTES]] extended through the q154 pair pipeline (ex → ok
+    * → wpairs), shared by the q154/q158/q161 oracles so the pair
+    * semantics can never drift between the pair query, its closure, and
+    * the salted variant. Parameterized on the bucket cap (q161 runs the
+    * same pipeline at a different threshold).
+    */
+  private def sqlWinnowPairCtes(cap: Int): String =
     s"""$SQL_WINNOW_CTES,
         ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpcte),
         ok AS (SELECT fp FROM ex GROUP BY fp
-               HAVING count(*) BETWEEN 2 AND 64),
+               HAVING count(*) BETWEEN 2 AND $cap),
         wpairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
           FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
           JOIN ok ON ok.fp = x.fp
           GROUP BY 1, 2
           HAVING count(*) >= 2)"""
+
+  private lazy val SQL_WINNOW_PAIR_CTES: String = sqlWinnowPairCtes(64)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -601,6 +667,31 @@ object TextQueries {
       // can be a collision; two is overlap evidence).
       (s, d) => winnowPairs(s, d),
       Some(s"$SQL_WINNOW_PAIR_CTES SELECT a, b, n_shared FROM wpairs")
+    ),
+
+    // ── skew-salted winnow pairs with hot-bucket evidence ─────────────────
+    QueryDef(
+      "q161_winnow_pairs_salted",
+      // q154 with the hot-bucket blind spot closed (see winnowPairsSalted
+      // for the two-level salted aggregation and the linear-in-pairs hot
+      // evidence join). Runs at hotAt = 2 — a DEMONSTRATION threshold:
+      // this corpus's largest real bucket is 6 members, so the production
+      // cap (64, where the pair columns are exactly q154 — QueriesSpec
+      // asserts that equality) would leave the hot path dead here. At
+      // hotAt = 2, buckets of 3..6 members become "hot": their pairs are
+      // not enumerated, but each surviving cold pair reports how many hot
+      // fingerprints its endpoints share.
+      (s, d) => winnowPairsSalted(s, d, hotAt = 2),
+      Some(s"""${sqlWinnowPairCtes(2)},
+          hot AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) > 2),
+          hx AS (SELECT e.doc_id, e.fp FROM ex e JOIN hot USING (fp)),
+          h AS (SELECT w.a, w.b, count(*) AS c
+                FROM wpairs w JOIN hx x ON x.doc_id = w.a
+                JOIN hx y ON y.doc_id = w.b AND y.fp = x.fp
+                GROUP BY 1, 2)
+          SELECT w.a, w.b, w.n_shared,
+            CAST(coalesce(h.c, 0) AS BIGINT) AS n_hot_shared
+          FROM wpairs w LEFT JOIN h ON h.a = w.a AND h.b = w.b""")
     ),
 
     // ── winnow-pair clusters (partial-overlap dedup, closed) ─────────────

@@ -155,6 +155,47 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(covered >= truth1.size, s"only $covered covered cases")
   }
 
+  test("salted winnow pairs at the production cap are exactly q154's pairs") {
+    import graft.operators.TextQueries
+    val plain = TextQueries.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val salted = TextQueries.winnowPairsSalted(spark, sf, hotAt = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(salted.view.mapValues(_._1).toMap == plain,
+      "cold-bucket pair semantics must be preserved bit-for-bit")
+    // this corpus's largest bucket is 6 members: nothing is hot at 64
+    assert(salted.values.forall(_._2 == 0L))
+  }
+
+  test("salted winnow pairs surface hot-bucket evidence without enumerating it") {
+    import graft.operators.TextQueries
+    val s = spark
+    import s.implicits._
+    // runs A and B are shared ONLY by docs 1,2 (cold buckets of 2);
+    // run C is shared by docs 1,2,3,4 (bucket >= 4: hot at hotAt=2).
+    // Unique per-doc filler keeps boundary windows out of shared buckets.
+    def run(tag: String) = (1 to 11).map(i => s"$tag$i").mkString(" ")
+    def fill(doc: Int, tag: String) =
+      (1 to 11).map(i => s"f$doc$tag$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("winsalt").toString
+    Seq(
+      (1L, s"${run("A")} ${fill(1, "x")} ${run("B")} ${fill(1, "y")} ${run("C")}", "s1"),
+      (2L, s"${run("A")} ${fill(2, "x")} ${run("B")} ${fill(2, "y")} ${run("C")}", "s2"),
+      (3L, s"${fill(3, "x")} ${run("C")} ${fill(3, "y")}", "s3"),
+      (4L, s"${fill(4, "x")} ${run("C")} ${fill(4, "y")}", "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.winnowPairsSalted(spark, dir, hotAt = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // only (1,2) shares >= 2 cold fingerprints; C's buckets are hot, so
+    // they contribute evidence counts, not pairs — (1,3),(3,4) etc. absent
+    assert(rows.keySet == Set((1L, 2L)), s"got ${rows.keySet}")
+    val (nShared, nHot) = rows((1L, 2L))
+    assert(nShared >= 2, s"cold shared fingerprints: $nShared")
+    assert(nHot >= 1, s"hot evidence must survive the cap: $nHot")
+  }
+
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
     import graft.operators.TextQueries
     val s = spark
