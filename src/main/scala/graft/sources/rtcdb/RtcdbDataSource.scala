@@ -221,6 +221,10 @@ class RtcdbAggScan(root: String, table: String, declared: StructType,
     // per-column index publishes reads as the consistent empty/old view
     // instead of throwing on the unpublished column. A directory with no
     // index files at all is likewise an empty table.
+    // absent-while-siblings-non-empty is also the LOST-index signature:
+    // same empty view either way, but say so loudly (see RtcdbFormat)
+    RtcdbFormat.warnIfAbsentIndexes(Paths.get(root), table,
+      declared.fieldNames.toSeq, "rtcdb agg scan")
     val nBlocks = declared.fieldNames.map { c =>
       val p = indexPath(Paths.get(root), table, c)
       if (Files.exists(p)) (Files.size(p) / IndexEntryBytes).toInt else 0
@@ -572,6 +576,10 @@ class RtcdbScan(root: String, table: String, declared: StructType,
     // view, not a FileNotFoundException on the unpublished column. No
     // index entry is read driver-side except the O(log n) binary-search
     // probes below.
+    // absent-while-siblings-non-empty is also the LOST-index signature:
+    // same empty view either way, but say so loudly (see RtcdbFormat)
+    RtcdbFormat.warnIfAbsentIndexes(Paths.get(root), table,
+      declared.fieldNames.toSeq, "rtcdb row scan")
     val nBlocks = declared.fieldNames.map { c =>
       val p = indexPath(Paths.get(root), table, c)
       if (Files.exists(p)) (Files.size(p) / IndexEntryBytes).toInt else 0

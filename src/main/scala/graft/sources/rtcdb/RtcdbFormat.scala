@@ -152,6 +152,42 @@ object RtcdbFormat {
   def indexPath(root: Path, table: String, col: String): Path =
     root.resolve(s"$table.$col.index")
 
+  /** 'Never published' vs 'lost': a missing per-column index normally
+    * means the crash window between a FIRST commit's per-column index
+    * publishes, and every reader/repair path treats it as the consistent
+    * empty view. But an index lost to external causes (disk fault,
+    * partial copy, manual deletion) has the same signature — and there the
+    * empty view silently hides the whole table, and the next append's
+    * truncate-to-min repair makes the loss permanent. The two cases are
+    * not distinguishable from file sizes alone (a torn first commit also
+    * leaves non-empty siblings), so when a declared column's index is
+    * ABSENT while sibling indexes hold entries, warn loudly naming the
+    * files — the operator can restore them BEFORE the next append
+    * (r5 advice). Returns true when that suspicious shape was seen.
+    */
+  def warnIfAbsentIndexes(root: Path, table: String,
+      fields: Seq[String], context: String): Boolean = {
+    val sized = fields.map { c =>
+      val p = indexPath(root, table, c)
+      c -> (if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.size(p) / IndexEntryBytes else -1L)
+    }
+    val missing = sized.collect { case (c, -1L) => c }
+    val suspicious = missing.nonEmpty && sized.exists(_._2 > 0L)
+    if (suspicious)
+      org.slf4j.LoggerFactory.getLogger("graft.rtcdb").warn(
+        s"$context: table '$table' declares column(s) " +
+          missing.mkString("[", ", ", "]") +
+          " with NO index file while sibling indexes are non-empty (" +
+          sized.collect { case (c, n) if n > 0 => s"$c=$n" }
+            .mkString(", ") +
+          " entries). Treating this as the never-published empty view; " +
+          "if these index files were lost to external causes, restore " +
+          "them NOW — the next append's truncate-to-min repair makes the " +
+          "loss permanent.")
+    suspicious
+  }
+
   // ── writer (append-only batch ingest, storage.rs:224-297 semantics) ────
 
   def write(root: String, table: String, schema: StructType,

@@ -126,6 +126,11 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
     // shortest-column rule, and data files are append-only, so dropping
     // the orphaned tail entries never invalidates a live reference (the
     // tail's data bytes stay as inert dangling bytes).
+    // the repair below is DESTRUCTIVE when an index was lost rather than
+    // never published (truncate-to-min discards every committed row) —
+    // warn with the file names before making that permanent (RtcdbFormat)
+    RtcdbFormat.warnIfAbsentIndexes(rootP, table, schema.fieldNames.toSeq,
+      "rtcdb append repair")
     val entryCounts = schema.fieldNames.map { c =>
       val p = indexPath(rootP, table, c)
       if (Files.exists(p)) Files.size(p) / IndexEntryBytes else 0L

@@ -366,7 +366,15 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     val root = freshDb("missingidx")
     RtcdbFormat.write(root, "events", eventsSchema,
       (1L to 100L).map(i => Row(s"e$i", 1700000000L + i, i)))
+    // intact table: nothing suspicious to warn about
+    assert(!RtcdbFormat.warnIfAbsentIndexes(Paths.get(root), "events",
+      eventsSchema.fieldNames.toSeq, "spec"))
     Files.delete(Paths.get(root, "events.timestamp.index"))
+    // absent index beside non-empty siblings is ALSO the lost-index
+    // signature — the empty view stands, but the reader must flag it
+    // (r5 advice: silent total data loss otherwise)
+    assert(RtcdbFormat.warnIfAbsentIndexes(Paths.get(root), "events",
+      eventsSchema.fieldNames.toSeq, "spec"))
     assert(readEvents(root).count() == 0)
     // pushed-aggregate (index-only) path applies the identical rule
     assert(readEvents(root).agg(count(lit(1)))
