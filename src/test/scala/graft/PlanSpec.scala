@@ -201,6 +201,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q125_tpch_q22_idlerich" /* 1-row global-average broadcast, like q89 */,
       "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */,
       "q151_ann_ivf_multiprobe" /* K=8 centroid broadcast, like q44 */,
+      "q159_ann_ivf_trained" /* K≤8 learned-centroid broadcast, like q151 */,
       "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,
       "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
       "q133_tpch_q11_value" /* 1-row broadcasts: |supplier| + the Q11 total */,
