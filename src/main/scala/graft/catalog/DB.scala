@@ -539,6 +539,59 @@ final class DB private (val root: Path, val spark: SparkSession) {
     }
   }
 
+  /** Partition-preserving compaction — the small-files remedy for
+    * DIRECTORY-PARTITIONED tables, where [[compact]]'s whole-table
+    * range-sort rewrite would flatten the layout (and with it every
+    * PartitionFilters prune). Each partition's committed files are
+    * rewritten into one output file per partition (append-only new
+    * generation, partition columns re-derived from the directory names),
+    * then a SINGLE snapshot-manifest swap commits every compacted
+    * partition at once — readers see the complete old file set or the
+    * complete new one, exactly the [[upsertPartitioned]] discipline. At
+    * 100 TB this is the nightly maintenance job: N streaming appends
+    * leave N small files per partition whose row-group stats overlap;
+    * compaction restores one well-sorted file per partition without ever
+    * taking the table offline or touching partitions that are already
+    * compact.
+    *
+    * Returns (committedFilesBefore, committedFilesAfter).
+    */
+  def compactPartitions(name: String): (Int, Int) = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    val dir = tableDir(name)
+    if (!Files.exists(dir)) return (0, 0)
+    val current = snapshotFiles(name).getOrElse(listRelParquet(name))
+    val currentSet = current.toSet
+    // sweep uncommitted residue first (crashed merge/compact leftovers)
+    if (Files.exists(snapshotPath(name)))
+      listRelParquet(name).filterNot(currentSet)
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    val byPart = current.groupBy(parentRel)
+    require(!byPart.contains(""),
+      s"compactPartitions requires a directory-partitioned table; " +
+        s"'$name' has files at the table root (use compact)")
+    val victims = byPart.filter { case (_, fs) => fs.size > 1 }
+    if (victims.isEmpty) return (current.size, current.size)
+    // partition column names, from the directory structure itself
+    val partitionCols = victims.head._1.split('/').map(_.split("=")(0)).toSeq
+    val victimFiles = victims.values.flatten.toSeq
+    spark.read.option("basePath", dir.toString).schema(schema)
+      .parquet(victimFiles.map(f => dir.resolve(f).toString): _*)
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++
+        schema.fieldNames.filterNot(partitionCols.contains)).map(col): _*)
+      .write.mode("append").option("compression", "lz4")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir.toString)
+    val newFiles = listRelParquet(name).filterNot(currentSet)
+    val compactedDirs = victims.keySet
+    val kept = current.filterNot(f => compactedDirs.contains(parentRel(f)))
+    commitSnapshot(name, kept ++ newFiles) // ← THE commit point
+    victimFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    (current.size, kept.size + newFiles.size)
+  }
+
   /** session-catalog identifier for a bucketed table, unique per DB root */
   private def bucketedName(name: String): String =
     s"graft_${name}_${java.lang.Integer.toHexString(root.toString.hashCode)}"

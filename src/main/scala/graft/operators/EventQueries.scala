@@ -330,6 +330,56 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q162_compact_partitions",
+      // Partition-preserving compaction, driver-visible end to end (the
+      // q139/q156 pattern for the DB facade): the events table lands in a
+      // directory-partitioned layout via TWO appends — each partition now
+      // holds two small files, the streaming-ingest shape — then
+      // DB.compactPartitions rewrites every partition to one file behind
+      // ONE snapshot-manifest swap (readers old-or-new throughout;
+      // DBSpec proves the crash windows). The aggregate reads the
+      // compacted layout; the oracle aggregates the raw events — so row
+      // loss, duplication, or partition mixing in the compaction path
+      // breaks the hash. The committed file counts are emitted as columns
+      // for the oracle to PIN as literals: 5 event-type partitions × 2
+      // appended files → 5 × 1 compacted — so the compaction must
+      // actually halve the file count, not just preserve rows.
+      (s, d) => {
+        import graft.catalog.DB
+        import org.apache.spark.sql.types.StructType
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val schema = StructType(ev.schema.fields.map(_.copy(nullable = false)))
+        val root = Shared.scratchRoot("q162", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val db = DB.init(root.toString, Seq("ev" -> schema))(s)
+        (0 until 2).foreach { b =>
+          db.writePartitioned("ev",
+            ev.filter(pmod(col("event_id"), lit(2)) === b),
+            Seq("event_type"))
+        }
+        val (nBefore, nAfter) = db.compactPartitions("ev")
+        db.table("ev")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_value"))
+          .withColumn("files_before", lit(nBefore.toLong))
+          .withColumn("files_after", lit(nAfter.toLong))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              CAST(10 AS BIGINT) AS files_before,
+              CAST(5 AS BIGINT) AS files_after
+              FROM events GROUP BY 1""")
+    ),
+
+    QueryDef(
       "q128_range_join_bucketed",
       // equi-key-LESS point-in-interval join: every view (any user) that
       // happened inside any user's 15-minute first-error incident window.
