@@ -138,9 +138,12 @@ object Bench {
     * + 2 decimals so the whole line fits the driver's tail window;
     * headline fields LAST so even a front-truncated tail keeps them.
     * Degradation ladder as the suite grows: 2 decimals → 1 decimal →
-    * slowest 110 queries + an "other" aggregate — the headline total and
-    * the slow tail (what the per-query gate actually inspects) always
-    * survive; the full table is in BENCH_SELF.json regardless.
+    * slowest-K + an "other" aggregate, where K is the LARGEST count that
+    * fits the budget (not a fixed cut: at 163 queries a fixed slowest-110
+    * rung would discard ~50 still-renderable entries). Failed queries
+    * (-1) always survive the cut, the headline total and the slow tail
+    * (what the per-query gate actually inspects) always survive, and the
+    * full table is in BENCH_SELF.json regardless.
     */
   private[graft] def stdoutLine(results: Seq[(String, Double)],
       failed: Seq[String], sfDir: String, sentMed: Double = -1.0): String = {
@@ -162,12 +165,24 @@ object Bench {
       val full1 = render(1, results, "")
       if (full1.length <= LineBudget) full1
       else {
-        val keep = results.sortBy(-_._2).take(110).sortBy(_._1)
-        // sum only successful entries (failed queries carry a -1 sentinel
-        // that would understate "other"), mirroring the headline total
-        val rest = results.collect { case (_, v) if v >= 0 => v }.sum -
-          keep.collect { case (_, v) if v >= 0 => v }.sum
-        render(1, keep, s""","other":${fmt(math.max(rest, 0), 1)}""")
+        // dynamic slowest-K rung: drop fastest entries one at a time until
+        // the line fits (failed -1 entries are never droppable — a lost
+        // failure marker would make a broken suite look merely small).
+        // Linear walk is fine: each step is one cheap string render.
+        val (mustKeep, droppable) = results.partition(_._2 < 0)
+        val byValueDesc = droppable.sortBy(-_._2)
+        val totalOk = droppable.map(_._2).sum
+        var keepN = byValueDesc.size
+        var out = ""
+        do {
+          val keep = (mustKeep ++ byValueDesc.take(keepN)).sortBy(_._1)
+          // "other" = successful time NOT itemized, so itemized + other
+          // always reproduces the headline total
+          val rest = totalOk - byValueDesc.take(keepN).map(_._2).sum
+          out = render(1, keep, s""","other":${fmt(math.max(rest, 0), 1)}""")
+          keepN -= 1
+        } while (out.length > LineBudget && keepN >= 0)
+        out
       }
     }
   }

@@ -1392,6 +1392,81 @@ object TextQueries {
                 CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
                 CAST(sum(CASE WHEN a AND b AND c AND e AND f THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
               FROM p""")
+    ),
+
+    // ── exact-substring span dedup (ExactSubstr-style, shingle-granular) ──
+    QueryDef(
+      "q163_exact_substr_spans",
+      // The span-level member of the dedup family (doc-level: q30/q31;
+      // near-dup: q37/q38/q152+; semantic: q126): find every MAXIMAL run
+      // of tokens, at 8-token resolution, that also appears verbatim in
+      // ANOTHER document — the boilerplate/license/mirror detector that
+      // doc-granular dedup can't express (Lee et al. 2022 build it on
+      // suffix arrays; the k-shingle formulation below is the
+      // shuffle-friendly equivalent at k-token resolution).
+      //
+      // Shape, and why it scales: (1) one scan derives every 8-token
+      // shingle with its start position — consumed via posexplode_outer +
+      // null filter so the derived-array chain is never inlined into a
+      // pushed-down generator predicate (see winnowLadder's notes);
+      // (2) duplicated shingles are found by ONE hash aggregation on the
+      // 64-bit shingle hash — fixed-width shuffle keys, never the strings
+      // (the oracle groups the strings themselves; a 64-bit collision at
+      // corpus scale is ~n²/2⁶⁵ — negligible, and only ever ADDS a
+      // false duplicated position); (3) duplicated positions come back via
+      // a shuffle semi join on the same hash; (4) runs of consecutive
+      // duplicated starts merge into maximal spans with the classic
+      // positions-minus-row_number islands trick — one window per doc,
+      // partitioned by doc_id, so no skew beyond document length. No
+      // all-pairs stage anywhere: cost is O(tokens) + two shuffles.
+      (s, d) => {
+        val K = 8
+        val t = tokens(col("text"))
+        // total-by-construction shingle array (clamped bounds) — see the
+        // winnowLadder scaladoc for why generators must never see a
+        // partial expression
+        val sh = transform(
+          sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
+          i => concat_ws(" ", slice(col("t"), i.cast("int"), lit(K))))
+        val starts = Tables.documents(s, d)
+          .filter(size(tokens(col("text"))) >= K)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("t", t)
+          .withColumn("sh", sh)
+          .select(col("doc_id"), posexplode_outer(col("sh")).as(Seq("p0", "s")))
+          .filter(col("s").isNotNull)
+          .select(col("doc_id"), (col("p0") + 1).as("p"),
+            xxhash64(col("s")).as("h"))
+        val dup = starts.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val w = Window.partitionBy("doc_id").orderBy("p")
+        starts.join(dup, Seq("h"), "left_semi")
+          .withColumn("g", col("p") - row_number().over(w))
+          .groupBy("doc_id", "g")
+          .agg(min(col("p")).as("sp"), (max(col("p")) + (K - 1)).as("ep"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("ep") - col("sp") + 1).cast("long").as("dup_tokens"),
+            max(col("ep") - col("sp") + 1).cast("long").as("max_span"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              sh AS (SELECT doc_id, CAST(p AS INT) AS p,
+                       array_to_string(t[p:p+7], ' ') AS s
+                     FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 7)) AS p
+                           FROM tok WHERE len(t) >= 8)),
+              dup AS (SELECT s FROM sh
+                      GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+              isl AS (SELECT doc_id, p,
+                        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+                      FROM sh WHERE s IN (SELECT s FROM dup)),
+              sp AS (SELECT doc_id, min(p) AS sp, max(p) + 7 AS ep
+                     FROM isl GROUP BY doc_id, g)
+              SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(ep - sp + 1) AS BIGINT) AS dup_tokens,
+                CAST(max(ep - sp + 1) AS BIGINT) AS max_span
+              FROM sp GROUP BY doc_id""")
     )
   )
 }

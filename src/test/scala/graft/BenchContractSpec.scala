@@ -23,14 +23,55 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!line.contains("\n") && line.startsWith("{"))
   }
 
-  test("bench stdout line keeps every query key at the current suite scale") {
-    val n = SparkEntry.defs.size
-    val results = (1 to n).map(i => (f"q$i%03d_x", 1.23))
+  test("bench stdout line keeps the slow tail at the current suite scale") {
+    // Real suite-shaped input: the REAL query names (so short keys have
+    // their true widths) with values spanning fast→slow. Past ~160
+    // queries the full table no longer fits the tail budget; the dynamic
+    // rung must keep the line parseable, keep EVERY slow query itemized,
+    // and reconcile the dropped mass through "other".
+    val names = SparkEntry.defs.map(_.name).sorted
+    val n = names.size
+    val results = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 + (i % 40) * 0.25) } // 0.1 .. 9.85s mix
     val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget,
       s"line is ${line.length} chars at the current $n-query scale")
-    assert((1 to n).forall(i => line.contains(f""""q$i%03d":""")),
-      "per-query entries must survive at the current suite size")
+    // every query slower than 1s must be itemized (the gate's slow tail)
+    val slow = results.filter(_._2 >= 1.0)
+    val missing = slow.filterNot { case (nm, _) =>
+      line.contains("\"" + nm.takeWhile(_ != '_') + "\":") }
+    assert(missing.isEmpty, s"slow queries dropped from the line: ${missing.take(5)}")
+    // itemized + other must reproduce the headline total (±rounding:
+    // each itemized value rounds at 1 decimal, so the bound scales with n)
+    if (line.contains("\"other\":")) {
+      val qs = """"q[0-9]+[a-z]?":([0-9.]+)""".r
+        .findAllMatchIn(line).map(_.group(1).toDouble).toSeq
+      val other = """"other":([0-9.]+)""".r
+        .findFirstMatchIn(line).get.group(1).toDouble
+      val total = """"value":([0-9.]+)""".r
+        .findFirstMatchIn(line).get.group(1).toDouble
+      assert(math.abs(qs.sum + other - total) < 0.05 * n + 0.2,
+        s"itemized ${qs.sum} + other $other != total $total")
+    }
+  }
+
+  test("dynamic rung keeps strictly more queries than the old fixed-110 cut") {
+    // 200 synthetic queries with 4-char keys — deep into rung-3 territory;
+    // the fit-max-K walk must retain well over 110 itemized entries
+    val results = (1 to 200).map(i => (f"q$i%03d_x", 0.31))
+    val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget)
+    val kept = """"q[0-9]{3}":""".r.findAllIn(line).size
+    assert(kept > 110, s"only $kept itemized entries survived")
+  }
+
+  test("failed queries survive the dynamic cut even when they'd sort fastest") {
+    val ok = (1 to 200).map(i => (f"q$i%03d_x", 5.0))
+    val results = ok :+ ("q999_broken", -1.0)
+    val line = Bench.stdoutLine(results, Seq("q999_broken"), "/tmp/sf")
+    assert(line.length <= Bench.LineBudget)
+    assert(line.contains(""""q999":-1"""), "failure marker must never be dropped")
+    assert(line.contains(""""failed":["q999_broken"]"""))
   }
 
   test("failed queries surface in the line, never shrink the total silently") {
