@@ -33,6 +33,27 @@ object agg {
     org.apache.spark.sql.graftshim.CollectListCapped.column(c, cap)
 }
 
+/** Column-API entry points for Spark's bloom-filter sketch expressions
+  * (implementation bridge: [[org.apache.spark.sql.graftshim.BloomBridge]]).
+  *
+  * The 100 TB pattern these serve (q164): dedup/decontaminate INCOMING data
+  * against a PRIOR corpus too big to broadcast exactly — build a
+  * fixed-size filter over the prior keys (one aggregation; bytes, not
+  * rows, reach the driver), prefilter incoming rows with `mightContain`
+  * so definite-new rows never enter the confirm join, and exact-confirm
+  * only the positives. Results stay EXACT: the filter's one-sided error
+  * (no false negatives) only routes rows, never decides them.
+  */
+object bloom {
+  /** Build a serialized bloom filter over `xxhash64`-hashed keys. */
+  def filterAgg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    org.apache.spark.sql.graftshim.BloomBridge.filterAgg(hashed, expectedItems, numBits)
+
+  /** Membership probe against a `lit(bytes)` filter; no false negatives. */
+  def mightContain(hashed: Column, filter: Column): Column =
+    org.apache.spark.sql.graftshim.BloomBridge.mightContain(hashed, filter)
+}
+
 /** Session extension (`spark.sql.extensions=graft.functions.GraftExtensions`)
   * registering `vec_dot` for SQL-text users and the range-join rewrite rule
   * ([[graft.plans.RangeJoinRule]], inert until its bucket-width conf is

@@ -1467,6 +1467,63 @@ object TextQueries {
                 CAST(sum(ep - sp + 1) AS BIGINT) AS dup_tokens,
                 CAST(max(ep - sp + 1) AS BIGINT) AS max_span
               FROM sp GROUP BY doc_id""")
+    ),
+
+    // ── bloom-prefiltered cross-snapshot dedup ────────────────────────────
+    QueryDef(
+      "q164_bloom_snapshot_dedup",
+      // Incremental ingest dedup — the 100 TB shape q30 can't reach: is
+      // each INCOMING document already in the PRIOR snapshot, when the
+      // prior corpus is far too large to broadcast its key set exactly?
+      // Pattern (Spark's own runtime bloom-join, made explicit and
+      // reusable): (1) ONE aggregation folds the prior keys into a
+      // fixed-size bloom filter — map-side partial filters OR-merged, so
+      // only numBits/8 bytes ever reach the driver (a bounded model
+      // parameter, the q159-centroid precedent — never O(rows));
+      // (2) incoming rows probe the filter inside whole-stage codegen:
+      // bloom-NEGATIVE rows are definitely new and BYPASS the join —
+      // at a 1% false-positive rate, 99% of genuinely-new data never
+      // shuffles; (3) only bloom-positive rows take the exact confirm
+      // join (left join on the normalized key, prior side distinct).
+      // The result is EXACT — the filter's one-sided error only routes
+      // rows — so the oracle is the plain join. Prior/incoming split:
+      // even/odd doc_id (deterministic snapshot surrogate). Key: the
+      // q30 whitespace-collapsed lowercase norm.
+      (s, d) => {
+        val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+        val docs = Tables.documents(s, d)
+        val prior = docs.filter(col("doc_id") % 2 === 0)
+          .select(norm.as("k")).distinct()
+        val bf = prior
+          .agg(graft.functions.bloom
+            .filterAgg(xxhash64(col("k")), 1 << 16, 1L << 19).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("source"), norm.as("k"))
+          .withColumn("maybe",
+            graft.functions.bloom.mightContain(xxhash64(col("k")), lit(bf)))
+        val neg = incoming.filter(!col("maybe"))
+          .select(col("source"), lit(false).as("is_dup"))
+        val pos = incoming.filter(col("maybe"))
+          .join(prior.withColumn("m", lit(1)), Seq("k"), "left")
+          .select(col("source"), col("m").isNotNull.as("is_dup"))
+        neg.union(pos)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_new"))
+      },
+      Some("""WITH prior AS (SELECT DISTINCT
+                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS k
+                     FROM documents WHERE doc_id % 2 = 0),
+              inc AS (SELECT source,
+                        lower(regexp_replace(text, '\s+', ' ', 'g')) AS k
+                      FROM documents WHERE doc_id % 2 = 1)
+              SELECT i.source, count(*) AS n_docs,
+                CAST(count(p.k) AS BIGINT) AS n_dup,
+                CAST(count(*) - count(p.k) AS BIGINT) AS n_new
+              FROM inc i LEFT JOIN prior p ON i.k = p.k
+              GROUP BY i.source""")
     )
   )
 }

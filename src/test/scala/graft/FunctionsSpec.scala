@@ -86,4 +86,29 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
         s"label $l mean vector mismatch")
     }
   }
+
+  test("bloom bridge: no false negatives, bounded false positives, " +
+      "distributed build == narrow build") {
+    import graft.functions.bloom
+    // distributed build: 16 partitions force map-side partial filters +
+    // an OR-merge on the reduce side
+    val members = spark.range(0L, 4096L, 1L, 16).select(col("id"))
+    def build(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(bloom.filterAgg(xxhash64(col("id")), 4096L, 1L << 16).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    val bf = build(members)
+    // identical insert set through one partition must yield the identical
+    // filter (merge is a pure bitwise OR — layout-independent)
+    assert(java.util.Arrays.equals(bf, build(members.coalesce(1))))
+    // every inserted key MUST probe positive (the exactness contract:
+    // q164's confirm join only ever sees a superset of the true dups)
+    val fn = members
+      .filter(!bloom.mightContain(xxhash64(col("id")), lit(bf))).count()
+    assert(fn == 0, s"$fn false negatives — bloom routing would drop dups")
+    // non-members: false-positive rate stays near the sizing target
+    // (4096 items in 2^16 bits ⇒ ~2.3% optimal; allow slack)
+    val fp = spark.range(1000000L, 1032768L, 1L, 16)
+      .filter(bloom.mightContain(xxhash64(col("id")), lit(bf))).count()
+    assert(fp < 32768 * 0.10, s"$fp/32768 false positives — filter degenerate")
+  }
 }
