@@ -312,6 +312,33 @@ object TextQueries {
   private val winnowMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Winnow near-dup components — q154's pairs transitively closed
+    * (Shared.minLabelComponents) — memoized to scratch parquet exactly
+    * like the ladder above: q158 (cluster sizes) and q165 (representative
+    * election) consume the identical label table, and the fixpoint is the
+    * expensive part (checkpointed rounds), so the second consumer reads
+    * a pair-graph-sized parquet instead of re-running it. Same contract
+    * as winnowMemo: key = normalized dataset path, first caller pays,
+    * pid-scoped janitored scratch.
+    */
+  private[graft] def winnowComponents(s: SparkSession, d: String): DataFrame = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val root = winnowCompMemo.computeIfAbsent(key, _ => {
+      val edges = winnowPairs(s, d).select("a", "b")
+      val nodes = edges.select(col("a").as("id"))
+        .union(edges.select(col("b").as("id"))).distinct()
+      val r = Shared.scratchRoot("winnowcomp", key)
+      minLabelComponents(s, nodes, edges)
+        .write.mode("overwrite").parquet(r.toString)
+      r.toString
+    })
+    s.read.parquet(root)
+  }
+
+  /** dataset dir (normalized) → materialized component labels for this JVM */
+  private val winnowCompMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q154's body — winnow-fingerprint candidate pairs (a, b, n_shared) —
     * exposed so q158 can close them into clusters. See q154's scaladoc
     * for the bucket-cap and >= 2-shared-fingerprints contracts.
@@ -706,14 +733,9 @@ object TextQueries {
       // sharing >= 2 winnow fingerprints), so the fixpoint rounds run on
       // checkpointed label tables orders of magnitude smaller than the
       // documents scan that produced them.
-      (s, d) => {
-        val pairs = winnowPairs(s, d)
-        val edges = pairs.select("a", "b")
-        val nodes = edges.select(col("a").as("id"))
-          .union(edges.select(col("b").as("id"))).distinct()
-        minLabelComponents(s, nodes, edges)
-          .groupBy("comp").agg(count(lit(1)).as("n_members"))
-      },
+      (s, d) =>
+        winnowComponents(s, d)
+          .groupBy("comp").agg(count(lit(1)).as("n_members")),
       Some("WITH RECURSIVE " + SQL_WINNOW_PAIR_CTES.stripPrefix("WITH ") + """,
            wedges AS (SELECT a, b FROM wpairs
                       UNION ALL SELECT b AS a, a AS b FROM wpairs),
@@ -1524,6 +1546,69 @@ object TextQueries {
                 CAST(count(*) - count(p.k) AS BIGINT) AS n_new
               FROM inc i LEFT JOIN prior p ON i.k = p.k
               GROUP BY i.source""")
+    ),
+
+    // ── dedup APPLY: per-cluster representative election ──────────────────
+    QueryDef(
+      "q165_dedup_select",
+      // The step every dedup pipeline ends with and none of q30-q158
+      // performs: decide which rows SURVIVE. Winnow near-dup clusters
+      // (q158's closure) elect ONE representative each — the highest
+      // quality-signal member (q33's alpha ratio), doc_id tie-break —
+      // and docs in no cluster keep themselves. Emitted per source so
+      // the oracle pins every keep/drop decision in aggregate.
+      //
+      // Scale shape: the cluster table is pair-graph-sized (orders
+      // smaller than the corpus), so the join back to documents
+      // broadcasts; singleton survival costs nothing (coalesce label =
+      // doc_id, no join fanout); the election window partitions by
+      // cluster — skew-bounded by the q154 bucket cap upstream. One
+      // documents scan, one broadcast join, one bounded window.
+      (s, d) => {
+        val comp = winnowComponents(s, d)
+        val docs = Tables.documents(s, d)
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("alpha",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+          .select(col("doc_id"), col("source"), col("len"), col("alpha"),
+            (col("alpha").cast("double") / col("len")).as("alpha_ratio"))
+        val labeled = docs
+          .join(broadcast(comp), docs("doc_id") === comp("id"), "left")
+          .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+        val w = Window.partitionBy("comp")
+          .orderBy(col("alpha_ratio").desc, col("doc_id").asc)
+        labeled
+          .withColumn("keep", row_number().over(w) === 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+            sum(when(!col("keep"), col("len")).otherwise(0L)).as("chars_removed"))
+      },
+      Some("WITH RECURSIVE " + SQL_WINNOW_PAIR_CTES.stripPrefix("WITH ") + """,
+           wedges AS (SELECT a, b FROM wpairs
+                      UNION ALL SELECT b AS a, a AS b FROM wpairs),
+           wnodes AS (SELECT DISTINCT a AS id FROM wedges),
+           reach AS (SELECT id, id AS r FROM wnodes
+                     UNION
+                     SELECT e.b, reach.r FROM reach JOIN wedges e ON e.a = reach.id),
+           wcomp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+           qual AS (SELECT doc_id, source,
+                      CAST(length(text) AS BIGINT) AS len,
+                      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+                      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / length(text) AS alpha_ratio
+                    FROM documents),
+           lab AS (SELECT q.*, coalesce(c.comp, q.doc_id) AS comp
+                   FROM qual q LEFT JOIN wcomp c ON q.doc_id = c.id),
+           sel AS (SELECT *, row_number() OVER (PARTITION BY comp
+                     ORDER BY alpha_ratio DESC, doc_id ASC) = 1 AS keep
+                   FROM lab)
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN NOT keep THEN len ELSE 0 END) AS BIGINT) AS chars_removed
+           FROM sel GROUP BY source""")
     )
   )
 }
