@@ -196,6 +196,39 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(nHot >= 1, s"hot evidence must survive the cap: $nHot")
   }
 
+  test("exact-substring spans: maximal shared runs recovered exactly, " +
+      "separate runs stay separate") {
+    val s = spark
+    import s.implicits._
+    // RUN20: a 20-token run shared by docs 1,2 at DIFFERENT offsets amid
+    // unique filler → each doc reports exactly ONE span of 20 tokens
+    // (k=8: duplicated shingle starts merge into one island).
+    // Docs 4,5 share an 8-token run and a 12-token run separated by
+    // unique tokens → TWO spans (8, 12), never merged. Doc 3 shares
+    // nothing → absent from the output.
+    def toks(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val run20 = toks("r", 20)
+    val run8 = toks("p", 8)
+    val run12 = toks("q", 12)
+    val dir = java.nio.file.Files.createTempDirectory("substr").toString
+    Seq(
+      (1L, s"${toks("u1f", 10)} $run20 ${toks("u1g", 10)}", "s1"),
+      (2L, s"${toks("u2f", 5)} $run20 ${toks("u2g", 5)}", "s2"),
+      (3L, toks("u3f", 30), "s3"),
+      (4L, s"$run8 ${toks("u4f", 6)} $run12", "s1"),
+      (5L, s"${toks("u5f", 4)} $run8 ${toks("u5g", 7)} $run12 ${toks("u5h", 3)}", "s2"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q163_exact_substr_spans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 4L, 5L), s"got ${rows.keySet}")
+    assert(rows(1L) == ((1L, 20L, 20L)), s"doc1: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 20L, 20L)), s"doc2: ${rows(2L)}")
+    assert(rows(4L) == ((2L, 20L, 12L)), s"doc4: ${rows(4L)}")
+    assert(rows(5L) == ((2L, 20L, 12L)), s"doc5: ${rows(5L)}")
+  }
+
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
     import graft.operators.TextQueries
     val s = spark
