@@ -218,6 +218,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, s"unexpected cartesian/NLJ in: $offenders")
   }
 
+  test("q163 (substring spans): fixed-width hash agg + semi join, no all-pairs") {
+    val p = plan("q163_exact_substr_spans")
+    // duplicated-shingle discovery groups/joins on the 64-bit hash, never
+    // the shingle strings, and no pairwise stage exists anywhere
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q164 (bloom dedup): probe runs in the scan pipeline, confirm join is keyed") {
+    val p = plan("q164_bloom_snapshot_dedup")
+    // the might_contain routing predicate must be IN the plan (codegen
+    // expression over the broadcast-literal filter), and the confirm join
+    // must be an equi join on the normalized key
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q165 (representative election): cluster labels broadcast, one bounded window") {
+    val p = plan("q165_dedup_select")
+    // the label table is pair-graph-sized → must join to documents as a
+    // broadcast, and the election is a single window (partitioned by comp,
+    // never a global sort)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
     // the 100 TB shape: the fact is directory-partitioned on the join key;
     // a selective dim filter must prune fact partitions AT RUNTIME (DPP),
