@@ -1609,6 +1609,146 @@ object TextQueries {
              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
              CAST(sum(CASE WHEN NOT keep THEN len ELSE 0 END) AS BIGINT) AS chars_removed
            FROM sel GROUP BY source""")
+    ),
+
+    // ── end-to-end curation pipeline (the composition capstone) ───────────
+    QueryDef(
+      "q166_curation_pipeline",
+      // The full pretraining-curation funnel as ONE declarative plan —
+      // what a user of this library actually runs: quality gate (q33's
+      // exact signals) → exact dedup (q31's canonical election on the
+      // q30 norm hash) → near-dup dedup (q165's representative election
+      // on the shared winnow components) → benchmark decontamination
+      // (q155's graded 70% containment, src0 held out) → per-source
+      // funnel counts + surviving token budget. Every stage is the
+      // already-proven operator; the point is that they COMPOSE into one
+      // plan with no materialization between stages (the two winnow
+      // artifacts ride the process-wide memos).
+      //
+      // Scale shape: one documents scan feeds the funnel (Catalyst reuses
+      // the scan across the stage aggregates); the component labels and
+      // benchmark fingerprint set broadcast (pair-graph-sized and
+      // held-out-sized); the only corpus-sized shuffles are the two
+      // election windows (hash-partitioned by norm hash / cluster) and
+      // the containment aggregation — all keyed, all skew-bounded
+      // upstream (q154's bucket cap).
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .filter(col("source") =!= "src0")
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("alpha",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+          .withColumn("alpha_ratio", col("alpha").cast("double") / col("len"))
+          // q30's normalized exact key. On THIS corpus the stage drops
+          // nothing — its duplication is prefix/partial-overlap style
+          // (21 of 438 quality passers share an 80-char prefix, zero
+          // share normalized bytes), so the near-dup stage below is the
+          // one that bites; the funnel reports both honestly.
+          .withColumn("h",
+            md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+          .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+          .select("doc_id", "source", "len", "alpha_ratio", "h", "n_tokens")
+        val quality = base.filter(col("len") >= 100 && col("alpha_ratio") > 0.5)
+        val exact = quality
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("h").orderBy(col("doc_id").asc)))
+          .filter(col("rk") === 1).drop("rk")
+        val comp = winnowComponents(s, d)
+        val nearded = exact
+          .join(broadcast(comp), exact("doc_id") === comp("id"), "left")
+          .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("comp")
+              .orderBy(col("alpha_ratio").desc, col("doc_id").asc)))
+          .filter(col("rk") === 1).drop("rk")
+        // q155's containment verbatim, reduced to the contaminated id set
+        val fp = winnowFingerprints(s, d, Seq("doc_id", "source", "fps"))
+        val bench = fp.filter(col("source") === "src0")
+          .select(explode_outer(col("fps")).as("fp"))
+          .filter(col("fp").isNotNull)
+          .distinct()
+          .withColumn("hit", lit(1L))
+        val contaminated = fp.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+          .filter(col("fp").isNotNull)
+          .join(broadcast(bench), Seq("fp"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fps"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+          .filter(col("n_shared") * 10 >= col("n_fps") * 7)
+          .select("doc_id")
+        val fin = nearded.join(contaminated, Seq("doc_id"), "left_anti")
+        def cnt(df: DataFrame, c: String) =
+          df.groupBy("source").agg(count(lit(1)).as(c))
+        cnt(base, "n_docs")
+          .join(cnt(quality, "n_quality"), Seq("source"), "left")
+          .join(cnt(exact, "n_exact"), Seq("source"), "left")
+          .join(cnt(nearded, "n_neardup"), Seq("source"), "left")
+          .join(fin.groupBy("source").agg(
+            count(lit(1)).as("n_final"),
+            sum(col("n_tokens")).as("tokens_final")), Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+      },
+      Some("WITH RECURSIVE " + SQL_WINNOW_PAIR_CTES.stripPrefix("WITH ") + s""",
+           wedges AS (SELECT a, b FROM wpairs
+                      UNION ALL SELECT b AS a, a AS b FROM wpairs),
+           wnodes AS (SELECT DISTINCT a AS id FROM wedges),
+           reach AS (SELECT id, id AS r FROM wnodes
+                     UNION
+                     SELECT e.b, reach.r FROM reach JOIN wedges e ON e.a = reach.id),
+           wcomp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+           cbase AS (SELECT doc_id, source,
+                       CAST(length(text) AS BIGINT) AS len,
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / length(text) AS alpha_ratio,
+                       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+                       CAST(len($SQL_TOKENS) AS BIGINT) AS n_tokens
+                     FROM documents WHERE source <> 'src0'),
+           cqual AS (SELECT * FROM cbase
+                     WHERE len >= 100 AND alpha_ratio > 0.5),
+           cexact AS (SELECT * FROM cqual QUALIFY
+                        row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1),
+           cnear AS (SELECT * FROM
+                       (SELECT q.*, coalesce(c.comp, q.doc_id) AS comp
+                        FROM cexact q LEFT JOIN wcomp c ON q.doc_id = c.id)
+                     QUALIFY row_number() OVER (PARTITION BY comp
+                       ORDER BY alpha_ratio DESC, doc_id) = 1),
+           cf AS (SELECT fpcte.doc_id, d.source, fps
+                  FROM fpcte JOIN documents d ON fpcte.doc_id = d.doc_id),
+           cbench AS (SELECT DISTINCT unnest(fps) AS fp FROM cf
+                      WHERE source = 'src0'),
+           cexfp AS (SELECT doc_id, unnest(fps) AS fp FROM cf
+                     WHERE source <> 'src0'),
+           ccont AS (SELECT doc_id FROM
+                       (SELECT doc_id, count(*) AS n_fps,
+                          sum(CASE WHEN fp IN (SELECT fp FROM cbench)
+                              THEN 1 ELSE 0 END) AS n_shared
+                        FROM cexfp GROUP BY doc_id)
+                     WHERE n_shared * 10 >= n_fps * 7),
+           cfin AS (SELECT * FROM cnear
+                    WHERE doc_id NOT IN (SELECT doc_id FROM ccont))
+           SELECT b.source, b.n_docs,
+             CAST(coalesce(q.n, 0) AS BIGINT) AS n_quality,
+             CAST(coalesce(e.n, 0) AS BIGINT) AS n_exact,
+             CAST(coalesce(nn.n, 0) AS BIGINT) AS n_neardup,
+             CAST(coalesce(f.n, 0) AS BIGINT) AS n_final,
+             CAST(coalesce(f.tk, 0) AS BIGINT) AS tokens_final
+           FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM cbase GROUP BY source) b
+           LEFT JOIN (SELECT source, count(*) AS n FROM cqual GROUP BY source) q
+             ON b.source = q.source
+           LEFT JOIN (SELECT source, count(*) AS n FROM cexact GROUP BY source) e
+             ON b.source = e.source
+           LEFT JOIN (SELECT source, count(*) AS n FROM cnear GROUP BY source) nn
+             ON b.source = nn.source
+           LEFT JOIN (SELECT source, count(*) AS n, sum(n_tokens) AS tk
+                      FROM cfin GROUP BY source) f
+             ON b.source = f.source""")
     )
   )
 }
