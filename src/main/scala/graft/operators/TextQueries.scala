@@ -1516,14 +1516,22 @@ object TextQueries {
         val docs = Tables.documents(s, d)
         val prior = docs.filter(col("doc_id") % 2 === 0)
           .select(norm.as("k")).distinct()
-        val bf = prior
+        val bfRow = prior
           .agg(graft.functions.bloom
             .filterAgg(xxhash64(col("k")), 1 << 16, 1L << 19).as("bf"))
-          .head.getAs[Array[Byte]](0)
+          .head
+        // an EMPTY prior snapshot aggregates to NULL, not an empty filter:
+        // then nothing can be a dup and every incoming row takes the
+        // definite-new fast path (the probe column is a constant false)
+        val probe =
+          if (bfRow.isNullAt(0))
+            lit(false)
+          else
+            graft.functions.bloom.mightContain(xxhash64(col("k")),
+              lit(bfRow.getAs[Array[Byte]](0)))
         val incoming = docs.filter(col("doc_id") % 2 === 1)
           .select(col("source"), norm.as("k"))
-          .withColumn("maybe",
-            graft.functions.bloom.mightContain(xxhash64(col("k")), lit(bf)))
+          .withColumn("maybe", probe)
         val neg = incoming.filter(!col("maybe"))
           .select(col("source"), lit(false).as("is_dup"))
         val pos = incoming.filter(col("maybe"))

@@ -229,6 +229,22 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(5L) == ((2L, 20L, 12L)), s"doc5: ${rows(5L)}")
   }
 
+  test("bloom snapshot dedup survives an empty prior snapshot") {
+    val s = spark
+    import s.implicits._
+    // all doc_ids odd → the even-id prior snapshot is EMPTY and the bloom
+    // aggregate evaluates to NULL; every incoming row must come back as
+    // definitely new (no NPE, no dropped rows)
+    val dir = java.nio.file.Files.createTempDirectory("bloomempty").toString
+    Seq((1L, "some text here", "s1"), (3L, "other text there", "s1"),
+        (5L, "third document text", "s2"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q164_bloom_snapshot_dedup")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows == Map("s1" -> ((2L, 0L, 2L)), "s2" -> ((1L, 0L, 1L))), rows)
+  }
+
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
     import graft.operators.TextQueries
     val s = spark
