@@ -1633,13 +1633,19 @@ object TextQueries {
       // plan with no materialization between stages (the two winnow
       // artifacts ride the process-wide memos).
       //
-      // Scale shape: one documents scan feeds the funnel (Catalyst reuses
-      // the scan across the stage aggregates); the component labels and
-      // benchmark fingerprint set broadcast (pair-graph-sized and
-      // held-out-sized); the only corpus-sized shuffles are the two
-      // election windows (hash-partitioned by norm hash / cluster) and
-      // the containment aggregation — all keyed, all skew-bounded
-      // upstream (q154's bucket cap).
+      // Scale shape: ONE documents scan feeds the whole funnel — stage
+      // membership is carried as per-row FLAGS (quality bool; election
+      // ranks ordered flag-first so each window elects among the prior
+      // stage's survivors without re-filtering the lineage), and the
+      // funnel counts fall out of one conditional aggregation. Separate
+      // per-stage aggregates would re-execute the upstream chain once per
+      // stage (Catalyst only reuses identical exchanges) — 5× the corpus
+      // reads at 100 TB; PlanSpec pins the single-scan property. The
+      // component labels and benchmark fingerprint set broadcast
+      // (pair-graph-sized and held-out-sized); the only corpus-sized
+      // shuffles are the two election windows (hash-partitioned by norm
+      // hash / cluster) and the containment aggregation — all keyed, all
+      // skew-bounded upstream (q154's bucket cap).
       (s, d) => {
         val base = Tables.documents(s, d)
           .filter(col("source") =!= "src0")
@@ -1656,19 +1662,24 @@ object TextQueries {
             md5(lower(regexp_replace(col("text"), "\\s+", " "))))
           .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
           .select("doc_id", "source", "len", "alpha_ratio", "h", "n_tokens")
-        val quality = base.filter(col("len") >= 100 && col("alpha_ratio") > 0.5)
-        val exact = quality
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("h").orderBy(col("doc_id").asc)))
-          .filter(col("rk") === 1).drop("rk")
         val comp = winnowComponents(s, d)
-        val nearded = exact
-          .join(broadcast(comp), exact("doc_id") === comp("id"), "left")
+        // stage flags on one lineage. Flag-first window ordering makes
+        // each election happen among the PRIOR stage's survivors: if any
+        // survivor exists in the partition, rank 1 lands on the best of
+        // them (flags sort true-first via desc), so `prior && rank=1`
+        // is exactly "elected among survivors".
+        val labeled = base
+          .withColumn("q", col("len") >= 100 && col("alpha_ratio") > 0.5)
+          .withColumn("rk_e", row_number().over(
+            Window.partitionBy("h")
+              .orderBy(col("q").desc, col("doc_id").asc)))
+          .withColumn("e", col("q") && col("rk_e") === 1)
+          .join(broadcast(comp), col("doc_id") === comp("id"), "left")
           .withColumn("comp", coalesce(col("comp"), col("doc_id")))
-          .withColumn("rk", row_number().over(
+          .withColumn("rk_n", row_number().over(
             Window.partitionBy("comp")
-              .orderBy(col("alpha_ratio").desc, col("doc_id").asc)))
-          .filter(col("rk") === 1).drop("rk")
+              .orderBy(col("e").desc, col("alpha_ratio").desc, col("doc_id").asc)))
+          .withColumn("n", col("e") && col("rk_n") === 1)
         // q155's containment verbatim, reduced to the contaminated id set
         val fp = winnowFingerprints(s, d, Seq("doc_id", "source", "fps"))
         val bench = fp.filter(col("source") === "src0")
@@ -1685,22 +1696,16 @@ object TextQueries {
             sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
           .filter(col("n_shared") * 10 >= col("n_fps") * 7)
           .select("doc_id")
-        val fin = nearded.join(contaminated, Seq("doc_id"), "left_anti")
-        def cnt(df: DataFrame, c: String) =
-          df.groupBy("source").agg(count(lit(1)).as(c))
-        cnt(base, "n_docs")
-          .join(cnt(quality, "n_quality"), Seq("source"), "left")
-          .join(cnt(exact, "n_exact"), Seq("source"), "left")
-          .join(cnt(nearded, "n_neardup"), Seq("source"), "left")
-          .join(fin.groupBy("source").agg(
-            count(lit(1)).as("n_final"),
-            sum(col("n_tokens")).as("tokens_final")), Seq("source"), "left")
-          .select(col("source"), col("n_docs"),
-            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
-            coalesce(col("n_final"), lit(0L)).as("n_final"),
-            coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+        labeled
+          .join(contaminated.withColumn("bad", lit(1L)), Seq("doc_id"), "left")
+          .withColumn("f", col("n") && col("bad").isNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("e"), 1L).otherwise(0L)).as("n_exact"),
+            sum(when(col("n"), 1L).otherwise(0L)).as("n_neardup"),
+            sum(when(col("f"), 1L).otherwise(0L)).as("n_final"),
+            sum(when(col("f"), col("n_tokens")).otherwise(0L)).as("tokens_final"))
       },
       Some("WITH RECURSIVE " + SQL_WINNOW_PAIR_CTES.stripPrefix("WITH ") + s""",
            wedges AS (SELECT a, b FROM wpairs

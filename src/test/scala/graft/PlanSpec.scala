@@ -246,6 +246,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q166 (curation pipeline): the whole funnel reads documents ONCE") {
+    // stage flags on one lineage — separate per-stage aggregates would
+    // re-scan the corpus once per stage (5× reads at 100 TB)
+    val p = plan("q166_curation_pipeline")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"documents scanned $scans times:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
     // the 100 TB shape: the fact is directory-partitioned on the join key;
     // a selective dim filter must prune fact partitions AT RUNTIME (DPP),
