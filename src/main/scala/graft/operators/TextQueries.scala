@@ -1443,22 +1443,23 @@ object TextQueries {
       // all-pairs stage anywhere: cost is O(tokens) + two shuffles.
       (s, d) => {
         val K = 8
-        val t = tokens(col("text"))
-        // total-by-construction shingle array (clamped bounds) — see the
-        // winnowLadder scaladoc for why generators must never see a
-        // partial expression
+        // total-by-construction shingle-hash array (clamped bounds) — see
+        // the winnowLadder scaladoc for why generators must never see a
+        // partial expression. Tokenize ONCE (the filter reads the same
+        // projected column), and hash each K-token slice directly —
+        // equal token runs ⇔ equal arrays, so hashing the array skips
+        // materializing a K-token string per position.
         val sh = transform(
           sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
-          i => concat_ws(" ", slice(col("t"), i.cast("int"), lit(K))))
+          i => xxhash64(slice(col("t"), i.cast("int"), lit(K))))
         val starts = Tables.documents(s, d)
-          .filter(size(tokens(col("text"))) >= K)
+          .withColumn("t", tokens(col("text")))
+          .filter(size(col("t")) >= K)
           .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("t", t)
           .withColumn("sh", sh)
-          .select(col("doc_id"), posexplode_outer(col("sh")).as(Seq("p0", "s")))
-          .filter(col("s").isNotNull)
-          .select(col("doc_id"), (col("p0") + 1).as("p"),
-            xxhash64(col("s")).as("h"))
+          .select(col("doc_id"), posexplode_outer(col("sh")).as(Seq("p0", "h")))
+          .filter(col("h").isNotNull)
+          .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
         val dup = starts.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("h")
