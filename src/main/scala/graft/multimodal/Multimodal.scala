@@ -229,6 +229,76 @@ object Multimodal {
     }
   }
 
+  /** 8×8 BMPs whose pixel CONTENT derives from `doc_id mod keyMod` while
+    * the media keeps its own id — distinct documents deliberately share
+    * pixel-identical images (the duplicate-image corpus q167 dedups).
+    * Bytes come from the REAL encoder, so downstream dedup only works if
+    * the decode path recovers the pixels exactly.
+    */
+  def bmpMediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val side = 8
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val ck = id % keyMod
+        val px = new Array[Byte](side * side * 3)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            var c = 0
+            while (c < 3) {
+              px((y * side + x) * 3 + c) = bmpPixel(ck, side, x, y, c).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        id -> BmpCodec.encode(BmpCodec.Bmp(side, side, px))
+      }
+    }
+  }
+
+  final case class BmpAHash(media_id: Long, ahash: String)
+
+  /** Average-hash (aHash) perceptual fingerprint from DECODED pixels:
+    * per-pixel integer gray = (b+g+r)/3 (truncating), bit i set iff
+    * gray_i·n ≥ Σgray (the division-free mean test — exact in both
+    * engines), rendered as a raster-order bit string. Byte-identical
+    * images always collide; the oracle recomputes the bits closed-form,
+    * so the decode path is load-bearing for every bit.
+    */
+  def bmpAHashes(media: Dataset[(Long, Array[Byte])]): Dataset[BmpAHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      BmpCodec.decode(bytes).map { img =>
+        val n = img.width * img.height
+        val gray = new Array[Long](n)
+        var tot = 0L
+        var i = 0
+        while (i < n) {
+          val b = img.pixels(i * 3) & 0xff
+          val g = img.pixels(i * 3 + 1) & 0xff
+          val r = img.pixels(i * 3 + 2) & 0xff
+          gray(i) = (b + g + r) / 3
+          tot += gray(i)
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder(n)
+        i = 0
+        while (i < n) {
+          sb.append(if (gray(i) * n >= tot) '1' else '0')
+          i += 1
+        }
+        BmpAHash(id, sb.toString)
+      }
+    })
+  }
+
   /** REAL decode + feature extraction: strict BMP decode, exact integer
     * per-channel sums; undecodable rows are dropped (never crash, never
     * fake)

@@ -299,6 +299,52 @@ object MultimodalQueries {
                 CAST(sum(((media_id*31 + f*101 + (y*width + x)*3 + 2)*7) % 256) AS BIGINT) AS sum_r
               FROM fr, unnest(range(height)) t(y), unnest(range(width)) u(x)
               GROUP BY 1, 2, 3, 4""")
+    ),
+
+    // ── image-level dedup: perceptual hash over DECODED pixels ────────────
+    QueryDef(
+      "q167_image_ahash_dedup",
+      // Dedup's missing modality (text: q30+/q152+; embeddings: q126):
+      // find documents carrying the SAME IMAGE. The corpus is synthesized
+      // with deliberate image dups (content keyed on doc_id mod 97, bytes
+      // through the REAL BMP encoder), the query decodes every image with
+      // the REAL decoder and fingerprints it with average-hash (aHash) —
+      // per-pixel integer gray, division-free mean test, 64-bit raster
+      // bit string — then groups by fingerprint exactly like q31 groups
+      // text hashes. The oracle recomputes every BIT closed-form from the
+      // pixel formula: any decode defect (row flip, channel order,
+      // padding) flips bits and breaks the hash match.
+      //
+      // Scale shape: decode + hash is a zero-shuffle per-row scan (the
+      // mapPartitions batch extension point); the dedup is ONE hash
+      // aggregation on the 64-char fingerprint — q30's shape with a
+      // decoded-pixel key. Perceptual (near-identical) matching at scale
+      // bands the same bits like q38 bands minhashes; byte-exact dup
+      // groups are what the oracle can pin.
+      (s, d) => {
+        val m = Multimodal.bmpMediaKeyed(Tables.documents(s, d), 97L)
+        Multimodal.bmpAHashes(m).toDF()
+          .groupBy("ahash")
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("canonical_id"))
+          .filter(col("n_copies") >= 2)
+      },
+      Some("""WITH g AS (SELECT doc_id % 97 AS ck, doc_id AS mid
+                FROM documents),
+              px AS (SELECT ck, mid, CAST(i AS BIGINT) AS i,
+                  (((ck*31 + i*3 + 0)*7) % 256
+                 + ((ck*31 + i*3 + 1)*7) % 256
+                 + ((ck*31 + i*3 + 2)*7) % 256) // 3 AS gray
+                FROM g, unnest(range(64)) t(i)),
+              tot AS (SELECT ck, mid, sum(gray) AS tg
+                FROM px GROUP BY 1, 2),
+              bits AS (SELECT px.ck, px.mid,
+                  string_agg(CASE WHEN gray * 64 >= tg THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS ahash
+                FROM px JOIN tot ON px.ck = tot.ck AND px.mid = tot.mid
+                GROUP BY 1, 2)
+              SELECT ahash, count(*) AS n_copies, min(mid) AS canonical_id
+              FROM bits GROUP BY ahash HAVING count(*) >= 2""")
     )
   )
 }
