@@ -327,6 +327,35 @@ object EventStream {
       }
   }
 
+  final case class SnapshotFlag(doc_id: Long, is_dup: Boolean)
+
+  /** Streaming cross-snapshot dedup — q164's bloom routing, unified
+    * batch/stream: each arriving document probes a broadcast bloom filter
+    * of the PRIOR corpus's normalized keys; bloom-negative rows are
+    * flagged new without ever joining (at a 1% FP rate, 99% of genuinely
+    * new stream traffic takes this zero-state fast path), and only
+    * bloom-positive rows take the stream-static left join against the
+    * prior key table for exact confirmation. No streaming state at all —
+    * the filter is a fixed broadcast and the join side is static — so the
+    * operator survives an unbounded ingest stream by construction.
+    * Works identically on a batch frame (the same lineage, no stream
+    * operators involved).
+    */
+  def snapshotDedup(docs: DataFrame, priorKeys: DataFrame,
+      bloom: Array[Byte]): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val keyed = docs.select(col("doc_id"), norm.as("k"))
+      .withColumn("maybe", graft.functions.bloom.mightContain(
+        xxhash64(col("k")), lit(bloom)))
+    val neg = keyed.filter(!col("maybe"))
+      .select(col("doc_id"), lit(false).as("is_dup"))
+    val pos = keyed.filter(col("maybe"))
+      .join(priorKeys.select(col("k")).distinct()
+        .withColumn("m", lit(1)), Seq("k"), "left")
+      .select(col("doc_id"), col("m").isNotNull.as("is_dup"))
+    neg.union(pos)
+  }
+
   // ── transformWithState with EVENT-TIME TIMERS ──────────────────────────
 
   /** Ev + the watermark column event-time timers require */

@@ -311,6 +311,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming snapshot dedup: bloom-routed stream-static confirm, batch == stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // prior snapshot: two known documents (normalized keys)
+    val prior = Seq("known document one", "known document two")
+      .toDF("text")
+      .select(lower(regexp_replace(col("text"), "\\s+", " ")).as("k"))
+    val bloom = prior
+      .agg(graft.functions.bloom.filterAgg(xxhash64(col("k")), 1024L, 1L << 14))
+      .head.getAs[Array[Byte]](0)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.snapshotDedup(
+        input.toDS().toDF("doc_id", "text"), prior, bloom)
+      .writeStream.format("memory").queryName("snapdedup_sink")
+      .outputMode("append").start()
+    try {
+      val batch = Seq(
+        (1L, "known  document one"),     // dup (normalization collapses ws)
+        (2L, "a brand new document"),    // new (bloom-negative fast path)
+        (3L, "known document two"),      // dup
+        (4L, "another unseen text"))     // new
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val got = spark.table("snapdedup_sink").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false), got)
+      // the SAME operator on a batch frame agrees with the stream
+      val b = EventStream.snapshotDedup(batch.toDF("doc_id", "text"), prior, bloom)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(b == got, s"batch $b != stream $got")
+    } finally q.stop()
+  }
+
   test("streaming aggregate maintains a catalog table via upsert (materialized view)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
