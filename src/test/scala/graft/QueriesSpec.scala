@@ -229,6 +229,49 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(5L) == ((2L, 20L, 12L)), s"doc5: ${rows(5L)}")
   }
 
+  test("exact-substring spans match an independent brute force on random corpora") {
+    val s = spark
+    import s.implicits._
+    val K = 8
+    // deterministic high-collision corpus: tiny vocabulary → many shared
+    // 8-grams, overlapping and adjacent runs, internal repeats
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val docs: Map[Long, Array[String]] = (1L to 40L).map { id =>
+      id -> Array.fill(15 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.length)))
+    }.toMap
+    // brute force: positions whose 8-gram appears in >= 2 DISTINCT docs,
+    // consecutive positions merged into maximal spans
+    val owners = docs.toSeq
+      .flatMap { case (id, t) =>
+        (0 to t.length - K).map(i => (t.slice(i, i + K).mkString(" "), id)) }
+      .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).distinct.size }
+    val expected = docs.flatMap { case (id, t) =>
+      val dup = (0 to t.length - K)
+        .filter(i => owners(t.slice(i, i + K).mkString(" ")) >= 2)
+        .map(_ + 1)
+      if (dup.isEmpty) None
+      else {
+        val spans = dup.foldLeft(List.empty[(Int, Int)]) {
+          case ((a, b) :: rest, p) if p == b + 1 => (a, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (a, b) => (a, b + K - 1) }
+        val lens = spans.map { case (a, b) => (b - a + 1).toLong }
+        Some(id -> ((spans.size.toLong, lens.sum, lens.max)))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("substrprop").toString
+    docs.toSeq.map { case (id, t) => (id, t.mkString(" "), "s1") }
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q163_exact_substr_spans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected,
+      s"mismatch keys: ${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}; " +
+        s"diffs: ${expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(5)}")
+  }
+
   test("bloom snapshot dedup survives an empty prior snapshot") {
     val s = spark
     import s.implicits._
