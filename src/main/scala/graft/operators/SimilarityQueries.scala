@@ -656,6 +656,78 @@ object SimilarityQueries {
               FROM (SELECT cent_id, count(*) AS n_vecs FROM assigned GROUP BY 1) s
               LEFT JOIN (SELECT cent_id, count(*) AS n_removed FROM removed GROUP BY 1) r
                 USING (cent_id)""")
+    ),
+
+    // ── IVF over an ingest-time PARTITIONED layout (the declared scale path) ─
+    QueryDef(
+      "q168_ann_ivf_partitioned",
+      // q44/q151/q159 compute the bucket assignment inside the query —
+      // correct, but at 100 TB the assignment belongs at INGEST: write the
+      // corpus directory-partitioned by cent_id once, and a probe then
+      // reads ONLY the nprobe probed partitions (static partition pruning
+      // — the planner never touches the other K-nprobe/K of the corpus
+      // files, no runtime cleverness required). This query demonstrates
+      // exactly that: the layout materializes once per (process, dataset)
+      // (the winnow-memo contract), the probed centroid ids collect as a
+      // model-sized literal IN filter (≤ K values — the q159-centroid
+      // precedent), and the plan shows PartitionFilters on cent_id
+      // (PlanSpec-asserted). Results are BY CONSTRUCTION identical to
+      // q151 (same splits, same codebook, same nprobe=2, same re-rank),
+      // so the oracle is q151's — what changed is WHERE the corpus scan's
+      // bytes come from, which is the entire point.
+      (s, d) => {
+        val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+        val root = ivfLayoutMemo.computeIfAbsent(key, _ => {
+          val r = Shared.scratchRoot("ivfpart", key)
+          ivfCorpusAssign(s, d).write.mode("overwrite")
+            .partitionBy("cent_id").parquet(r.toString)
+          r.toString
+        })
+        val probes = ivfQueryProbes(s, d, nprobe = 2)
+        // probed partitions as literals (partition values infer as int)
+        val probed = probes.select("cent_id").distinct().collect()
+          .map(_.getLong(0).toInt)
+        val corpus = s.read.parquet(root)
+          .filter(col("cent_id").isin(probed: _*))
+          .withColumn("cent_id", col("cent_id").cast("long"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+        broadcast(probes).join(corpus, "cent_id")
+          .withColumn("cos", dot(col("qv"), col("cv")) /
+            (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid", "cos", "rk")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              corpus AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 13),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              corpus_a AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, cent) WHERE rk = 1),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, cent) WHERE rk <= 2),
+              scored AS (SELECT qid, cid,
+                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                FROM q_a JOIN corpus_a USING (cent_id))
+              SELECT qid, cid, cos,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+              FROM scored
+              QUALIFY rk <= 3""")
     )
   )
+
+  /** dataset dir (normalized) → cent_id-partitioned corpus layout for this
+    * JVM (first caller pays the assignment + write; see the scaladoc on
+    * q168)
+    */
+  private val ivfLayoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -202,6 +202,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */,
       "q151_ann_ivf_multiprobe" /* K=8 centroid broadcast, like q44 */,
       "q159_ann_ivf_trained" /* K≤8 learned-centroid broadcast, like q151 */,
+      "q168_ann_ivf_partitioned" /* K=8 centroid broadcast (probe ranking), like q151 */,
       "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,
       "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
       "q133_tpch_q11_value" /* 1-row broadcasts: |supplier| + the Q11 total */,
@@ -253,6 +254,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val scans = "documents\\.parquet".r.findAllIn(p).size
     assert(scans == 1, s"documents scanned $scans times:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q168 (partitioned IVF): probe scan prunes to the probed cent_id partitions") {
+    // the ingest-time layout's payoff must be STATIC pruning — the plan
+    // itself carries the literal partition filter, no runtime mechanism
+    val p = plan("q168_ann_ivf_partitioned")
+    val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1)).find(_.contains("cent_id"))
+    assert(m.isDefined, s"no cent_id PartitionFilters in plan:\n$p")
+    assert(m.get.contains("IN") || m.get.contains("in("), m.get)
   }
 
   test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
