@@ -1763,6 +1763,132 @@ object TextQueries {
            LEFT JOIN (SELECT source, count(*) AS n, sum(n_tokens) AS tk
                       FROM cfin GROUP BY source) f
              ON b.source = f.source""")
+    ),
+
+    // ── bigram-LM quality scoring (the CCNet/KenLM signal) ────────────────
+    QueryDef(
+      "q169_bigram_lm_score",
+      // The statistical member of the quality family (q33/q149 are
+      // heuristic ratios): score every document under a bigram language
+      // model TRAINED ON the corpus itself — the CCNet recipe (Wenzek et
+      // al. 2020) where an LM fit on a trusted slice ranks the rest.
+      // Trusted slice surrogate: even doc_id (the deterministic-split
+      // precedent of q164). Add-one smoothing over the train vocabulary.
+      //
+      // Per the q57 discipline, the score is LOG-FREE so both engines
+      // compute identical values: each smoothed conditional probability
+      // is kept as exact fixed-point parts-per-million,
+      //   ppm(w2|w1) = (10⁶ · (c(w1,w2)+1)) div (c(w1·)+V)
+      // — pure BIGINT arithmetic (true perplexity sums log p; the
+      // monotone per-bigram surrogate sums ppm, which ranks the same
+      // pathologies: OOV runs and improbable transitions score low).
+      //
+      // Shape, and why it scales: the tokenize→bigram lineage has THREE
+      // consumers (eval scoring, bigram counts, context counts), and q38's
+      // hard-won rule applies — ReuseExchange can silently fail, so
+      // nothing may DEPEND on Catalyst deduping a shared subtree. The
+      // bigram table therefore materializes ONCE per (process, dataset)
+      // to scratch parquet (the winnowFingerprints memo contract; the
+      // README's "persisted signature table" pattern) and every consumer
+      // is a cheap column-pruned scan of that flat table. The vocabulary
+      // size V collects eagerly as ONE scalar (bounded model parameter —
+      // the q164 bloom / q159 centroid precedent). The CONTEXT table c1
+      // is vocab-bounded → broadcast (never a shuffle join on w1 alone,
+      // whose Zipf head would hot-spot one reducer); the BIGRAM table
+      // joins on the composite (w1,w2) key — hash-shuffle equi-join,
+      // skew-damped by the second key. At 100 TB the bigram table itself
+      // is Zipf-bounded (≪ corpus), and pruning it to top-K rows makes
+      // it broadcastable too — the stated production path.
+      (s, d) => {
+        val (allB, v) = bigramTable(s, d)
+        val train = allB.filter(col("doc_id") % 2 === 0)
+        val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+        allB
+          .join(c2, Seq("w1", "w2"), "left")
+          .join(broadcast(c1), Seq("w1"), "left")
+          .withColumn("ppm", expr(
+            s"""(1000000 * (coalesce(c2, CAST(0 AS BIGINT)) + 1))
+               div (coalesce(c1, CAST(0 AS BIGINT)) + ${v}L)"""))
+          .withColumn("oov", when(col("c2").isNull, 1L).otherwise(0L))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("oov")).cast("long").as("n_oov"),
+            sum(col("ppm")).cast("long").as("sum_ppm"))
+          .withColumn("lm_score",
+            col("sum_ppm").cast("double") / col("n_bigrams"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t FROM documents),
+              bg AS (SELECT doc_id, source, t[p] AS w1, t[p+1] AS w2
+                     FROM (SELECT doc_id, source, t,
+                             unnest(generate_series(1, len(t) - 1)) AS p
+                           FROM tok WHERE len(t) >= 2)),
+              vb AS (SELECT count(DISTINCT tk) AS v FROM
+                       (SELECT w1 AS tk FROM bg WHERE doc_id % 2 = 0
+                        UNION ALL
+                        SELECT w2 FROM bg WHERE doc_id % 2 = 0)),
+              c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+                     WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+              c1 AS (SELECT w1, count(*) AS c1 FROM bg
+                     WHERE doc_id % 2 = 0 GROUP BY 1),
+              sc AS (SELECT doc_id, source,
+                       (1000000 * (coalesce(c2.c2, 0) + 1))
+                         // (coalesce(c1.c1, 0) + v) AS ppm,
+                       CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+                     FROM bg LEFT JOIN c2 USING (w1, w2)
+                       LEFT JOIN c1 USING (w1) CROSS JOIN vb)
+              SELECT doc_id, source, count(*) AS n_bigrams,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+                CAST(sum(ppm) AS DOUBLE) / count(*) AS lm_score
+              FROM sc GROUP BY 1, 2""")
     )
   )
+
+  /** Bigram table (doc_id, source, w1, w2) over documents with ≥2 tokens,
+    * materialized once per (process, dataset) to scratch parquet — the
+    * winnowFingerprints memo contract (first caller pays, consumers read
+    * column-pruned parquet; pid-scoped root, janitored at exit). Exists
+    * because the LM query consumes this lineage three ways and structural
+    * single execution beats hoping ReuseExchange fires (q38's lesson).
+    * Returns the table plus the TRAIN-split vocabulary size (every token
+    * of an even-id document appears as some bigram's w1 or w2 — docs
+    * here are ≥2 tokens), memoized alongside so repeat callers pay no
+    * extra job for the scalar.
+    */
+  private[graft] def bigramTable(s: SparkSession, d: String): (DataFrame, Long) = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val (root, v) = bigramMemo.computeIfAbsent(key, _ => {
+      val r = Shared.scratchRoot("bigram", key)
+      val bg = transform(
+        // clamped bounds: generators must never see a partial expression
+        // (winnowLadder's rule); the size≥2 filter is the semantic bound,
+        // greatest() keeps the sequence total anyway
+        sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
+        i => struct(
+          element_at(col("t"), i.cast("int")).as("w1"),
+          element_at(col("t"), (i + lit(1)).cast("int")).as("w2")))
+      Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("bg", bg)
+        .select(col("doc_id"), col("source"), explode_outer(col("bg")).as("b"))
+        .filter(col("b").isNotNull)
+        .select(col("doc_id"), col("source"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .write.mode("overwrite").option("compression", "lz4")
+        .parquet(r.toString)
+      val tr = s.read.parquet(r.toString).filter(col("doc_id") % 2 === 0)
+      val vocab = tr.select(col("w1").as("tk"))
+        .union(tr.select(col("w2").as("tk")))
+        .agg(countDistinct(col("tk"))).head.getLong(0)
+      (r.toString, vocab)
+    })
+    (s.read.parquet(root), v)
+  }
+
+  /** dataset dir (normalized) → (bigram-table path, train |V|), this JVM */
+  private val bigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 }

@@ -288,6 +288,29 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Map("s1" -> ((2L, 0L, 2L)), "s2" -> ((1L, 0L, 1L))), rows)
   }
 
+  test("bigram LM score: fluent text outranks OOV gibberish; OOV counted exactly") {
+    val s = spark
+    import s.implicits._
+    // train split (even ids) = four copies of a fluent sentence; eval has
+    // one in-distribution doc and one all-OOV doc — the LM must rank them
+    val dir = java.nio.file.Files.createTempDirectory("bigramlm").toString
+    val train = "the cat sat on the mat and the dog ran off"
+    Seq(
+      (0L, train, "s1"), (2L, train, "s1"), (4L, train, "s1"), (6L, train, "s1"),
+      (1L, "the cat sat on the mat", "s1"),
+      (3L, "qq ww ee rr tt yy uu", "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    // columns: doc_id, source, n_bigrams, n_oov, sum_ppm, lm_score
+    val rows = SparkEntry.queries("q169_bigram_lm_score")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(5))))
+      .toMap
+    assert(rows(3L)._1 == 6L && rows(3L)._2 == 6L, rows) // all 6 bigrams OOV
+    assert(rows(1L)._2 == 0L, rows) // in-distribution doc: every bigram seen
+    assert(rows(1L)._3 > rows(3L)._3, rows) // fluent outranks gibberish
+    assert(rows(0L)._3 > rows(3L)._3, rows) // a train member does too
+  }
+
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
     import graft.operators.TextQueries
     val s = spark
