@@ -1842,6 +1842,97 @@ object TextQueries {
                 CAST(sum(ppm) AS BIGINT) AS sum_ppm,
                 CAST(sum(ppm) AS DOUBLE) / count(*) AS lm_score
               FROM sc GROUP BY 1, 2""")
+    ),
+
+    // ── exact-substring dedup APPLY (excise later-copy spans) ─────────────
+    QueryDef(
+      "q170_exact_substr_excise",
+      // q163 FINDS cross-document duplicated spans; this is the APPLY step
+      // that actually deduplicates (the q165 counterpart for the span
+      // grain, completing find→apply for the third dedup family): every
+      // 8-token run whose canonical owner — the MINIMUM doc_id containing
+      // it — is an earlier document gets excised, so the corpus keeps
+      // exactly one copy of every shared span (Lee et al. 2022 semantics;
+      // within-doc self-repeats are kept — that's q74's signal, not
+      // cross-doc dedup). Output pins the surgery exactly: cleaned-text
+      // fingerprint + lengths per document.
+      //
+      // Shape, and why it scales: the POSITIONS-ONLY lineage (doc_id, p,
+      // 64-bit shingle hash — q163's exact start derivation, token
+      // strings never enter a shuffle) finds each doc's dropped spans:
+      // one hash aggregation for owners (a collision can only ADD a
+      // drop — q163's accepted ~n²/2⁶⁵ regime), one keyed join back, the
+      // islands window, and a per-doc collect of span structs whose state
+      // is O(dropped spans) ≤ O(doc tokens). The rebuild then happens IN
+      // ARRAY LAND: documents left-join their (small, typically
+      // broadcastable) span lists and a single codegen HOF filter keeps
+      // the uncovered positions — no token-stream shuffle, no per-token
+      // window, no rebuild aggregation. Shuffles are all keyed (h,
+      // doc_id); no all-pairs stage anywhere.
+      (s, d) => {
+        val K = 8
+        val sh = transform(
+          sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
+          i => xxhash64(slice(col("t"), i.cast("int"), lit(K))))
+        val base = Tables.documents(s, d)
+          .withColumn("t", tokens(col("text")))
+          .repartition(s.sparkContext.defaultParallelism)
+        val starts = base.filter(size(col("t")) >= K)
+          .withColumn("sh", sh)
+          .select(col("doc_id"), posexplode_outer(col("sh")).as(Seq("p0", "h")))
+          .filter(col("h").isNotNull)
+          .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+        val own = starts.groupBy("h").agg(min(col("doc_id")).as("own"))
+        val w = Window.partitionBy("doc_id").orderBy("p")
+        // dropped starts → maximal consecutive runs (islands); runs that
+        // overlap only through the K-1 tail stay separate spans, which
+        // coverage below handles identically to a merged interval
+        val spans = starts.join(own, Seq("h"))
+          .filter(col("own") < col("doc_id"))
+          .withColumn("g", col("p") - row_number().over(w))
+          .groupBy("doc_id", "g")
+          .agg(min(col("p")).as("sp"), (max(col("p")) + (K - 1)).as("ep"))
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("sp"), col("ep"))).as("spans"))
+        base.join(spans, Seq("doc_id"), "left")
+          .withColumn("sp2", coalesce(col("spans"),
+            array().cast("array<struct<sp:int,ep:int>>")))
+          .withColumn("kept", filter(col("t"), (tok, i0) =>
+            !exists(col("sp2"), sp =>
+              (i0 + 1) >= sp.getField("sp") && (i0 + 1) <= sp.getField("ep"))))
+          .withColumn("clean", array_join(col("kept"), " "))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_tokens"),
+            (size(col("t")) - size(col("kept"))).cast("long").as("n_dropped"),
+            length(col("clean")).cast("long").as("clean_len"),
+            substring(md5(col("clean")), 1, 16).as("clean_fp"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              pos AS (SELECT doc_id, CAST(p AS INT) AS p, t[p] AS tk
+                      FROM (SELECT doc_id, t,
+                              unnest(generate_series(1, len(t))) AS p FROM tok)),
+              sh AS (SELECT doc_id, CAST(p AS INT) AS p,
+                       array_to_string(t[p:p+7], ' ') AS sg
+                     FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 7)) AS p
+                           FROM tok WHERE len(t) >= 8)),
+              own AS (SELECT sg, min(doc_id) AS own FROM sh GROUP BY sg),
+              ds AS (SELECT sh.doc_id, sh.p,
+                       CASE WHEN own.own < sh.doc_id THEN 1 ELSE 0 END AS ds
+                     FROM sh JOIN own USING (sg)),
+              cov AS (SELECT pos.doc_id, pos.p, pos.tk,
+                        max(coalesce(ds.ds, 0)) OVER (PARTITION BY pos.doc_id
+                          ORDER BY pos.p
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+                      FROM pos LEFT JOIN ds
+                        ON pos.doc_id = ds.doc_id AND pos.p = ds.p)
+              SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(covered) AS BIGINT) AS n_dropped,
+                CAST(length(coalesce(string_agg(CASE WHEN covered = 0 THEN tk END,
+                  ' ' ORDER BY p), '')) AS BIGINT) AS clean_len,
+                substring(md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tk END,
+                  ' ' ORDER BY p), '')), 1, 16) AS clean_fp
+              FROM cov GROUP BY doc_id""")
     )
   )
 

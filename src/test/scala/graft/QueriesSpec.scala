@@ -311,6 +311,28 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0L)._3 > rows(3L)._3, rows) // a train member does too
   }
 
+  test("substring excise: later copy removed exactly, owner and bystander untouched") {
+    val s = spark
+    import s.implicits._
+    def fp(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val run = (1 to 10).map(i => s"sh$i").mkString(" ") // 10-token shared run
+    val dir = java.nio.file.Files.createTempDirectory("excise").toString
+    Seq(
+      (1L, s"u1 u2 u3 $run v1 v2", "s1"),   // owner: keeps its copy
+      (2L, s"w1 w2 $run x1 x2 x3", "s1"),   // later copy: run excised
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12", "s1")) // bystander
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    // columns: doc_id, n_tokens, n_dropped, clean_len, clean_fp
+    val rows = SparkEntry.queries("q170_exact_substr_excise")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+    assert(rows(1L) == ((15L, 0L, fp(s"u1 u2 u3 $run v1 v2"))), rows)
+    assert(rows(2L) == ((15L, 10L, fp("w1 w2 x1 x2 x3"))), rows)
+    assert(rows(3L) == ((12L, 0L, fp("b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"))), rows)
+  }
+
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
     import graft.operators.TextQueries
     val s = spark
