@@ -1933,6 +1933,57 @@ object TextQueries {
                 substring(md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tk END,
                   ' ' ORDER BY p), '')), 1, 16) AS clean_fp
               FROM cov GROUP BY doc_id""")
+    ),
+
+    // ── BPE merge learning (tokenizer induction) ──────────────────────────
+    QueryDef(
+      "q171_bpe_merge_learn",
+      // The tokenizer-TRAINING stage (q52 applies a BPE-ish tokenization;
+      // this learns one): rank the corpus's adjacent character pairs by
+      // frequency — the top pair IS byte-pair encoding's first merge
+      // (Sennrich et al. 2016), and the top-10 are the first merge
+      // candidates. One step demonstrated, iteration stated — the q76
+      // k-means-step precedent (apply-merge-and-recount is the same plan
+      // re-run on the rewritten symbol table).
+      //
+      // Shape, and why it scales: the ONLY corpus-sized stage is the word
+      // count — a hash aggregation with map-side partial combine, so the
+      // Zipf head ("the" everywhere) collapses to one row per mapper
+      // before the shuffle and no reducer ever sees a hot key's full
+      // occurrence list. Everything after operates on the DISTINCT-word
+      // table (vocab-bounded ≪ corpus): char-pair explosion weighted by
+      // wcnt, a second tiny aggregation, and a global rank over the
+      // pair table (alphabet²-bounded). At 100 TB this is the canonical
+      // "heavy agg first, model-sized tail after" funnel.
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        val pairs = words.filter(length(col("word")) >= 2)
+          .select(col("wcnt"), explode_outer(transform(
+            sequence(lit(1), greatest(length(col("word")) - 1, lit(1))),
+            i => concat(col("word").substr(i, lit(1)), lit(" "),
+              col("word").substr(i + lit(1), lit(1))))).as("pair"))
+          .filter(col("pair").isNotNull)
+        pairs.groupBy("pair").agg(sum(col("wcnt")).cast("long").as("n"))
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("n").desc, col("pair").asc)).cast("long"))
+          .filter(col("rk") <= 10)
+      },
+      Some(s"""WITH w AS (SELECT tok AS word, count(*) AS wcnt FROM
+                       (SELECT unnest($SQL_TOKENS) AS tok FROM documents)
+                     GROUP BY 1),
+              pr AS (SELECT substring(word, CAST(i AS INT), 1) || ' ' ||
+                       substring(word, CAST(i AS INT) + 1, 1) AS pair, wcnt
+                     FROM (SELECT word, wcnt,
+                             unnest(generate_series(1, length(word) - 1)) AS i
+                           FROM w WHERE length(word) >= 2)),
+              pc AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS n
+                     FROM pr GROUP BY 1)
+              SELECT pair, n,
+                CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+              FROM pc QUALIFY rk <= 10""")
     )
   )
 

@@ -333,6 +333,19 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(3L) == ((12L, 0L, fp("b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"))), rows)
   }
 
+  test("BPE merge learn: weighted pair counts include in-word multiplicity") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpemerge").toString
+    // "aaa" appears 3× and contains the (a,a) pair TWICE per occurrence —
+    // the winning merge must count 6, not 3
+    Seq((1L, "aaa bb aaa", "s1"), (2L, "aaa cc", "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q171_bpe_merge_learn")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(rows == List(("a a", 6L, 1L), ("b b", 1L, 2L), ("c c", 1L, 3L)), rows)
+  }
+
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
     import graft.operators.TextQueries
     val s = spark
