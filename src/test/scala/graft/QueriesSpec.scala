@@ -272,6 +272,43 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
         s"diffs: ${expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(5)}")
   }
 
+  test("substring excise matches an independent brute force on random corpora") {
+    val s = spark
+    import s.implicits._
+    val K = 8
+    def fp(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // same high-collision regime as the q163 property test: tiny vocab →
+    // shared, overlapping, and self-repeated 8-grams everywhere
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val docs: Map[Long, Array[String]] = (1L to 40L).map { id =>
+      id -> Array.fill(15 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.length)))
+    }.toMap
+    // brute force: owner(8-gram) = min doc_id containing it; a position is
+    // dropped iff covered by a start whose owner is an EARLIER doc
+    val owner = docs.toSeq
+      .flatMap { case (id, t) =>
+        (0 to t.length - K).map(i => (t.slice(i, i + K).mkString(" "), id)) }
+      .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).min }
+    val expected = docs.map { case (id, t) =>
+      val covered = (0 to t.length - K)
+        .filter(i => owner(t.slice(i, i + K).mkString(" ")) < id)
+        .flatMap(i => i until (i + K)).toSet
+      val kept = t.indices.filterNot(covered).map(t)
+      id -> ((t.length.toLong, covered.size.toLong, fp(kept.mkString(" "))))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("exciseprop").toString
+    docs.toSeq.map { case (id, t) => (id, t.mkString(" "), "s1") }
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q170_exact_substr_excise")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+    assert(got == expected,
+      s"diffs: ${expected.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+  }
+
   test("bloom snapshot dedup survives an empty prior snapshot") {
     val s = spark
     import s.implicits._
