@@ -601,29 +601,19 @@ object SimilarityQueries {
       // ≈0.46 — so the threshold 0.35 marks the top-similarity tail; the
       // mechanics are threshold-independent.)
       (s, d) => {
-        val K = 8
-        val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-        val w = Window.partitionBy("vid")
-          .orderBy(col("__d").desc, col("cent_id").asc)
-        val assigned = embeddings(s, d)
-          .select(col("vec_id").as("vid"), col("embedding").as("v"))
-          .crossJoin(broadcast(cent))
-          .withColumn("__d", dot(col("v"), col("centv")))
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .select("vid", "v", "cent_id")
-          // the two pair-join sides share the exchange below this
-          // repartition (the q38 reuse pattern; PlanSpec asserts the
-          // ReusedExchange), so the heavy self-join computes the argmax
-          // once — and unlike the localCheckpoint this replaces, nothing
-          // pins to executor storage: an executor loss recomputes from
-          // lineage instead of failing the job. The member-count branch
-          // re-derives (join constraint inference breaks canonical plan
-          // equality) but costs only a scan + broadcast argmax, no extra
-          // shuffle — cheaper at scale than durably writing the whole
-          // corpus-sized assignment.
-          .repartition(s.sparkContext.defaultParallelism, col("cent_id"))
+        // The argmax assignment (vid, v, cent_id) materializes ONCE per
+        // (process, dataset) to scratch parquet — the winnowFingerprints
+        // memo contract verbatim. r6 shared it via a repartition exchange
+        // instead, but the member-count branch broke canonical plan
+        // equality (join constraint inference) and silently re-derived
+        // the full corpus scan + K-dot-product argmax — a second corpus
+        // pass at 100 TB. Durably writing the assignment costs one
+        // assignment-sized scratch write; every consumer (both pair-join
+        // sides AND the member counts) then reads cheap columnar scratch
+        // with zero vector math, and nothing pins to executor storage
+        // (scratch re-reads survive executor loss; the memo write is a
+        // normal committed parquet job).
+        val assigned = semdedupAssigned(s, d)
         val aa = assigned.select(col("cent_id"), col("vid").as("a"),
           col("v").as("va"))
         val bb = assigned.select(col("cent_id").as("cb"), col("vid").as("b"),
@@ -729,5 +719,39 @@ object SimilarityQueries {
     * q168)
     */
   private val ivfLayoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q126's corpus→centroid argmax assignment (vid, v, cent_id), memoized
+    * to scratch parquet per (process, dataset) — winnowFingerprints memo
+    * contract: first caller pays the one corpus scan + broadcast argmax,
+    * every consumer reads the scratch. See the q126 scaladoc for why this
+    * replaced exchange reuse (the count branch re-derived the corpus
+    * pass).
+    */
+  private[graft] def semdedupAssigned(s: SparkSession, d: String): DataFrame = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val root = semdedupAssignMemo.computeIfAbsent(key, _ => {
+      val K = 8
+      val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      val w = Window.partitionBy("vid")
+        .orderBy(col("__d").desc, col("cent_id").asc)
+      val r = Shared.scratchRoot("semdedup", key)
+      embeddings(s, d)
+        .select(col("vec_id").as("vid"), col("embedding").as("v"))
+        .crossJoin(broadcast(cent))
+        .withColumn("__d", dot(col("v"), col("centv")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select("vid", "v", "cent_id")
+        .write.mode("overwrite").option("compression", "lz4")
+        .parquet(r.toString)
+      r.toString
+    })
+    s.read.parquet(root)
+  }
+
+  /** dataset dir (normalized) → materialized argmax assignment for this JVM */
+  private val semdedupAssignMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

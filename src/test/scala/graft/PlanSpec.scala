@@ -353,15 +353,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("lineitem\\.parquet".r.findAllIn(p120).size == 1,
       s"q120 must scan the fact exactly once:\n$p120")
     val p126 = executed("q126_semdedup")
-    // both pair-join sides share one exchange (ReusedExchange); the
-    // member-count branch re-derives (join-side constraint inference
-    // breaks canonical equality) — scan + broadcast argmax, no shuffle.
-    // ≤3 scans = centroid scan + shared pair subtree + count branch;
-    // without reuse this would be 4.
-    assert(p126.contains("ReusedExchange"),
-      s"q126 pair-join sides must share one exchange:\n$p126")
-    assert("embeddings\\.parquet".r.findAllIn(p126).size <= 3,
-      s"q126 must not recompute the assignment per pair side:\n$p126")
+    // r7: the argmax assignment materializes ONCE to memoized scratch
+    // parquet (semdedupAssigned), so the query plan itself contains ZERO
+    // embeddings scans and ZERO vector argmax work — the r6 shape let the
+    // member-count branch silently re-derive the corpus scan + broadcast
+    // argmax (a second corpus pass at 100 TB). The one corpus scan lives
+    // in the memo-write job; every consumer reads assignment-sized
+    // scratch.
+    assert("embeddings\\.parquet".r.findAllIn(p126).size == 0,
+      s"q126 must read the memoized assignment, not re-scan the corpus:\n$p126")
+    assert("graft_semdedup".r.findAllIn(p126).size >= 1,
+      s"q126 must read the scratch assignment:\n$p126")
   }
 
   test("whole-stage codegen covers the scan→filter→aggregate pipeline") {
