@@ -118,7 +118,13 @@ object Bench {
     val sentMed =
       if (sentSorted.isEmpty) 0.0 else sentSorted(sentSorted.size / 2)
     val totalStr = fmt(total, 2)
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    // provenance (r7 verdict task 9): who ran this bench. The builder's
+    // committed idle runs set SPARK_GRAFT_PROVENANCE=builder-idle; any
+    // unlabeled run (the driver's per-round gate, ad-hoc judge re-runs)
+    // reports "unlabeled" — so a BENCH_SELF.json left in the tree is
+    // attributable from the artifact alone.
+    val prov = sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "unlabeled")
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

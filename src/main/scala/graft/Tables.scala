@@ -11,11 +11,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default; read it as epoch-nano Long (ordering-equivalent).
+    // events.parquet's `ts` column has changed physical type across driver
+    // testdata generations: TIMESTAMP(NANOS) (int64, which Spark only
+    // reads with the legacy nanosAsLong conf) earlier, TIMESTAMP(MICROS)
+    // (read natively as TIMESTAMP_NTZ) since round 8. The engine's
+    // internal contract is unchanged either way: `ts` is an epoch-NANO
+    // BIGINT (ordering-equivalent, exact — micros data is just whole
+    // thousands). The DuckDB oracles consume `epoch_us(ts)`, which yields
+    // identical micros for either physical type, so both engines agree
+    // without touching any query. Sessions pin UTC (Bench/Verify/fixture),
+    // making the NTZ→instant cast below exact and timezone-independent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** epoch-nano BIGINT view of an events frame whose on-disk `ts` may be
+    * either physical generation (see [[apply]]); shared by the batch
+    * loader and the file-stream source so batch ≡ stream holds across
+    * testdata generations
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType != org.apache.spark.sql.types.LongType))
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000L"))
+    else df
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")

@@ -23,6 +23,66 @@ object GraphQueries {
   /** rank scale: 1.0 ≡ 10⁶ (damping 0.85 becomes ×85 … div 100) */
   private val S = 1000000L
 
+  /** Convergence-DRIVEN PageRank (the r7 verdict's task 8): the same
+    * exact fixed-point iteration as q145, but terminated by a FIXPOINT
+    * PROBE instead of a fixed unroll — because ranks are scaled BIGINTs,
+    * "converged" is plain integer equality between consecutive
+    * iterations, an exact distributed test (one keyed join + a
+    * short-circuit limit(1) count — q73's connected-components
+    * termination discipline, where the probe is also the reason the loop
+    * can run an unknown number of rounds safely). Every iteration
+    * RELIABLY checkpoints, so lineage stays one round deep no matter how
+    * many rounds convergence takes, and a lost executor replays from
+    * files, not from the full iteration history.
+    *
+    * `edges` must be directed with every node appearing as BOTH a src and
+    * a dst (q145's bidirectional construction guarantees it) — dangling
+    * mass is out of contract, exactly as in q145. Returns (ranks,
+    * iterations, converged): iterations = rounds actually run; converged
+    * = false only if `maxIters` was hit first (the safety valve — exact
+    * integer iterates could in principle enter a limit cycle instead of
+    * a fixed point, and a distributed loop must be bounded either way).
+    */
+  private[graft] def pageRankConverged(edges0: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int, Boolean) = {
+    val s = edges0.sparkSession
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        sys.props("java.io.tmpdir") + "/graft-checkpoints")
+    val edges = edges0.checkpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .checkpoint()
+    val n = deg.count()
+    require(n > 0, "pageRankConverged: empty graph")
+    val base = (15L * S) / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(S / n).as("r"))
+      .checkpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = edges
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * cs) div 100")).as("r"))
+        .checkpoint()
+      // exact termination probe: any node whose integer rank moved?
+      // limit(1) short-circuits — the probe job stops at the first
+      // changed row rather than counting them all
+      val changed = next
+        .join(ranks.withColumnRenamed("r", "r_prev"), "node")
+        .filter(col("r") =!= col("r_prev"))
+        .limit(1).count()
+      converged = changed == 0L
+      ranks = next
+      it += 1
+    }
+    (ranks, it, converged)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(

@@ -125,15 +125,24 @@ object SimilarityQueries {
     * not data), and re-broadcasting the literals means the 2-iteration
     * training chain executes ONCE instead of once per consumer plan
     * (corpus assignment + query probing would otherwise each recompute
-    * it).
+    * it). The learned parameters memoize per (process, dataset) — the
+    * winnow-memo contract, driver-side because the value is model-sized —
+    * so q159's probes, q172's ingest-time layout, and repeat invocations
+    * all reuse ONE training run.
     */
   private[graft] def trainedCodebook(s: SparkSession, d: String): DataFrame = {
-    val learned = lloydCentroids(s, d, iters = 2).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val learned = trainedCodebookMemo.computeIfAbsent(key, _ =>
+      lloydCentroids(s, d, iters = 2).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq)
     import s.implicits._
     learned.toDF("cent_id", "centv")
   }
+
+  /** dataset dir (normalized) → learned (cent_id, centv) rows, this JVM */
+  private val trainedCodebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
   /** Multi-probe IVF top-3 (q151's body, parameterized so QueriesSpec can
     * measure recall across nprobe settings). The candidate set is
@@ -413,52 +422,7 @@ object SimilarityQueries {
       // codebook (monotone, exact at full probe).
       (s, d) => ivfMultiprobe(s, d, nprobe = 2,
         cents = Some(trainedCodebook(s, d))),
-      Some(s"""WITH corpus AS (SELECT vec_id AS cid, embedding AS cv
-                FROM embeddings WHERE vec_id >= 13),
-              qs AS (SELECT vec_id AS qid, embedding AS qv
-                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
-              c0 AS (SELECT vec_id AS cent_id,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centv
-                FROM embeddings WHERE vec_id < 8),
-              a0 AS (SELECT cid, cv, cent_id FROM (
-                SELECT cid, cv, cent_id,
-                  row_number() OVER (PARTITION BY cid
-                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
-                FROM corpus, c0) WHERE rk = 1),
-              c1 AS (SELECT cent_id, list(m ORDER BY i) AS centv FROM (
-                SELECT cent_id, i,
-                  CAST(sum(CAST(round(CAST(cv[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
-                    / count(*) AS m
-                FROM a0, range(1, ${SQL_DIM + 1}) t(i)
-                GROUP BY cent_id, i) GROUP BY cent_id),
-              a1 AS (SELECT cid, cv, cent_id FROM (
-                SELECT cid, cv, cent_id,
-                  row_number() OVER (PARTITION BY cid
-                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
-                FROM corpus, c1) WHERE rk = 1),
-              c2 AS (SELECT cent_id, list(m ORDER BY i) AS centv FROM (
-                SELECT cent_id, i,
-                  CAST(sum(CAST(round(CAST(cv[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
-                    / count(*) AS m
-                FROM a1, range(1, ${SQL_DIM + 1}) t(i)
-                GROUP BY cent_id, i) GROUP BY cent_id),
-              corpus_a AS (SELECT cid, cv, cent_id FROM (
-                SELECT cid, cv, cent_id,
-                  row_number() OVER (PARTITION BY cid
-                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
-                FROM corpus, c2) WHERE rk = 1),
-              q_a AS (SELECT qid, qv, cent_id FROM (
-                SELECT qid, qv, cent_id,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
-                FROM qs, c2) WHERE rk <= 2),
-              scored AS (SELECT qid, cid,
-                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
-                FROM q_a JOIN corpus_a USING (cent_id))
-              SELECT qid, cid, cos,
-                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
-              FROM scored
-              QUALIFY rk <= 3""")
+      Some(trainedIvfOracleSql)
     ),
 
     // ── embedding-cosine near-duplicate pairs (bounded subset) ────────────
@@ -665,29 +629,7 @@ object SimilarityQueries {
       // q151 (same splits, same codebook, same nprobe=2, same re-rank),
       // so the oracle is q151's — what changed is WHERE the corpus scan's
       // bytes come from, which is the entire point.
-      (s, d) => {
-        val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-        val root = ivfLayoutMemo.computeIfAbsent(key, _ => {
-          val r = Shared.scratchRoot("ivfpart", key)
-          ivfCorpusAssign(s, d).write.mode("overwrite")
-            .partitionBy("cent_id").parquet(r.toString)
-          r.toString
-        })
-        val probes = ivfQueryProbes(s, d, nprobe = 2)
-        // probed partitions as literals (partition values infer as int)
-        val probed = probes.select("cent_id").distinct().collect()
-          .map(_.getLong(0).toInt)
-        val corpus = s.read.parquet(root)
-          .filter(col("cent_id").isin(probed: _*))
-          .withColumn("cent_id", col("cent_id").cast("long"))
-        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-        broadcast(probes).join(corpus, "cent_id")
-          .withColumn("cos", dot(col("qv"), col("cv")) /
-            (norm(col("qv")) * norm(col("cv"))))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("qid", "cid", "cos", "rk")
-      },
+      (s, d) => ivfPartitionedProbe(s, d, "ivfpart", cents = None),
       Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
                 FROM embeddings WHERE vec_id < 8),
               corpus AS (SELECT vec_id AS cid, embedding AS cv
@@ -711,12 +653,117 @@ object SimilarityQueries {
                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
               FROM scored
               QUALIFY rk <= 3""")
+    ),
+
+    // ── TRAINED codebook × PARTITIONED layout (the composed production ANN) ─
+    QueryDef(
+      "q172_ann_ivf_trained_partitioned",
+      // r7's two halves of the production ANN story, COMPOSED (the r7
+      // verdict's task 4): q159 trains the codebook but assigns in-query;
+      // q168 lays the corpus out at ingest but rides the FIXED seed
+      // centroids. Here the ingest-time cent_id-partitioned layout is
+      // built from the TRAINED (2-iteration Lloyd) codebook — the layout
+      // a real deployment writes — and probes prune statically to the
+      // nprobe probed partitions of THAT layout (PlanSpec asserts the
+      // cent_id PartitionFilters, QueriesSpec re-measures the recall
+      // curve on this path). Training runs ONCE per (process, dataset)
+      // ([[trainedCodebook]]'s memo); results are BY CONSTRUCTION
+      // identical to q159 (same codebook, same splits, same nprobe=2,
+      // same exact re-rank), so the oracle is q159's — what changed is
+      // WHERE the corpus bytes come from.
+      (s, d) => ivfPartitionedProbe(s, d, "ivfpart_tr",
+        cents = Some(trainedCodebook(s, d))),
+      Some(trainedIvfOracleSql)
     )
   )
 
-  /** dataset dir (normalized) → cent_id-partitioned corpus layout for this
-    * JVM (first caller pays the assignment + write; see the scaladoc on
-    * q168)
+  /** The q159/q172 oracle: 2 unrolled Lloyd iterations (assignment +
+    * rounded-decimal mean update), then the multi-probe pipeline against
+    * the learned codebook — bit-identical arithmetic to the Spark path.
+    */
+  private def trainedIvfOracleSql: String =
+    s"""WITH corpus AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 13),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              c0 AS (SELECT vec_id AS cent_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centv
+                FROM embeddings WHERE vec_id < 8),
+              a0 AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, c0) WHERE rk = 1),
+              c1 AS (SELECT cent_id, list(m ORDER BY i) AS centv FROM (
+                SELECT cent_id, i,
+                  CAST(sum(CAST(round(CAST(cv[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) AS m
+                FROM a0, range(1, ${SQL_DIM + 1}) t(i)
+                GROUP BY cent_id, i) GROUP BY cent_id),
+              a1 AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, c1) WHERE rk = 1),
+              c2 AS (SELECT cent_id, list(m ORDER BY i) AS centv FROM (
+                SELECT cent_id, i,
+                  CAST(sum(CAST(round(CAST(cv[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) AS m
+                FROM a1, range(1, ${SQL_DIM + 1}) t(i)
+                GROUP BY cent_id, i) GROUP BY cent_id),
+              corpus_a AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, c2) WHERE rk = 1),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, c2) WHERE rk <= 2),
+              scored AS (SELECT qid, cid,
+                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                FROM q_a JOIN corpus_a USING (cent_id))
+              SELECT qid, cid, cos,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+              FROM scored
+              QUALIFY rk <= 3"""
+
+  /** Probe an ingest-time cent_id-partitioned corpus layout (q168/q172):
+    * materialize the layout once per (process, dataset, codebook) under
+    * `tag`, collect the ≤ nprobe·|queries| probed centroid ids as a
+    * model-sized literal IN filter, and exact-re-rank within the probed
+    * partitions. The partition filter is STATIC — the plan never touches
+    * the unprobed K−nprobe/K of the corpus files.
+    */
+  private def ivfPartitionedProbe(s: SparkSession, d: String, tag: String,
+      cents: Option[DataFrame]): DataFrame = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val root = ivfLayoutMemo.computeIfAbsent(s"$tag:$key", _ => {
+      val r = Shared.scratchRoot(tag, key)
+      ivfCorpusAssign(s, d, cents).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(r.toString)
+      r.toString
+    })
+    val probes = ivfQueryProbes(s, d, nprobe = 2, cents)
+    // probed partitions as literals (partition values infer as int)
+    val probed = probes.select("cent_id").distinct().collect()
+      .map(_.getLong(0).toInt)
+    val corpus = s.read.parquet(root)
+      .filter(col("cent_id").isin(probed: _*))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    broadcast(probes).join(corpus, "cent_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "cid", "cos", "rk")
+  }
+
+  /** "tag:dataset dir" → cent_id-partitioned corpus layout for this JVM
+    * (first caller pays the assignment + write; tags: "ivfpart" = fixed
+    * seed codebook (q168), "ivfpart_tr" = trained codebook (q172))
     */
   private val ivfLayoutMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

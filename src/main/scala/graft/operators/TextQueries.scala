@@ -1442,24 +1442,12 @@ object TextQueries {
       // partitioned by doc_id, so no skew beyond document length. No
       // all-pairs stage anywhere: cost is O(tokens) + two shuffles.
       (s, d) => {
-        val K = 8
-        // total-by-construction shingle-hash array (clamped bounds) — see
-        // the winnowLadder scaladoc for why generators must never see a
-        // partial expression. Tokenize ONCE (the filter reads the same
-        // projected column), and hash each K-token slice directly —
-        // equal token runs ⇔ equal arrays, so hashing the array skips
-        // materializing a K-token string per position.
-        val sh = transform(
-          sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
-          i => xxhash64(slice(col("t"), i.cast("int"), lit(K))))
-        val starts = Tables.documents(s, d)
-          .withColumn("t", tokens(col("text")))
-          .filter(size(col("t")) >= K)
-          .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("sh", sh)
-          .select(col("doc_id"), posexplode_outer(col("sh")).as(Seq("p0", "h")))
-          .filter(col("h").isNotNull)
-          .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+        val K = SubstrK
+        // shared starts lineage (doc_id, p, h): materialized ONCE per
+        // (process, dataset) and read back as columnar scratch — q170
+        // derives the identical table, so both ride [[substrStarts]]
+        // (the winnowFingerprints/semdedupAssigned memo contract).
+        val starts = substrStarts(s, d)
         val dup = starts.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("h")
@@ -1870,18 +1858,13 @@ object TextQueries {
       // window, no rebuild aggregation. Shuffles are all keyed (h,
       // doc_id); no all-pairs stage anywhere.
       (s, d) => {
-        val K = 8
-        val sh = transform(
-          sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
-          i => xxhash64(slice(col("t"), i.cast("int"), lit(K))))
+        val K = SubstrK
         val base = Tables.documents(s, d)
           .withColumn("t", tokens(col("text")))
           .repartition(s.sparkContext.defaultParallelism)
-        val starts = base.filter(size(col("t")) >= K)
-          .withColumn("sh", sh)
-          .select(col("doc_id"), posexplode_outer(col("sh")).as(Seq("p0", "h")))
-          .filter(col("h").isNotNull)
-          .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+        // identical (doc_id, p, h) lineage as q163 → one shared scratch
+        // materialization per (process, dataset), see [[substrStarts]]
+        val starts = substrStarts(s, d)
         val own = starts.groupBy("h").agg(min(col("doc_id")).as("own"))
         val w = Window.partitionBy("doc_id").orderBy("p")
         // dropped starts → maximal consecutive runs (islands); runs that
@@ -1935,57 +1918,217 @@ object TextQueries {
               FROM cov GROUP BY doc_id""")
     ),
 
-    // ── BPE merge learning (tokenizer induction) ──────────────────────────
+    // ── BPE merge learning (tokenizer induction, chained) ─────────────────
     QueryDef(
       "q171_bpe_merge_learn",
       // The tokenizer-TRAINING stage (q52 applies a BPE-ish tokenization;
-      // this learns one): rank the corpus's adjacent character pairs by
-      // frequency — the top pair IS byte-pair encoding's first merge
-      // (Sennrich et al. 2016), and the top-10 are the first merge
-      // candidates. One step demonstrated, iteration stated — the q76
-      // k-means-step precedent (apply-merge-and-recount is the same plan
-      // re-run on the rewritten symbol table).
+      // this LEARNS one): the first `BpeMerges` byte-pair-encoding merges
+      // (Sennrich et al. 2016), chained — each round counts adjacent
+      // symbol pairs over the vocabulary weighted by word frequency,
+      // takes the argmax (count desc, pair asc — the deterministic
+      // tie-break both engines share), APPLIES the merge to the symbol
+      // table, and re-ranks. Merge application is greedy left-to-right
+      // non-overlapping — exactly the semantics of `replace()` on the
+      // delimiter-wrapped symbol string in BOTH engines (each symbol
+      // rendered "(sym)", so adjacent matches never share a delimiter
+      // character and "(a)(a)(a)" merges to "(aa)(a)", the BPE rule).
       //
       // Shape, and why it scales: the ONLY corpus-sized stage is the word
-      // count — a hash aggregation with map-side partial combine, so the
-      // Zipf head ("the" everywhere) collapses to one row per mapper
-      // before the shuffle and no reducer ever sees a hot key's full
-      // occurrence list. Everything after operates on the DISTINCT-word
-      // table (vocab-bounded ≪ corpus): char-pair explosion weighted by
-      // wcnt, a second tiny aggregation, and a global rank over the
-      // pair table (alphabet²-bounded). At 100 TB this is the canonical
-      // "heavy agg first, model-sized tail after" funnel.
+      // count — a hash aggregation with map-side partial combine (the
+      // Zipf head collapses per-mapper), memoized to scratch parquet per
+      // (process, dataset) ([[bpeWords]]). Every round after operates on
+      // the DISTINCT-word table (vocab-bounded ≪ corpus): a chained
+      // `replace` projection, pair explosion weighted by wcnt, a tiny
+      // aggregation, and a 1-row argmax collect — the winning pair is a
+      // MODEL PARAMETER (the q159 trained-centroid precedent for
+      // driver-side scalars: bounded by the merge count, never by data).
+      // Words are restricted to alphanumeric ([A-Za-z0-9]+) so the
+      // wrapper delimiters can never collide with symbol bytes —
+      // punctuation-bearing "words" are noise for tokenizer induction
+      // anyway (both engines apply the identical filter).
       (s, d) => {
-        val words = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(explode(tokens(col("text"))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("wcnt"))
-        val pairs = words.filter(length(col("word")) >= 2)
-          .select(col("wcnt"), explode_outer(transform(
-            sequence(lit(1), greatest(length(col("word")) - 1, lit(1))),
-            i => concat(col("word").substr(i, lit(1)), lit(" "),
-              col("word").substr(i + lit(1), lit(1))))).as("pair"))
-          .filter(col("pair").isNotNull)
-        pairs.groupBy("pair").agg(sum(col("wcnt")).cast("long").as("n"))
-          .withColumn("rk", row_number()
-            .over(Window.orderBy(col("n").desc, col("pair").asc)).cast("long"))
-          .filter(col("rk") <= 10)
+        import s.implicits._
+        val base = bpeWords(s, d) // (sym0 wrapped, wcnt), vocab-bounded
+        var merges = Vector.empty[(String, Long)] // ("a b", n)
+        var done = false
+        while (!done && merges.size < BpeMerges) {
+          // replay merges 1..k-1 onto the base symbol table (a chained
+          // codegen projection over the vocab table — cheaper than
+          // materializing an intermediate table per round)
+          val sym = merges.foldLeft(col("sym0")) { case (c, (pair, _)) =>
+            val Array(a, b) = pair.split(" ", 2)
+            replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
+          }
+          val arr = split(sym.substr(lit(2), length(sym) - 2), "\\)\\(")
+          val top = base.select(arr.as("l"), col("wcnt"))
+            .filter(size(col("l")) >= 2)
+            .select(col("wcnt"), explode(transform(
+              sequence(lit(1), size(col("l")) - 1),
+              i => concat(element_at(col("l"), i.cast("int")), lit(" "),
+                element_at(col("l"), (i + lit(1)).cast("int"))))).as("pair"))
+            .groupBy("pair").agg(sum(col("wcnt")).as("n"))
+            .orderBy(col("n").desc, col("pair").asc)
+            .limit(1).collect()
+          if (top.isEmpty) done = true // vocabulary fully merged
+          else merges :+= (top(0).getString(0), top(0).getLong(1))
+        }
+        merges.zipWithIndex
+          .map { case ((pair, n), i) => (pair, n, (i + 1).toLong) }
+          .toDF("pair", "n", "rk")
       },
-      Some(s"""WITH w AS (SELECT tok AS word, count(*) AS wcnt FROM
-                       (SELECT unnest($SQL_TOKENS) AS tok FROM documents)
-                     GROUP BY 1),
-              pr AS (SELECT substring(word, CAST(i AS INT), 1) || ' ' ||
-                       substring(word, CAST(i AS INT) + 1, 1) AS pair, wcnt
-                     FROM (SELECT word, wcnt,
-                             unnest(generate_series(1, length(word) - 1)) AS i
-                           FROM w WHERE length(word) >= 2)),
-              pc AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS n
-                     FROM pr GROUP BY 1)
-              SELECT pair, n,
-                CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
-              FROM pc QUALIFY rk <= 10""")
+      Some(bpeOracleSql)
+    ),
+
+    // ── TRAINED quality classifier (rule-silver distillation) ─────────────
+    QueryDef(
+      "q173_quality_classifier",
+      // The production curation step q33/q149/q169 feed (the
+      // fastText/CCNet bootstrap): distill a RULE-based silver label into
+      // a trained LINEAR model, then score every document with it. Silver
+      // label = q33's quality rule in exact-integer form (len ∈ [100,400]
+      // ∧ 4·alpha > 3·len); training = variance-scaled difference of
+      // class means (diagonal LDA) over five exact-integer features
+      // (chars, tokens, alpha, digit, uppercase counts) on the even-id
+      // TRAIN split (the bigramTable split convention); scoring =
+      // w·(x − midpoint) over ALL documents. Every trained parameter is
+      // a ratio of exact BIGINT sums evaluated in the same textual
+      // order in both engines, so weights, scores, and predictions are
+      // bit-identical — no SGD, no order-dependent updates, nothing a
+      // distributed engine can't reproduce deterministically.
+      //
+      // Shape, and why it scales: one feature scan over the train split
+      // folds to a SINGLE stats row (map-side partial aggregation — the
+      // model fits in a closed form, so training is one reduction, the
+      // way linear models should train at 100 TB); the scoring pass
+      // cross-joins that 1-row broadcast onto the corpus scan — zero
+      // shuffles beyond the stats reduction, no driver round-trip at
+      // all (the model stays a 1-row DataFrame).
+      (s, d) => {
+        val feats = Tables.documents(s, d)
+          // regex-heavy per-row stage: spread the single input split
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("f1"),
+            size(tokens(col("text"))).cast("long").as("f2"),
+            length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+              .cast("long").as("f3"),
+            length(regexp_replace(col("text"), "[^0-9]", ""))
+              .cast("long").as("f4"),
+            length(regexp_replace(col("text"), "[^A-Z]", ""))
+              .cast("long").as("f5"))
+          .withColumn("y",
+            when(col("f1").between(100, 400) &&
+              col("f3") * 4 > col("f1") * 3, 1L).otherwise(0L))
+        val fs = Seq("f1", "f2", "f3", "f4", "f5")
+        val aggs = Seq(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"),
+          count(lit(1)).as("n")) ++
+          fs.flatMap(fc => Seq(
+            sum(when(col("y") === 1, col(fc)).otherwise(0L)).as(s"s1$fc"),
+            sum(when(col("y") === 0, col(fc)).otherwise(0L)).as(s"s0$fc"),
+            sum(col(fc)).as(s"s$fc"),
+            sum(col(fc) * col(fc)).as(s"q$fc")))
+        val st = feats.filter(col("doc_id") % 2 === 0)
+          .agg(aggs.head, aggs.tail: _*)
+        // per-feature weight w = (μ₁−μ₀)/(var+1), midpoint m = (μ₁+μ₀)/2;
+        // +1 regularizes zero-variance features and keeps units sane
+        val model = st.select(fs.flatMap { fc =>
+          val mu1 = col(s"s1$fc").cast("double") / col("n1")
+          val mu0 = col(s"s0$fc").cast("double") / col("n0")
+          val mu = col(s"s$fc").cast("double") / col("n")
+          val varr = col(s"q$fc").cast("double") / col("n") - mu * mu
+          Seq(((mu1 - mu0) / (varr + lit(1.0))).as(s"w$fc"),
+            ((mu1 + mu0) / 2.0).as(s"m$fc"))
+        }: _*)
+        val score = fs.map(fc => col(s"w$fc") * (col(fc) - col(s"m$fc")))
+          .reduce(_ + _)
+        feats.crossJoin(broadcast(model))
+          .withColumn("score", score)
+          .select(col("doc_id"), col("y"),
+            col("score"),
+            when(col("score") > 0, 1L).otherwise(0L).as("pred"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS f1,
+                CAST(len($SQL_TOKENS) AS BIGINT) AS f2,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS f3,
+                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS f4,
+                CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS f5
+              FROM documents),
+              lab AS (SELECT doc_id, f1, f2, f3, f4, f5,
+                CASE WHEN f1 BETWEEN 100 AND 400 AND f3 * 4 > f1 * 3
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+              FROM f),
+              st AS (SELECT
+                sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+                sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
+                count(*) AS n,
+                ${Seq("f1", "f2", "f3", "f4", "f5").map(fc =>
+                  s"""sum(CASE WHEN y = 1 THEN $fc ELSE 0 END) AS s1$fc,
+                      sum(CASE WHEN y = 0 THEN $fc ELSE 0 END) AS s0$fc,
+                      sum($fc) AS s$fc, sum($fc * $fc) AS q$fc""")
+                  .mkString(",\n")}
+              FROM lab WHERE doc_id % 2 = 0),
+              w AS (SELECT
+                ${Seq("f1", "f2", "f3", "f4", "f5").map(fc =>
+                  s"""(CAST(s1$fc AS DOUBLE) / n1 - CAST(s0$fc AS DOUBLE) / n0)
+                       / (CAST(q$fc AS DOUBLE) / n
+                          - (CAST(s$fc AS DOUBLE) / n) * (CAST(s$fc AS DOUBLE) / n)
+                          + 1.0) AS w$fc,
+                      (CAST(s1$fc AS DOUBLE) / n1 + CAST(s0$fc AS DOUBLE) / n0)
+                        / 2.0 AS m$fc""").mkString(",\n")}
+              FROM st),
+              sc AS (SELECT doc_id, y,
+                ${Seq("f1", "f2", "f3", "f4", "f5").map(fc =>
+                  s"w.w$fc * ($fc - w.m$fc)").mkString(" + ")} AS score
+              FROM lab, w)
+              SELECT doc_id, y, score,
+                CASE WHEN score > 0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS pred
+              FROM sc""")
     )
   )
+
+  /** Number of chained BPE merges q171 learns (compile-time constant —
+    * `val all` above reads it during object init).
+    */
+  private final val BpeMerges = 5
+
+  /** DuckDB mirror of q171's chained merge loop: `BpeMerges` unrolled
+    * rounds (the q159 Lloyd-iteration precedent), each with the identical
+    * pair count, argmax tie-break, and wrapped-string `replace` merge
+    * application. An exhausted vocabulary degrades identically: an empty
+    * argmax makes the scalar subquery NULL, NULL-ing the symbol table so
+    * later rounds contribute zero rows — Spark's loop just stops.
+    */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""s$k AS (SELECT sym[2:length(sym)-1] AS body, wcnt FROM w${k - 1}),
+         l$k AS (SELECT str_split(body, ')(') AS l, wcnt FROM s$k),
+         p$k AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS pair,
+                   CAST(sum(wcnt) AS BIGINT) AS n
+                 FROM (SELECT l, wcnt,
+                         unnest(generate_series(1, len(l) - 1)) AS i
+                       FROM l$k WHERE len(l) >= 2)
+                 GROUP BY 1),
+         t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         w$k AS (SELECT replace(sym,
+                   '(' || replace((SELECT pair FROM t$k), ' ', ')(') || ')',
+                   '(' || replace((SELECT pair FROM t$k), ' ', '') || ')') AS sym,
+                 wcnt FROM w${k - 1})"""
+    }.mkString(",\n")
+    val union = (1 to BpeMerges)
+      .map(k => s"SELECT pair, n, CAST($k AS BIGINT) AS rk FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS sym,
+                  count(*) AS wcnt
+                FROM (SELECT unnest($SQL_TOKENS) AS word FROM documents)
+                WHERE regexp_full_match(word, '[A-Za-z0-9]+')
+                GROUP BY 1),
+       $rounds
+       $union"""
+  }
 
   /** Bigram table (doc_id, source, w1, w2) over documents with ≥2 tokens,
     * materialized once per (process, dataset) to scratch parquet — the
@@ -2033,4 +2176,79 @@ object TextQueries {
   /** dataset dir (normalized) → (bigram-table path, train |V|), this JVM */
   private val bigramMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Shingle length of the exact-substring dedup family (q163/q170). */
+  private[graft] final val SubstrK = 8
+
+  /** Exact-substring START table (doc_id, p, h): position p's
+    * [[SubstrK]]-token shingle hash per document with ≥ SubstrK tokens —
+    * the lineage BOTH q163 (find) and q170 (apply) derive. Materialized
+    * once per (process, dataset) to scratch parquet (the
+    * winnowFingerprints / semdedupAssigned memo contract: first caller
+    * pays the tokenize + hash scan, every consumer reads fixed-width
+    * columnar scratch; pid-scoped root, janitored at exit). Token strings
+    * never leave the executors — the scratch carries only (i64, i32, i64)
+    * rows, the shuffle- and storage-friendly form at 100 TB.
+    */
+  private[graft] def substrStarts(s: SparkSession, d: String): DataFrame = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val root = substrStartsMemo.computeIfAbsent(key, _ => {
+      val K = SubstrK
+      // total-by-construction shingle-hash array (clamped bounds) — see
+      // the winnowLadder scaladoc for why generators must never see a
+      // partial expression. Tokenize ONCE, hash each K-token slice
+      // directly: equal token runs ⇔ equal arrays, so hashing the array
+      // skips materializing a K-token string per position.
+      val sh = transform(
+        sequence(lit(1), greatest(size(col("t")) - (K - 1), lit(1))),
+        i => xxhash64(slice(col("t"), i.cast("int"), lit(K))))
+      val r = Shared.scratchRoot("substr", key)
+      Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= K)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("sh", sh)
+        .select(col("doc_id"), posexplode_outer(col("sh")).as(Seq("p0", "h")))
+        .filter(col("h").isNotNull)
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+        .write.mode("overwrite").option("compression", "lz4")
+        .parquet(r.toString)
+      r.toString
+    })
+    s.read.parquet(root)
+  }
+
+  /** dataset dir (normalized) → materialized starts table for this JVM */
+  private val substrStartsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BPE base vocabulary (sym0, wcnt): corpus word counts with each word
+    * rendered as its wrapped character-symbol string ("(c)(a)(t)") — the
+    * representation q171's merge rounds `replace` over. The ONE
+    * corpus-sized aggregation of BPE training, materialized per
+    * (process, dataset) under the same scratch-memo contract as
+    * [[bigramTable]]; every merge round then scans vocab-bounded
+    * columnar scratch. Alphanumeric words only — see q171's scaladoc.
+    */
+  private[graft] def bpeWords(s: SparkSession, d: String): DataFrame = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val root = bpeWordsMemo.computeIfAbsent(key, _ => {
+      val r = Shared.scratchRoot("bpewords", key)
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+        .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        .select(regexp_replace(col("word"), "(.)", "($1)").as("sym0"),
+          col("wcnt"))
+        .write.mode("overwrite").option("compression", "lz4")
+        .parquet(r.toString)
+      r.toString
+    })
+    s.read.parquet(root)
+  }
+
+  /** dataset dir (normalized) → materialized BPE vocab for this JVM */
+  private val bpeWordsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

@@ -117,11 +117,17 @@ object EventStream {
     * schema pinned from the batch reader (required by file stream sources).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
+    // schema pinned from the RAW file (not Tables.events, whose epoch-nano
+    // normalization is a derived column the file source can't read); the
+    // same normalization then applies on top, so batch ≡ stream across
+    // testdata generations (Tables.normalizeEventsTs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     // file stream sources take a directory; select just the events file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked stream-stream interval join: every (view, click) pair of
@@ -354,6 +360,85 @@ object EventStream {
         .withColumn("m", lit(1)), Seq("k"), "left")
       .select(col("doc_id"), col("m").isNotNull.as("is_dup"))
     neg.union(pos)
+  }
+
+  /** Long-running snapshot dedup whose prior-corpus filter REFRESHES as
+    * snapshots commit (the r7 verdict's task 6 — [[snapshotDedup]] takes
+    * a filter built once, so a stream outliving its launch snapshot
+    * stops routing correctly: docs ingested after launch would always
+    * take the bloom-negative fast path and re-ingest as "new").
+    *
+    * Drive it from `foreachBatch`: `flags(batch)` computes the per-row
+    * dup verdicts against the CURRENT prior corpus (same lineage as
+    * [[snapshotDedup]] — bloom-negative rows bypass the confirm join,
+    * results exact); after the caller has SUNK those flags,
+    * `commit(batch)` folds the batch's keys into the corpus — appending
+    * them to the durable key store and rotating the in-memory filter.
+    * The order contract (sink, then commit) is the standard
+    * foreachBatch idempotence discipline: flags are planned against the
+    * key-store file listing and filter bytes as of plan time, so commit
+    * must not run until the flags query finished executing.
+    *
+    * Filter maintenance is O(batch) per batch: commit builds a bloom over
+    * the BATCH's keys only (one aggregation; bytes to the driver, never
+    * rows) and OR-merges it into the running filter — bloom filters of
+    * identical geometry merge losslessly. OR-merge accretion can only
+    * raise the false-POSITIVE rate (routing cost, never correctness), so
+    * every `rebuildEvery` commits the filter is rebuilt from the full key
+    * store, bounding FP drift on unbounded streams while keeping the
+    * common path cheap. State beyond the fixed-size bytes lives on disk
+    * (`keyDir`), not on the driver — the 100 TB posture.
+    */
+  final class SnapshotDedupSession(spark: SparkSession, keyDir: String,
+      expectedItems: Long = 1 << 16, numBits: Long = 1L << 19,
+      rebuildEvery: Int = 16) {
+    import org.apache.spark.util.sketch.BloomFilter
+
+    @volatile private[graft] var filterBytes: Option[Array[Byte]] = None
+    private var commits = 0
+
+    private def norm = lower(regexp_replace(col("text"), "\\s+", " "))
+
+    private def priorKeys: DataFrame =
+      if (new java.io.File(keyDir).exists()) spark.read.parquet(keyDir)
+      else spark.emptyDataFrame.select(lit("").as("k")).limit(0)
+
+    /** dup verdicts (doc_id, is_dup) for one micro-batch vs the PRIOR
+      * corpus — batch-1 state until the first commit: everything is
+      * definitely new and never joins
+      */
+    def flags(batch: DataFrame): DataFrame = filterBytes match {
+      case None =>
+        batch.select(col("doc_id"), lit(false).as("is_dup"))
+      case Some(bytes) => snapshotDedup(batch, priorKeys, bytes)
+    }
+
+    /** fold one sunk micro-batch into the prior corpus: durable key
+      * append + filter rotation (OR-merge, periodic full rebuild)
+      */
+    def commit(batch: DataFrame): Unit = {
+      val keys = batch.select(norm.as("k")).distinct()
+      keys.write.mode("append").option("compression", "lz4").parquet(keyDir)
+      commits += 1
+      val src = if (commits % rebuildEvery == 0) priorKeys else keys
+      val row = src
+        .agg(graft.functions.bloom
+          .filterAgg(xxhash64(col("k")), expectedItems, numBits).as("bf"))
+        .head
+      if (!row.isNullAt(0)) {
+        val add = row.getAs[Array[Byte]](0)
+        filterBytes = filterBytes match {
+          case Some(cur) if commits % rebuildEvery != 0 =>
+            val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(cur))
+            val b = BloomFilter.readFrom(new java.io.ByteArrayInputStream(add))
+            a.mergeInPlace(b)
+            val out = new java.io.ByteArrayOutputStream()
+            a.writeTo(out)
+            Some(out.toByteArray)
+          case _ => Some(add) // first commit, or scheduled full rebuild
+        }
+      }
+    }
   }
 
   // ── transformWithState with EVENT-TIME TIMERS ──────────────────────────

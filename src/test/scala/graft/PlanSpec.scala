@@ -199,10 +199,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q89_contamination" /* cross join of two single-row aggregates */,
       "q95_bm25" /* 1-row broadcast of corpus stats (N, Σdl), like q57 */,
       "q125_tpch_q22_idlerich" /* 1-row global-average broadcast, like q89 */,
-      "q126_semdedup" /* K=8 centroid broadcast against every vector, like q76 */,
       "q151_ann_ivf_multiprobe" /* K=8 centroid broadcast, like q44 */,
       "q159_ann_ivf_trained" /* K≤8 learned-centroid broadcast, like q151 */,
       "q168_ann_ivf_partitioned" /* K=8 centroid broadcast (probe ranking), like q151 */,
+      "q172_ann_ivf_trained_partitioned" /* K≤8 learned-centroid broadcast (probe ranking), like q168 */,
+      "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
       "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,
       "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
       "q133_tpch_q11_value" /* 1-row broadcasts: |supplier| + the Q11 total */,
@@ -219,12 +220,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, s"unexpected cartesian/NLJ in: $offenders")
   }
 
-  test("q163 (substring spans): fixed-width hash agg + semi join, no all-pairs") {
+  test("q163 (substring spans): memoized starts scratch + semi join, no all-pairs") {
     val p = plan("q163_exact_substr_spans")
-    // duplicated-shingle discovery groups/joins on the 64-bit hash, never
-    // the shingle strings, and no pairwise stage exists anywhere
+    // r8: the (doc_id, p, h) start table materializes ONCE to scratch
+    // parquet (substrStarts — shared with q170), so the query plan reads
+    // fixed-width scratch, never re-tokenizes documents; the xxhash64
+    // shingle hashing lives in the one-time memo-write job. Duplicated-
+    // shingle discovery still groups/joins on the 64-bit hash column, and
+    // no pairwise stage exists anywhere.
     assert(p.contains("LeftSemi"), p)
-    assert(p.contains("xxhash64"), p)
+    assert("graft_substr".r.findAllIn(p).nonEmpty,
+      s"q163 must read the memoized starts scratch:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).isEmpty,
+      s"q163 must not re-scan documents:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -260,6 +268,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // the ingest-time layout's payoff must be STATIC pruning — the plan
     // itself carries the literal partition filter, no runtime mechanism
     val p = plan("q168_ann_ivf_partitioned")
+    val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1)).find(_.contains("cent_id"))
+    assert(m.isDefined, s"no cent_id PartitionFilters in plan:\n$p")
+    assert(m.get.contains("IN") || m.get.contains("in("), m.get)
+  }
+
+  test("q172 (trained+partitioned IVF): the TRAINED layout prunes statically too") {
+    // same static-pruning contract as q168, but over the layout written
+    // from the LEARNED codebook — the composed production ANN path
+    val p = plan("q172_ann_ivf_trained_partitioned")
     val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
       .map(_.group(1)).find(_.contains("cent_id"))
     assert(m.isDefined, s"no cent_id PartitionFilters in plan:\n$p")
@@ -334,11 +352,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   test("multi-consumer plans compute the shared subtree once, nothing executor-pinned") {
     // q120/q126 replaced localCheckpoint (executor-pinned, lineage-severed
     // — one lost executor fails the query at scale): q120 collapses its
-    // twice-consumed aggregate through a global window-max, q126 shares
-    // one repartition exchange across its three consumers (q38 pattern).
-    // The asserted property is the OUTCOME: the expensive source is
-    // scanned once per declared use, and no plan leaf is a pre-materialized
-    // RDD (which is how any checkpoint variant would surface).
+    // twice-consumed aggregate through a global window-max; q126 (since
+    // r7) materializes its argmax assignment ONCE to memoized scratch
+    // parquet (semdedupAssigned), so all three consumers read the scratch
+    // instead of re-deriving the corpus pass. The asserted property is
+    // the OUTCOME: the expensive source is scanned once per declared use,
+    // and no plan leaf is a pre-materialized RDD (which is how any
+    // checkpoint variant would surface).
     def executed(name: String): String = {
       val df = SparkEntry.queries(name)(spark, sf)
       val analyzed = df.queryExecution.analyzed.toString

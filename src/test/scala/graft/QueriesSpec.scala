@@ -123,6 +123,77 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       curve.zipWithIndex.map { case (r, i) => s"${i + 1}→$r" }.mkString(", "))
   }
 
+  test("trained+partitioned IVF (q172) reproduces the trained in-query path and its recall") {
+    import graft.operators.SimilarityQueries
+    // same codebook, same splits, same nprobe → the partitioned layout
+    // must change WHERE bytes come from, never WHAT comes back
+    val trained = SparkEntry.queries("q159_ann_ivf_trained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val part = SparkEntry.queries("q172_ann_ivf_trained_partitioned")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(part == trained, s"partitioned path diverged:\n$part\nvs\n$trained")
+    // recall of the trained PARTITIONED path against brute-force truth
+    val truth = SimilarityQueries.exactTop3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = part.map { case (q, c, _) => (q, c) }
+    val recall = (pairs intersect truth).size.toDouble / truth.size
+    assert(recall > 0.0 && recall <= 1.0, s"degenerate recall $recall")
+    info(s"trained partitioned-layout recall@3 at nprobe=2: $recall")
+  }
+
+  test("quality classifier (q173) separates a constructed corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qualclf").toString
+    // good docs: ~150 chars of mostly-letters prose (alpha ratio ≈ 0.82,
+    // inside the silver rule); bad docs: digit/symbol junk (ratio ≈ 0)
+    val good = "The quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest while birds sing softly in the " +
+      "warm morning light"
+    val bad = "000 111 222 333 444 555 666 777 888 999 12345 67890 " +
+      "!!! ### 000 111 222 333 444 555 666 777 888 999 12345 67890"
+    val docs = (0L until 10L).map(i => (i, s"$good v$i", "s1")) ++
+      (10L until 20L).map(i => (i, s"$bad v$i", "s1"))
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q173_quality_classifier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.length == 20)
+    // trained on the even-id half only, the model must still classify
+    // EVERY doc (train + held-out odd ids) to its silver label
+    rows.foreach { case (id, y, pred) =>
+      assert(pred == y, s"doc $id: pred $pred != silver label $y")
+    }
+    assert(rows.count(_._2 == 1L) == 10, "silver labels must split 10/10")
+  }
+
+  test("convergence-driven PageRank reaches an exact integer fixpoint") {
+    import graft.operators.GraphQueries
+    val s = spark
+    import s.implicits._
+    // symmetric triangle: every node src+dst, outdeg 2 — by symmetry the
+    // exact fixed-point iterate stabilizes after one correction round
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val (ranks, iters, converged) = GraphQueries.pageRankConverged(tri, 60)
+    assert(converged, s"triangle did not converge in 60 rounds")
+    assert(iters >= 2 && iters < 60, s"unexpected round count $iters")
+    val rs = ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rs.keySet == Set(1L, 2L, 3L), rs)
+    assert(rs.values.toSet.size == 1, s"symmetric graph, unequal ranks: $rs")
+    // asymmetric hub: 2 is every node's target — if the fixed-point
+    // iterate converges (damping contracts in real arithmetic; integer
+    // truncation makes this worth asserting, hence the probe), the hub
+    // must dominate and the symmetric leaves must tie
+    val hub = Seq((1L, 2L), (2L, 1L), (3L, 2L), (2L, 3L)).toDF("src", "dst")
+    val (ranks2, iters2, converged2) = GraphQueries.pageRankConverged(hub, 200)
+    assert(converged2, s"hub graph hit the 200-round cap")
+    val rs2 = ranks2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rs2(2L) > rs2(1L), rs2)
+    assert(rs2(1L) == rs2(3L), rs2)
+    info(s"fixpoint rounds: triangle=$iters, hub=$iters2")
+  }
+
   test("IVF re-rank: top-1 is brute-force-exact whenever the true bucket was probed") {
     import graft.operators.SimilarityQueries
     // the candidate SET is approximate (probed buckets); the ORDER within
@@ -370,17 +441,21 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(3L) == ((12L, 0L, fp("b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"))), rows)
   }
 
-  test("BPE merge learn: weighted pair counts include in-word multiplicity") {
+  test("BPE merge learn: chained merges apply greedily and re-rank") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpemerge").toString
     // "aaa" appears 3× and contains the (a,a) pair TWICE per occurrence —
-    // the winning merge must count 6, not 3
+    // merge #1 must count 6, not 3. Applying it greedily left-to-right
+    // turns a,a,a into aa,a (NOT aa,aa), so merge #2 is (aa,a) ×3; the
+    // (b,b)/(c,c) tie then resolves lexicographically; and once every
+    // word is a single symbol the loop stops short of BpeMerges=5.
     Seq((1L, "aaa bb aaa", "s1"), (2L, "aaa cc", "s1"))
       .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("q171_bpe_merge_learn")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
-    assert(rows == List(("a a", 6L, 1L), ("b b", 1L, 2L), ("c c", 1L, 3L)), rows)
+    assert(rows == List(("a a", 6L, 1L), ("aa a", 3L, 2L),
+      ("b b", 1L, 3L), ("c c", 1L, 4L)), rows)
   }
 
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {

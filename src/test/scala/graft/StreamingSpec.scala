@@ -345,6 +345,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("snapshot dedup session: the filter ROTATES per commit — a batch-1 doc is bloom-routed in batch 3") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val keyDir = java.nio.file.Files
+      .createTempDirectory("snapkeys").toString + "/keys"
+    val sess = new EventStream.SnapshotDedupSession(
+      spark, keyDir, expectedItems = 1024L, numBits = 1L << 14)
+    val sink = scala.collection.concurrent.TrieMap[Long, Boolean]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // sink the flags FIRST, then commit — the session's order contract
+        sess.flags(batch).collect()
+          .foreach(r => sink(r.getLong(0)) = r.getBoolean(1))
+        sess.commit(batch)
+        ()
+      }.start()
+    try {
+      input.addData((1L, "first snapshot document"), (2L, "second document body"))
+      q.processAllAvailable()
+      assert(sink.toMap == Map(1L -> false, 2L -> false), sink)
+      // the ROTATED filter must now contain batch-1 keys — bloom routing,
+      // not just confirm-join correctness
+      val probed = Seq("first snapshot document").toDF("k")
+        .select(graft.functions.bloom.mightContain(xxhash64(col("k")),
+          lit(sess.filterBytes.get)).as("m")).head.getBoolean(0)
+      assert(probed, "batch-1 key missing from the rotated filter")
+      input.addData((3L, "unrelated third document"))
+      q.processAllAvailable()
+      assert(!sink(3L), sink)
+      // batch 3: a re-ingest of the batch-1 doc (ws-normalization must
+      // collapse the extra spaces) alongside a genuinely new doc
+      input.addData((4L, "first  snapshot   document"), (5L, "wholly new again"))
+      q.processAllAvailable()
+      assert(sink(4L), s"batch-1 doc not flagged dup in batch 3: $sink")
+      assert(!sink(5L), sink)
+    } finally q.stop()
+  }
+
   test("streaming aggregate maintains a catalog table via upsert (materialized view)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
