@@ -1948,31 +1948,7 @@ object TextQueries {
       // anyway (both engines apply the identical filter).
       (s, d) => {
         import s.implicits._
-        val base = bpeWords(s, d) // (sym0 wrapped, wcnt), vocab-bounded
-        var merges = Vector.empty[(String, Long)] // ("a b", n)
-        var done = false
-        while (!done && merges.size < BpeMerges) {
-          // replay merges 1..k-1 onto the base symbol table (a chained
-          // codegen projection over the vocab table — cheaper than
-          // materializing an intermediate table per round)
-          val sym = merges.foldLeft(col("sym0")) { case (c, (pair, _)) =>
-            val Array(a, b) = pair.split(" ", 2)
-            replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
-          }
-          val arr = split(sym.substr(lit(2), length(sym) - 2), "\\)\\(")
-          val top = base.select(arr.as("l"), col("wcnt"))
-            .filter(size(col("l")) >= 2)
-            .select(col("wcnt"), explode(transform(
-              sequence(lit(1), size(col("l")) - 1),
-              i => concat(element_at(col("l"), i.cast("int")), lit(" "),
-                element_at(col("l"), (i + lit(1)).cast("int"))))).as("pair"))
-            .groupBy("pair").agg(sum(col("wcnt")).as("n"))
-            .orderBy(col("n").desc, col("pair").asc)
-            .limit(1).collect()
-          if (top.isEmpty) done = true // vocabulary fully merged
-          else merges :+= (top(0).getString(0), top(0).getLong(1))
-        }
-        merges.zipWithIndex
+        bpeLearnMerges(s, d).zipWithIndex
           .map { case ((pair, n), i) => (pair, n, (i + 1).toLong) }
           .toDF("pair", "n", "rk")
       },
@@ -2087,6 +2063,97 @@ object TextQueries {
                 CASE WHEN score > 0 THEN CAST(1 AS BIGINT)
                      ELSE CAST(0 AS BIGINT) END AS pred
               FROM sc""")
+    ),
+
+    // ── SimHash LSH: banded near-dup pairs at corpus scale ────────────────
+    QueryDef(
+      "q174_simhash_lsh",
+      // q39b's NAMED scale path, implemented (the r8 counterpart of
+      // q38's MinHash banding): the 32-bit simhash splits into 4 bands
+      // of 8 bits, candidate pairs come from exact band-slice equality —
+      // a keyed aggregation, never an all-pairs stage — and candidates
+      // exact-confirm by Hamming distance. The PIGEONHOLE GUARANTEE is
+      // the correctness pin: any pair within Hamming distance 3 differs
+      // in at most 3 of the 4 bands, so it MUST collide in at least one
+      // — which makes the banded result for hd ≤ 3 exactly the all-pairs
+      // result, and the oracle is the plain all-pairs join. One scan,
+      // q38's bucket shape: band buckets aggregate capped (id, fp)
+      // member lists (fingerprints are single i64s, so the cap can sit
+      // at 4096 — sf0.1's hottest slice holds ~1.3k; a bucket beyond
+      // the cap is corpus-degenerate boilerplate signal, dropped
+      // loudly by the size filter, and at real 100 TB scale the slice
+      // WIDTH is what grows — 16-bit bands of a 64-bit simhash — not
+      // the cap), pairs generate in-bucket via array HOFs, and a pair
+      // caught by several bands collapses in the final dedup.
+      (s, d) => {
+        val B = 4
+        val fp = simhashFingerprints(s, d)
+        val bands = explode(array((0 until B).map(b =>
+          struct(lit(b).as("band"),
+            call_function("shiftright", col("simhash"), lit(b * 8))
+              .bitwiseAND(lit(255L)).as("slice"))): _*)).as("bb")
+        fp.select(col("doc_id"), col("simhash"), bands)
+          .select(col("doc_id"), col("simhash"),
+            col("bb.band").as("band"), col("bb.slice").as("slice"))
+          .groupBy("band", "slice")
+          .agg(sort_array(graft.functions.agg.collectListCapped(
+            struct(col("doc_id").as("id"), col("simhash").as("fp")),
+            4096)).as("ms"))
+          .filter(size(col("ms")).between(2, 4096))
+          .select(explode(expr(pairExpr("ms", (x, y) =>
+            s"struct($x.id AS a, $y.id AS b, $x.fp AS fa, $y.fp AS fb)")))
+            .as("p"))
+          .withColumn("hd",
+            bit_count(col("p.fa").bitwiseXOR(col("p.fb"))).cast("long"))
+          .filter(col("hd") <= 3)
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("hd"))
+          .dropDuplicates("a", "b")
+      },
+      Some(s"""$SQL_SIMHASH_FP
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hd
+              FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+              WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""")
+    ),
+
+    // ── BPE APPLY: tokenize the corpus with the learned merges ────────────
+    QueryDef(
+      "q175_bpe_apply",
+      // The application half of tokenizer training (q171 learns, this
+      // tokenizes — the q172 compose-the-halves pattern): the learned
+      // merge list ([[bpeLearnMerges]], memoized model parameters) is
+      // replayed over the vocabulary as a chained `replace` projection,
+      // and the output is the corpus-level compression audit every
+      // tokenizer build ends with: word count, pre-BPE symbol (char)
+      // count, post-BPE token count, and the merged symbol vocabulary
+      // size. Everything here is vocab-bounded (the corpus-sized word
+      // count is [[bpeWords]]' memoized scratch); the two tiny aggregates
+      // join as a 1-row broadcast.
+      (s, d) => {
+        val merged = bpeMergedSymsCol(bpeLearnMerges(s, d))
+        val arr0 = split(col("sym0").substr(lit(2), length(col("sym0")) - 2),
+          "\\)\\(")
+        val st = bpeWords(s, d)
+          .select(col("wcnt"), merged.as("l"), size(arr0).as("nl0"))
+        val totals = st.agg(
+          sum(col("wcnt")).cast("long").as("n_words"),
+          sum(col("nl0") * col("wcnt")).cast("long").as("n_chars"),
+          sum(size(col("l")) * col("wcnt")).cast("long").as("n_tokens"))
+        val vocab = st.select(explode(col("l")).as("tok"))
+          .agg(countDistinct(col("tok")).as("n_vocab"))
+        totals.crossJoin(broadcast(vocab))
+      },
+      Some(s"""${bpeRoundsSql(BpeMerges)},
+              s_fin AS (SELECT str_split(sym[2:length(sym)-1], ')(') AS l,
+                          wcnt FROM w$BpeMerges)
+              SELECT
+                (SELECT CAST(sum(wcnt) AS BIGINT) FROM wb) AS n_words,
+                (SELECT CAST(sum(length(word) * wcnt) AS BIGINT) FROM wb)
+                  AS n_chars,
+                (SELECT CAST(sum(len(l) * wcnt) AS BIGINT) FROM s_fin)
+                  AS n_tokens,
+                (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+                 FROM (SELECT unnest(l) AS tok FROM s_fin)) AS n_vocab""")
     )
   )
 
@@ -2095,15 +2162,16 @@ object TextQueries {
     */
   private final val BpeMerges = 5
 
-  /** DuckDB mirror of q171's chained merge loop: `BpeMerges` unrolled
-    * rounds (the q159 Lloyd-iteration precedent), each with the identical
-    * pair count, argmax tie-break, and wrapped-string `replace` merge
-    * application. An exhausted vocabulary degrades identically: an empty
-    * argmax makes the scalar subquery NULL, NULL-ing the symbol table so
-    * later rounds contribute zero rows — Spark's loop just stops.
+  /** Shared DuckDB scaffold for the BPE oracles (q171, q175): the base
+    * vocabulary (wb), the wrapped symbol table (w0), and `n` unrolled
+    * merge rounds (the q159 Lloyd-iteration precedent), each with the
+    * identical pair count, argmax tie-break, and wrapped-string `replace`
+    * merge application. An exhausted vocabulary degrades identically to
+    * the Spark loop stopping: an empty argmax makes the scalar subquery
+    * NULL, NULL-ing the symbol table so later rounds contribute zero rows.
     */
-  private def bpeOracleSql: String = {
-    val rounds = (1 to BpeMerges).map { k =>
+  private def bpeRoundsSql(n: Int): String = {
+    val rounds = (1 to n).map { k =>
       s"""s$k AS (SELECT sym[2:length(sym)-1] AS body, wcnt FROM w${k - 1}),
          l$k AS (SELECT str_split(body, ')(') AS l, wcnt FROM s$k),
          p$k AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1] AS pair,
@@ -2118,16 +2186,74 @@ object TextQueries {
                    '(' || replace((SELECT pair FROM t$k), ' ', '') || ')') AS sym,
                  wcnt FROM w${k - 1})"""
     }.mkString(",\n")
-    val union = (1 to BpeMerges)
-      .map(k => s"SELECT pair, n, CAST($k AS BIGINT) AS rk FROM t$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS sym,
-                  count(*) AS wcnt
+    s"""WITH wb AS (SELECT word, count(*) AS wcnt
                 FROM (SELECT unnest($SQL_TOKENS) AS word FROM documents)
                 WHERE regexp_full_match(word, '[A-Za-z0-9]+')
                 GROUP BY 1),
-       $rounds
+       w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS sym, wcnt
+              FROM wb),
+       $rounds"""
+  }
+
+  /** q171's oracle: the merge rounds, emitting the ordered merge list. */
+  private def bpeOracleSql: String = {
+    val union = (1 to BpeMerges)
+      .map(k => s"SELECT pair, n, CAST($k AS BIGINT) AS rk FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""${bpeRoundsSql(BpeMerges)}
        $union"""
+  }
+
+  /** Learn the first [[BpeMerges]] BPE merges — q171's training loop,
+    * extracted so q175 applies the same model: each round replays the
+    * merges so far onto the memoized base vocabulary ([[bpeWords]]) as a
+    * chained `replace` projection, counts adjacent symbol pairs weighted
+    * by word frequency, and collects the 1-row argmax (count desc, pair
+    * asc). The learned list memoizes per (process, dataset) — model
+    * parameters, the trainedCodebook precedent — so q171, q175, and
+    * repeat invocations share ONE training run. Stops early if the
+    * vocabulary is fully merged.
+    */
+  private[graft] def bpeLearnMerges(s: SparkSession, d: String): Vector[(String, Long)] = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    bpeMergesMemo.computeIfAbsent(key, _ => {
+      val base = bpeWords(s, d) // (sym0 wrapped, wcnt), vocab-bounded
+      var merges = Vector.empty[(String, Long)] // ("a b", n)
+      var done = false
+      while (!done && merges.size < BpeMerges) {
+        val arr = bpeMergedSymsCol(merges)
+        val top = base.select(arr.as("l"), col("wcnt"))
+          .filter(size(col("l")) >= 2)
+          .select(col("wcnt"), explode(transform(
+            sequence(lit(1), size(col("l")) - 1),
+            i => concat(element_at(col("l"), i.cast("int")), lit(" "),
+              element_at(col("l"), (i + lit(1)).cast("int"))))).as("pair"))
+          .groupBy("pair").agg(sum(col("wcnt")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true // vocabulary fully merged
+        else merges :+= (top(0).getString(0), top(0).getLong(1))
+      }
+      merges
+    })
+  }
+
+  /** dataset dir (normalized) → learned merge list, this JVM */
+  private val bpeMergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Long)]]()
+
+  /** Symbol array of `sym0` after replaying `merges` in order: the chained
+    * greedy-left-to-right `replace` over the wrapped representation,
+    * unwrapped and split — the single definition of "apply the model"
+    * that training rounds (pair counting) and q175 (tokenization audit)
+    * both use.
+    */
+  private def bpeMergedSymsCol(merges: Seq[(String, Long)]): org.apache.spark.sql.Column = {
+    val sym = merges.foldLeft(col("sym0")) { case (c, (pair, _)) =>
+      val Array(a, b) = pair.split(" ", 2)
+      replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+    split(sym.substr(lit(2), length(sym) - 2), "\\)\\(")
   }
 
   /** Bigram table (doc_id, source, w1, w2) over documents with ≥2 tokens,
