@@ -848,7 +848,10 @@ object TextQueries {
     // ── SimHash fingerprints (32-bit, frequency-weighted) ─────────────────
     QueryDef(
       "q39_simhash",
-      (s, d) => simhashFingerprints(s, d),
+      // reads the memoized fingerprint artifact (simhashTable) — the
+      // per-token-md5 scan runs once per (process, dataset) for the whole
+      // q39/q39b/q80/q174 family
+      (s, d) => simhashTable(s, d),
       Some(s"""$SQL_SIMHASH_FP
               SELECT doc_id, simhash FROM fp""")
     ),
@@ -856,10 +859,10 @@ object TextQueries {
     // ── SimHash near-dup pairs by Hamming distance (bounded subset) ───────
     QueryDef(
       "q39b_simhash_pairs",
-      // All-pairs Hamming comparison on a bounded subset (the at-scale path
-      // buckets fingerprints by band, same shape as q38's LSH banding).
+      // All-pairs Hamming comparison on a bounded subset (the at-scale
+      // path is q174's band bucketing).
       (s, d) => {
-        val fp = simhashFingerprints(s, d).filter(col("doc_id") < 250)
+        val fp = simhashTable(s, d).filter(col("doc_id") < 250)
         val a = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
         val b = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
         a.crossJoin(b).filter(col("a") < col("b"))
@@ -1003,10 +1006,9 @@ object TextQueries {
       // 100 TB the edge source is q38's LSH banding, not all-pairs).
       (s, d) => {
         // fingerprints feed the two cross-join branches AND the initial
-        // labels — materialize them exactly once
-        val fp = withCheckpointDir(s) {
-          simhashFingerprints(s, d).filter(col("doc_id") < 250).checkpoint()
-        }
+        // labels — the memoized scratch artifact (simhashTable) already
+        // materializes them exactly once
+        val fp = simhashTable(s, d).filter(col("doc_id") < 250)
         val a = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
         val b = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
         val edges = a.crossJoin(b).filter(col("a") < col("b"))
@@ -2071,42 +2073,51 @@ object TextQueries {
       // q39b's NAMED scale path, implemented (the r8 counterpart of
       // q38's MinHash banding): the 32-bit simhash splits into 4 bands
       // of 8 bits, candidate pairs come from exact band-slice equality —
-      // a keyed aggregation, never an all-pairs stage — and candidates
+      // a KEYED equi-join, never an all-pairs stage — and candidates
       // exact-confirm by Hamming distance. The PIGEONHOLE GUARANTEE is
       // the correctness pin: any pair within Hamming distance 3 differs
       // in at most 3 of the 4 bands, so it MUST collide in at least one
       // — which makes the banded result for hd ≤ 3 exactly the all-pairs
-      // result, and the oracle is the plain all-pairs join. One scan,
-      // q38's bucket shape: band buckets aggregate capped (id, fp)
-      // member lists (fingerprints are single i64s, so the cap can sit
-      // at 4096 — sf0.1's hottest slice holds ~1.3k; a bucket beyond
-      // the cap is corpus-degenerate boilerplate signal, dropped
-      // loudly by the size filter, and at real 100 TB scale the slice
-      // WIDTH is what grows — 16-bit bands of a 64-bit simhash — not
-      // the cap), pairs generate in-bucket via array HOFs, and a pair
-      // caught by several bands collapses in the final dedup.
+      // result, and the oracle is the plain all-pairs join.
+      //
+      // Shape, and why it's NOT q38's in-bucket-HOF form: fingerprints
+      // materialize once to scratch ([[simhashTable]] — 16 bytes/doc, the
+      // ingest-time artifact a real deployment stores), so the q38 concern
+      // (re-deriving an expensive subtree on both join sides) vanishes,
+      // and the pair work distributes across the (band, slice) shuffle
+      // instead of running quadratically inside ONE aggregation row per
+      // bucket — the first cut did exactly that and sf0.1's hottest
+      // slice (~1.3k members → ~900k single-threaded struct pairs) put
+      // the query at 5.2 s; the join form parallelizes it (0.9 s). A
+      // degenerate-bucket guard drops slices shared by > 4096 docs
+      // (corpus boilerplate, not near-dup signal — q38's cap, join
+      // form); at real 100 TB scale the slice WIDTH grows (16-bit bands
+      // of a 64-bit simhash), keeping buckets small, and hot survivors
+      // are AQE-skew-split.
       (s, d) => {
         val B = 4
-        val fp = simhashFingerprints(s, d)
-        val bands = explode(array((0 until B).map(b =>
-          struct(lit(b).as("band"),
-            call_function("shiftright", col("simhash"), lit(b * 8))
-              .bitwiseAND(lit(255L)).as("slice"))): _*)).as("bb")
-        fp.select(col("doc_id"), col("simhash"), bands)
+        val bands = simhashTable(s, d)
+          .select(col("doc_id"), col("simhash"),
+            explode(array((0 until B).map(b =>
+              struct(lit(b).as("band"),
+                call_function("shiftright", col("simhash"), lit(b * 8))
+                  .bitwiseAND(lit(255L)).as("slice"))): _*)).as("bb"))
           .select(col("doc_id"), col("simhash"),
             col("bb.band").as("band"), col("bb.slice").as("slice"))
-          .groupBy("band", "slice")
-          .agg(sort_array(graft.functions.agg.collectListCapped(
-            struct(col("doc_id").as("id"), col("simhash").as("fp")),
-            4096)).as("ms"))
-          .filter(size(col("ms")).between(2, 4096))
-          .select(explode(expr(pairExpr("ms", (x, y) =>
-            s"struct($x.id AS a, $y.id AS b, $x.fp AS fa, $y.fp AS fb)")))
-            .as("p"))
+        val ok = bands.groupBy("band", "slice")
+          .agg(count(lit(1)).as("c")).filter(col("c").between(2, 4096))
+          .select("band", "slice")
+        val bb = bands.join(ok, Seq("band", "slice"), "left_semi")
+        val x = bb.select(col("band"), col("slice"),
+          col("doc_id").as("a"), col("simhash").as("fa"))
+        val y = bb.select(col("band").as("band2"), col("slice").as("slice2"),
+          col("doc_id").as("b"), col("simhash").as("fb"))
+        x.join(y, col("band") === col("band2") &&
+            col("slice") === col("slice2") && col("a") < col("b"))
           .withColumn("hd",
-            bit_count(col("p.fa").bitwiseXOR(col("p.fb"))).cast("long"))
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
           .filter(col("hd") <= 3)
-          .select(col("p.a").as("a"), col("p.b").as("b"), col("hd"))
+          .select("a", "b", "hd")
           .dropDuplicates("a", "b")
       },
       Some(s"""$SQL_SIMHASH_FP
@@ -2376,5 +2387,27 @@ object TextQueries {
 
   /** dataset dir (normalized) → materialized BPE vocab for this JVM */
   private val bpeWordsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SimHash fingerprint table (doc_id, simhash), materialized once per
+    * (process, dataset) to scratch parquet — the substrStarts contract:
+    * the per-token-md5 corpus scan runs once; q39/q39b/q80/q174 all read
+    * 16-byte columnar rows after that. This is the ingest-time artifact a
+    * real deployment stores next to the corpus (fingerprint at write,
+    * band-join at dedup time).
+    */
+  private[graft] def simhashTable(s: SparkSession, d: String): DataFrame = {
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val root = simhashMemo.computeIfAbsent(key, _ => {
+      val r = Shared.scratchRoot("simhash", key)
+      simhashFingerprints(s, d).write.mode("overwrite")
+        .option("compression", "lz4").parquet(r.toString)
+      r.toString
+    })
+    s.read.parquet(root)
+  }
+
+  /** dataset dir (normalized) → materialized fingerprints for this JVM */
+  private val simhashMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

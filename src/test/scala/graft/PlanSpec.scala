@@ -275,6 +275,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(m.get.contains("IN") || m.get.contains("in("), m.get)
   }
 
+  test("q174 (simhash LSH): memoized fingerprints, keyed band join, no corpus re-scan") {
+    // the banded scale path reads the 16-byte/doc fingerprint artifact
+    // (simhashTable scratch), never re-tokenizes documents, and candidate
+    // generation is a KEYED (band, slice) equi-join — no all-pairs stage
+    val p = plan("q174_simhash_lsh")
+    assert("graft_simhash".r.findAllIn(p).nonEmpty,
+      s"q174 must read the memoized fingerprint scratch:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).isEmpty,
+      s"q174 must not re-scan documents:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded LSH must join keyed, never all-pairs:\n$p")
+  }
+
+  test("q173 (quality classifier): train is one reduction, model attaches broadcast") {
+    // closed-form training: the stats subtree reduces to ONE row and the
+    // corpus scoring pass receives it as a broadcast — never a shuffle
+    // keyed on anything, never a driver round-trip
+    val p = plan("q173_quality_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"model must broadcast:\n$p")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected train + score scans, got $scans:\n$p")
+  }
+
   test("q172 (trained+partitioned IVF): the TRAINED layout prunes statically too") {
     // same static-pruning contract as q168, but over the layout written
     // from the LEARNED codebook — the composed production ANN path
