@@ -456,6 +456,12 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
     assert(rows == List(("a a", 6L, 1L), ("aa a", 3L, 2L),
       ("b b", 1L, 3L), ("c c", 1L, 4L)), rows)
+    // APPLY audit on the same corpus (shares the memoized merges): the 4
+    // learned merges collapse every word to a single symbol — 5 word
+    // occurrences, 13 chars, 5 post-BPE tokens, vocab {aaa, bb, cc}
+    val audit = SparkEntry.queries("q175_bpe_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.toList == List((5L, 13L, 5L, 3L)), audit.toList)
   }
 
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
