@@ -461,6 +461,79 @@ object Multimodal {
   def aviPixel(id: Long, f: Int, w: Int, x: Int, y: Int, c: Int): Int =
     (((id * 31 + f.toLong * 101 + (y.toLong * w + x) * 3 + c) * 7) % 256).toInt
 
+  /** Keyed AVI media: frame CONTENT (dims, frame count, pixels) depends
+    * only on doc_id % keyMod — deliberate byte-identical video dups, the
+    * q167/q176 dedup fixture for the video modality
+    */
+  def aviMediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ck = id % keyMod
+      val w = (ck % 6 + 2).toInt
+      val h = (ck % 4 + 2).toInt
+      val n = (ck % 4 + 2).toInt
+      val frames = (0 until n).map { f =>
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              px((y * w + x) * 3 + c) = aviPixel(ck, f, w, x, y, c).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        BmpCodec.Bmp(w, h, px)
+      }
+      id -> AviCodec.encode(AviCodec.Avi(40000, frames))
+    })
+  }
+
+  final case class AviVHash(media_id: Long, vhash: String)
+
+  /** Video fingerprint from DECODED frames: each frame's aHash bit string
+    * (per-pixel gray, division-free mean test — q167's arithmetic),
+    * frames joined in order with '|'. Exact integers throughout, so the
+    * oracle recomputes every bit closed-form from the pixel formula; a
+    * container defect (frame order, dims, stride) changes the string.
+    */
+  def aviVHashes(media: Dataset[(Long, Array[Byte])]): Dataset[AviVHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      AviCodec.decode(bytes).map { avi =>
+        val fbs = avi.frames.map { img =>
+          val n = img.width * img.height
+          val gray = new Array[Long](n)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            val b = img.pixels(i * 3) & 0xff
+            val g = img.pixels(i * 3 + 1) & 0xff
+            val r = img.pixels(i * 3 + 2) & 0xff
+            gray(i) = (b + g + r) / 3
+            tot += gray(i)
+            i += 1
+          }
+          val sb = new java.lang.StringBuilder(n)
+          i = 0
+          while (i < n) {
+            sb.append(if (gray(i) * n >= tot) '1' else '0')
+            i += 1
+          }
+          sb.toString
+        }
+        AviVHash(id, fbs.mkString("|"))
+      }
+    })
+  }
+
   /** real AVI media: n ∈ 2..5 frames of (2..7)×(2..5) DIBs at 25 fps,
     * through the real container encoder
     */
@@ -535,6 +608,58 @@ object Multimodal {
       val rate = (8000 + (id % 3) * 4000).toInt
       id -> WavCodec.encode(WavCodec.Wav(rate,
         Array.tabulate(n)(i => wavSample(id, i))))
+    })
+  }
+
+  /** Keyed PCM WAV media: audio CONTENT depends only on doc_id % keyMod,
+    * so the corpus carries deliberate byte-identical audio duplicates —
+    * the q167-style dedup fixture, audio modality (bytes through the REAL
+    * encoder)
+    */
+  def wavMediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ck = id % keyMod
+      val n = (ck % 50 + 10).toInt
+      val rate = (8000 + (ck % 3) * 4000).toInt
+      id -> WavCodec.encode(WavCodec.Wav(rate,
+        Array.tabulate(n)(i => wavSample(ck, i))))
+    })
+  }
+
+  final case class WavEHash(media_id: Long, ehash: String)
+
+  /** Energy-hash perceptual fingerprint from DECODED samples: bit i set
+    * iff s_i²·n ≥ Σs² (the division-free mean-energy test — aHash's
+    * arithmetic, audio domain), rendered in sample order. Exact integers
+    * throughout, so the oracle can recompute every bit closed-form from
+    * the sample formula; undecodable rows are dropped (never crash,
+    * never fake).
+    */
+  def wavEHashes(media: Dataset[(Long, Array[Byte])]): Dataset[WavEHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      WavCodec.decode(bytes).map { w =>
+        val n = w.samples.length
+        var tot = 0L
+        var i = 0
+        while (i < n) {
+          val s = w.samples(i).toLong
+          tot += s * s
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder(n)
+        i = 0
+        while (i < n) {
+          val s = w.samples(i).toLong
+          sb.append(if (s * s * n >= tot) '1' else '0')
+          i += 1
+        }
+        WavEHash(id, sb.toString)
+      }
     })
   }
 

@@ -345,6 +345,97 @@ object MultimodalQueries {
                 GROUP BY 1, 2)
               SELECT ahash, count(*) AS n_copies, min(mid) AS canonical_id
               FROM bits GROUP BY ahash HAVING count(*) >= 2""")
+    ),
+
+    // ── audio-level dedup (energy hash over REAL-decoded PCM) ─────────────
+    QueryDef(
+      "q176_audio_ehash_dedup",
+      // q167's audio sibling — dedup across the FOURTH modality: find
+      // documents carrying the same audio. The corpus synthesizes
+      // deliberate audio dups (PCM content keyed on doc_id mod 97, bytes
+      // through the REAL WAV encoder), the query decodes every clip with
+      // the REAL chunk-walking decoder and fingerprints it with an
+      // energy hash (bit i ⇔ s_i²·n ≥ Σs², the division-free mean test —
+      // aHash's arithmetic in the audio domain), then groups by
+      // fingerprint. The oracle recomputes every bit closed-form from
+      // the sample formula, so any decode defect (endianness, chunk
+      // offsets, sample widths) flips bits and breaks the hash match.
+      // Scale shape: decode + hash is a zero-shuffle per-row scan; the
+      // dedup is ONE hash aggregation on the fingerprint string.
+      (s, d) => {
+        val m = Multimodal.wavMediaKeyed(Tables.documents(s, d), 97L)
+        Multimodal.wavEHashes(m).toDF()
+          .groupBy("ehash")
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("canonical_id"))
+          .filter(col("n_copies") >= 2)
+      },
+      Some("""WITH g AS (SELECT doc_id % 97 AS ck, doc_id AS mid
+                FROM documents),
+              sm AS (SELECT ck, mid, CAST(i AS BIGINT) AS i,
+                  ((ck*13 + CAST(i AS BIGINT)*7) % 2003) - 1001 AS s
+                FROM (SELECT ck, mid,
+                        unnest(range(CAST(ck % 50 + 10 AS BIGINT))) AS i
+                      FROM g)),
+              tot AS (SELECT ck, mid, sum(s*s) AS te, count(*) AS n
+                FROM sm GROUP BY 1, 2),
+              bits AS (SELECT sm.ck, sm.mid,
+                  string_agg(CASE WHEN s*s*n >= te THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS ehash
+                FROM sm JOIN tot ON sm.ck = tot.ck AND sm.mid = tot.mid
+                GROUP BY 1, 2)
+              SELECT ehash, count(*) AS n_copies, min(mid) AS canonical_id
+              FROM bits GROUP BY ehash HAVING count(*) >= 2""")
+    ),
+
+    // ── video-level dedup (per-frame aHash chain over REAL-decoded AVI) ───
+    QueryDef(
+      "q177_video_vhash_dedup",
+      // Completes the modality sweep (text q30+/q152+, embeddings q126,
+      // image q167, audio q176): find documents carrying the same VIDEO.
+      // Deliberate dups (frame content keyed on doc_id mod 97, bytes
+      // through the REAL AVI container encoder); the query decodes every
+      // container with the REAL chunk-walking decoder and fingerprints
+      // it as the ordered chain of per-frame aHashes (q167's division-
+      // free mean test per frame, frames joined with '|'), then groups
+      // by fingerprint. The oracle recomputes every bit closed-form from
+      // the pixel formula, so container defects — frame order, dims,
+      // stride, a dropped frame — change the string and break the match.
+      // Scale shape: decode + hash is a zero-shuffle per-row scan; the
+      // dedup is ONE hash aggregation on the fingerprint string.
+      (s, d) => {
+        val m = Multimodal.aviMediaKeyed(Tables.documents(s, d), 97L)
+        Multimodal.aviVHashes(m).toDF()
+          .groupBy("vhash")
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("canonical_id"))
+          .filter(col("n_copies") >= 2)
+      },
+      Some("""WITH g AS (SELECT doc_id % 97 AS ck, doc_id AS mid
+                FROM documents),
+              dims AS (SELECT ck, mid, ck % 6 + 2 AS w, ck % 4 + 2 AS h,
+                  ck % 4 + 2 AS nf FROM g),
+              fr AS (SELECT ck, mid, w*h AS npx,
+                  unnest(range(CAST(nf AS BIGINT))) AS f FROM dims),
+              px AS (SELECT ck, mid, CAST(f AS BIGINT) AS f,
+                  CAST(i AS BIGINT) AS i,
+                  (((ck*31 + CAST(f AS BIGINT)*101 + CAST(i AS BIGINT)*3 + 0)*7) % 256
+                 + ((ck*31 + CAST(f AS BIGINT)*101 + CAST(i AS BIGINT)*3 + 1)*7) % 256
+                 + ((ck*31 + CAST(f AS BIGINT)*101 + CAST(i AS BIGINT)*3 + 2)*7) % 256) // 3 AS gray
+                FROM (SELECT ck, mid, f,
+                        unnest(range(CAST(npx AS BIGINT))) AS i FROM fr)),
+              ftot AS (SELECT ck, mid, f, sum(gray) AS tg, count(*) AS npx
+                FROM px GROUP BY 1, 2, 3),
+              fbits AS (SELECT px.ck, px.mid, px.f,
+                  string_agg(CASE WHEN gray * npx >= tg THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS fb
+                FROM px JOIN ftot ON px.ck = ftot.ck AND px.mid = ftot.mid
+                  AND px.f = ftot.f
+                GROUP BY 1, 2, 3),
+              vh AS (SELECT ck, mid, string_agg(fb, '|' ORDER BY f) AS vhash
+                FROM fbits GROUP BY 1, 2)
+              SELECT vhash, count(*) AS n_copies, min(mid) AS canonical_id
+              FROM vh GROUP BY vhash HAVING count(*) >= 2""")
     )
   )
 }

@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.DecimalType
   * query text backfills from Parquet history and then tails the live
   * stream.
   *
-  * Event time: `Tables.events` reads the TIMESTAMP(NANOS) column as
-  * epoch-nano Long (`spark.sql.legacy.parquet.nanosAsLong`); [[withEventTime]]
-  * derives a µs-precision TimestampType column for window()/watermark use.
+  * Event time: `Tables.events` normalizes the on-disk `ts` — either
+  * TIMESTAMP(NANOS)-as-int64 (legacy nanosAsLong read) or
+  * TIMESTAMP(MICROS) (round-8 testdata) — to an epoch-nano Long
+  * (`Tables.normalizeEventsTs`); [[withEventTime]] derives a µs-precision
+  * TimestampType column for window()/watermark use.
   */
 object EventStream {
 

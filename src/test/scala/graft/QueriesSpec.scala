@@ -300,6 +300,36 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(5L) == ((2L, 20L, 12L)), s"doc5: ${rows(5L)}")
   }
 
+  test("simhash LSH banding equals all-pairs at hd <= 3 on random corpora") {
+    import graft.operators.TextQueries
+    val s = spark
+    import s.implicits._
+    // random docs over a tiny vocabulary (fingerprints cluster) plus
+    // exact copies (hd = 0 pairs guaranteed) — the pigeonhole property
+    // (any hd <= 3 pair collides in >= 1 of the 4 bands) must make the
+    // banded result EQUAL the brute force, not approximate it
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = (1L to 60L).map { id =>
+      id -> Array.fill(5 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val docs = base ++ base.take(8).map { case (id, t) => (id + 100L) -> t }
+    val dir = java.nio.file.Files.createTempDirectory("simlsh").toString
+    docs.map { case (id, t) => (id, t.mkString(" "), "s1") }
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val banded = SparkEntry.queries("q174_simhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fp = TextQueries.simhashTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      hd = java.lang.Long.bitCount(fa ^ fb) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    assert(brute.nonEmpty, "degenerate fixture: no close pairs at all")
+    assert(banded == brute,
+      s"banded missed ${brute.diff(banded)} / invented ${banded.diff(brute)}")
+  }
+
   test("exact-substring spans match an independent brute force on random corpora") {
     val s = spark
     import s.implicits._
