@@ -2067,6 +2067,57 @@ object TextQueries {
               FROM sc""")
     ),
 
+    // ── mixing APPLY: epoch upsampling of under-represented strata ────────
+    QueryDef(
+      "q178_mix_upsample",
+      // q130 SELECTS (temperature down-sampling of big sources); this is
+      // the other half every pretraining mix needs — UPSAMPLING: small
+      // strata repeat for multiple epochs (the α=0.5 epoch-boost rule:
+      // a stratum k× smaller than the largest runs ceil(√k) epochs).
+      // Stratified by language (the skewed column in this corpus; sources
+      // are uniform). The APPLY is a real replication — each doc explodes
+      // into `rep` epoch rows — and the output pins it per (lang, epoch),
+      // so a wrong factor or a lost epoch breaks the hash match.
+      //
+      // Shape, and why it scales: one count aggregation (tiny), a 1-row
+      // max broadcast, a model-sized factor table broadcast back onto the
+      // corpus scan, and the explode — zero extra shuffles beyond the
+      // final bounded aggregation; output rows = Σ rep (≈ #strata·max
+      // epochs). Determinism: n_max/n_l is one pinned double division,
+      // sqrt/ceil are IEEE-identical in both engines, and both generate
+      // the INCLUSIVE 1..rep epoch series.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), length(col("text")).cast("long").as("len"))
+        val st = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val mx = st.agg(max(col("n_l")).as("n_max"))
+        val rep = st.crossJoin(broadcast(mx))
+          .withColumn("rep",
+            ceil(sqrt(col("n_max").cast("double") / col("n_l"))).cast("long"))
+          .select("lang", "rep")
+        docs.join(broadcast(rep), "lang")
+          .select(col("lang"), col("len"),
+            explode(sequence(lit(1L), col("rep"))).as("epoch"))
+          .groupBy("lang", "epoch")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len")).cast("long").as("sum_len"))
+      },
+      Some("""WITH q AS (SELECT lang, CAST(length(text) AS BIGINT) AS len
+                FROM documents),
+              st AS (SELECT lang, count(*) AS n_l FROM q GROUP BY 1),
+              mx AS (SELECT max(n_l) AS n_max FROM st),
+              rep AS (SELECT lang,
+                  CAST(ceil(sqrt(CAST(n_max AS DOUBLE) / n_l)) AS BIGINT) AS rep
+                FROM st, mx),
+              ex AS (SELECT lang, len, CAST(e AS BIGINT) AS epoch
+                FROM (SELECT q.lang, q.len,
+                        unnest(generate_series(1, rep)) AS e
+                      FROM q JOIN rep USING (lang)))
+              SELECT lang, epoch, count(*) AS n_docs,
+                CAST(sum(len) AS BIGINT) AS sum_len
+              FROM ex GROUP BY 1, 2""")
+    ),
+
     // ── SimHash LSH: banded near-dup pairs at corpus scale ────────────────
     QueryDef(
       "q174_simhash_lsh",

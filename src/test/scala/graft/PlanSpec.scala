@@ -205,6 +205,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q172_ann_ivf_trained_partitioned" /* K≤8 learned-centroid broadcast (probe ranking), like q168 */,
       "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
       "q175_bpe_apply" /* 1-row vocab-size broadcast onto a 1-row totals agg, like q89 */,
+      "q178_mix_upsample" /* 1-row n_max broadcast onto the per-stratum counts, like q130 */,
       "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,
       "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
       "q133_tpch_q11_value" /* 1-row broadcasts: |supplier| + the Q11 total */,
