@@ -385,6 +385,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("snapshot dedup session: the scheduled FULL REBUILD keeps earlier batches routed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // rebuildEvery = 2: the SECOND commit takes the rebuild-from-store
+    // branch instead of OR-merging — a batch-1 key must survive it,
+    // proving the rebuild reads the durable key store, not just the
+    // latest batch
+    val keyDir = java.nio.file.Files
+      .createTempDirectory("snapkeys2").toString + "/keys"
+    val sess = new EventStream.SnapshotDedupSession(
+      spark, keyDir, expectedItems = 1024L, numBits = 1L << 14,
+      rebuildEvery = 2)
+    val sink = scala.collection.concurrent.TrieMap[Long, Boolean]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sess.flags(batch).collect()
+          .foreach(r => sink(r.getLong(0)) = r.getBoolean(1))
+        sess.commit(batch)
+        ()
+      }.start()
+    try {
+      input.addData((1L, "rebuild survivor document"))
+      q.processAllAvailable()
+      input.addData((2L, "second batch document")) // commit #2 → rebuild
+      q.processAllAvailable()
+      // post-rebuild filter must still contain the batch-1 key
+      val probed = Seq("rebuild survivor document").toDF("k")
+        .select(graft.functions.bloom.mightContain(xxhash64(col("k")),
+          lit(sess.filterBytes.get)).as("m")).head.getBoolean(0)
+      assert(probed, "batch-1 key lost by the full rebuild")
+      input.addData((3L, "rebuild  survivor  document"), (4L, "still new"))
+      q.processAllAvailable()
+      assert(sink(3L), s"batch-1 doc not dup after rebuild: $sink")
+      assert(!sink(4L), sink)
+    } finally q.stop()
+  }
+
   test("streaming aggregate maintains a catalog table via upsert (materialized view)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
