@@ -167,6 +167,15 @@ private[operators] object Shared {
     * repeated benchmark/test processes don't accumulate unbounded tmp
     * usage (the roots hold sf-sized bucketed table copies / fingerprint
     * ladders).
+    *
+    * Staleness caveat (shared by EVERY memo built on this root —
+    * winnowFingerprints, semdedupAssigned, substrStarts, bpeWords,
+    * simhashTable, ivfLayoutMemo, trainedCodebook, bigramTable): memos
+    * key on the dataset PATH for the JVM lifetime, so regenerating a
+    * dataset in place within one process would serve stale derivations.
+    * No supported flow does that (driver datasets are immutable per run;
+    * specs use fresh temp dirs); if in-process regeneration ever becomes
+    * one, key the memos on a dataset fingerprint instead.
     */
   def scratchRoot(tag: String, d: String): java.nio.file.Path = {
     scratchJanitor // one-time per process: exit hook + stale sweep
