@@ -123,7 +123,11 @@ object Bench {
     // unlabeled run (the driver's per-round gate, ad-hoc judge re-runs)
     // reports "unlabeled" — so a BENCH_SELF.json left in the tree is
     // attributable from the artifact alone.
-    val prov = sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "unlabeled")
+    // whitelisted (r8 ADVICE): the value is interpolated into a JSON
+    // string, so anything outside [A-Za-z0-9_-] (quotes, backslashes)
+    // would corrupt the committed artifact — fall back to "unlabeled"
+    val prov = sys.env.get("SPARK_GRAFT_PROVENANCE")
+      .filter(_.matches("[A-Za-z0-9_-]+")).getOrElse("unlabeled")
     val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),

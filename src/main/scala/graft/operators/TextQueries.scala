@@ -182,6 +182,16 @@ object TextQueries {
   private val WIN_W = 4
   private val WIN_M = 1048576L
 
+  /** q174 banding constants, shared by the Spark plan AND its oracle SQL
+    * (r8 ADVICE: the degenerate-slice cap is part of the declared
+    * contract, so the two sides must cite ONE definition): 4 bands of 8
+    * bits over the 32-bit simhash; band slices shared by more than
+    * [[SIMHASH_SLICE_CAP]] docs are corpus boilerplate, not near-dup
+    * signal, and are excluded from pair generation on both engines.
+    */
+  private val SIMHASH_BANDS = 4
+  private val SIMHASH_SLICE_CAP = 4096L
+
   /** SQL-expr string: all ordered (i < j) element pairs of array column
     * `arr`, each rendered by `mk(x, y)` — the per-bucket pair generator
     * q38 and q154 share (array HOFs, never a self-join).
@@ -2010,12 +2020,17 @@ object TextQueries {
         val st = feats.filter(col("doc_id") % 2 === 0)
           .agg(aggs.head, aggs.tail: _*)
         // per-feature weight w = (μ₁−μ₀)/(var+1), midpoint m = (μ₁+μ₀)/2;
-        // +1 regularizes zero-variance features and keeps units sane
+        // +1 regularizes zero-variance features and keeps units sane.
+        // Degenerate-corpus guard (r8 ADVICE): a single-class train split
+        // (n1 or n0 = 0) must yield NULL weights/scores in BOTH engines —
+        // DuckDB's x/0 is NULL, so null out the zero denominators here
+        // rather than trusting engine-specific division-by-zero behavior.
+        def nz(c: Column): Column = when(c > 0, c.cast("double"))
         val model = st.select(fs.flatMap { fc =>
-          val mu1 = col(s"s1$fc").cast("double") / col("n1")
-          val mu0 = col(s"s0$fc").cast("double") / col("n0")
-          val mu = col(s"s$fc").cast("double") / col("n")
-          val varr = col(s"q$fc").cast("double") / col("n") - mu * mu
+          val mu1 = col(s"s1$fc").cast("double") / nz(col("n1"))
+          val mu0 = col(s"s0$fc").cast("double") / nz(col("n0"))
+          val mu = col(s"s$fc").cast("double") / nz(col("n"))
+          val varr = col(s"q$fc").cast("double") / nz(col("n")) - mu * mu
           Seq(((mu1 - mu0) / (varr + lit(1.0))).as(s"w$fc"),
             ((mu1 + mu0) / 2.0).as(s"m$fc"))
         }: _*)
@@ -2125,11 +2140,15 @@ object TextQueries {
       // q38's MinHash banding): the 32-bit simhash splits into 4 bands
       // of 8 bits, candidate pairs come from exact band-slice equality —
       // a KEYED equi-join, never an all-pairs stage — and candidates
-      // exact-confirm by Hamming distance. The PIGEONHOLE GUARANTEE is
-      // the correctness pin: any pair within Hamming distance 3 differs
-      // in at most 3 of the 4 bands, so it MUST collide in at least one
-      // — which makes the banded result for hd ≤ 3 exactly the all-pairs
-      // result, and the oracle is the plain all-pairs join.
+      // exact-confirm by Hamming distance. The PIGEONHOLE GUARANTEE:
+      // any pair within Hamming distance 3 differs in at most 3 of the
+      // 4 bands, so it MUST collide in at least one. The declared
+      // contract is the BANDED semantics including the degenerate-slice
+      // cap below, and the oracle mirrors band/cap/confirm exactly (r8
+      // ADVICE: an all-pairs oracle silently disagrees the moment a
+      // corpus has a slice hotter than the cap — the two forms coincide
+      // on corpora with no hot slices, as QueriesSpec pins on a random
+      // corpus, but the verified contract must agree at EVERY scale).
       //
       // Shape, and why it's NOT q38's in-bucket-HOF form: fingerprints
       // materialize once to scratch ([[simhashTable]] — 16 bytes/doc, the
@@ -2146,7 +2165,7 @@ object TextQueries {
       // of a 64-bit simhash), keeping buckets small, and hot survivors
       // are AQE-skew-split.
       (s, d) => {
-        val B = 4
+        val B = SIMHASH_BANDS
         val bands = simhashTable(s, d)
           .select(col("doc_id"), col("simhash"),
             explode(array((0 until B).map(b =>
@@ -2156,7 +2175,8 @@ object TextQueries {
           .select(col("doc_id"), col("simhash"),
             col("bb.band").as("band"), col("bb.slice").as("slice"))
         val ok = bands.groupBy("band", "slice")
-          .agg(count(lit(1)).as("c")).filter(col("c").between(2, 4096))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c").between(2, SIMHASH_SLICE_CAP))
           .select("band", "slice")
         val bb = bands.join(ok, Seq("band", "slice"), "left_semi")
         val x = bb.select(col("band"), col("slice"),
@@ -2171,11 +2191,23 @@ object TextQueries {
           .select("a", "b", "hd")
           .dropDuplicates("a", "b")
       },
-      Some(s"""$SQL_SIMHASH_FP
-              SELECT x.doc_id AS a, y.doc_id AS b,
-                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hd
-              FROM fp x JOIN fp y ON x.doc_id < y.doc_id
-              WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""")
+      Some(s"""$SQL_SIMHASH_FP,
+              bands AS (SELECT doc_id, simhash, bd AS band,
+                  (simhash >> CAST(bd * 8 AS INT)) & 255 AS slice
+                FROM fp, (SELECT unnest(range($SIMHASH_BANDS)) AS bd)),
+              ok AS (SELECT band, slice FROM bands GROUP BY 1, 2
+                     HAVING count(*) BETWEEN 2 AND $SIMHASH_SLICE_CAP),
+              cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x
+                JOIN ok ON ok.band = x.band AND ok.slice = x.slice
+                JOIN bands y ON y.band = x.band AND y.slice = x.slice
+                  AND x.doc_id < y.doc_id)
+              SELECT c.a, c.b,
+                CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hd
+              FROM cand c
+              JOIN fp fa ON fa.doc_id = c.a
+              JOIN fp fb ON fb.doc_id = c.b
+              WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3""")
     ),
 
     // ── BPE APPLY: tokenize the corpus with the learned merges ────────────

@@ -390,11 +390,29 @@ object EventStream {
     * store, bounding FP drift on unbounded streams while keeping the
     * common path cheap. State beyond the fixed-size bytes lives on disk
     * (`keyDir`), not on the driver — the 100 TB posture.
+    *
+    * RESTART: a session constructed over a pre-existing `keyDir` (process
+    * restart mid-stream) seeds its filter from the durable key store at
+    * construction — one bloom aggregation, O(corpus) once. Without the
+    * seed, pre-restart corpus keys would take the bloom-negative fast
+    * path and their duplicates would flag is_dup=false (a correctness
+    * false negative, not just a routing miss) until the next scheduled
+    * full rebuild. The seed also makes the session's bloom GEOMETRY pin
+    * total: every filter this session ever holds — seed, per-batch, or
+    * scheduled rebuild — is built from THIS session's (expectedItems,
+    * numBits), so the lossless OR-merge precondition (identical geometry)
+    * holds by construction even when a restart changes the parameters;
+    * the merge path asserts it anyway, failing loud rather than
+    * corrupting routing if the invariant is ever broken.
     */
   final class SnapshotDedupSession(spark: SparkSession, keyDir: String,
       expectedItems: Long = 1 << 16, numBits: Long = 1L << 19,
       rebuildEvery: Int = 16) {
     import org.apache.spark.util.sketch.BloomFilter
+
+    require(expectedItems > 0 && numBits > 0 && rebuildEvery > 0,
+      s"bad session geometry: expectedItems=$expectedItems numBits=$numBits " +
+        s"rebuildEvery=$rebuildEvery")
 
     @volatile private[graft] var filterBytes: Option[Array[Byte]] = None
     private var commits = 0
@@ -405,8 +423,23 @@ object EventStream {
       if (new java.io.File(keyDir).exists()) spark.read.parquet(keyDir)
       else spark.emptyDataFrame.select(lit("").as("k")).limit(0)
 
+    /** one bloom aggregation over a key frame → serialized filter bytes
+      * in THIS session's geometry (None for an empty frame)
+      */
+    private def buildFilter(src: DataFrame): Option[Array[Byte]] = {
+      val row = src
+        .agg(graft.functions.bloom
+          .filterAgg(xxhash64(col("k")), expectedItems, numBits).as("bf"))
+        .head
+      if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+    }
+
+    // restart seed: an existing durable key store means a prior corpus
+    // this session must route against from its FIRST batch (see scaladoc)
+    if (new java.io.File(keyDir).exists()) filterBytes = buildFilter(priorKeys)
+
     /** dup verdicts (doc_id, is_dup) for one micro-batch vs the PRIOR
-      * corpus — batch-1 state until the first commit: everything is
+      * corpus — empty-corpus state until the first commit: everything is
       * definitely new and never joins
       */
     def flags(batch: DataFrame): DataFrame = filterBytes match {
@@ -422,22 +455,23 @@ object EventStream {
       val keys = batch.select(norm.as("k")).distinct()
       keys.write.mode("append").option("compression", "lz4").parquet(keyDir)
       commits += 1
-      val src = if (commits % rebuildEvery == 0) priorKeys else keys
-      val row = src
-        .agg(graft.functions.bloom
-          .filterAgg(xxhash64(col("k")), expectedItems, numBits).as("bf"))
-        .head
-      if (!row.isNullAt(0)) {
-        val add = row.getAs[Array[Byte]](0)
+      val add = if (commits % rebuildEvery == 0) buildFilter(priorKeys)
+                else buildFilter(keys)
+      add.foreach { bytes =>
         filterBytes = filterBytes match {
           case Some(cur) if commits % rebuildEvery != 0 =>
             val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(cur))
-            val b = BloomFilter.readFrom(new java.io.ByteArrayInputStream(add))
+            val b = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+            // geometry pin: both sides were built by buildFilter with the
+            // session's constants, so this can only fire on a code bug —
+            // and firing beats mergeInPlace corrupting the routing filter
+            require(a.bitSize == b.bitSize,
+              s"bloom geometry drift: ${a.bitSize} vs ${b.bitSize} bits")
             a.mergeInPlace(b)
             val out = new java.io.ByteArrayOutputStream()
             a.writeTo(out)
             Some(out.toByteArray)
-          case _ => Some(add) // first commit, or scheduled full rebuild
+          case _ => Some(bytes) // first commit, or scheduled full rebuild
         }
       }
     }

@@ -424,6 +424,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("snapshot dedup session: RESTART over an existing key store seeds the filter — pre-restart dups flagged in batch 1, changed geometry survives a rebuild boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keyDir = java.nio.file.Files
+      .createTempDirectory("snapkeys3").toString + "/keys"
+    // session A ingests the pre-restart corpus, then "crashes" (dropped)
+    val a = new EventStream.SnapshotDedupSession(
+      spark, keyDir, expectedItems = 1024L, numBits = 1L << 14)
+    val batch1 = Seq((1L, "pre restart corpus document"),
+      (2L, "another original document")).toDF("doc_id", "text")
+    a.flags(batch1).collect()
+    a.commit(batch1)
+    // session B restarts over the SAME key store with DIFFERENT geometry:
+    // the constructor seed must route pre-restart keys from its very
+    // first batch (the ADVICE false-negative), and because the seed is
+    // built in B's geometry, the next OR-merge has identical-geometry
+    // sides despite the parameter change
+    val b = new EventStream.SnapshotDedupSession(
+      spark, keyDir, expectedItems = 2048L, numBits = 1L << 15,
+      rebuildEvery = 2)
+    assert(b.filterBytes.isDefined, "restart did not seed the filter")
+    val batch2 = Seq((3L, "pre  restart  corpus document"), // dup of doc 1
+      (4L, "wholly new post restart")).toDF("doc_id", "text")
+    val got2 = b.flags(batch2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got2 == Map(3L -> true, 4L -> false),
+      s"seeded restart misrouted batch 1: $got2")
+    b.commit(batch2) // commit #1: OR-merge seed (B geometry) + batch filter
+    val batch3 = Seq((5L, "another original  document"), // dup of doc 2
+      (6L, "fresh doc after merge")).toDF("doc_id", "text")
+    val got3 = b.flags(batch3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got3 == Map(5L -> true, 6L -> false), got3)
+    b.commit(batch3) // commit #2: scheduled FULL rebuild (rebuildEvery=2)
+    // post-rebuild: keys from every epoch — pre-restart, merged, rebuilt —
+    // must still route as dups
+    val batch4 = Seq((7L, "pre restart corpus document"),
+      (8L, "wholly  new post restart"), (9L, "fresh doc  after merge"),
+      (10L, "never seen before")).toDF("doc_id", "text")
+    val got4 = b.flags(batch4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got4 == Map(7L -> true, 8L -> true, 9L -> true, 10L -> false),
+      s"post-rebuild routing wrong: $got4")
+  }
+
   test("streaming aggregate maintains a catalog table via upsert (materialized view)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
