@@ -83,18 +83,28 @@ object Bench {
       // drain cross-query garbage before timing (see scaladoc)
       System.gc()
       val sent = sentinel()
+      // scratch-memo builds (winnow ladder, substr starts, IVF layouts,
+      // …) are once-per-process: whichever consumer runs FIRST pays the
+      // build inside its first timed run, and min-of-runs then reports
+      // the warm cost — so without explicit attribution a driver run
+      // reads as "q154 is slow" when the truth is "q152 paid the winnow
+      // build". Snapshot the build ledger around the runs and report the
+      // delta per query (r8 verdict task 1).
+      val memoBefore = graft.operators.Shared.memoBuildLedger.values.sum
       val two = Seq(once(), once())
       // slow tail: one more attempt to separate intrinsic cost from hiccups
       val runs = if (two.forall(_ >= 0) && two.min > 1.5) two :+ once() else two
+      val memoPaid =
+        graft.operators.Shared.memoBuildLedger.values.sum - memoBefore
       // report the full run spread, not just the min: a driver-vs-self
       // ratio can't distinguish machine noise from a real regression
       // without knowing how much the query's own repeats varied (r4
       // verdict task 5 — q59/q60/q62 doubled driver-side with no code
       // change, and the bench gave no variance evidence either way)
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
-      name -> (best, runs, sent)
+      name -> (best, runs, sent, memoPaid)
     }
-    val bests = results.map { case (k, (best, _, _)) => k -> best }
+    val bests = results.map { case (k, (best, _, _, _)) => k -> best }
     // failed queries (-1 sentinel) must invalidate the suite, not shrink the
     // total: exclude them from the sum, list them, and exit nonzero
     val failed = bests.collect { case (k, v) if v < 0 => k }
@@ -106,13 +116,18 @@ object Bench {
     // regression are distinguishable after the fact
     val fullQs = bests.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val spreadQs = results.map { case (k, (_, runs, _)) =>
+    val spreadQs = results.map { case (k, (_, runs, _, _)) =>
       "\"" + k + "\":[" + fmt(runs.min, 4) + "," + fmt(runs.max, 4) + "]"
     }.mkString("{", ",", "}")
     // per-query load sentinel (see sentinel() scaladoc): flat ≈ idle run;
     // suite-wide inflation ≈ contended machine, not a code regression
-    val sentQs = results.map { case (k, (_, _, sent)) =>
+    val sentQs = results.map { case (k, (_, _, sent, _)) =>
       "\"" + k + "\":" + fmt(sent, 4)
+    }.mkString("{", ",", "}")
+    // memo-build attribution: seconds of once-per-process scratch builds
+    // this query's timed runs paid (first payer); warm cost ≈ best − memo
+    val memoQs = results.collect { case (k, (_, _, _, m)) if m > 0.005 =>
+      "\"" + k + "\":" + fmt(m, 4)
     }.mkString("{", ",", "}")
     val sentSorted = results.map(_._2._3).sorted
     val sentMed =
@@ -128,12 +143,16 @@ object Bench {
     // would corrupt the committed artifact — fall back to "unlabeled"
     val prov = sys.env.get("SPARK_GRAFT_PROVENANCE")
       .filter(_.matches("[A-Za-z0-9_-]+")).getOrElse("unlabeled")
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
-    println(stdoutLine(bests, failed, sfDir, sentMed))
+    val memoAttr = results.collect {
+      case (k, (_, _, _, m)) if m > 0.005 => k -> m }
+    val sentSlow = results.collect {
+      case (k, (best, _, sent, _)) if best > 1.0 => k -> sent }
+    println(stdoutLine(bests, failed, sfDir, sentMed, memoAttr, sentSlow))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -156,16 +175,36 @@ object Bench {
     * full table is in BENCH_SELF.json regardless.
     */
   private[graft] def stdoutLine(results: Seq[(String, Double)],
-      failed: Seq[String], sfDir: String, sentMed: Double = -1.0): String = {
+      failed: Seq[String], sfDir: String, sentMed: Double = -1.0,
+      memo: Seq[(String, Double)] = Nil,
+      sentSlow: Seq[(String, Double)] = Nil): String = {
     def fmt(v: Double, dec: Int): String =
       if (v < 0) "-1" else s"%.${dec}f".format(v)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalStr = fmt(results.collect { case (_, v) if v >= 0 => v }.sum, 2)
     def shortKey(n: String): String = n.takeWhile(_ != '_')
+    // memo: once-per-process scratch-build seconds attributed to the
+    // query (first payer) whose timed runs paid them — subtract from the
+    // query's row to read its warm steady-state cost (r8 verdict task 1:
+    // cold-vs-warm must be readable from the DRIVER-visible artifact).
+    // sent: per-query load sentinel for the slow tail (the rows the
+    // per-query gate actually inspects) — flat ≈ idle, inflated ≈
+    // contention, so a slow row is attributable from this line alone.
+    def kvJson(xs: Seq[(String, Double)]): String =
+      xs.sortBy(_._1).map { case (k, v) =>
+        "\"" + shortKey(k) + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+    // sent is bounded to the 20 slowest queries: memo families are
+    // naturally bounded (~a dozen), but "slow tail" is caller-defined and
+    // must not be able to blow the budget on a pathological run where
+    // most of the suite crosses the threshold
+    val byTime = results.toMap
+    val sentTop = sentSlow
+      .sortBy { case (k, _) => (-byTime.getOrElse(k, 0.0), k) }.take(20)
+    val extras = s""""memo":${kvJson(memo)},"sent":${kvJson(sentTop)}"""
     // sent_med: median load-sentinel time (-1 = not measured); an inflated
     // value marks the whole run as contended — see sentinel() in main
     def line(qsJson: String): String =
-      s"""{"queries":$qsJson,"failed":$failedJson,"sf":"$sfDir","sent_med":${fmt(sentMed, 3)},"metric":"total","value":$totalStr,"unit":"sec"}"""
+      s"""{"queries":$qsJson,$extras,"failed":$failedJson,"sf":"$sfDir","sent_med":${fmt(sentMed, 3)},"metric":"total","value":$totalStr,"unit":"sec"}"""
     def render(dec: Int, entries: Seq[(String, Double)], extra: String): String =
       line(entries.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", extra + "}"))

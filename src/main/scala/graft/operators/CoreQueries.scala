@@ -225,9 +225,8 @@ object CoreQueries {
         // metadata lives in the session catalog (writeBucketed's
         // saveAsTable), which a different SparkSession wouldn't see.
         val root = q153Layout.computeIfAbsent(
-          (System.identityHashCode(s),
-            java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString),
-          _ => {
+          (System.identityHashCode(s), Shared.datasetKey(d)),
+          _ => Shared.timedMemoBuild("q153layout") {
             val o = Tables.orders(s, d)
               .select("o_orderkey", "o_custkey", "o_totalprice")
             val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{DecimalType, TimestampType}
   * the decimal promotion chain / hash family can never drift between
   * queries or engines (the driver compare is value-hash exact).
   */
-private[operators] object Shared {
+private[graft] object Shared {
 
   // ── exact decimal arithmetic (order-independent aggregation) ───────────
   /** exact 2-decimal cast — makes double aggregation order-independent */
@@ -168,14 +168,13 @@ private[operators] object Shared {
     * usage (the roots hold sf-sized bucketed table copies / fingerprint
     * ladders).
     *
-    * Staleness caveat (shared by EVERY memo built on this root —
-    * winnowFingerprints, semdedupAssigned, substrStarts, bpeWords,
-    * simhashTable, ivfLayoutMemo, trainedCodebook, bigramTable): memos
-    * key on the dataset PATH for the JVM lifetime, so regenerating a
-    * dataset in place within one process would serve stale derivations.
-    * No supported flow does that (driver datasets are immutable per run;
-    * specs use fresh temp dirs); if in-process regeneration ever becomes
-    * one, key the memos on a dataset fingerprint instead.
+    * Staleness (closed in r9): every memo built on this root —
+    * winnowFingerprints, winnowComponents, winnowPairs, semdedupAssigned,
+    * substrStarts, bpeWords, simhashTable, ivfLayoutMemo,
+    * trainedCodebook, bigramTable — keys on [[datasetKey]] (path + file
+    * listing fingerprint), so regenerating a dataset in place within one
+    * process produces a fresh key and fresh derivations instead of
+    * serving stale scratch.
     */
   def scratchRoot(tag: String, d: String): java.nio.file.Path = {
     scratchJanitor // one-time per process: exit hook + stale sweep
@@ -226,6 +225,64 @@ private[operators] object Shared {
       }
     } finally ls.close()
   }
+  /** Dataset identity for scratch-memo keys: the normalized absolute path
+    * PLUS a digest of the directory's (relative name, size, mtime) file
+    * listing. The r8 caveat at [[scratchRoot]] was that memos keyed on
+    * PATH alone would serve stale derivations if a dataset were
+    * regenerated in place within one JVM — and the r8 testdata
+    * regeneration showed datasets really do change shape under a stable
+    * path. Folding the listing into the key makes regeneration produce a
+    * fresh key (parquet writers always change file names/sizes/mtimes),
+    * so every memo built on it derives afresh; the stale entry just ages
+    * out with the JVM. Cost: one directory walk (tens of entries for an
+    * sf dir) per memo LOOKUP — nanoseconds against the build it guards.
+    * The walk tolerates files vanishing mid-walk (another session's
+    * janitor): identity only needs to be stable for live datasets.
+    */
+  def datasetKey(d: String): String = {
+    import java.nio.file.{Files, Path}
+    val root = java.nio.file.Paths.get(d).toAbsolutePath.normalize
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.forEach { (p: Path) =>
+        try if (Files.isRegularFile(p))
+          entries += s"${root.relativize(p)}|${Files.size(p)}|" +
+            s"${Files.getLastModifiedTime(p).toMillis}"
+        catch { case _: java.io.IOException => () }
+      } finally walk.close()
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    val hex = md.digest().take(8).map("%02x".format(_)).mkString
+    s"$root#$hex"
+  }
+
+  /** Per-process memo-build cost ledger (r8 verdict task 1): every
+    * scratch-memo build wraps itself in [[timedMemoBuild]], so the bench
+    * can read cumulative build seconds before and after each query and
+    * attribute each build to the query that paid it — making
+    * cold-vs-warm readable straight from the driver-visible bench line
+    * instead of reverse-engineered from run spreads.
+    */
+  private val memoBuildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  def timedMemoBuild[T](tag: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    memoBuildSecs.merge(tag, (System.nanoTime() - t0) / 1e9,
+      (a, b) => a + b)
+    r
+  }
+
+  /** cumulative memo-build seconds so far, per tag */
+  def memoBuildLedger: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    memoBuildSecs.forEach((k, v) => b += k -> v.doubleValue())
+    b.result()
+  }
+
   val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** 32-bit base hash of a string: first 8 md5 hex chars as a Long — the

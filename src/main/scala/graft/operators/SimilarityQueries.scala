@@ -131,11 +131,12 @@ object SimilarityQueries {
     * all reuse ONE training run.
     */
   private[graft] def trainedCodebook(s: SparkSession, d: String): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val key = Shared.datasetKey(d)
     val learned = trainedCodebookMemo.computeIfAbsent(key, _ =>
-      lloydCentroids(s, d, iters = 2).collect()
+      Shared.timedMemoBuild("codebook")(
+        lloydCentroids(s, d, iters = 2).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1).toSeq)
+        .sortBy(_._1).toSeq))
     import s.implicits._
     learned.toDF("cent_id", "centv")
   }
@@ -738,8 +739,9 @@ object SimilarityQueries {
     */
   private def ivfPartitionedProbe(s: SparkSession, d: String, tag: String,
       cents: Option[DataFrame]): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val root = ivfLayoutMemo.computeIfAbsent(s"$tag:$key", _ => {
+    val key = Shared.datasetKey(d)
+    val root = ivfLayoutMemo.computeIfAbsent(s"$tag:$key", _ =>
+      Shared.timedMemoBuild(tag) {
       val r = Shared.scratchRoot(tag, key)
       ivfCorpusAssign(s, d, cents).write.mode("overwrite")
         .partitionBy("cent_id").parquet(r.toString)
@@ -776,8 +778,9 @@ object SimilarityQueries {
     * pass).
     */
   private[graft] def semdedupAssigned(s: SparkSession, d: String): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val root = semdedupAssignMemo.computeIfAbsent(key, _ => {
+    val key = Shared.datasetKey(d)
+    val root = semdedupAssignMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("semdedup") {
       val K = 8
       val cent = Tables.embeddings(s, d).filter(col("vec_id") < K)
         .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))

@@ -308,13 +308,14 @@ object TextQueries {
     */
   private[graft] def winnowFingerprints(s: SparkSession, d: String,
       keep: Seq[String] = Seq("doc_id", "source", "nwin", "wh", "fps")): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val root = winnowMemo.computeIfAbsent(key, _ => {
-      val r = Shared.scratchRoot("winnow", key)
-      winnowLadder(s, d).write.mode("overwrite").option("compression", "lz4")
-        .parquet(r.toString)
-      r.toString
-    })
+    val key = Shared.datasetKey(d)
+    val root = winnowMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("winnow") {
+        val r = Shared.scratchRoot("winnow", key)
+        winnowLadder(s, d).write.mode("overwrite").option("compression", "lz4")
+          .parquet(r.toString)
+        r.toString
+      })
     s.read.parquet(root).select(keep.map(col): _*)
   }
 
@@ -332,16 +333,17 @@ object TextQueries {
     * pid-scoped janitored scratch.
     */
   private[graft] def winnowComponents(s: SparkSession, d: String): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val root = winnowCompMemo.computeIfAbsent(key, _ => {
-      val edges = winnowPairs(s, d).select("a", "b")
-      val nodes = edges.select(col("a").as("id"))
-        .union(edges.select(col("b").as("id"))).distinct()
-      val r = Shared.scratchRoot("winnowcomp", key)
-      minLabelComponents(s, nodes, edges)
-        .write.mode("overwrite").parquet(r.toString)
-      r.toString
-    })
+    val key = Shared.datasetKey(d)
+    val root = winnowCompMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("winnowcomp") {
+        val edges = winnowPairs(s, d).select("a", "b")
+        val nodes = edges.select(col("a").as("id"))
+          .union(edges.select(col("b").as("id"))).distinct()
+        val r = Shared.scratchRoot("winnowcomp", key)
+        minLabelComponents(s, nodes, edges)
+          .write.mode("overwrite").parquet(r.toString)
+        r.toString
+      })
     s.read.parquet(root)
   }
 
@@ -352,8 +354,33 @@ object TextQueries {
   /** q154's body — winnow-fingerprint candidate pairs (a, b, n_shared) —
     * exposed so q158 can close them into clusters. See q154's scaladoc
     * for the bucket-cap and >= 2-shared-fingerprints contracts.
+    *
+    * MEMOIZED (r8 verdict task 5): FOUR suite queries sit on this pair
+    * table — q154 itself, q158's closure (via [[winnowComponents]]),
+    * q165's representative election, and the q166 capstone — and before
+    * r9 each re-ran the bucket explode + capped agg + in-bucket pair
+    * HOFs from the fingerprint scratch. Same contract as
+    * [[winnowFingerprints]]: first caller pays one materialization
+    * (attributed to it in the bench's memo ledger), everyone else reads
+    * a pair-graph-sized parquet.
     */
-  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = winnowPairsMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("winnowpairs") {
+        val r = Shared.scratchRoot("winnowpairs", key)
+        winnowPairsLineage(s, d).write.mode("overwrite")
+          .option("compression", "lz4").parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+
+  /** dataset key → materialized pair table path for this JVM */
+  private val winnowPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def winnowPairsLineage(s: SparkSession, d: String): DataFrame =
     winnowFingerprints(s, d, Seq("doc_id", "fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .groupBy("fp")
@@ -2309,8 +2336,8 @@ object TextQueries {
     * vocabulary is fully merged.
     */
   private[graft] def bpeLearnMerges(s: SparkSession, d: String): Vector[(String, Long)] = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    bpeMergesMemo.computeIfAbsent(key, _ => {
+    val key = Shared.datasetKey(d)
+    bpeMergesMemo.computeIfAbsent(key, _ => Shared.timedMemoBuild("bpemerges") {
       val base = bpeWords(s, d) // (sym0 wrapped, wcnt), vocab-bounded
       var merges = Vector.empty[(String, Long)] // ("a b", n)
       var done = false
@@ -2362,8 +2389,8 @@ object TextQueries {
     * extra job for the scalar.
     */
   private[graft] def bigramTable(s: SparkSession, d: String): (DataFrame, Long) = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val (root, v) = bigramMemo.computeIfAbsent(key, _ => {
+    val key = Shared.datasetKey(d)
+    val (root, v) = bigramMemo.computeIfAbsent(key, _ => Shared.timedMemoBuild("bigram") {
       val r = Shared.scratchRoot("bigram", key)
       val bg = transform(
         // clamped bounds: generators must never see a partial expression
@@ -2411,8 +2438,8 @@ object TextQueries {
     * rows, the shuffle- and storage-friendly form at 100 TB.
     */
   private[graft] def substrStarts(s: SparkSession, d: String): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val root = substrStartsMemo.computeIfAbsent(key, _ => {
+    val key = Shared.datasetKey(d)
+    val root = substrStartsMemo.computeIfAbsent(key, _ => Shared.timedMemoBuild("substr") {
       val K = SubstrK
       // total-by-construction shingle-hash array (clamped bounds) — see
       // the winnowLadder scaladoc for why generators must never see a
@@ -2451,8 +2478,8 @@ object TextQueries {
     * columnar scratch. Alphanumeric words only — see q171's scaladoc.
     */
   private[graft] def bpeWords(s: SparkSession, d: String): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val root = bpeWordsMemo.computeIfAbsent(key, _ => {
+    val key = Shared.datasetKey(d)
+    val root = bpeWordsMemo.computeIfAbsent(key, _ => Shared.timedMemoBuild("bpewords") {
       val r = Shared.scratchRoot("bpewords", key)
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -2480,8 +2507,8 @@ object TextQueries {
     * band-join at dedup time).
     */
   private[graft] def simhashTable(s: SparkSession, d: String): DataFrame = {
-    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val root = simhashMemo.computeIfAbsent(key, _ => {
+    val key = Shared.datasetKey(d)
+    val root = simhashMemo.computeIfAbsent(key, _ => Shared.timedMemoBuild("simhash") {
       val r = Shared.scratchRoot("simhash", key)
       simhashFingerprints(s, d).write.mode("overwrite")
         .option("compression", "lz4").parquet(r.toString)

@@ -55,6 +55,33 @@ class BenchContractSpec extends AnyFunSuite {
     }
   }
 
+  test("memo attribution + slow-tail sentinels fit the budget at the current suite scale") {
+    // r8 verdict task 1: the DRIVER-visible line carries "memo" (per
+    // first-payer build seconds) and "sent" (per-slow-query sentinel) so
+    // cold-vs-warm and contention are readable without BENCH_SELF.json.
+    // Worst case: every memo family pays, the whole slow tail is listed.
+    val names = SparkEntry.defs.map(_.name).sorted
+    val results = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 + (i % 40) * 0.25) }
+    val slow = results.filter(_._2 >= 1.0)
+    val memo = results.filter(_._2 >= 3.0).take(12)
+      .map { case (nm, _) => (nm, 1.2345) }
+    val sent = slow.map { case (nm, _) => (nm, 0.1234) }
+    val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1",
+      0.1, memo, sent)
+    assert(line.length <= Bench.LineBudget,
+      s"line is ${line.length} chars with memo+sent maps")
+    assert(line.contains("\"memo\":{"), line.take(200))
+    assert(line.contains("\"sent\":{"), line)
+    // every memo attribution must survive (that's the point of the task)
+    memo.foreach { case (nm, _) =>
+      val k = "\"" + nm.takeWhile(_ != '_') + "\":1.23"
+      assert(line.split("\"memo\":", 2)(1).contains(k),
+        s"memo entry $k dropped")
+    }
+    assert(line.endsWith("\"unit\":\"sec\"}"), line.takeRight(80))
+  }
+
   test("dynamic rung keeps strictly more queries than the old fixed-110 cut") {
     // 200 synthetic queries with 4-char keys — deep into rung-3 territory;
     // the fit-max-K walk must retain well over 110 itemized entries

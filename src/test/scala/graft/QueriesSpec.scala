@@ -28,6 +28,36 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("scratch memos key on the dataset FINGERPRINT — in-process regeneration yields fresh derivations") {
+    import graft.operators.TextQueries
+    val s = spark
+    import s.implicits._
+    // the r8 caveat: memos keyed on PATH alone would serve the first
+    // corpus's derivations after the dataset is regenerated under the
+    // same path within one JVM (exactly what this test does)
+    val dir = java.nio.file.Files.createTempDirectory("memokey").toString
+    def gen(n: Int): Unit = (1L to n.toLong)
+      .map(id => (id, (1 to 12).map(i => s"tok${(id + i) % 7}").mkString(" "), "s1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    gen(3)
+    val d1 = TextQueries.winnowFingerprints(spark, dir)
+      .select("doc_id").distinct().count()
+    assert(d1 == 3L, s"first corpus: $d1 docs")
+    gen(5) // regenerate IN PLACE: same path, different corpus
+    val d2 = TextQueries.winnowFingerprints(spark, dir)
+      .select("doc_id").distinct().count()
+    assert(d2 == 5L,
+      s"stale memo: regenerated corpus served $d2 docs (expected 5)")
+    // a second lookup of the unchanged corpus must still hit the memo
+    // (same fingerprint → same key → no rebuild): assert via the build
+    // ledger staying flat across the repeat call
+    val before = graft.operators.Shared.memoBuildLedger.getOrElse("winnow", 0.0)
+    TextQueries.winnowFingerprints(spark, dir).count()
+    val after = graft.operators.Shared.memoBuildLedger.getOrElse("winnow", 0.0)
+    assert(after == before, "unchanged dataset re-paid the memo build")
+  }
+
   test("q04_tpch_q1 groups to the expected key space") {
     val rows = SparkEntry.queries("q04_tpch_q1")(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 9) // |returnflag| x |linestatus|
