@@ -58,6 +58,51 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(after == before, "unchanged dataset re-paid the memo build")
   }
 
+  test("BPE budget loop: hand-computed merge order, convergence early-stop, monotone compression") {
+    import graft.operators.TextQueries
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe1").toString
+    // "aaa aaa aa cd": pair "a a" occurs 5× (2 per 'aaa' × wcnt 2 + 1 in
+    // 'aa'), then "aa a" 2×, then nothing reaches the n ≥ 2 convergence
+    // bar — training must stop at TWO merges, far below the 50 budget
+    Seq((1L, "aaa aaa aa cd", "s1")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = TextQueries.bpeLearnMerges(spark, dir)
+    assert(merges == Vector(("a a", 5L), ("aa a", 2L)),
+      s"merge sequence diverged: $merges")
+    // monotone compression: each applied merge fires >= 2 times, so the
+    // weighted token count strictly decreases along the merge chain
+    val st = TextQueries.bpeWords(spark, dir)
+    val counts = (0 to merges.size).map { k =>
+      st.select(sum(size(TextQueries.bpeMergedSymsCol(merges.take(k)))
+        * col("wcnt")).cast("long")).head.getLong(0)
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => b < a },
+      s"token counts not strictly decreasing: $counts")
+  }
+
+  test("BPE: identical corpora at different paths learn identical merge sequences (determinism)") {
+    import graft.operators.TextQueries
+    val s = spark
+    import s.implicits._
+    // two copies → two memo keys → two INDEPENDENT full training runs;
+    // structured words give dozens of repeated pairs so the run goes
+    // deep into the budget
+    val text = (1 to 400).map(i => s"w${i % 23}x${i % 7}").mkString(" ")
+    val dirs = Seq("bpeA", "bpeB").map { t =>
+      val dir = java.nio.file.Files.createTempDirectory(t).toString
+      Seq((1L, text, "s1")).toDF("doc_id", "text", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val Seq(m1, m2) = dirs.map(TextQueries.bpeLearnMerges(spark, _))
+    assert(m1 == m2, s"nondeterministic training:\n$m1\nvs\n$m2")
+    assert(m1.size >= 10 && m1.size <= 50,
+      s"expected a deep run inside the budget, got ${m1.size} merges")
+  }
+
   test("q04_tpch_q1 groups to the expected key space") {
     val rows = SparkEntry.queries("q04_tpch_q1")(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 9) // |returnflag| x |linestatus|
@@ -508,20 +553,20 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     // "aaa" appears 3× and contains the (a,a) pair TWICE per occurrence —
     // merge #1 must count 6, not 3. Applying it greedily left-to-right
     // turns a,a,a into aa,a (NOT aa,aa), so merge #2 is (aa,a) ×3; the
-    // (b,b)/(c,c) tie then resolves lexicographically; and once every
-    // word is a single symbol the loop stops short of BpeMerges=5.
+    // count-1 pairs (b,b)/(c,c) then fall below the r9 convergence bar
+    // (n ≥ 2) and training stops at TWO merges.
     Seq((1L, "aaa bb aaa", "s1"), (2L, "aaa cc", "s1"))
       .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("q171_bpe_merge_learn")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
-    assert(rows == List(("a a", 6L, 1L), ("aa a", 3L, 2L),
-      ("b b", 1L, 3L), ("c c", 1L, 4L)), rows)
-    // APPLY audit on the same corpus (shares the memoized merges): the 4
-    // learned merges collapse every word to a single symbol — 5 word
-    // occurrences, 13 chars, 5 post-BPE tokens, vocab {aaa, bb, cc}
+    assert(rows == List(("a a", 6L, 1L), ("aa a", 3L, 2L)), rows)
+    // APPLY audit on the same corpus (shares the memoized merges): the 2
+    // learned merges collapse every "aaa" to one symbol while bb/cc stay
+    // two chars — 5 word occurrences, 13 chars, 3 + 2 + 2 = 7 post-BPE
+    // tokens, vocab {aaa, b, c}
     val audit = SparkEntry.queries("q175_bpe_apply")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(audit.toList == List((5L, 13L, 5L, 3L)), audit.toList)
+    assert(audit.toList == List((5L, 13L, 7L, 3L)), audit.toList)
   }
 
   test("winnowing guarantee: a shared run of >= k+w-1 tokens shares a fingerprint") {
