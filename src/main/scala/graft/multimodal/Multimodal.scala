@@ -450,6 +450,71 @@ object Multimodal {
     })
   }
 
+  // ── REAL baseline-DCT JPEG path (see [[JpegCodec]]) ────────────────────
+
+  final case class JpegStats(media_id: Long, n_comp: Long, width: Long,
+      height: Long, sum_px: Long)
+
+  /** block-constant pixel formula shared with the DuckDB oracle
+    * (constants distinct from the PNG/BMP families):
+    * v(id, bx, by) = ((id·43 + by·wb + bx) · 13) mod 256 — constant per
+    * 8×8 block so the lossy DCT recovers it EXACTLY under the flat
+    * quant table (only the DC coefficient is nonzero; the q136/q137
+    * exact-recovery regime), while per-block-different values keep the
+    * differential DC Huffman path load-bearing across every MCU
+    */
+  def jpegBlockValue(id: Long, wb: Int, bx: Int, by: Int): Int =
+    (((id * 43 + by.toLong * wb + bx) * 13) % 256).toInt
+
+  /** real baseline JPEG media from any id column: even ids GRAYSCALE
+    * (1 component), odd ids full 4:4:4 YCbCr COLOR with gray-valued
+    * pixels (R=G=B ⟹ the JFIF color transform is exact: Y=v,
+    * Cb=Cr=128), dims wb ∈ {1,2} × hb ∈ {1,2,3} blocks, bytes from the
+    * REAL encoder (forward DCT, quantize, Huffman, stuffing)
+    */
+  def jpegMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val wb = (id % 2 + 1).toInt; val hb = (id % 3 + 1).toInt
+      val w = wb * 8; val h = hb * 8
+      val nc = if (id % 2 == 0) 1 else 3
+      val px = new Array[Byte](w * h * nc)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = jpegBlockValue(id, wb, x / 8, y / 8).toByte
+          var c = 0
+          while (c < nc) {
+            px((y * w + x) * nc + c) = v
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      id -> JpegCodec.encode(JpegCodec.Jpeg(w, h, nc, px))
+    })
+  }
+
+  /** REAL decode + feature extraction through the full baseline pipeline
+    * (marker parse, DHT/DQT, Huffman, dequant, IDCT, color transform):
+    * header metadata (component count, dims from SOF0) + the exact sum
+    * of every decoded channel byte; undecodable rows are dropped (never
+    * crash, never fake)
+    */
+  def jpegPixelStats(media: Dataset[(Long, Array[Byte])]): Dataset[JpegStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      JpegCodec.decode(bytes).map { img =>
+        JpegStats(id, img.nComp.toLong, img.width.toLong,
+          img.height.toLong, JpegCodec.pixelSum(img))
+      }
+    })
+  }
+
   // ── REAL video path: RIFF/AVI with DIB frames (see [[AviCodec]]) ───────
 
   final case class AviFrameStats(media_id: Long, frame_idx: Long,

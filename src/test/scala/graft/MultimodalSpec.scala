@@ -275,6 +275,112 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(PngCodec.decode(good).exists(_.pixels.toSeq == img.pixels.toSeq))
   }
 
+  test("JPEG codec: exact recovery of block-constant images (gray + color), incl. cropped odd dims") {
+    import graft.multimodal.JpegCodec
+    // constant 8x8 blocks survive the DCT round trip bit-exactly under
+    // the flat quant table (only the DC coefficient is nonzero, and
+    // DC = 8c is exact in double) — the q136/q137 exact-recovery regime.
+    // Per-block-DIFFERENT constants exercise DC prediction across MCUs.
+    for (wb <- 1 to 2; hb <- 1 to 3; color <- Seq(false, true)) {
+      val w = wb * 8; val h = hb * 8; val nc = if (color) 3 else 1
+      val px = new Array[Byte](w * h * nc)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
+        val v = ((x / 8 + (y / 8) * wb) * 29 + wb * 7 + hb * 3) % 256
+        px((y * w + x) * nc + c) = v.toByte // gray-valued: exact YCbCr
+      }
+      val back = JpegCodec.decode(JpegCodec.encode(JpegCodec.Jpeg(w, h, nc, px)))
+      assert(back.isDefined, s"${w}x$h nc=$nc failed to decode")
+      assert(back.get.width == w && back.get.height == h && back.get.nComp == nc)
+      assert(back.get.pixels.toSeq == px.toSeq,
+        s"${w}x$h nc=$nc pixels corrupted through encode/decode")
+    }
+    // non-multiple-of-8 dims: edge-clamp padding keeps an all-constant
+    // image block-constant, and the decoder must CROP back exactly
+    for ((w, h) <- Seq((10, 5), (7, 9), (1, 1))) {
+      val px = Array.fill(w * h)(77.toByte)
+      val back = JpegCodec.decode(JpegCodec.encode(JpegCodec.Jpeg(w, h, 1, px)))
+      assert(back.exists(b => b.width == w && b.height == h &&
+        b.pixels.toSeq == px.toSeq), s"${w}x$h crop path failed")
+    }
+  }
+
+  test("JPEG entropy layer: arbitrary coefficient blocks round-trip bit-exact") {
+    import graft.multimodal.JpegCodec
+    // the lossy DCT can mask entropy bugs; this pins Huffman coding, DC
+    // prediction, run-length/ZRL/EOB, magnitude extend, byte stuffing,
+    // and 1-padding EXACTLY on random coefficients across both channels
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 50) {
+      val nComp = if (trial % 2 == 0) 1 else 3
+      val nBlocks = (1 + rnd.nextInt(6)) * nComp
+      val blocks = Array.fill(nBlocks) {
+        val b = new Array[Int](64)
+        // sparse: realistic run-lengths incl. >16-zero ZRL runs
+        for (_ <- 0 until rnd.nextInt(12))
+          b(rnd.nextInt(64)) = rnd.nextInt(2047) - 1023
+        b(0) = rnd.nextInt(256) - 128 // bounded DC so diffs stay in range
+        b
+      }
+      val scan = JpegCodec.entropyEncode(blocks, nComp)
+      val back = JpegCodec.entropyDecode(scan, nBlocks, nComp)
+      assert(back.isDefined, s"trial $trial failed to decode")
+      assert(back.get.map(_.toSeq).toSeq == blocks.map(_.toSeq).toSeq,
+        s"trial $trial coefficients corrupted")
+    }
+  }
+
+  test("JPEG lossy path: noise round-trips within the quantization error bound") {
+    import graft.multimodal.JpegCodec
+    // real AC content through the full pipeline: per-coefficient rounding
+    // error <= 0.5 under flat quant, so spatial error is small and, with
+    // StrictMath transforms, deterministic — pin a conservative bound
+    val rnd = new scala.util.Random(20260814L)
+    for (nc <- Seq(1, 3)) {
+      val w = 16; val h = 16
+      val px = Array.fill(w * h * nc)((rnd.nextInt(256)).toByte)
+      val back = JpegCodec.decode(JpegCodec.encode(JpegCodec.Jpeg(w, h, nc, px)))
+      assert(back.isDefined)
+      val maxErr = px.zip(back.get.pixels)
+        .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+      // gray is DCT-roundtrip only; color adds YCbCr forward/back rounding
+      val bound = if (nc == 1) 4 else 8
+      assert(maxErr <= bound, s"nc=$nc max pixel error $maxErr > $bound")
+    }
+  }
+
+  test("JPEG codec: strict decode rejects garbage, truncation, and unsupported variants") {
+    import graft.multimodal.JpegCodec
+    assert(JpegCodec.decode("definitely not a jpeg".getBytes).isEmpty)
+    assert(JpegCodec.decode(Array[Byte](-1, -40)).isEmpty) // bare SOI
+    val px = Array.fill(8 * 8)(99.toByte)
+    val ok = JpegCodec.encode(JpegCodec.Jpeg(8, 8, 1, px))
+    assert(JpegCodec.decode(ok).isDefined)
+    // every truncation must fail closed, never throw
+    for (n <- 0 until ok.length)
+      assert(JpegCodec.decode(ok.take(n)).isEmpty, s"truncation at $n decoded")
+    // single-byte corruptions must never throw (None or a valid decode)
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 300) {
+      val mut = ok.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      JpegCodec.decode(mut) // must not crash
+    }
+    // targeted unsupported variants, patched at their marker positions
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val m = ok.clone(); f(m); m
+    }
+    // SOF0 -> SOF2 (progressive)
+    val sofAt = (0 until ok.length - 1)
+      .find(i => (ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0xC0).get
+    assert(JpegCodec.decode(patched(_(sofAt + 1) = 0xC2.toByte)).isEmpty,
+      "progressive must be rejected")
+    // sampling factor 2x2 at the first component (subsampled: unsupported)
+    assert(JpegCodec.decode(patched(_(sofAt + 11) = 0x22.toByte)).isEmpty,
+      "subsampling must be rejected")
+    // missing EOI
+    assert(JpegCodec.decode(ok.dropRight(2)).isEmpty, "missing EOI")
+  }
+
   test("WAV codec: round-trip, foreign-chunk skipping, strict rejection") {
     import graft.multimodal.WavCodec
     val w = WavCodec.Wav(16000, Array[Short](0, 100, -100, 32767, -32768, 7))
