@@ -515,6 +515,66 @@ object Multimodal {
     })
   }
 
+  /** keyed JPEG media for dedup (the bmpMediaKeyed shape): image content
+    * depends only on doc_id mod `keyMod`, so dup groups are guaranteed;
+    * grayscale 32×32 (4×4 blocks of 8×8), block-constant in the
+    * exact-recovery regime, per-block values from a formula family
+    * distinct from [[jpegBlockValue]]'s: with idx = by·4+bx,
+    * v(ck,idx) = ((ck+3)·(idx²+1)·7) mod 256 — the QUADRATIC index term
+    * matters: a formula linear in idx makes every key a cyclic shift of
+    * the same staircase and 97 keys collapse into 16 aHash patterns;
+    * this one gives all 97 keys distinct fingerprints (simulated
+    * exhaustively before pinning the oracle)
+    */
+  def jpegMediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ck = id % keyMod
+      val px = new Array[Byte](32 * 32)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val idx = (y / 8) * 4 + x / 8
+          px(y * 32 + x) = (((ck + 3) * (idx * idx + 1) * 7) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      id -> JpegCodec.encode(JpegCodec.Jpeg(32, 32, 1, px))
+    })
+  }
+
+  final case class JpegAHash(media_id: Long, ahash: String)
+
+  /** aHash fingerprint from REAL-DECODED JPEG pixels (the bmpAHashes
+    * arithmetic on the grayscale plane): bit i set iff px_i·n ≥ Σpx —
+    * the division-free mean test, exact in both engines. The full
+    * baseline decode (Huffman, dequant, IDCT, level shift) sits under
+    * every bit, so any codec defect splits or merges dup groups.
+    */
+  def jpegAHashes(media: Dataset[(Long, Array[Byte])]): Dataset[JpegAHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      JpegCodec.decode(bytes).filter(_.nComp == 1).map { img =>
+        val n = img.width * img.height
+        var tot = 0L
+        var i = 0
+        while (i < n) { tot += img.pixels(i) & 0xff; i += 1 }
+        val sb = new java.lang.StringBuilder(n)
+        i = 0
+        while (i < n) {
+          sb.append(if ((img.pixels(i) & 0xff).toLong * n >= tot) '1' else '0')
+          i += 1
+        }
+        JpegAHash(id, sb.toString)
+      }
+    })
+  }
+
   // ── REAL video path: RIFF/AVI with DIB frames (see [[AviCodec]]) ───────
 
   final case class AviFrameStats(media_id: Long, frame_idx: Long,

@@ -267,6 +267,47 @@ object MultimodalQueries {
               FROM px GROUP BY 1, 2, 3, 4""")
     ),
 
+    // ── image dedup over a JPEG corpus (the format real corpora carry) ────
+    QueryDef(
+      "q180_jpeg_ahash_dedup",
+      // q167's aHash dedup, re-run over the ENTROPY-CODED format real
+      // image corpora actually contain: the corpus synthesizes
+      // deliberate dups (content keyed on doc_id mod 97, bytes through
+      // the REAL baseline JPEG encoder), the query decodes every image
+      // through the full pipeline (marker walk, Huffman, dequant, IDCT)
+      // and fingerprints the decoded grayscale plane with the
+      // division-free mean test, 256-bit raster string — then ONE hash
+      // aggregation groups dups (q30's shape with a decoded-pixel key).
+      // Media are 4×4-block images (sixteen per-block values — a 2^16
+      // pattern space) in the exact-recovery regime, so the
+      // oracle recomputes every BIT closed-form: any defect anywhere in
+      // the JPEG path flips bits and breaks the hash match.
+      (s, d) => {
+        val m = Multimodal.jpegMediaKeyed(Tables.documents(s, d), 97L)
+        Multimodal.jpegAHashes(m).toDF()
+          .groupBy("ahash")
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("canonical_id"))
+          .filter(col("n_copies") >= 2)
+      },
+      Some("""WITH g AS (SELECT doc_id % 97 AS ck, doc_id AS mid
+                FROM documents),
+              px AS (SELECT ck, mid, CAST(i AS BIGINT) AS i,
+                  ((ck+3) * ((((i // 32) // 8)*4 + ((i % 32) // 8))
+                             * (((i // 32) // 8)*4 + ((i % 32) // 8)) + 1)
+                   * 7) % 256 AS gray
+                FROM g, unnest(range(1024)) t(i)),
+              tot AS (SELECT ck, mid, sum(gray) AS tg
+                FROM px GROUP BY 1, 2),
+              bits AS (SELECT px.ck, px.mid,
+                  string_agg(CASE WHEN gray * 1024 >= tg THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS ahash
+                FROM px JOIN tot ON px.ck = tot.ck AND px.mid = tot.mid
+                GROUP BY 1, 2)
+              SELECT ahash, count(*) AS n_copies, min(mid) AS canonical_id
+              FROM bits GROUP BY ahash HAVING count(*) >= 2""")
+    ),
+
     // ── REAL audio codec: PCM WAV decode → integer features ───────────────
     QueryDef(
       "q142_wav_decode",

@@ -675,6 +675,57 @@ object SimilarityQueries {
       (s, d) => ivfPartitionedProbe(s, d, "ivfpart_tr",
         cents = Some(trainedCodebook(s, d))),
       Some(trainedIvfOracleSql)
+    ),
+
+    // ── HARD-NEGATIVE MINING: label-aware top-k for contrastive data ──────
+    QueryDef(
+      "q182_hard_negatives",
+      // The contrastive-training data op (embedding-model training's
+      // counterpart of q130's mixing): for every query vector, the k
+      // nearest CORPUS vectors whose label DIFFERS — "hard negatives",
+      // the near-misses a contrastive loss learns the most from. q41's
+      // exact brute pattern (broadcast queries, corpus streams, ONE
+      // window rank) plus the label predicate, which must sit UNDER the
+      // rank: filtering after top-k would return fewer than k negatives
+      // whenever a same-label neighbor out-ranks a hard negative —
+      // exactly the rows this op exists to find. Exact contract here;
+      // at corpus scale the same predicate drops into the IVF-bucketed
+      // family (q168/q172) unchanged, since label rides the layout as
+      // an ordinary column.
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            col("label").as("clabel"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        broadcast(q).crossJoin(c)
+          .filter(col("clabel") =!= col("qlabel"))
+          .withColumn("cos", dot(col("qv"), col("cv")) /
+            (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+            col("cid"), col("clabel").cast("long").as("clabel"),
+            col("cos"), col("rk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                  label AS qlabel FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS cv,
+                  label AS clabel FROM embeddings WHERE vec_id >= 5),
+              scored AS (SELECT qid, qlabel, cid, clabel,
+                ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS cos
+                FROM q CROSS JOIN c
+                WHERE clabel != qlabel)
+              SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+                cid, CAST(clabel AS BIGINT) AS clabel, cos,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, cid) AS BIGINT) AS rk
+              FROM scored
+              QUALIFY rk <= 3""")
     )
   )
 

@@ -2280,6 +2280,76 @@ object TextQueries {
                   AS n_tokens,
                 (SELECT CAST(count(DISTINCT tok) AS BIGINT)
                  FROM (SELECT unnest(l) AS tok FROM s_fin)) AS n_vocab""")
+    ),
+
+    // ── SEQUENCE PACKING: concat-and-chunk training sequences ─────────────
+    QueryDef(
+      "q181_sequence_packing",
+      // The last step of every pretraining data pipeline: concatenate
+      // the corpus in a canonical order and cut it into fixed-budget
+      // training sequences (GPT-style chunking, B = SeqPackBudget
+      // tokens). A document belongs to the sequence where its first
+      // token lands; `n_split` counts documents straddling a cut (the
+      // attention-mask / document-boundary statistic packing decisions
+      // are made on). Declared contract: per-sequence doc count, token
+      // count, split count, first doc.
+      //
+      // Shape, and why it scales: the naive form is a GLOBAL cumulative
+      // sum — `Window.orderBy(doc_id)` with no partition key, which
+      // Spark executes on ONE partition (the documented anti-pattern).
+      // This implementation is the classic DISTRIBUTED PREFIX SUM
+      // instead: (1) deterministic range buckets (doc_id / G) get local
+      // cumulative sums in a parallel per-bucket window; (2) bucket
+      // TOTALS — a bucket-count-sized table, model-sized at any corpus
+      // scale — get running offsets in one tiny window; (3) offsets
+      // broadcast-join back and local + offset = global prefix, exactly.
+      // The oracle states the SPEC (the plain global window DuckDB can
+      // afford single-node): the hash match proves the distributed
+      // prefix sum ≡ the global cumulative sum.
+      (s, d) => {
+        val B = SeqPackBudget; val G = 256L
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("nt"),
+            (col("doc_id") / G).cast("long").as("bkt"))
+        val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = base.withColumn("lcum",
+          coalesce(sum(col("nt")).over(wLocal), lit(0L)))
+        val wOff = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = base.groupBy("bkt").agg(sum(col("nt")).as("bt"))
+          .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+          .select("bkt", "off")
+        local.join(broadcast(offsets), "bkt")
+          .withColumn("cum", col("off") + col("lcum"))
+          .withColumn("seq_id", floor(col("cum") / B).cast("long"))
+          .withColumn("crosses",
+            when(col("nt") > 0 &&
+              floor((col("cum") + col("nt") - 1) / B) =!= col("seq_id"), 1L)
+              .otherwise(0L))
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("sum_tokens"),
+            sum(col("crosses")).as("n_split"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+                  CAST(len($SQL_TOKENS) AS BIGINT) AS nt
+                FROM documents),
+              c AS (SELECT doc_id, nt,
+                  COALESCE(sum(nt) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum
+                FROM t)
+              SELECT CAST(cum // $SeqPackBudget AS BIGINT) AS seq_id,
+                count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                CAST(sum(CASE WHEN nt > 0 AND
+                    (cum + nt - 1) // $SeqPackBudget != cum // $SeqPackBudget
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
+                min(doc_id) AS first_doc
+              FROM c GROUP BY 1""")
     )
   )
 
@@ -2295,6 +2365,13 @@ object TextQueries {
     * symbol table's plan depth at this many chained `replace`s.
     */
   private final val BpeCheckpointEvery = 8
+
+  /** q181's training-sequence token budget (compile-time: `val all`
+    * reads it during object init). 512 keeps the sequence count
+    * corpus-proportional at every test sf; a production run sets its
+    * context length here.
+    */
+  private final val SeqPackBudget = 512L
 
   /** Shared DuckDB scaffold for the BPE oracles (q171, q175): the base
     * vocabulary (wb), the wrapped symbol table (w0), and `n` unrolled
