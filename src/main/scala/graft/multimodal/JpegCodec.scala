@@ -128,6 +128,13 @@ object JpegCodec {
         i -= 1
       }
     }
+    /** byte-align with 1-padding, then write a restart marker RAW
+      * (markers are never stuffed — that's how decoders find them)
+      */
+    def restartMarker(m: Int): Unit = {
+      while (nbits != 0) put(1, 1)
+      out.write(0xFF); out.write(0xD0 + (m & 7))
+    }
     def finish(): Array[Byte] = {
       while (nbits != 0) put(1, 1) // 1-padding to a byte boundary
       out.toByteArray
@@ -172,11 +179,17 @@ object JpegCodec {
     * arbitrary coefficients.
     */
   private[graft] def entropyEncode(blocks: Array[Array[Int]],
-      nComp: Int): Array[Byte] = {
+      nComp: Int, restartEvery: Int = 0): Array[Byte] = {
     val w = new BitWriter
     val pred = new Array[Int](nComp)
     var i = 0
     while (i < blocks.length) {
+      // restart boundary (T.81 §B.2.1.2): every `restartEvery` MCUs,
+      // byte-align, emit RSTm (m cycling 0..7), reset every DC predictor
+      if (restartEvery > 0 && i > 0 && i % (restartEvery * nComp) == 0) {
+        w.restartMarker(i / (restartEvery * nComp) - 1)
+        java.util.Arrays.fill(pred, 0)
+      }
       val b = blocks(i); val comp = i % nComp
       require(b.length == 64, s"block $i has ${b.length} coeffs")
       val diff = b(0) - pred(comp); pred(comp) = b(0)
@@ -224,7 +237,7 @@ object JpegCodec {
         i += 2
       } else i += 1
     }
-    entropyDecodeWith(raw.toByteArray, nBlocks, nComp,
+    entropyDecodeSegments(Array(raw.toByteArray), nBlocks, nComp, nBlocks,
       Array.fill(nComp)(new DecodeTable(DcBits, DcVals)),
       Array.fill(nComp)(new DecodeTable(AcBits, AcVals)))
   }
@@ -240,41 +253,55 @@ object JpegCodec {
     -1 // no code of length <= 16 matched: corrupt stream
   }
 
-  private def entropyDecodeWith(scan: Array[Byte], nBlocks: Int,
-      nComp: Int, dcT: Array[DecodeTable],
+  /** decode `nBlocks` blocks from UNSTUFFED restart segments: each
+    * segment carries `blocksPerSeg` blocks (the last one the remainder)
+    * with freshly-reset DC predictors and a byte-aligned bit stream —
+    * exactly the independence restart markers exist to provide. The
+    * no-restart case is one segment with blocksPerSeg = nBlocks.
+    */
+  private def entropyDecodeSegments(segments: Array[Array[Byte]],
+      nBlocks: Int, nComp: Int, blocksPerSeg: Int, dcT: Array[DecodeTable],
       acT: Array[DecodeTable]): Option[Array[Array[Int]]] = {
-    val r = new BitReader(scan)
-    val pred = new Array[Int](nComp)
+    if (blocksPerSeg <= 0) return None
+    val needSegs = math.max(1, (nBlocks + blocksPerSeg - 1) / blocksPerSeg)
+    if (segments.length != needSegs) return None
     val out = Array.ofDim[Int](nBlocks, 64)
+    var seg = 0
     var i = 0
-    while (i < nBlocks) {
-      val comp = i % nComp
-      val dsz = decodeSymbol(r, dcT(comp))
-      if (dsz < 0 || dsz > 11) return None
-      val dbits = if (dsz == 0) 0 else r.readBits(dsz)
-      if (dbits < 0) return None
-      pred(comp) += extend(dbits, dsz)
-      out(i)(0) = pred(comp)
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val sym = decodeSymbol(r, acT(comp))
-        if (sym < 0) return None
-        if (sym == 0x00) eob = true
-        else if (sym == 0xF0) {
-          k += 16
-          if (k > 64) return None // ZRL overrunning the block
-        } else {
-          val run = sym >> 4; val sz = sym & 0xF
-          k += run
-          if (k > 63 || sz == 0 || sz > 10) return None
-          val bits = r.readBits(sz)
-          if (bits < 0) return None
-          out(i)(k) = extend(bits, sz)
-          k += 1
+    while (seg < segments.length) {
+      val r = new BitReader(segments(seg))
+      val pred = new Array[Int](nComp)
+      val end = math.min(i + blocksPerSeg, nBlocks)
+      while (i < end) {
+        val comp = i % nComp
+        val dsz = decodeSymbol(r, dcT(comp))
+        if (dsz < 0 || dsz > 11) return None
+        val dbits = if (dsz == 0) 0 else r.readBits(dsz)
+        if (dbits < 0) return None
+        pred(comp) += extend(dbits, dsz)
+        out(i)(0) = pred(comp)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val sym = decodeSymbol(r, acT(comp))
+          if (sym < 0) return None
+          if (sym == 0x00) eob = true
+          else if (sym == 0xF0) {
+            k += 16
+            if (k > 64) return None // ZRL overrunning the block
+          } else {
+            val run = sym >> 4; val sz = sym & 0xF
+            k += run
+            if (k > 63 || sz == 0 || sz > 10) return None
+            val bits = r.readBits(sz)
+            if (bits < 0) return None
+            out(i)(k) = extend(bits, sz)
+            k += 1
+          }
         }
+        i += 1
       }
-      i += 1
+      seg += 1
     }
     Some(out)
   }
@@ -391,7 +418,10 @@ object JpegCodec {
     * `quant` applies to every component (zigzag order, as written to
     * DQT).
     */
-  def encode(img: Jpeg, quant: Array[Int] = FlatQuant): Array[Byte] = {
+  def encode(img: Jpeg, quant: Array[Int] = FlatQuant,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval >= 0 && restartInterval <= 0xFFFF,
+      s"restart interval $restartInterval out of DRI range")
     require(img.nComp == 1 || img.nComp == 3, s"nComp ${img.nComp}")
     require(img.pixels.length == img.width * img.height * img.nComp,
       s"pixel buffer ${img.pixels.length} != " +
@@ -439,7 +469,7 @@ object JpegCodec {
       }
       by += 1
     }
-    val scan = entropyEncode(blocks, nc)
+    val scan = entropyEncode(blocks, nc, restartInterval)
 
     val out = new ByteArrayOutputStream
     out.write(0xFF); out.write(0xD8) // SOI
@@ -451,6 +481,9 @@ object JpegCodec {
     seg(out, 0xC0, sof.map(_.toByte))
     seg(out, 0xC4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)) // DC 0
     seg(out, 0xC4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)) // AC 0
+    if (restartInterval > 0) // DRI before SOS (T.81 §B.2.4.4)
+      seg(out, 0xDD,
+        Array((restartInterval >> 8).toByte, (restartInterval & 0xFF).toByte))
     val sos = Array(nc) ++ (0 until nc).flatMap(c => Seq(c + 1, 0x00)) ++
       Seq(0, 63, 0) // Ss, Se, AhAl
     seg(out, 0xDA, sos.map(_.toByte))
@@ -476,7 +509,8 @@ object JpegCodec {
     val huffAc = scala.collection.mutable.Map.empty[Int, DecodeTable]
     var compQuant: Array[Int] = null // per-comp quant table id
     var compDc: Array[Int] = null; var compAc: Array[Int] = null
-    var scanBytes: Array[Byte] = null
+    var scanSegments: Array[Array[Byte]] = null
+    var restartInterval = 0
     var seenEoi = false
     while (!seenEoi) {
       if (pos + 2 > bytes.length) return None
@@ -551,6 +585,12 @@ object JpegCodec {
           }
           if (o != end) return None
           pos += 2 + len
+        case 0xDD => // DRI: restart interval
+          if (pos + 4 > bytes.length) return None
+          val len = u16(bytes, pos + 2)
+          if (len != 4 || pos + 2 + len > bytes.length) return None
+          restartInterval = u16(bytes, pos + 4)
+          pos += 2 + len
         case 0xDA => // SOS + entropy data
           if (!seenSof || pos + 4 > bytes.length) return None
           val len = u16(bytes, pos + 2)
@@ -570,9 +610,13 @@ object JpegCodec {
           val se = bytes(pos + 6 + 2 * ns) & 0xff
           val ahal = bytes(pos + 7 + 2 * ns) & 0xff
           if (ss != 0 || se != 63 || ahal != 0) return None
-          // unstuff entropy data up to the next marker
+          // unstuff entropy data up to the next marker, splitting into
+          // restart segments at RSTn (legal only under a DRI interval,
+          // and the modulo-8 marker sequence must cycle in order)
           var o = pos + 2 + len
-          val raw = new ByteArrayOutputStream
+          val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var raw = new ByteArrayOutputStream
+          var rstExpect = 0
           var endFound = false
           while (!endFound) {
             if (o >= bytes.length) return None
@@ -582,11 +626,19 @@ object JpegCodec {
               if (o + 1 >= bytes.length) return None
               val nxt = bytes(o + 1) & 0xff
               if (nxt == 0x00) { raw.write(0xFF); o += 2 }
-              else if (nxt >= 0xD0 && nxt <= 0xD7) return None // RSTn: DRI unsupported
+              else if (nxt >= 0xD0 && nxt <= 0xD7) {
+                if (restartInterval == 0) return None // stray RST, no DRI
+                if (nxt - 0xD0 != rstExpect % 8) return None // out of cycle
+                rstExpect += 1
+                segs += raw.toByteArray
+                raw = new ByteArrayOutputStream
+                o += 2
+              }
               else endFound = true // next marker: scan ends here
             }
           }
-          scanBytes = raw.toByteArray
+          segs += raw.toByteArray
+          scanSegments = segs.toArray
           pos = o
         case _ => // APPn / COM / other length-framed segments: skip
           if (pos + 4 > bytes.length) return None
@@ -595,7 +647,7 @@ object JpegCodec {
           pos += 2 + len
       }
     }
-    if (!seenSof || scanBytes == null) return None
+    if (!seenSof || scanSegments == null) return None
     // resolve per-component tables; every referenced id must be defined
     val qts = new Array[Array[Int]](nc)
     val dcT = new Array[DecodeTable](nc)
@@ -610,7 +662,10 @@ object JpegCodec {
     }
     val wb = (w + 7) / 8; val hb = (h + 7) / 8
     val nBlocks = wb * hb * nc
-    entropyDecodeWith(scanBytes, nBlocks, nc, dcT, acT).map { blocks =>
+    val blocksPerSeg =
+      if (restartInterval > 0) restartInterval * nc else nBlocks
+    entropyDecodeSegments(scanSegments, nBlocks, nc, blocksPerSeg,
+        dcT, acT).map { blocks =>
       val planes = Array.ofDim[Int](nc, w * h)
       var i = 0
       while (i < nBlocks) {

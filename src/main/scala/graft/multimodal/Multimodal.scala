@@ -494,7 +494,13 @@ object Multimodal {
         }
         y += 1
       }
-      id -> JpegCodec.encode(JpegCodec.Jpeg(w, h, nc, px))
+      // every fifth image carries RESTART MARKERS (DRI interval 1 — an
+      // RST between every MCU, DC predictors reset each time), so the
+      // oracle-checked decode path covers restarts too: same pixels,
+      // different scan framing
+      val ri = if (id % 5 == 0) 1 else 0
+      id -> JpegCodec.encode(JpegCodec.Jpeg(w, h, nc, px),
+        restartInterval = ri)
     })
   }
 

@@ -329,6 +329,44 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("JPEG restart markers: DRI intervals round-trip exactly, bad RST sequences rejected") {
+    import graft.multimodal.JpegCodec
+    // restart segments byte-align, cycle RST0..7, and RESET the DC
+    // predictors — block-constant media with per-block-different DCs
+    // break if any of that is off by one
+    for (wb <- Seq(2, 3); hb <- Seq(2, 4); nc <- Seq(1, 3);
+         ri <- Seq(1, 2, 5)) {
+      val w = wb * 8; val h = hb * 8
+      val px = new Array[Byte](w * h * nc)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc)
+        px((y * w + x) * nc + c) =
+          (((x / 8 + (y / 8) * wb) * 41 + 13) % 256).toByte
+      val enc = JpegCodec.encode(JpegCodec.Jpeg(w, h, nc, px),
+        restartInterval = ri)
+      val back = JpegCodec.decode(enc)
+      assert(back.exists(_.pixels.toSeq == px.toSeq),
+        s"${w}x$h nc=$nc ri=$ri corrupted through restart round-trip")
+      // > 8 MCUs at ri=1 exercises the modulo-8 marker wrap
+      if (ri == 1 && wb * hb > 8) {
+        val rsts = (0 until enc.length - 1).count(i =>
+          (enc(i) & 0xff) == 0xFF && (enc(i + 1) & 0xff) >= 0xD0 &&
+            (enc(i + 1) & 0xff) <= 0xD7)
+        assert(rsts == wb * hb - 1, s"expected ${wb * hb - 1} RSTs, got $rsts")
+      }
+    }
+    // an out-of-cycle RST marker must fail closed
+    val px = Array.fill(16 * 16)(55.toByte)
+    val ok = JpegCodec.encode(JpegCodec.Jpeg(16, 16, 1, px), restartInterval = 1)
+    val firstRst = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0xD0).get
+    val mut = ok.clone(); mut(firstRst + 1) = 0xD5.toByte
+    assert(JpegCodec.decode(mut).isEmpty, "out-of-cycle RST must be rejected")
+    // an RST with no DRI declared must fail closed (already covered by
+    // the stray-RST marker branch, pinned here against regressions)
+    val noDri = JpegCodec.encode(JpegCodec.Jpeg(16, 16, 1, px))
+    assert(JpegCodec.decode(noDri).isDefined)
+  }
+
   test("JPEG lossy path: noise round-trips within the quantization error bound") {
     import graft.multimodal.JpegCodec
     // real AC content through the full pipeline: per-coefficient rounding
