@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-facing queries over the multimodal column pipeline
@@ -16,6 +17,28 @@ import org.apache.spark.sql.functions._
   * md5/substring on the same content.
   */
 object MultimodalQueries {
+
+  /** Shared DuckDB scaffold for the JPEG-aHash oracles (q180, q184):
+    * the keyed closed-form pixel formula ([[Multimodal.jpegMediaKeyed]]),
+    * per-image totals, and the division-free mean-test bit string — ONE
+    * definition so the dedup query and the curation capstone can never
+    * drift from each other or the Scala constants.
+    */
+  private val SQL_JPEG_AHASH_CTES =
+    """g AS (SELECT doc_id % 97 AS ck, doc_id AS mid
+                FROM documents),
+              px AS (SELECT ck, mid, CAST(i AS BIGINT) AS i,
+                  ((ck+3) * ((((i // 32) // 8)*4 + ((i % 32) // 8))
+                             * (((i // 32) // 8)*4 + ((i % 32) // 8)) + 1)
+                   * 7) % 256 AS gray
+                FROM g, unnest(range(1024)) t(i)),
+              tot AS (SELECT ck, mid, sum(gray) AS tg
+                FROM px GROUP BY 1, 2),
+              bits AS (SELECT px.ck, px.mid,
+                  string_agg(CASE WHEN gray * 1024 >= tg THEN '1' ELSE '0' END,
+                             '' ORDER BY i) AS ahash
+                FROM px JOIN tot ON px.ck = tot.ck AND px.mid = tot.mid
+                GROUP BY 1, 2)"""
 
   /** media CTE mirroring [[Multimodal.mediaFromDocuments]] */
   private val SQL_MEDIA =
@@ -290,22 +313,70 @@ object MultimodalQueries {
             min(col("media_id")).as("canonical_id"))
           .filter(col("n_copies") >= 2)
       },
-      Some("""WITH g AS (SELECT doc_id % 97 AS ck, doc_id AS mid
-                FROM documents),
-              px AS (SELECT ck, mid, CAST(i AS BIGINT) AS i,
-                  ((ck+3) * ((((i // 32) // 8)*4 + ((i % 32) // 8))
-                             * (((i // 32) // 8)*4 + ((i % 32) // 8)) + 1)
-                   * 7) % 256 AS gray
-                FROM g, unnest(range(1024)) t(i)),
-              tot AS (SELECT ck, mid, sum(gray) AS tg
-                FROM px GROUP BY 1, 2),
-              bits AS (SELECT px.ck, px.mid,
-                  string_agg(CASE WHEN gray * 1024 >= tg THEN '1' ELSE '0' END,
-                             '' ORDER BY i) AS ahash
-                FROM px JOIN tot ON px.ck = tot.ck AND px.mid = tot.mid
-                GROUP BY 1, 2)
+      Some(s"""WITH $SQL_JPEG_AHASH_CTES
               SELECT ahash, count(*) AS n_copies, min(mid) AS canonical_id
               FROM bits GROUP BY ahash HAVING count(*) >= 2""")
+    ),
+
+    // ── MULTIMODAL curation capstone: dedup → quality → packing ───────────
+    QueryDef(
+      "q184_multimodal_curation",
+      // The q166 curation funnel crossed with the image modality — the
+      // end-to-end shape of a real pretraining data build, chained in
+      // ONE verified query: (1) decode every document's JPEG through
+      // the full baseline pipeline and fingerprint it (aHash over
+      // decoded pixels); (2) image-level dedup — keep only each
+      // fingerprint's canonical (min doc_id) carrier; (3) text-quality
+      // gate on the survivors (q33's exact-integer rule: len ∈
+      // [100,400] ∧ 4·alpha > 3·len); (4) pack what remains into
+      // fixed-budget training sequences via the distributed prefix sum
+      // (q181's backbone — never a single-partition global window).
+      // Per-sequence doc/token stats come out the other end. Every
+      // stage reuses a verified component (q180's hash, q33's rule,
+      // q181's packing) and the oracle chains THEIR oracle fragments,
+      // so the composition itself is what this query verifies.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ah = Multimodal
+          .jpegAHashes(Multimodal.jpegMediaKeyed(docs, 97L)).toDF()
+          .select(col("media_id").as("doc_id"), col("ahash"))
+        val wDup = Window.partitionBy("ahash").orderBy("doc_id")
+        val canon = ah.withColumn("rn", row_number().over(wDup))
+          .filter(col("rn") === 1).select("doc_id")
+        val surv = docs.join(canon, "doc_id")
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("alpha",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+          .filter(col("len").between(100, 400) &&
+            col("alpha") * 4 > col("len") * 3)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+        graft.operators.Shared.distributedPrefixSum(surv, "doc_id", "nt")
+          .withColumn("seq_id", floor(col("cum") / 512L).cast("long"))
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some(s"""WITH $SQL_JPEG_AHASH_CTES,
+              canon AS (SELECT min(mid) AS doc_id FROM bits GROUP BY ahash),
+              surv AS (SELECT d.doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS nt
+                FROM documents d JOIN canon USING (doc_id)
+                WHERE length(text) BETWEEN 100 AND 400
+                  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4
+                      > length(text) * 3),
+              c AS (SELECT doc_id, nt,
+                  COALESCE(sum(nt) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum
+                FROM surv)
+              SELECT CAST(cum // 512 AS BIGINT) AS seq_id,
+                count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc
+              FROM c GROUP BY 1""")
     ),
 
     // ── REAL audio codec: PCM WAV decode → integer features ───────────────

@@ -299,4 +299,33 @@ private[graft] object Shared {
     */
   def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** DISTRIBUTED PREFIX SUM (q181/q184's packing backbone): `cum` =
+    * Σ valCol over rows ordered before this one by the non-negative
+    * numeric orderCol — the global-cumulative-sum SPEC, computed without
+    * the single-partition global window Spark would otherwise plan:
+    * (1) deterministic range buckets (orderCol / bucket) get local
+    * cumulative sums in a parallel per-bucket window; (2) bucket TOTALS —
+    * a bucket-count-sized table, model-sized at any corpus scale — get
+    * running offsets in one tiny window; (3) offsets broadcast back and
+    * local + offset = the exact global prefix.
+    */
+  def distributedPrefixSum(df: org.apache.spark.sql.DataFrame,
+      orderCol: String, valCol: String,
+      bucket: Long = 256L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__bkt", (col(orderCol) / bucket).cast("long"))
+    val wLocal = Window.partitionBy("__bkt").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__lcum",
+      coalesce(sum(col(valCol)).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__bkt").agg(sum(col(valCol)).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn("cum", col("__off") + col("__lcum"))
+      .drop("__bkt", "__lcum", "__off")
+  }
 }

@@ -2307,22 +2307,11 @@ object TextQueries {
       // afford single-node): the hash match proves the distributed
       // prefix sum ≡ the global cumulative sum.
       (s, d) => {
-        val B = SeqPackBudget; val G = 256L
+        val B = SeqPackBudget
         val base = Tables.documents(s, d)
           .select(col("doc_id"),
-            size(tokens(col("text"))).cast("long").as("nt"),
-            (col("doc_id") / G).cast("long").as("bkt"))
-        val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val local = base.withColumn("lcum",
-          coalesce(sum(col("nt")).over(wLocal), lit(0L)))
-        val wOff = Window.orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = base.groupBy("bkt").agg(sum(col("nt")).as("bt"))
-          .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
-          .select("bkt", "off")
-        local.join(broadcast(offsets), "bkt")
-          .withColumn("cum", col("off") + col("lcum"))
+            size(tokens(col("text"))).cast("long").as("nt"))
+        Shared.distributedPrefixSum(base, "doc_id", "nt")
           .withColumn("seq_id", floor(col("cum") / B).cast("long"))
           .withColumn("crosses",
             when(col("nt") > 0 &&
@@ -2350,6 +2339,43 @@ object TextQueries {
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
                 min(doc_id) AS first_doc
               FROM c GROUP BY 1""")
+    ),
+
+    // ── CONSISTENT stratified sampling (deterministic data selection) ─────
+    QueryDef(
+      "q183_stratified_sample",
+      // The subsampling primitive every corpus-ablation run needs:
+      // per-stratum (language) samples of K docs ranked by
+      // (content hash, doc_id) — "smallest-hash" CONSISTENT sampling:
+      // deterministic across reruns and engines (no RNG state), uniform
+      // in expectation, stratified by construction, and stable under
+      // corpus growth (new docs can only displace sample members, never
+      // reshuffle survivors — the property rerun-to-rerun diffing
+      // depends on). The hash is the engine-shared md5-derived h32, so
+      // the oracle reproduces the exact sample, not just its size.
+      //
+      // Shape: one hash-partitioned window per stratum (parallel across
+      // languages; for a skewed mega-stratum the standard refinement is
+      // a per-partition top-K pre-filter before the window — the rank
+      // only needs the K smallest hashes, which map-side selection
+      // bounds at O(K) per partition). No global sort, no shuffle
+      // beyond the stratum partitioning.
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("h").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("h", h32(col("text")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= SampleK)
+          .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      },
+      Some(s"""WITH h AS (SELECT lang, doc_id, ${SQL_H32("text")} AS h
+                FROM documents)
+              SELECT lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY h, doc_id) AS BIGINT) AS rk,
+                doc_id, h
+              FROM h QUALIFY rk <= $SampleK""")
     )
   )
 
@@ -2372,6 +2398,9 @@ object TextQueries {
     * context length here.
     */
   private final val SeqPackBudget = 512L
+
+  /** q183's per-stratum sample size (compile-time: `val all` reads it). */
+  private final val SampleK = 50L
 
   /** Shared DuckDB scaffold for the BPE oracles (q171, q175): the base
     * vocabulary (wb), the wrapped symbol table (w0), and `n` unrolled

@@ -205,6 +205,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // else must join with keys
     val intentional = Set("q36_ngram_jaccard", "q39b_simhash_pairs",
       "q41_knn_brute", "q43_cosine_neardup", "q44_ann_ivf",
+      "q182_hard_negatives" /* broadcast-brute query fan-out, like q41 */,
       "q57_tfidf" /* 1-row broadcast of the corpus size N */,
       "q76_kmeans_step" /* K=8 centroid broadcast against every vector */,
       "q80_edit_distance" /* bounded all-pairs, like q36/q39b/q43 */,
@@ -315,6 +316,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("graft_winnowpairs".r.findAllIn(p158).isEmpty ||
       !p158.contains("collectlistcapped"),
       s"q158 must not re-derive pairs from fingerprints:\n$p158")
+  }
+
+  test("q181 (sequence packing): corpus windows partition by bucket, offsets attach broadcast") {
+    // the distributed prefix sum's whole point: the corpus-sized
+    // cumulative sum runs in a PER-BUCKET window (parallel), the only
+    // unpartitioned window is over the model-sized bucket-offset table,
+    // and offsets come back as a broadcast join — never a corpus shuffle
+    // to one partition
+    val p = plan("q181_sequence_packing")
+    assert(p.contains("windowspecdefinition(__bkt"),
+      s"corpus cumsum must partition by __bkt:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must attach as a broadcast:\n$p")
   }
 
   test("q173 (quality classifier): train is one reduction, model attaches broadcast") {
