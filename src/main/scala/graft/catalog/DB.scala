@@ -92,7 +92,103 @@ final class DB private (val root: Path, val spark: SparkSession) {
     }
   }
 
-  /** THE commit point: stage the new manifest to a temp sibling, fsync,
+  // ── snapshot HISTORY (time travel / Iceberg-style retention) ─────────
+  /** `_snapshots/vN.json` — one retained manifest per committed version.
+    * Written BEFORE the pointer swap (a crash in between leaves an
+    * orphan history file one version ahead of the pointer; the next
+    * commit re-derives the same version number and overwrites it —
+    * self-healing). Data files referenced by ANY retained manifest are
+    * never swept, so [[tableAsOf]] reads stay valid until
+    * [[expireSnapshots]] releases them — the Iceberg/Delta snapshot
+    * lifecycle on plain parquet.
+    */
+  private def historyDir(name: String): Path =
+    tableDir(name).resolve("_snapshots")
+
+  /** retained snapshot versions, ascending (empty: no commits yet) */
+  def snapshotVersions(name: String): Seq[Long] = {
+    val h = historyDir(name)
+    if (!Files.exists(h)) Seq.empty
+    else {
+      val ls = Files.list(h)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+\\.json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally ls.close()
+    }
+  }
+
+  /** version of the CURRENT pointer (0 = manifest-less / pre-versioning) */
+  private def currentVersion(name: String): Long = {
+    val p = snapshotPath(name)
+    if (!Files.exists(p)) 0L
+    else {
+      val doc = new ObjectMapper().readTree(Files.readString(p))
+      if (doc.has("version")) doc.get("version").asLong() else 0L
+    }
+  }
+
+  /** file list of a retained manifest version (None: expired/never) */
+  private[graft] def snapshotFilesAsOf(name: String,
+      version: Long): Option[Seq[String]] = {
+    val p = historyDir(name).resolve(s"v$version.json")
+    if (!Files.exists(p)) None
+    else {
+      val doc = new ObjectMapper().readTree(Files.readString(p))
+      Some(doc.get("files").elements().asScala.map(_.asText()).toSeq)
+    }
+  }
+
+  /** every data file some retained manifest (history or pointer) still
+    * references — the sweep exclusion set
+    */
+  private def retainedFiles(name: String): Set[String] =
+    (snapshotFiles(name).getOrElse(Seq.empty) ++
+      snapshotVersions(name)
+        .flatMap(v => snapshotFilesAsOf(name, v).getOrElse(Seq.empty))).toSet
+
+  /** TIME TRAVEL: the table exactly as manifest `version` committed it —
+    * same pinned schema and basePath partition inference as [[table]].
+    * Valid until [[expireSnapshots]] drops the version.
+    */
+  def tableAsOf(name: String, version: Long): DataFrame = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    val files = snapshotFilesAsOf(name, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"No retained snapshot v$version for table '$name' " +
+          s"(retained: ${snapshotVersions(name).mkString(", ")})"))
+    val dir = tableDir(name)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.option("basePath", dir.toString).schema(schema)
+      .parquet(files.map(f => dir.resolve(f).toString): _*)
+      .select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Release history: keep the newest `keepLast` versions (the pointer's
+    * version always survives), delete older manifests, then delete every
+    * data file no longer referenced by ANY retained manifest — the
+    * space-reclamation half of the snapshot lifecycle. Returns
+    * (#versions expired, #data files reclaimed).
+    */
+  def expireSnapshots(name: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = snapshotVersions(name)
+    val cur = currentVersion(name)
+    val drop = versions.dropRight(keepLast).filterNot(_ == cur)
+    drop.foreach(v =>
+      Files.deleteIfExists(historyDir(name).resolve(s"v$v.json")))
+    val keep = retainedFiles(name)
+    val dir = tableDir(name)
+    val orphans = listRelParquet(name).filterNot(keep)
+    orphans.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    (drop.size, orphans.size)
+  }
+
+  /** THE commit point: write the versioned manifest into the history dir
+    * (fsync'd), then stage the same doc to a temp sibling, fsync,
     * atomically move over `_snapshot.json`, fsync the directory — the
     * same staged-rename discipline as the rtcdb index commit
     * (RtcdbWrite.scala), so readers see the old file set or the new one,
@@ -101,8 +197,22 @@ final class DB private (val root: Path, val spark: SparkSession) {
   private def commitSnapshot(name: String, files: Seq[String]): Unit = {
     val mapper = new ObjectMapper()
     val doc = mapper.createObjectNode()
+    doc.put("version", currentVersion(name) + 1)
     val arr = doc.putArray("files")
     files.sorted.foreach(arr.add)
+    // history first: a retained copy must exist before the pointer can
+    // name this version (see historyDir scaladoc for the crash window)
+    Files.createDirectories(historyDir(name))
+    val hist = historyDir(name).resolve(s"v${currentVersion(name) + 1}.json")
+    val hch = java.nio.channels.FileChannel.open(hist,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      hch.write(java.nio.ByteBuffer.wrap(
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(doc)))
+      hch.force(true)
+    } finally hch.close()
     val tmp = tableDir(name).resolve("_snapshot.json.tmp")
     val ch = java.nio.channels.FileChannel.open(tmp,
       java.nio.file.StandardOpenOption.CREATE,
@@ -333,11 +443,15 @@ final class DB private (val root: Path, val spark: SparkSession) {
     // exists, else the live listing (first snapshot commit adopts it)
     val current = snapshotFiles(name).getOrElse(listRelParquet(name))
     val currentSet = current.toSet
-    // sweep residue of a crashed prior merge: files outside the manifest
-    // are uncommitted or superseded — invisible to readers, safe to drop
-    if (Files.exists(snapshotPath(name)))
-      listRelParquet(name).filterNot(currentSet)
+    // sweep residue of a crashed prior merge: files referenced by NO
+    // retained manifest are uncommitted — invisible to readers, safe to
+    // drop (superseded-but-retained generations stay for tableAsOf and
+    // are reclaimed by expireSnapshots)
+    if (Files.exists(snapshotPath(name))) {
+      val retained = retainedFiles(name)
+      listRelParquet(name).filterNot(retained)
         .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    }
     val tmp = root.resolve(s"$name.__upsert")
     def wipeTmp(): Unit = if (Files.exists(tmp))
       Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -373,8 +487,10 @@ final class DB private (val root: Path, val spark: SparkSession) {
       val (superseded, kept) =
         current.partition(f => replacedDirs.contains(parentRel(f)))
       commitSnapshot(name, kept ++ newFiles) // ← THE commit point
-      // post-commit cleanup (best-effort: already invisible via manifest)
-      superseded.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      // superseded files stay on disk: the previous version's retained
+      // manifest still references them (tableAsOf), and expireSnapshots
+      // is the reclamation point — the Iceberg lifecycle
+      locally { val _ = superseded }
     } finally wipeTmp() // staging residue must not outlive a failed merge
   }
 
@@ -563,10 +679,13 @@ final class DB private (val root: Path, val spark: SparkSession) {
     if (!Files.exists(dir)) return (0, 0)
     val current = snapshotFiles(name).getOrElse(listRelParquet(name))
     val currentSet = current.toSet
-    // sweep uncommitted residue first (crashed merge/compact leftovers)
-    if (Files.exists(snapshotPath(name)))
-      listRelParquet(name).filterNot(currentSet)
+    // sweep uncommitted residue first (crashed merge/compact leftovers);
+    // retained-manifest generations stay (tableAsOf / expireSnapshots)
+    if (Files.exists(snapshotPath(name))) {
+      val retained = retainedFiles(name)
+      listRelParquet(name).filterNot(retained)
         .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    }
     val byPart = current.groupBy(parentRel)
     require(!byPart.contains(""),
       s"compactPartitions requires a directory-partitioned table; " +
@@ -588,7 +707,9 @@ final class DB private (val root: Path, val spark: SparkSession) {
     val compactedDirs = victims.keySet
     val kept = current.filterNot(f => compactedDirs.contains(parentRel(f)))
     commitSnapshot(name, kept ++ newFiles) // ← THE commit point
-    victimFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    // victims remain referenced by the pre-compaction retained manifest;
+    // expireSnapshots reclaims them (compaction changes LAYOUT, and
+    // time travel must still see the pre-compaction layout)
     (current.size, kept.size + newFiles.size)
   }
 

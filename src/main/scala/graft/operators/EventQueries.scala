@@ -407,6 +407,90 @@ object EventQueries {
               FROM (SELECT * FROM events WHERE event_type = 'view') v
               JOIN inc ON v.ts >= istart
                       AND v.ts <= istart + INTERVAL 15 MINUTE""")
+    ),
+
+    // ── TIME TRAVEL: snapshot-version diff over the maintained MV ────────
+    QueryDef(
+      "q185_mv_time_travel_diff",
+      // The read side of the snapshot lifecycle (r9: manifests are now
+      // VERSIONED and retained — `_snapshots/vN.json` — until
+      // DB.expireSnapshots releases them): maintain q156's partitioned
+      // MV through two merge commits, then answer "what changed between
+      // snapshot v1 and now?" by reading BOTH versions through
+      // DB.tableAsOf / DB.table and joining — the audit/debug query
+      // every incremental pipeline eventually needs, impossible without
+      // retention because v1's superseded files would have been swept
+      // at the v2 commit. Old and new are each MV-sized; the diff is
+      // one equi-join; raw events are scanned once (delta prep), never
+      // re-read for the diff itself.
+      //
+      // Oracle: recompute both states from raw events (v1 ≡ aggregate
+      // of batch-0 events, current ≡ aggregate of all — the q150/q156
+      // batch-replay convention) and diff them identically. Any defect
+      // in manifest versioning, retention, or tableAsOf's file pinning
+      // surfaces as a wrong old-side value and breaks the hash.
+      (s, d) => {
+        import graft.catalog.DB
+        import org.apache.spark.sql.types.{DecimalType, StructType}
+        val mvSchema = StructType(EventStream.tumblingAgg(Tables.events(s, d))
+          .schema.fields.map(_.copy(nullable = false)))
+        val root = Shared.scratchRoot("q185", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val db = DB.init(root.toString, Seq("mv" -> mvSchema))(s)
+        val tmp = s"$root/deltas"
+        EventStream.tumblingAgg(
+            Tables.events(s, d)
+              .withColumn("batch", pmod(col("event_id"), lit(2))),
+            extraGroup = Seq("batch"))
+          .write.mode("overwrite").partitionBy("batch").parquet(tmp)
+        (0 until 2).foreach { b =>
+          val delta = s.read.parquet(tmp).filter(col("batch") === b)
+            .select("window_start", "event_type", "n", "sum_value")
+          val merged = db.table("mv")
+            .join(delta.select("window_start", "event_type").distinct(),
+              Seq("window_start", "event_type"), "left_semi")
+            .unionByName(delta)
+            .groupBy("window_start", "event_type")
+            .agg(sum(col("n")).as("n"),
+              sum(col("sum_value").cast(DecimalType(18, 2)))
+                .cast("double").as("sum_value"))
+            .select("window_start", "event_type", "n", "sum_value")
+          db.upsertPartitioned("mv", merged,
+            Seq("event_type"), Seq("window_start", "event_type"))
+        }
+        val old = db.tableAsOf("mv", 1L)
+          .select(col("window_start"), col("event_type"),
+            col("n").as("n_old"), col("sum_value").as("sum_old"))
+        db.table("mv")
+          .select(col("window_start"), col("event_type"),
+            col("n").as("n_new"), col("sum_value").as("sum_new"))
+          .join(old, Seq("window_start", "event_type"), "left_outer")
+          .filter(col("n_old").isNull || col("n_old") =!= col("n_new") ||
+            col("sum_old") =!= col("sum_new"))
+      },
+      Some("""WITH full_v AS (
+                SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                  event_type, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                FROM events GROUP BY 1, 2),
+              b0 AS (
+                SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                  event_type, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2)
+              SELECT f.window_start, f.event_type,
+                f.n AS n_new, f.sum_value AS sum_new,
+                b0.n AS n_old, b0.sum_value AS sum_old
+              FROM full_v f
+              LEFT JOIN b0 ON f.window_start = b0.window_start
+                          AND f.event_type = b0.event_type
+              WHERE b0.n IS NULL OR b0.n != f.n
+                 OR b0.sum_value != f.sum_value""")
     )
   )
 }

@@ -244,8 +244,10 @@ class DBSpec extends AnyFunSuite with SparkFixture {
       Seq(222L))
     assert(t.filter(col("timestamp") === 777L).isEmpty,
       "uncommitted residue must never surface")
-    // disk agrees with the manifest after cleanup: no orphans, and the
-    // manifest view equals the physical directory view
+    // disk agrees with the manifest after EXPIRATION: superseded
+    // generations are retained for time travel until expireSnapshots
+    // releases them (r9), then no orphans remain
+    db.expireSnapshots("events", keepLast = 1)
     val manifest = db.snapshotFiles("events").get.toSet
     val physical = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "events"))
       .iterator().asScala.filter(_.toString.endsWith(".parquet"))
@@ -291,7 +293,9 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     val manifest = db.snapshotFiles("events").get
     assert(manifest.groupBy(f => f.split('/')(0)).forall(_._2.size == 1),
       s"expected one file per partition, got $manifest")
-    // disk agrees with the manifest (victims + residue deleted)
+    // pre-compaction layout stays time-travel readable until expiration;
+    // after expireSnapshots, disk agrees with the manifest exactly
+    db.expireSnapshots("events", keepLast = 1)
     val physical = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "events"))
       .iterator().asScala.filter(_.toString.endsWith(".parquet"))
       .map(f => java.nio.file.Paths.get(root, "events").relativize(f).toString)
@@ -308,6 +312,57 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     val db2 = DB.init(freshDir("flatcompact"), Seq("events" -> eventsSchema))
     db2.write("events", (1L to 10L).map(i => Row(s"e$i", i, i)))
     intercept[IllegalArgumentException] { db2.compactPartitions("events") }
+  }
+
+  test("time travel: tableAsOf reads retained snapshot versions; expireSnapshots reclaims") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("timetravel")
+    val db = DB.init(root, Seq("events" -> eventsSchema))
+    val rows = (1L to 100L).map(i => Row(s"ev${i % 2}", 1700000000L + i, i))
+    db.writePartitioned("events",
+      s.createDataFrame(rows.asJava, eventsSchema), Seq("event"))
+    // v1: first merge adopts the live listing and commits id=1 -> ts 111
+    db.upsertPartitioned("events",
+      s.createDataFrame(Seq(Row("ev1", 111L, 1L)).asJava, eventsSchema),
+      Seq("event"), Seq("event", "id"))
+    // v2: id=1 -> ts 222
+    db.upsertPartitioned("events",
+      s.createDataFrame(Seq(Row("ev1", 222L, 1L)).asJava, eventsSchema),
+      Seq("event"), Seq("event", "id"))
+    assert(db.snapshotVersions("events") == Seq(1L, 2L))
+    def ts1(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("id") === 1L).collect().map(_.getLong(1)).head
+    // current == v2; v1 still readable with the OLD value of id=1 and
+    // the full row count (time travel is a complete consistent view)
+    assert(ts1(db.table("events")) == 222L)
+    assert(ts1(db.tableAsOf("events", 2L)) == 222L)
+    assert(ts1(db.tableAsOf("events", 1L)) == 111L)
+    assert(db.tableAsOf("events", 1L).count() == 100L)
+    // unknown version: loud error naming what IS retained
+    val e = intercept[IllegalArgumentException] { db.tableAsOf("events", 7L) }
+    assert(e.getMessage.contains("retained: 1, 2"), e.getMessage)
+    // expire v1: its manifest goes away, its exclusive files are
+    // reclaimed, v2 (the pointer) is untouched
+    val (expired, reclaimed) = db.expireSnapshots("events", keepLast = 1)
+    assert(expired == 1, s"expired $expired")
+    assert(reclaimed >= 1, "superseded generation files must be reclaimed")
+    assert(db.snapshotVersions("events") == Seq(2L))
+    intercept[IllegalArgumentException] { db.tableAsOf("events", 1L) }
+    assert(ts1(db.table("events")) == 222L) // current view unaffected
+    // disk now agrees with the retained set exactly
+    val keep = db.snapshotFiles("events").get.toSet
+    val physical = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(root, "events"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .map(f => java.nio.file.Paths.get(root, "events").relativize(f).toString)
+      .toSet
+    assert(physical == keep, s"orphans: ${physical.diff(keep)}")
+    // a reopened DB (fresh process) sees the same retained history
+    val db2 = DB.open(root)
+    assert(db2.snapshotVersions("events") == Seq(2L))
+    assert(ts1(db2.tableAsOf("events", 2L)) == 222L)
   }
 
   test("leading-column filter reaches the parquet scan as a pushed filter") {
