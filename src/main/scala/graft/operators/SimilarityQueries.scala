@@ -726,6 +726,111 @@ object SimilarityQueries {
                   ORDER BY cos DESC, cid) AS BIGINT) AS rk
               FROM scored
               QUALIFY rk <= 3""")
+    ),
+
+    // ── PRODUCT QUANTIZATION: codes + ADC scoring (memory-bound ANN) ──────
+    QueryDef(
+      "q186_ann_pq_adc",
+      // The third leg of the ANN family (brute q41 = compute-bound, IVF
+      // q44/q168 = I/O-partitioned, PQ = MEMORY-bound): each 64-dim
+      // vector compresses to M=8 sub-codes — argmax-dot against K=8
+      // sub-centroids per 8-dim subspace — so the corpus index is THREE
+      // BYTES per vector (24-bit packed code emitted below; K must keep
+      // the code space ≫ corpus, or distinct vectors collide onto one
+      // code and tie-broken ADC ranking carries no signal — the K=4
+      // first cut measured recall ZERO for exactly that reason), and
+      // queries score candidates with ASYMMETRIC DISTANCE COMPUTATION:
+      // a per-query 8×8 lookup table of subspace dots, summed in
+      // fixed m-order (sorted-struct fold, the lloydCentroids
+      // convention — a plain SUM would let aggregation order perturb
+      // the double). Top-3 per query by (adc desc, cid asc).
+      //
+      // Scale shape: encoding is one corpus scan against a broadcast
+      // M×K sub-centroid table (16 rows); the LUT is query-side and
+      // model-sized; scoring joins codes to LUT entries on (m, code) —
+      // keyed, broadcast, never all-pairs against raw vectors; at 100 TB
+      // only the 1-byte codes ride the shuffle, never the floats. The
+      // seed sub-centroids are fixed corpus vectors (the q44 convention);
+      // swapping in per-subspace Lloyd training is the trainedCodebook
+      // composition, unchanged downstream.
+      (s, d) => {
+        val M = 8; val SUB = 8; val K = 8
+        val e = embeddings(s, d)
+        def subSlices(vecCol: Column, idCol: Column, idName: String) =
+          (0 until M).map(m => struct(lit(m).as("m"),
+            slice(asDouble(vecCol), m * SUB + 1, SUB).as("sv")))
+        val subCents = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cent"),
+            explode(array(subSlices(col("embedding"), col("vec_id"), "cent"): _*)).as("s"))
+          .select(col("cent"), col("s.m").as("m"), col("s.sv").as("scv"))
+        val corpus = e.filter(col("vec_id") >= 13)
+          .select(col("vec_id").as("cid"),
+            explode(array(subSlices(col("embedding"), col("vec_id"), "cid"): _*)).as("s"))
+          .select(col("cid"), col("s.m").as("m"), col("s.sv").as("cv"))
+        val wCode = Window.partitionBy("cid", "m")
+          .orderBy(col("dotv").desc, col("cent").asc)
+        val codes = corpus.join(broadcast(subCents), "m")
+          .withColumn("dotv", dot(col("cv"), col("scv")))
+          .withColumn("rk", row_number().over(wCode))
+          .filter(col("rk") === 1)
+          .select(col("cid"), col("m"), col("cent").as("code"))
+        val queries = e.filter(col("vec_id").between(8, 12))
+          .select(col("vec_id").as("qid"),
+            explode(array(subSlices(col("embedding"), col("vec_id"), "qid"): _*)).as("s"))
+          .select(col("qid"), col("s.m").as("m"), col("s.sv").as("qv"))
+        val lut = queries.join(broadcast(subCents), "m")
+          .withColumn("qdot", dot(col("qv"), col("scv")))
+          .select(col("qid"), col("m"), col("cent"), col("qdot"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("adc").desc, col("cid").asc)
+        codes.join(broadcast(lut),
+            codes("m") === lut("m") && codes("code") === lut("cent"))
+          .groupBy(col("qid"), col("cid"))
+          .agg(
+            // fixed-order fold over m: deterministic double sum
+            Shared.fsum(transform(
+              array_sort(collect_list(struct(codes("m").as("m"),
+                col("qdot").as("qd")))),
+              e2 => e2.getField("qd"))).as("adc"),
+            // the 24-bit index entry: Σ code_m · K^m (K=8, M=8 ⟹ < 8^8)
+            sum(codes("code") * pow(lit(K), codes("m")).cast("long"))
+              .cast("long").as("code_packed"))
+          .withColumn("rk", row_number().over(wTop).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid", "code_packed", "adc", "rk")
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cent, embedding AS cv
+                FROM embeddings WHERE vec_id < 8),
+              sc AS (SELECT cent, CAST(m AS BIGINT) AS m,
+                  list_transform(range(CAST(m*8+1 AS INT), CAST(m*8+9 AS INT)),
+                    i -> CAST(cv[i] AS DOUBLE)) AS scv
+                FROM c, (SELECT unnest(range(8)) AS m)),
+              corpus AS (SELECT vec_id AS cid, embedding AS v
+                FROM embeddings WHERE vec_id >= 13),
+              cd AS (SELECT cid, m, cent,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CAST(v[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
+                    'sum') AS dotv
+                FROM corpus, sc),
+              codes AS (SELECT cid, m, cent AS code FROM (
+                SELECT cid, m, cent, row_number() OVER (PARTITION BY cid, m
+                  ORDER BY dotv DESC, cent) AS rk FROM cd) WHERE rk = 1),
+              q AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              lut AS (SELECT qid, m, cent,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CAST(qv[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
+                    'sum') AS qdot
+                FROM q, sc),
+              adc AS (SELECT qid, cid,
+                  list_aggregate(list(qdot ORDER BY codes.m), 'sum') AS adc,
+                  CAST(sum(code * (8 ** codes.m)) AS BIGINT) AS code_packed
+                FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cent
+                GROUP BY 1, 2)
+              SELECT qid, cid, code_packed, adc,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY adc DESC, cid) AS BIGINT) AS rk
+              FROM adc QUALIFY rk <= 3""")
     )
   )
 

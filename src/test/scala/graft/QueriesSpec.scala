@@ -103,6 +103,40 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       s"expected a deep run inside the budget, got ${m1.size} merges")
   }
 
+  test("PQ ADC: every packed code fits 24 bits; ADC ranking recalls exact-dot neighbors") {
+    val rows = SparkEntry.queries("q186_ann_pq_adc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the compression claim is literal: M=8 sub-codes, K=8 ⟹ 24 bits
+    assert(rows.forall { r =>
+      val c = r.getLong(2); c >= 0 && c < (1L << 24) },
+      "packed code out of 24-bit range")
+    val adcTop = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // exact inner-product top-3 on the same split, computed in memory
+    // (ADC approximates the dot, so that's the recall reference)
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val corpus = all.filter(_._1 >= 13L)
+    val recalls = adcTop.map { case (q, approx) =>
+      val qv = all(q)
+      val exact = corpus.toSeq
+        .map { case (cid, cv) =>
+          cid -> cv.zip(qv).map { case (a, b) => a * b }.sum }
+        .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSet
+      approx.intersect(exact).size / 3.0
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 untrained seed centroids per subspace make a coarse quantizer;
+    // the pin is that ADC carries REAL signal: a random top-3 over this
+    // ~2k-vector corpus recalls ~0.005 in expectation, so the 0.1 floor
+    // is ~20x random (measured 0.13 at spec-writing; training the
+    // sub-codebooks — the trainedCodebook composition — is the
+    // documented path to higher recall, not part of this contract)
+    assert(mean >= 0.1,
+      s"mean recall@3 $mean below the ~20x-random floor (${recalls.toSeq})")
+  }
+
   test("q04_tpch_q1 groups to the expected key space") {
     val rows = SparkEntry.queries("q04_tpch_q1")(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 9) // |returnflag| x |linestatus|
