@@ -2376,6 +2376,195 @@ object TextQueries {
                   ORDER BY h, doc_id) AS BIGINT) AS rk,
                 doc_id, h
               FROM h QUALIFY rk <= $SampleK""")
+    ),
+
+    // ── trigram stupid-backoff LM scoring (the web-scale LM recipe) ───────
+    QueryDef(
+      "q187_trigram_backoff_score",
+      // q169's bigger sibling: score every document under a TRIGRAM model
+      // with STUPID BACKOFF (Brants et al. 2007, "Large Language Models in
+      // Machine Translation" — the smoothing explicitly designed for
+      // web-scale distributed n-gram counts: no discounting state, no
+      // normalization pass, just raw count ratios with a fixed 0.4
+      // backoff penalty per level, which is exactly why it maps onto a
+      // distributed engine with nothing but counts and joins).
+      //   S(w3|w1w2) = c(w1w2w3)/c(w1w2·)            if the trigram was seen
+      //              = 0.4 · c(w2w3)/c(w2·)          else if the bigram was
+      //              = 0.4² · c(w3)/N                else (unigram floor)
+      // Per the q57/q169 discipline the score is LOG-FREE fixed-point:
+      // each ratio is exact BIGINT ppm (10⁶·c div ctx; the 0.4 penalties
+      // fold into the 400 000 / 160 000 numerator constants), so both
+      // engines agree bit-for-bit. All counts derive from the ONE train
+      // trigram stream (even doc_id — the bigramTable split convention),
+      // the standard self-consistent simplification.
+      //
+      // Shape, and why it scales: the tokenize→trigram lineage has many
+      // consumers, so it materializes ONCE per (process, dataset) to
+      // scratch parquet ([[trigramTable]] — the bigramTable contract) and
+      // every count table is a column-pruned scan of that flat table. The
+      // trigram/bigram count tables are Zipf-bounded (≪ corpus) and join
+      // on COMPOSITE keys — hash equi-joins whose second key damps the
+      // Zipf-head skew (never a w1-only shuffle). The unigram context
+      // tables are vocab-bounded → broadcast. N is ONE scalar (model
+      // parameter — the q159/q164 precedent). At 100 TB the production
+      // refinement is count-threshold pruning of the trigram table
+      // (Brants et al. store only c ≥ 2), which only shrinks the joins.
+      (s, d) => {
+        val (allT, n) = trigramTable(s, d)
+        val train = allT.filter(col("doc_id") % 2 === 0)
+        val c3 = train.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+        val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c23 = train.groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+        val c2 = train.groupBy("w2").agg(count(lit(1)).as("c2"))
+        val c1u = train.groupBy("w3").agg(count(lit(1)).as("c1u"))
+        allT
+          .join(c3, Seq("w1", "w2", "w3"), "left")
+          .join(c12, Seq("w1", "w2"), "left")
+          .join(c23, Seq("w2", "w3"), "left")
+          .join(broadcast(c2), Seq("w2"), "left")
+          .join(broadcast(c1u), Seq("w3"), "left")
+          .withColumn("ppm",
+            when(col("c3").isNotNull, expr("(1000000 * c3) div c12"))
+              .when(col("c23").isNotNull, expr("(400000 * c23) div c2"))
+              .otherwise(expr(
+                s"(160000 * coalesce(c1u, CAST(0 AS BIGINT))) div ${n}L")))
+          .withColumn("lvl",
+            when(col("c3").isNotNull, 3L)
+              .when(col("c23").isNotNull, 2L).otherwise(1L))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
+            sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_l2"),
+            sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_l1"),
+            sum(col("ppm")).cast("long").as("sum_ppm"))
+          .withColumn("lm_score",
+            col("sum_ppm").cast("double") / col("n_trigrams"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t FROM documents),
+              tg AS (SELECT doc_id, source,
+                       t[p] AS w1, t[p+1] AS w2, t[p+2] AS w3
+                     FROM (SELECT doc_id, source, t,
+                             unnest(generate_series(1, len(t) - 2)) AS p
+                           FROM tok WHERE len(t) >= 3)),
+              tr AS (SELECT * FROM tg WHERE doc_id % 2 = 0),
+              c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+              c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2),
+              c23 AS (SELECT w2, w3, count(*) AS c23 FROM tr GROUP BY 1, 2),
+              c2 AS (SELECT w2, count(*) AS c2 FROM tr GROUP BY 1),
+              c1u AS (SELECT w3, count(*) AS c1u FROM tr GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM tr),
+              sc AS (SELECT doc_id, source,
+                       CASE WHEN c3.c3 IS NOT NULL THEN (1000000 * c3.c3) // c12.c12
+                            WHEN c23.c23 IS NOT NULL THEN (400000 * c23.c23) // c2.c2
+                            ELSE (160000 * coalesce(c1u.c1u, 0)) // nn.n END AS ppm,
+                       CASE WHEN c3.c3 IS NOT NULL THEN 3
+                            WHEN c23.c23 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+                     FROM tg LEFT JOIN c3 USING (w1, w2, w3)
+                       LEFT JOIN c12 USING (w1, w2)
+                       LEFT JOIN c23 USING (w2, w3)
+                       LEFT JOIN c2 USING (w2)
+                       LEFT JOIN c1u USING (w3) CROSS JOIN nn)
+              SELECT doc_id, source, count(*) AS n_trigrams,
+                CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+                CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+                CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+                CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+                CAST(sum(ppm) AS DOUBLE) / count(*) AS lm_score
+              FROM sc GROUP BY 1, 2"""),
+      headline = true
+    ),
+
+    // ── hashed-n-gram linear quality classifier (the fastText shape) ──────
+    QueryDef(
+      "q188_hashed_ngram_classifier",
+      // q173 distills the q33 rule into a model over 5 HAND-PICKED
+      // features; this is the fastText architecture (Joulin et al. 2017)
+      // the production quality classifiers actually use: a BAG OF HASHED
+      // BIGRAM features (every adjacent word pair hashes into one of
+      // [[NbBuckets]] buckets — vocabulary-free, fixed model size by
+      // construction) under a linear scorer. Training is class-conditional
+      // counting (the multinomial-NB closed form — one aggregation, no
+      // SGD, deterministic); scoring is log-free per the q169 discipline:
+      // each bucket contributes the exact fixed-point ppm DIFFERENCE
+      //   w(b) = ppm(b|1) − ppm(b|0),  ppm(b|c) = 10⁶·(n_c(b)+1) div (N_c+B)
+      // (add-one smoothing over the B hashed buckets; denominators are
+      // ≥ B so a single-class train split degrades identically in both
+      // engines — no div-zero guard needed, the r8 q173 lesson applied
+      // by construction). Silver labels = q173's exact-integer q33 rule.
+      //
+      // Shape, and why it scales: features reuse the memoized
+      // [[bigramTable]] scan (zero new corpus passes); the MODEL is
+      // ≤ B+1 rows by construction → broadcast to the scoring join (a
+      // trained classifier at 100 TB is exactly this: bounded
+      // parameters riding a broadcast, corpus-sized streams never
+      // joining each other). Labels are doc-bounded (≪ token stream) and
+      // join on doc_id — the one keyed doc-grain join. Train stats fold
+      // to ONE row. No shuffle anywhere except the per-doc score
+      // aggregation and the count aggregations.
+      (s, d) => {
+        val B = NbBuckets
+        val (allB, _) = bigramTable(s, d)
+        val labels = Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("f1"),
+            length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+              .cast("long").as("f3"))
+          .select(col("doc_id"),
+            when(col("f1").between(100, 400) &&
+              col("f3") * 4 > col("f1") * 3, 1L).otherwise(0L).as("y"))
+        val feats = allB.withColumn("bucket",
+          pmod(h32(concat_ws(" ", col("w1"), col("w2"))), lit(B.toLong)))
+        val trainF = feats.filter(col("doc_id") % 2 === 0)
+          .join(labels, Seq("doc_id"))
+        val model = trainF.groupBy("bucket").agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+        val stats = trainF.agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("t1"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("t0"))
+        feats
+          .join(broadcast(model), Seq("bucket"), "left")
+          .crossJoin(broadcast(stats))
+          .withColumn("w", expr(
+            s"""(1000000 * (coalesce(n1, CAST(0 AS BIGINT)) + 1)) div (t1 + $B)
+                - (1000000 * (coalesce(n0, CAST(0 AS BIGINT)) + 1)) div (t0 + $B)"""))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_feats"),
+            sum(col("w")).cast("long").as("score_ppm"))
+          .join(labels, Seq("doc_id"))
+          .withColumn("pred", (col("score_ppm") > 0).cast("long"))
+          .select("doc_id", "source", "y", "n_feats", "score_ppm", "pred")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t FROM documents),
+              bg AS (SELECT doc_id, source,
+                       ${SQL_H32("t[p] || ' ' || t[p+1]")} % $NbBuckets AS bucket
+                     FROM (SELECT doc_id, source, t,
+                             unnest(generate_series(1, len(t) - 1)) AS p
+                           FROM tok WHERE len(t) >= 2)),
+              lab AS (SELECT doc_id,
+                        CASE WHEN length(text) BETWEEN 100 AND 400
+                          AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4
+                              > length(text) * 3
+                          THEN 1 ELSE 0 END AS y
+                      FROM documents),
+              trf AS (SELECT bucket, y FROM bg JOIN lab USING (doc_id)
+                      WHERE doc_id % 2 = 0),
+              model AS (SELECT bucket,
+                          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+                          sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
+                        FROM trf GROUP BY 1),
+              st AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS t1,
+                       sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS t0 FROM trf),
+              sc AS (SELECT doc_id, source,
+                       (1000000 * (coalesce(n1, 0) + 1)) // (t1 + $NbBuckets)
+                       - (1000000 * (coalesce(n0, 0) + 1)) // (t0 + $NbBuckets) AS w
+                     FROM bg LEFT JOIN model USING (bucket) CROSS JOIN st)
+              SELECT doc_id, source, CAST(lab.y AS BIGINT) AS y,
+                count(*) AS n_feats,
+                CAST(sum(w) AS BIGINT) AS score_ppm,
+                CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+              FROM sc JOIN lab USING (doc_id)
+              GROUP BY doc_id, source, lab.y""")
     )
   )
 
@@ -2573,6 +2762,51 @@ object TextQueries {
 
   /** dataset dir (normalized) → (bigram-table path, train |V|), this JVM */
   private val bigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Hashed-feature bucket count of the q188 classifier (fastText's `-hash`
+    * bin parameter): the model is ≤ this many rows regardless of corpus
+    * vocabulary, which is what keeps it broadcastable at every scale.
+    */
+  private[graft] final val NbBuckets = 4096
+
+  /** Trigram table (doc_id, source, w1, w2, w3), materialized once per
+    * (process, dataset) to scratch parquet — the [[bigramTable]] contract
+    * — plus the train-split trigram total N (the q187 unigram-floor
+    * denominator), collected eagerly as ONE scalar model parameter.
+    */
+  private[graft] def trigramTable(s: SparkSession, d: String): (DataFrame, Long) = {
+    val key = Shared.datasetKey(d)
+    val (root, n) = trigramMemo.computeIfAbsent(key, _ => Shared.timedMemoBuild("trigram") {
+      val r = Shared.scratchRoot("trigram", key)
+      val tg = transform(
+        // clamped bounds: generators must never see a partial expression
+        // (winnowLadder's rule); the size≥3 filter is the semantic bound
+        sequence(lit(1), greatest(size(col("t")) - 2, lit(1))),
+        i => struct(
+          element_at(col("t"), i.cast("int")).as("w1"),
+          element_at(col("t"), (i + lit(1)).cast("int")).as("w2"),
+          element_at(col("t"), (i + lit(2)).cast("int")).as("w3")))
+      Tables.documents(s, d)
+        .withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 3)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("tg", tg)
+        .select(col("doc_id"), col("source"), explode_outer(col("tg")).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), col("source"),
+          col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+        .write.mode("overwrite").option("compression", "lz4")
+        .parquet(r.toString)
+      val total = s.read.parquet(r.toString)
+        .filter(col("doc_id") % 2 === 0).count()
+      (r.toString, total)
+    })
+    (s.read.parquet(root), n)
+  }
+
+  /** dataset dir (normalized) → (trigram-table path, train N), this JVM */
+  private val trigramMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** Shingle length of the exact-substring dedup family (q163/q170). */

@@ -558,6 +558,60 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0L)._3 > rows(3L)._3, rows) // a train member does too
   }
 
+  test("trigram stupid backoff: level selection exact; fluent outranks gibberish") {
+    val s = spark
+    import s.implicits._
+    // train split (even ids) = the fluent sentence; eval exercises each
+    // backoff level exactly once: doc 1 all-seen trigrams (level 3),
+    // doc 3 unseen trigram over a seen bigram (level 2), doc 5 fully OOV
+    // (level 1 with an unseen unigram → ppm 0)
+    val dir = java.nio.file.Files.createTempDirectory("trigramlm").toString
+    Seq(
+      (0L, "the cat sat on the mat", "s1"),
+      (1L, "the cat sat on the mat", "s1"),
+      (3L, "a cat sat", "s1"),
+      (5L, "qq ww ee", "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    // columns: doc_id, source, n_trigrams, n_l3, n_l2, n_l1, sum_ppm, lm_score
+    val rows = SparkEntry.queries("q187_trigram_backoff_score")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7))))
+      .toMap
+    assert(rows(1L)._1 == 4L && rows(1L)._2 == 4L, rows) // all trigrams seen
+    // doc 3: one trigram, backed off to the seen (cat, sat) bigram with
+    // context count c2(cat)=1 → ppm = 400000·1 div 1
+    assert(rows(3L) == ((1L, 0L, 1L, 0L, 400000L, 400000.0)), rows)
+    // doc 5: fully OOV → unigram floor with unseen w3 → ppm 0
+    assert(rows(5L) == ((1L, 0L, 0L, 1L, 0L, 0.0)), rows)
+    assert(rows(1L)._6 > rows(3L)._6 && rows(3L)._6 > rows(5L)._6, rows)
+  }
+
+  test("hashed n-gram classifier separates good/bad text incl. held-out ids") {
+    val s = spark
+    import s.implicits._
+    // good text: 119 chars, alpha-dominant → silver y=1; bad text: digits
+    // → y=0. Train = even ids; odd ids are HELD OUT and share the same
+    // bigram features, so the learned bucket weights must classify them.
+    val good = (Seq.fill(4)("worda wordb wordc wordd worde")).mkString(" ")
+    val bad = (Seq.fill(10)("12345 67890")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("nbhash").toString
+    Seq((0L, good, "s1"), (2L, good, "s1"), (4L, bad, "s1"), (6L, bad, "s1"),
+        (1L, good, "s1"), (3L, bad, "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    // columns: doc_id, source, y, n_feats, score_ppm, pred
+    val rows = SparkEntry.queries("q188_hashed_ngram_classifier")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    rows.foreach { case (id, (y, score, pred)) =>
+      assert(pred == y, s"doc $id: pred $pred != silver $y ($rows)")
+      assert((score > 0) == (y == 1L), s"doc $id score sign ($rows)")
+    }
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L, 6L), rows)
+  }
+
   test("substring excise: later copy removed exactly, owner and bystander untouched") {
     val s = spark
     import s.implicits._
