@@ -831,6 +831,100 @@ object SimilarityQueries {
                 CAST(row_number() OVER (PARTITION BY qid
                   ORDER BY adc DESC, cid) AS BIGINT) AS rk
               FROM adc QUALIFY rk <= 3""")
+    ),
+
+    // ── IVF-PQ: partition-pruned probes over a PQ-CODED layout ────────────
+    QueryDef(
+      "q189_ann_ivfpq",
+      // The COMPOSED production ANN index (Jégou et al. 2011's IVFADC —
+      // what FAISS deploys at billion scale): q168's ingest-time
+      // cent_id-partitioned layout where each partition stores ONLY the
+      // M=8 PQ sub-codes per vector (q186's encoding — the corpus index
+      // is 3 bytes/vector), and a probe (a) statically prunes to its
+      // nprobe=2 coarse partitions via the literal IN filter and (b)
+      // scores every candidate with the ADC lookup table — raw corpus
+      // floats are touched ONCE at ingest (encode time) and never at
+      // query time, which is the entire memory-bound ANN story: at
+      // 100 TB of vectors the serving index is partition-pruned
+      // kilobyte-scale code scans + a broadcast model-sized LUT.
+      // Coarse codebook = the fixed q168 seeds; sub-codebooks = the
+      // fixed q186 seeds; swapping either for the trained variants is
+      // the q172/trainedCodebook composition, unchanged downstream.
+      (s, d) => {
+        val K = 8
+        val probes = ivfQueryProbes(s, d, nprobe = 2, None)
+        val probed = probes.select("cent_id").distinct().collect()
+          .map(_.getLong(0).toInt)
+        val idx = s.read.parquet(ivfPqLayout(s, d))
+          .filter(col("cent_id").isin(probed: _*))
+          .withColumn("cent_id", col("cent_id").cast("long"))
+        val lut = pqQueryLut(s, d)
+          .select(col("qid").as("lqid"), col("m").as("lm"),
+            col("cent").as("lcent"), col("qdot"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("adc").desc, col("cid").asc)
+        broadcast(probes.select("cent_id", "qid")).join(idx, "cent_id")
+          .join(broadcast(lut),
+            col("qid") === col("lqid") && col("m") === col("lm") &&
+              col("code") === col("lcent"))
+          .groupBy(col("qid"), col("cid"))
+          .agg(
+            // fixed-order fold over m: deterministic double sum
+            Shared.fsum(transform(
+              array_sort(collect_list(struct(col("m").as("m"),
+                col("qdot").as("qd")))),
+              e2 => e2.getField("qd"))).as("adc"),
+            sum(col("code") * pow(lit(K), col("m")).cast("long"))
+              .cast("long").as("code_packed"))
+          .withColumn("rk", row_number().over(wTop).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("qid", "cid", "code_packed", "adc", "rk")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              corpus AS (SELECT vec_id AS cid, embedding AS v
+                FROM embeddings WHERE vec_id >= 13),
+              corpus_a AS (SELECT cid, v, cent_id FROM (
+                SELECT cid, v, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("v", "centv")} DESC, cent_id) AS rk
+                FROM corpus, cent) WHERE rk = 1),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, cent) WHERE rk <= 2),
+              sc AS (SELECT cent, CAST(m AS BIGINT) AS m,
+                  list_transform(range(CAST(m*8+1 AS INT), CAST(m*8+9 AS INT)),
+                    i -> CAST(centv[i] AS DOUBLE)) AS scv
+                FROM cent c(cent, centv), (SELECT unnest(range(8)) AS m)),
+              cd AS (SELECT cid, m, cent,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CAST(v[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
+                    'sum') AS dotv
+                FROM corpus_a, sc),
+              codes AS (SELECT cid, m, cent AS code FROM (
+                SELECT cid, m, cent, row_number() OVER (PARTITION BY cid, m
+                  ORDER BY dotv DESC, cent) AS rk FROM cd) WHERE rk = 1),
+              lut AS (SELECT qid, m, cent,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CAST(qv[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
+                    'sum') AS qdot
+                FROM qs, sc),
+              cand AS (SELECT qid, cid FROM q_a JOIN corpus_a USING (cent_id)),
+              adc AS (SELECT cand.qid, codes.cid,
+                  list_aggregate(list(qdot ORDER BY codes.m), 'sum') AS adc,
+                  CAST(sum(code * (8 ** codes.m)) AS BIGINT) AS code_packed
+                FROM cand JOIN codes USING (cid)
+                  JOIN lut ON lut.qid = cand.qid AND codes.m = lut.m
+                    AND codes.code = lut.cent
+                GROUP BY 1, 2)
+              SELECT qid, cid, code_packed, adc,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY adc DESC, cid) AS BIGINT) AS rk
+              FROM adc QUALIFY rk <= 3""")
     )
   )
 
@@ -921,10 +1015,70 @@ object SimilarityQueries {
 
   /** "tag:dataset dir" → cent_id-partitioned corpus layout for this JVM
     * (first caller pays the assignment + write; tags: "ivfpart" = fixed
-    * seed codebook (q168), "ivfpart_tr" = trained codebook (q172))
+    * seed codebook (q168), "ivfpart_tr" = trained codebook (q172),
+    * "ivfpq" = PQ-coded index (q189))
     */
   private val ivfLayoutMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PQ sub-centroid table (cent, m, scv): the M=8 8-dim slices of the
+    * K=8 seed vectors — q186's sub-codebooks, shared by the encoder
+    * (layout build) and the query-side LUT. Model-sized (64 rows).
+    */
+  private def pqSubCents(s: SparkSession, d: String): DataFrame = {
+    val M = 8; val SUB = 8; val K = 8
+    val slices = (0 until M).map(m => struct(lit(m).as("m"),
+      slice(asDouble(col("embedding")), m * SUB + 1, SUB).as("sv")))
+    embeddings(s, d).filter(col("vec_id") < K)
+      .select(col("vec_id").as("cent"), explode(array(slices: _*)).as("s"))
+      .select(col("cent"), col("s.m").as("m"), col("s.sv").as("scv"))
+  }
+
+  /** The IVF-PQ index layout (q189): corpus coarse-assigned to the fixed
+    * seed centroids and PQ-ENCODED AT INGEST — each partition directory
+    * stores only (cid, m, code) rows, the 3-byte-per-vector serving
+    * index; raw corpus floats never leave the build job. Materialized
+    * once per (process, dataset) under the ivfLayoutMemo contract.
+    */
+  private[graft] def ivfPqLayout(s: SparkSession, d: String): String = {
+    val key = Shared.datasetKey(d)
+    ivfLayoutMemo.computeIfAbsent(s"ivfpq:$key", _ =>
+      Shared.timedMemoBuild("ivfpq") {
+        val M = 8; val SUB = 8
+        val r = Shared.scratchRoot("ivfpq", key)
+        val slices = (0 until M).map(m => struct(lit(m).as("m"),
+          slice(asDouble(col("cv")), m * SUB + 1, SUB).as("sv")))
+        val sub = ivfCorpusAssign(s, d, None)
+          .select(col("cid"), col("cent_id"), explode(array(slices: _*)).as("s"))
+          .select(col("cid"), col("cent_id"),
+            col("s.m").as("m"), col("s.sv").as("cv8"))
+        val wCode = Window.partitionBy("cid", "m")
+          .orderBy(col("dotv").desc, col("cent").asc)
+        sub.join(broadcast(pqSubCents(s, d)), "m")
+          .withColumn("dotv", dot(col("cv8"), col("scv")))
+          .withColumn("rk", row_number().over(wCode))
+          .filter(col("rk") === 1)
+          .select(col("cid"), col("cent_id"), col("m"), col("cent").as("code"))
+          .write.mode("overwrite").partitionBy("cent_id").parquet(r.toString)
+        r.toString
+      })
+  }
+
+  /** q189's query-side ADC lookup table (qid, m, cent, qdot): each query
+    * slice dotted against every sub-centroid — model-sized (5·64 rows),
+    * broadcast to the code scan.
+    */
+  private def pqQueryLut(s: SparkSession, d: String): DataFrame = {
+    val M = 8; val SUB = 8
+    val slices = (0 until M).map(m => struct(lit(m).as("m"),
+      slice(asDouble(col("embedding")), m * SUB + 1, SUB).as("sv")))
+    embeddings(s, d).filter(col("vec_id").between(8, 12))
+      .select(col("vec_id").as("qid"), explode(array(slices: _*)).as("s"))
+      .select(col("qid"), col("s.m").as("m"), col("s.sv").as("qv8"))
+      .join(broadcast(pqSubCents(s, d)), "m")
+      .withColumn("qdot", dot(col("qv8"), col("scv")))
+      .select(col("qid"), col("m"), col("cent"), col("qdot"))
+  }
 
   /** q126's corpus→centroid argmax assignment (vid, v, cent_id), memoized
     * to scratch parquet per (process, dataset) — winnowFingerprints memo

@@ -216,6 +216,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q159_ann_ivf_trained" /* K≤8 learned-centroid broadcast, like q151 */,
       "q168_ann_ivf_partitioned" /* K=8 centroid broadcast (probe ranking), like q151 */,
       "q172_ann_ivf_trained_partitioned" /* K≤8 learned-centroid broadcast (probe ranking), like q168 */,
+      "q189_ann_ivfpq" /* K=8 centroid broadcast (probe ranking), like q168 */,
       "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
       "q175_bpe_apply" /* 1-row vocab-size broadcast onto a 1-row totals agg, like q89 */,
       "q178_mix_upsample" /* 1-row n_max broadcast onto the per-stratum counts, like q130 */,
@@ -287,6 +288,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .map(_.group(1)).find(_.contains("cent_id"))
     assert(m.isDefined, s"no cent_id PartitionFilters in plan:\n$p")
     assert(m.get.contains("IN") || m.get.contains("in("), m.get)
+  }
+
+  test("q189 (IVF-PQ): code-only index scan prunes statically to probed partitions") {
+    // the serving index is the PQ-coded layout: the plan must (a) read
+    // the graft_ivfpq scratch with a literal cent_id partition filter and
+    // (b) never rejoin the raw corpus floats at query time — queries are
+    // the only embeddings.parquet scans (probe ranking + LUT)
+    val p = plan("q189_ann_ivfpq")
+    val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1)).find(_.contains("cent_id"))
+    assert(m.isDefined, s"no cent_id PartitionFilters in plan:\n$p")
+    assert(m.get.contains("IN") || m.get.contains("in("), m.get)
+    assert("graft_ivfpq".r.findAllIn(p).nonEmpty,
+      s"q189 must read the PQ-coded layout scratch:\n$p")
   }
 
   test("q174 (simhash LSH): memoized fingerprints, keyed band join, no corpus re-scan") {

@@ -558,6 +558,26 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0L)._3 > rows(3L)._3, rows) // a train member does too
   }
 
+  test("IVF-PQ results stay inside each query's probed coarse partitions") {
+    import graft.operators.SimilarityQueries
+    // composition invariant: every returned candidate belongs to a coarse
+    // partition the QUERY probed (the oracle pins exact ADC values; this
+    // pins the IVF candidate-set semantics independently)
+    val rows = SparkEntry.queries("q189_ann_ivfpq")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 15, s"5 queries x top-3 expected, got ${rows.length}")
+    val assign = SimilarityQueries.ivfCorpusAssign(spark, sf)
+      .select("cid", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = SimilarityQueries.ivfQueryProbes(spark, sf, 2)
+      .select("qid", "cent_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { case (qid, cid) =>
+      assert(probes(qid).contains(assign(cid)),
+        s"candidate $cid of query $qid sits outside the probed partitions")
+    }
+  }
+
   test("trigram stupid backoff: level selection exact; fluent outranks gibberish") {
     val s = spark
     import s.implicits._
