@@ -827,6 +827,55 @@ object Multimodal {
     })
   }
 
+  // ── REAL palette path: GIF87a + LZW (see [[GifCodec]]) ─────────────────
+
+  final case class GifStats(media_id: Long, width: Long, height: Long,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Real GIF87a media from the documents ids: a 4-color palette and the
+    * index raster both closed-form in doc_id, bytes through the REAL
+    * encoder (so the LZW compressor runs on every row). Shared formulas
+    * with the DuckDB oracle:
+    *   w = id%5+4, h = id%4+3, palette[k][ch] = ((id·31+k·13+ch·7)·11)%256,
+    *   index(p) = (id·7+p·11)%4
+    */
+  def gifMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 5 + 4).toInt
+      val h = (id % 4 + 3).toInt
+      val palette = new Array[Byte](4 * 3)
+      var k = 0
+      while (k < 4) {
+        var ch = 0
+        while (ch < 3) {
+          palette(k * 3 + ch) = (((id * 31 + k * 13 + ch * 7) * 11) % 256).toByte
+          ch += 1
+        }
+        k += 1
+      }
+      val idx = Array.tabulate[Byte](w * h)(p => ((id * 7 + p * 11) % 4).toByte)
+      id -> GifCodec.encode(GifCodec.Gif(w, h, palette, idx))
+    })
+  }
+
+  /** REAL decode + features: strict container walk + LZW decode, exact
+    * integer per-channel sums of the palette-resolved pixels; undecodable
+    * rows dropped (never crash, never fake)
+    */
+  def gifChannelStats(media: Dataset[(Long, Array[Byte])]): Dataset[GifStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      GifCodec.decode(bytes).map { g =>
+        val (r, gg, b) = GifCodec.channelSums(g)
+        GifStats(id, g.width.toLong, g.height.toLong,
+          g.indices.length.toLong, r, gg, b)
+      }
+    })
+  }
+
   /** STUB RESIZE: rewrites meta.width/height and stamps a checksum of the
     * would-be resized pixels (here: md5 of the original content + target
     * box — a real resize kernel goes where the md5 is).

@@ -585,6 +585,36 @@ object MultimodalQueries {
                 FROM fbits GROUP BY 1, 2)
               SELECT vhash, count(*) AS n_copies, min(mid) AS canonical_id
               FROM vh GROUP BY vhash HAVING count(*) >= 2""")
+    ),
+
+    // ── REAL GIF87a decode: LZW + palette resolution, exact features ──────
+    QueryDef(
+      "q190_gif_decode",
+      // The third real entropy coder (zlib-inflate/PNG q157, Huffman-DCT
+      // JPEG q179, now LZW/GIF): real GIF87a files — logical screen
+      // descriptor, global color table, variable-width LZW index stream
+      // in sub-blocks — built by the REAL encoder and decoded by the
+      // strict chunk-walking decoder; features are exact integer
+      // per-channel sums of the PALETTE-RESOLVED pixels. The oracle
+      // recomputes from the closed-form palette + index formulas, so any
+      // codec defect (LZW width bumps, sub-block reassembly, palette
+      // indexing) breaks the hash match. Scale shape: one zero-shuffle
+      // per-row scan — the mapPartitions batch extension point.
+      (s, d) => {
+        val m = Multimodal.gifMediaFromDocuments(Tables.documents(s, d))
+        Multimodal.gifChannelStats(m).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS mid,
+                CAST(doc_id % 5 + 4 AS BIGINT) AS w,
+                CAST(doc_id % 4 + 3 AS BIGINT) AS h FROM documents),
+              px AS (SELECT mid, w, h, (mid*7 + CAST(p AS BIGINT)*11) % 4 AS k
+                FROM m, unnest(range(w*h)) t(p))
+              SELECT mid AS media_id, w AS width, h AS height,
+                count(*) AS n_px,
+                CAST(sum(((mid*31 + k*13 + 0) * 11) % 256) AS BIGINT) AS sum_r,
+                CAST(sum(((mid*31 + k*13 + 7) * 11) % 256) AS BIGINT) AS sum_g,
+                CAST(sum(((mid*31 + k*13 + 14) * 11) % 256) AS BIGINT) AS sum_b
+              FROM px GROUP BY 1, 2, 3""")
     )
   )
 }

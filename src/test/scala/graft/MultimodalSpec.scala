@@ -479,4 +479,80 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(AviCodec.decode(corrupt).isEmpty,
       "corrupt frame must fail the file, not silently drop")
   }
+
+  test("GIF codec: LZW round-trips across width bumps, repeats, and KwKwK") {
+    import graft.multimodal.GifCodec
+    // palettes of 2..16 colors x rasters big enough to force several LZW
+    // width bumps; three content regimes: pseudo-random (dictionary
+    // churn), constant runs (KwKwK chains), short period-2 (dense reuse)
+    for (nc <- Seq(2, 3, 4, 16); (w, h) <- Seq((7, 5), (40, 30), (64, 48))) {
+      val palette = Array.tabulate(nc * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val rasters = Seq(
+        Array.tabulate[Byte](w * h)(p => ((p * 31 + 7) % nc).toByte),
+        Array.fill[Byte](w * h)((nc - 1).toByte),
+        Array.tabulate[Byte](w * h)(p => (p % 2 % nc).toByte))
+      for ((idx, ri) <- rasters.zipWithIndex) {
+        val bytes = GifCodec.encode(GifCodec.Gif(w, h, palette, idx))
+        val back = GifCodec.decode(bytes)
+        assert(back.isDefined, s"nc=$nc ${w}x$h raster $ri undecodable")
+        assert(back.get.width == w && back.get.height == h)
+        assert(back.get.indices.toSeq == idx.toSeq,
+          s"nc=$nc ${w}x$h raster $ri corrupted")
+      }
+    }
+  }
+
+  test("GIF codec: strict decode rejects garbage, truncation, and hostile variants") {
+    import graft.multimodal.GifCodec
+    val palette = Array.tabulate(12)(i => (i * 19).toByte)
+    val ok = GifCodec.encode(GifCodec.Gif(6, 5,
+      palette, Array.tabulate[Byte](30)(p => (p % 4).toByte)))
+    assert(GifCodec.decode(ok).isDefined)
+    // foreign bytes / wrong signature
+    assert(GifCodec.decode("definitely not a gif".getBytes).isEmpty)
+    assert(GifCodec.decode("GIF89".getBytes).isEmpty)
+    // truncated stream: every prefix must fail closed, never throw
+    for (cut <- Seq(5, 12, 13 + 6, ok.length / 2, ok.length - 2))
+      assert(GifCodec.decode(ok.take(cut)).isEmpty, s"prefix $cut accepted")
+    // global color table flag cleared -> required table missing
+    val noGct = ok.clone(); noGct(10) = (noGct(10) & 0x7f).toByte
+    assert(GifCodec.decode(noGct).isEmpty)
+    // interlace and local-color-table flags on the image descriptor
+    val descAt = 13 + 4 * 3 // header + 4-slot GCT
+    assert(ok(descAt) == 0x2c)
+    for (flag <- Seq(0x40, 0x80)) {
+      val v = ok.clone(); v(descAt + 9) = (v(descAt + 9) | flag).toByte
+      assert(GifCodec.decode(v).isEmpty, s"descriptor flag $flag accepted")
+    }
+    // hand-built stream whose single literal indexes a padded palette
+    // slot (code 2 with a 2-color table): structurally valid, must reject
+    val hostile = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF87a".getBytes("US-ASCII"))
+      out.write(Array[Byte](1, 0, 1, 0)) // 1x1
+      out.write(0x80); out.write(0); out.write(0) // GCT, 2 slots
+      out.write(Array[Byte](1, 2, 3, 4, 5, 6)) // 2 RGB entries
+      out.write(0x2c)
+      out.write(Array[Byte](0, 0, 0, 0, 1, 0, 1, 0, 0))
+      out.write(2) // min code size -> clear=4, eoi=5, 3-bit codes
+      // codes [4, 2, 5] LSB-first = bytes 0x54, 0x01
+      out.write(2); out.write(0x54); out.write(0x01)
+      out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    assert(GifCodec.decode(hostile).isEmpty, "padded-slot literal accepted")
+    // 89a extension block before the image still decodes (skip path)
+    val ext = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(ok, 0, descAt)
+      out.write(0x21); out.write(0xf9) // graphics control extension
+      out.write(4); out.write(Array[Byte](0, 0, 0, 0))
+      out.write(0) // extension terminator
+      out.write(ok, descAt, ok.length - descAt)
+      out.toByteArray
+    }
+    assert(GifCodec.decode(ext).isDefined, "extension skip path broken")
+    assert(GifCodec.decode(ext).get.indices.toSeq ==
+      GifCodec.decode(ok).get.indices.toSeq)
+  }
 }
