@@ -717,6 +717,35 @@ object Multimodal {
     })
   }
 
+  final case class AviDiff(media_id: Long, frame_idx: Long, sad: Long)
+
+  /** REAL container walk → consecutive-frame SAD (sum of absolute byte
+    * differences over the decoded BGR pixels): the change signal scene-cut
+    * detection thresholds. Adjacent frames live in one container row, so
+    * the diff is computed locally at decode time — no self-join of a
+    * frame table, no shuffle. Rows with undecodable containers (or
+    * mismatched frame dims) are dropped.
+    */
+  def aviFrameDiffs(media: Dataset[(Long, Array[Byte])]): Dataset[AviDiff] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      AviCodec.decode(bytes).toSeq.flatMap { v =>
+        v.frames.sliding(2).zipWithIndex.flatMap {
+          case (Seq(a, b), i) if a.width == b.width && a.height == b.height =>
+            var sad = 0L
+            var j = 0
+            while (j < a.pixels.length) {
+              sad += math.abs((a.pixels(j) & 0xff) - (b.pixels(j) & 0xff))
+              j += 1
+            }
+            Some(AviDiff(id, (i + 1).toLong, sad))
+          case _ => None
+        }
+      }
+    })
+  }
+
   // ── REAL audio path: PCM WAV (see [[WavCodec]]) ────────────────────────
 
   final case class WavStats(media_id: Long, sample_rate: Long,
@@ -790,6 +819,35 @@ object Multimodal {
           i += 1
         }
         WavEHash(id, sb.toString)
+      }
+    })
+  }
+
+  final case class WavFrame(media_id: Long, frame_idx: Long, n: Long,
+      sum_sq: Long)
+
+  /** REAL decode → fixed-length analysis frames: per frame the sample
+    * count and exact integer energy Σs² (the last frame may be partial).
+    * The frame grain is where every audio-analysis op (VAD, segmentation,
+    * energy normalization) lives; emitting frames as ROWS keeps the
+    * downstream math declarative DataFrame land. Undecodable rows dropped.
+    */
+  def wavFrameEnergies(media: Dataset[(Long, Array[Byte])],
+      frameLen: Int): Dataset[WavFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      WavCodec.decode(bytes).toSeq.flatMap { w =>
+        w.samples.grouped(frameLen).zipWithIndex.map { case (fr, f) =>
+          var e = 0L
+          var i = 0
+          while (i < fr.length) {
+            val s = fr(i).toLong
+            e += s * s
+            i += 1
+          }
+          WavFrame(id, f.toLong, fr.length.toLong, e)
+        }
       }
     })
   }

@@ -587,6 +587,113 @@ object MultimodalQueries {
               FROM vh GROUP BY vhash HAVING count(*) >= 2""")
     ),
 
+    // ── AUDIO VAD: frame-energy activity detection + segmentation ─────────
+    QueryDef(
+      "q191_audio_vad",
+      // The audio curation step every speech pipeline runs before
+      // training (silence/noise trimming — the audio sibling of q33's
+      // quality gate): REAL-decoded PCM is cut into fixed 8-sample
+      // analysis frames ([[Multimodal.wavFrameEnergies]]), a frame is
+      // ACTIVE iff its mean energy ≥ the clip's mean energy — the
+      // division-free integer test of q167/q176 (fe·tn ≥ te·fn), exact
+      // in both engines — and consecutive active frames merge into
+      // SEGMENTS via the islands trick (q163's span derivation, frame
+      // grain). Output per clip: frame/active/segment counts + first
+      // active frame. The oracle recomputes everything closed-form from
+      // the sample formula, so frame boundaries, the partial last
+      // frame, and the energy comparison are all load-bearing.
+      //
+      // Shape, and why it scales: decode + frame energies are a
+      // zero-shuffle per-row scan; the VAD decision joins each frame to
+      // its clip total (keyed by media_id) and the islands window
+      // partitions by clip — everything stays at the clip grain, no
+      // global stage anywhere.
+      (s, d) => {
+        val m = Multimodal.wavMediaFromDocuments(Tables.documents(s, d))
+        val fr = Multimodal.wavFrameEnergies(m, 8).toDF()
+        val tot = fr.groupBy("media_id")
+          .agg(sum("sum_sq").as("te"), sum("n").as("tn"))
+        val w = Window.partitionBy("media_id", "active").orderBy("frame_idx")
+        fr.join(tot, "media_id")
+          .withColumn("active", col("sum_sq") * col("tn") >= col("te") * col("n"))
+          .withColumn("g", col("frame_idx") - row_number().over(w))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+            countDistinct(when(col("active"), col("g"))).as("n_segments"),
+            min(when(col("active"), col("frame_idx"))).as("first_active"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS mid,
+                CAST(doc_id % 50 + 10 AS BIGINT) AS n FROM documents),
+              sm AS (SELECT mid, CAST(i AS BIGINT) // 8 AS f,
+                  ((mid*13 + CAST(i AS BIGINT)*7) % 2003) - 1001 AS s
+                FROM (SELECT mid, unnest(range(n)) AS i FROM m)),
+              fr AS (SELECT mid, f, count(*) AS fn, sum(s*s) AS fe
+                FROM sm GROUP BY 1, 2),
+              tot AS (SELECT mid, sum(fe) AS te, sum(fn) AS tn
+                FROM fr GROUP BY 1),
+              act AS (SELECT fr.mid, f, (fe*tn >= te*fn) AS a
+                FROM fr JOIN tot ON fr.mid = tot.mid),
+              act2 AS (SELECT mid, f, a,
+                  f - row_number() OVER (PARTITION BY mid, a ORDER BY f) AS g
+                FROM act)
+              SELECT mid AS media_id, count(*) AS n_frames,
+                CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+                CAST(count(DISTINCT CASE WHEN a THEN g END) AS BIGINT) AS n_segments,
+                min(CASE WHEN a THEN f END) AS first_active
+              FROM act2 GROUP BY 1""")
+    ),
+
+    // ── VIDEO SCENE CUTS: consecutive-frame SAD thresholding ──────────────
+    QueryDef(
+      "q192_video_scene_cuts",
+      // The video curation step before frame sampling (cut-aware
+      // keyframe selection — q144 samples blindly every Nth frame; real
+      // pipelines sample around scene boundaries): consecutive decoded
+      // frames produce a SAD change signal ([[Multimodal.aviFrameDiffs]]
+      // — computed at decode time inside the container row, so no frame
+      // self-join exists anywhere), and a frame is a CUT iff its SAD ≥
+      // the clip's mean SAD — the division-free integer test again
+      // (sad·n_diffs ≥ Σsad), exact in both engines. The oracle
+      // recomputes every SAD closed-form from the per-frame pixel
+      // formula, so frame order, dims, and channel layout are all
+      // load-bearing. Scale shape: per-row decode scan + one clip-grain
+      // aggregation and keyed join — nothing global.
+      (s, d) => {
+        val m = Multimodal.aviMediaFromDocuments(Tables.documents(s, d))
+        val df = Multimodal.aviFrameDiffs(m).toDF()
+        val tot = df.groupBy("media_id")
+          .agg(sum("sad").as("ts"), count(lit(1)).as("nd"))
+        df.join(tot, "media_id")
+          .withColumn("c", col("sad") * col("nd") >= col("ts"))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_diffs"),
+            sum(when(col("c"), 1L).otherwise(0L)).as("n_cuts"),
+            sum(col("sad")).as("sum_sad"),
+            max(col("sad")).as("max_sad"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS mid,
+                CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS h,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS nf FROM documents),
+              df AS (SELECT mid, f,
+                  sum(abs(((mid*31 + f*101 + j)*7) % 256
+                        - ((mid*31 + (f-1)*101 + j)*7) % 256)) AS sad
+                FROM (SELECT mid, w, h, CAST(f AS BIGINT) AS f,
+                        CAST(j AS BIGINT) AS j
+                      FROM m, unnest(range(1, nf)) t(f),
+                        unnest(range(w*h*3)) u(j))
+                GROUP BY 1, 2),
+              tot AS (SELECT mid, sum(sad) AS ts, count(*) AS nd
+                FROM df GROUP BY 1)
+              SELECT df.mid AS media_id, CAST(count(*) AS BIGINT) AS n_diffs,
+                CAST(sum(CASE WHEN sad*nd >= ts THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                CAST(sum(sad) AS BIGINT) AS sum_sad,
+                CAST(max(sad) AS BIGINT) AS max_sad
+              FROM df JOIN tot ON df.mid = tot.mid
+              GROUP BY 1""")
+    ),
+
     // ── REAL GIF87a decode: LZW + palette resolution, exact features ──────
     QueryDef(
       "q190_gif_decode",

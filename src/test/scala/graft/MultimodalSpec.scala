@@ -480,6 +480,37 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       "corrupt frame must fail the file, not silently drop")
   }
 
+  test("WAV frame energies: exact per-frame Σs² including the partial tail frame") {
+    import graft.multimodal.{Multimodal, WavCodec}
+    val s = spark
+    import s.implicits._
+    // 20 samples in frames of 8 -> [8, 8, 4]; energies hand-computable
+    val samples = Array.tabulate[Short](20)(i => (i - 10).toShort)
+    val media = Seq(7L -> WavCodec.encode(WavCodec.Wav(8000, samples))).toDS()
+    val fr = Multimodal.wavFrameEnergies(media, 8).collect()
+      .map(f => f.frame_idx -> ((f.n, f.sum_sq))).toMap
+    def e(lo: Int, hi: Int): Long =
+      (lo until hi).map(i => (i - 10L) * (i - 10L)).sum
+    assert(fr == Map(0L -> ((8L, e(0, 8))), 1L -> ((8L, e(8, 16))),
+      2L -> ((4L, e(16, 20)))), fr)
+  }
+
+  test("AVI frame diffs: exact SAD between consecutive decoded frames") {
+    import graft.multimodal.{AviCodec, BmpCodec, Multimodal}
+    val s = spark
+    import s.implicits._
+    val f0 = BmpCodec.Bmp(2, 2, Array.tabulate(12)(i => (i * 10).toByte))
+    val f1 = BmpCodec.Bmp(2, 2, Array.tabulate(12)(i => (i * 10 + 3).toByte))
+    val f2 = BmpCodec.Bmp(2, 2, Array.tabulate(12)(i => (i * 10 + 250).toByte))
+    val media = Seq(3L -> AviCodec.encode(AviCodec.Avi(40000, Seq(f0, f1, f2)))).toDS()
+    val sads = Multimodal.aviFrameDiffs(media).collect()
+      .map(d => d.frame_idx -> d.sad).toMap
+    def sad(a: BmpCodec.Bmp, b: BmpCodec.Bmp): Long =
+      a.pixels.zip(b.pixels).map { case (x, y) =>
+        math.abs((x & 0xff) - (y & 0xff)).toLong }.sum
+    assert(sads == Map(1L -> sad(f0, f1), 2L -> sad(f1, f2)), sads)
+  }
+
   test("GIF codec: LZW round-trips across width bumps, repeats, and KwKwK") {
     import graft.multimodal.GifCodec
     // palettes of 2..16 colors x rasters big enough to force several LZW
