@@ -578,6 +578,26 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("indexed phrase search: overlapping matches counted, workload deterministic") {
+    val s = spark
+    import s.implicits._
+    // trigram counts: (x,y,z)=4 > {(q,q,q),(y,z,x),(z,x,y)}=2 — the lex
+    // tie-break picks (q,q,q) and (y,z,x); "q q q q" pins OVERLAPPING
+    // occurrences (p=4 and p=5) which a naive disjoint-chunk index misses
+    val dir = java.nio.file.Files.createTempDirectory("phrase").toString
+    Seq((1L, "x y z x y z x y z", "s1"), (2L, "x y z q q q q", "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q193_phrase_search")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows == Map(
+      ("x", "y", "z") -> ((4L, 2L, 1L)),
+      ("q", "q", "q") -> ((2L, 1L, 2L)),
+      ("y", "z", "x") -> ((2L, 1L, 1L))), rows)
+  }
+
   test("trigram stupid backoff: level selection exact; fluent outranks gibberish") {
     val s = spark
     import s.implicits._
