@@ -491,6 +491,42 @@ object EventQueries {
                           AND f.event_type = b0.event_type
               WHERE b0.n IS NULL OR b0.n != f.n
                  OR b0.sum_value != f.sum_value""")
+    ),
+
+    // ── RETENTION COHORTS: the classic product-analytics matrix ───────────
+    QueryDef(
+      "q194_retention_cohorts",
+      // The cohort-retention matrix (users bucketed by first-seen week ×
+      // weeks-since-cohort, distinct active users per cell) — the one
+      // standard event-analytics shape the library was missing next to
+      // funnels (q58) and sessionization (q28). Week buckets are exact
+      // integer epoch-week indices (ts is the epoch-nano BIGINT contract;
+      // DuckDB mirrors via epoch_us // 604800e6), so both engines bucket
+      // identically with no calendar/timezone semantics in play.
+      //
+      // Shape, and why it scales: one distinct on (user, week) — the
+      // activity table, ≪ events; a user-grain min for cohorts; one
+      // keyed join on user_id; one final aggregation. Everything after
+      // the first distinct is user-grain, the analytics-warehouse shape.
+      (s, d) => {
+        val weekNs = 604800L * 1000L * 1000L * 1000L
+        val act = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div ${weekNs}L").as("wk"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+        act.join(cohort, "user_id")
+          .withColumn("offset_weeks", col("wk") - col("cohort_week"))
+          .groupBy("cohort_week", "offset_weeks")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS wk FROM events),
+              coh AS (SELECT user_id, min(wk) AS cohort_week
+                FROM act GROUP BY 1)
+              SELECT cohort_week, wk - cohort_week AS offset_weeks,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM act JOIN coh USING (user_id)
+              GROUP BY 1, 2""")
     )
   )
 }

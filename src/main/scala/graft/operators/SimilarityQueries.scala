@@ -925,6 +925,99 @@ object SimilarityQueries {
                 CAST(row_number() OVER (PARTITION BY qid
                   ORDER BY adc DESC, cid) AS BIGINT) AS rk
               FROM adc QUALIFY rk <= 3""")
+    ),
+
+    // ── MMR: diversity-aware re-ranking of retrieved candidates ───────────
+    QueryDef(
+      "q195_mmr_rerank",
+      // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+      // diversity step between retrieval and consumption (RAG context
+      // assembly, dedup-aware sampling): from each query's top-10
+      // candidates, greedily pick 3 maximizing
+      //   mmr(d) = λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s),  λ = 1/2
+      // (empty-S convention: mmr = λ·rel). The greedy loop is UNROLLED
+      // (3 fixed rounds — the q159 Lloyd-unroll discipline), each round
+      // one window argmax with the (score desc, cid asc) tie-break, so
+      // both engines make identical picks; all arithmetic is the shared
+      // IEEE cosine form, division-ordered identically.
+      //
+      // Shape, and why it scales: candidate generation is the brute
+      // top-k demo (the IVF family is the production path, unchanged —
+      // MMR only ever sees the top-k); after that every round operates
+      // on ≤10 rows per query joined to the 1-row-per-query selected
+      // set — model-sized work per query, embarrassingly parallel
+      // across queries.
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id").between(8, 12))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = e.filter(col("vec_id") >= 13)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        def cos(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+        def top1(df: DataFrame, by: String): DataFrame =
+          df.withColumn("rn", row_number().over(Window.partitionBy("qid")
+            .orderBy(col(by).desc, col("cid").asc))).filter(col("rn") === 1)
+        val cand = broadcast(q).crossJoin(c)
+          .withColumn("rel", cos(col("qv"), col("cv")))
+          .withColumn("rk", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("rel").desc, col("cid").asc)))
+          .filter(col("rk") <= 10)
+          .select("qid", "cid", "cv", "rel")
+        val s1 = top1(cand, "rel")
+          .select(col("qid"), col("cid").as("c1"), col("cv").as("v1"),
+            col("rel").as("rel1"))
+        val r1 = cand.join(s1, "qid").filter(col("cid") =!= col("c1"))
+          .withColumn("mmr", col("rel") / 2 - cos(col("cv"), col("v1")) / 2)
+        val s2 = top1(r1, "mmr")
+          .select(col("qid"), col("cid").as("c2"), col("cv").as("v2"),
+            col("mmr").as("mmr2"))
+        val r2 = r1.drop("mmr", "rn")
+          .join(s2, "qid").filter(col("cid") =!= col("c2"))
+          .withColumn("mmr", col("rel") / 2 -
+            greatest(cos(col("cv"), col("v1")), cos(col("cv"), col("v2"))) / 2)
+        val s3 = top1(r2, "mmr")
+        s1.select(col("qid"), lit(1L).as("pick"), col("c1").as("cid"),
+            (col("rel1") / 2).as("score"))
+          .unionAll(s2.select(col("qid"), lit(2L).as("pick"),
+            col("c2").as("cid"), col("mmr2").as("score")))
+          .unionAll(s3.select(col("qid"), lit(3L).as("pick"), col("cid"),
+            col("mmr").as("score")))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              c AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 13),
+              cand AS (SELECT qid, cid, cv,
+                  ${SQL_DOT("qv", "cv")} / (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) AS rel
+                FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY rel DESC, cid) <= 10),
+              s1 AS (SELECT qid, cid, cv, rel FROM cand
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY rel DESC, cid) = 1),
+              r1 AS (SELECT cand.qid, cand.cid, cand.cv, cand.rel,
+                  s1.cid AS c1, s1.cv AS v1,
+                  cand.rel/2 - (${SQL_DOT("cand.cv", "s1.cv")}
+                    / (${SQL_NORM("cand.cv")} * ${SQL_NORM("s1.cv")}))/2 AS mmr
+                FROM cand JOIN s1 USING (qid) WHERE cand.cid != s1.cid),
+              s2 AS (SELECT qid, cid, cv, mmr FROM r1
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY mmr DESC, cid) = 1),
+              r2 AS (SELECT r1.qid, r1.cid, r1.rel,
+                  r1.rel/2 - greatest(
+                    ${SQL_DOT("r1.cv", "r1.v1")}
+                      / (${SQL_NORM("r1.cv")} * ${SQL_NORM("r1.v1")}),
+                    ${SQL_DOT("r1.cv", "s2.cv")}
+                      / (${SQL_NORM("r1.cv")} * ${SQL_NORM("s2.cv")}))/2 AS mmr
+                FROM r1 JOIN s2 USING (qid) WHERE r1.cid != s2.cid),
+              s3 AS (SELECT qid, cid, mmr FROM r2
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY mmr DESC, cid) = 1)
+              SELECT qid, CAST(1 AS BIGINT) AS pick, cid, rel/2 AS score FROM s1
+              UNION ALL
+              SELECT qid, CAST(2 AS BIGINT) AS pick, cid, mmr AS score FROM s2
+              UNION ALL
+              SELECT qid, CAST(3 AS BIGINT) AS pick, cid, mmr AS score FROM s3""")
     )
   )
 

@@ -25,14 +25,17 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("bench stdout line keeps the slow tail at the current suite scale") {
     // Real suite-shaped input: the REAL query names (so short keys have
-    // their true widths) with values spanning fast→slow. Past ~160
-    // queries the full table no longer fits the tail budget; the dynamic
-    // rung must keep the line parseable, keep EVERY slow query itemized,
-    // and reconcile the dropped mass through "other".
+    // their true widths) with a REALISTIC slow density (~1 in 8 rows ≥1s,
+    // matching observed idle runs — an all-slow suite is physically
+    // unrenderable in 1900 chars and is covered by the prefix test
+    // below). Past ~160 queries the full table no longer fits the tail
+    // budget; the dynamic rung must keep the line parseable, keep EVERY
+    // slow query itemized, and reconcile the dropped mass through
+    // "other".
     val names = SparkEntry.defs.map(_.name).sorted
     val n = names.size
     val results = names.zipWithIndex.map { case (nm, i) =>
-      (nm, 0.1 + (i % 40) * 0.25) } // 0.1 .. 9.85s mix
+      (nm, if (i % 8 == 0) 1.0 + (i % 40) * 0.25 else 0.1 + (i % 9) * 0.05) }
     val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget,
       s"line is ${line.length} chars at the current $n-query scale")
@@ -53,6 +56,29 @@ class BenchContractSpec extends AnyFunSuite {
       assert(math.abs(qs.sum + other - total) < 0.05 * n + 0.2,
         s"itemized ${qs.sum} + other $other != total $total")
     }
+  }
+
+  test("under an unrenderably dense slow tail, the kept set is the slowest prefix") {
+    // Adversarial shape: ~90% of the suite ≥1s — more slow rows than the
+    // 1900-char window can hold. The rung may fold, but what survives
+    // must be exactly the SLOWEST rows: no itemized row may be faster
+    // than any dropped one (a dropped 9s row behind a kept 1.1s row
+    // would hide the very rows the per-query gate inspects first).
+    val names = SparkEntry.defs.map(_.name).sorted
+    val results = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 + (i % 40) * 0.25) } // 0.1 .. 9.85s mix
+    val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.LineBudget,
+      s"line is ${line.length} chars")
+    val kept = results.filter { case (nm, _) =>
+      line.contains("\"" + nm.takeWhile(_ != '_') + "\":") }
+    val dropped = results.filterNot { case (nm, _) =>
+      line.contains("\"" + nm.takeWhile(_ != '_') + "\":") }
+    assert(kept.nonEmpty && dropped.nonEmpty, "mix should overflow the budget")
+    val minKept = kept.map(_._2).min
+    val maxDropped = dropped.map(_._2).max
+    assert(maxDropped <= minKept,
+      s"dropped a ${maxDropped}s row while keeping a ${minKept}s row")
   }
 
   test("memo attribution + slow-tail sentinels fit the budget at the current suite scale") {

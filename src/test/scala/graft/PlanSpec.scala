@@ -217,7 +217,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q168_ann_ivf_partitioned" /* K=8 centroid broadcast (probe ranking), like q151 */,
       "q172_ann_ivf_trained_partitioned" /* K≤8 learned-centroid broadcast (probe ranking), like q168 */,
       "q189_ann_ivfpq" /* K=8 centroid broadcast (probe ranking), like q168 */,
+      "q195_mmr_rerank" /* broadcast-brute candidate generation, like q41 */,
       "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
+      "q188_hashed_ngram_classifier" /* 1-row train-totals broadcast, like q173 */,
       "q175_bpe_apply" /* 1-row vocab-size broadcast onto a 1-row totals agg, like q89 */,
       "q178_mix_upsample" /* 1-row n_max broadcast onto the per-stratum counts, like q130 */,
       "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,

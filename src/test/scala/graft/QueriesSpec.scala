@@ -578,6 +578,26 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("MMR rerank: diversity demotes the near-duplicate a relevance ranking keeps") {
+    val s = spark
+    import s.implicits._
+    // query e1; candidate 14 is a near-dup of top pick 13 (higher raw
+    // relevance than 15) but MMR must pick the DIVERSE 15 second and
+    // push 14 to third — the exact behavior relevance-only top-k lacks
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    Seq(
+      (8L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (13L, Array(1.0f, 0.1f, 0.0f, 0.0f), 0),
+      (14L, Array(1.0f, 0.11f, 0.0f, 0.0f), 0),
+      (15L, Array(1.0f, -0.1f, 0.0f, 0.0f), 0),
+      (16L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val picks = SparkEntry.queries("q195_mmr_rerank")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(picks == Map(1L -> 13L, 2L -> 15L, 3L -> 14L), picks)
+  }
+
   test("indexed phrase search: overlapping matches counted, workload deterministic") {
     val s = spark
     import s.implicits._
