@@ -2619,6 +2619,91 @@ object TextQueries {
                 count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
               FROM tg JOIN top USING (w1, w2, w3)
               GROUP BY 1, 2, 3""")
+    ),
+
+    // ── LENGTH-BUCKETED BATCHING: padding-waste accounting ────────────────
+    QueryDef(
+      "q196_length_buckets",
+      // The training-efficiency counterpart of q181's packing: DYNAMIC
+      // BATCHING by length bucket (every serving/finetuning stack pads
+      // sequences to a bucket boundary; the op quantifies what that
+      // costs). Each document rounds UP to the nearest power-of-two
+      // token length — computed EXACTLY via a broadcast powers table +
+      // min-over-qualifying join (no float log2 anywhere: both engines
+      // pick the identical bucket by integer comparison). Per bucket:
+      // docs, real tokens, padded tokens, waste, and the batch count at
+      // a fixed B=2048-token budget (capacity = B div bucket, batches =
+      // ceil-div — all BIGINT). Docs over the 8192 cap would fall out of
+      // the join in BOTH engines; the guard filter makes that contract
+      // explicit rather than silent.
+      //
+      // Shape: one corpus scan, a 14-row broadcast join, one aggregation.
+      (s, d) => {
+        import s.implicits._
+        val powers = (0 to 13).map(i => 1L << i).toDF("bl")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
+          .filter(col("nt") >= 1 && col("nt") <= 8192)
+        base.join(broadcast(powers), col("bl") >= col("nt"))
+          .groupBy("doc_id", "nt")
+          .agg(min(col("bl")).as("bucket_len"))
+          .groupBy("bucket_len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("sum_tokens"))
+          .withColumn("pad_waste",
+            col("bucket_len") * col("n_docs") - col("sum_tokens"))
+          .withColumn("n_batches", expr(
+            """(n_docs + (2048 div bucket_len) - 1)
+               div (2048 div bucket_len)"""))
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+                  CAST(len($SQL_TOKENS) AS BIGINT) AS nt
+                FROM documents),
+              pw AS (SELECT CAST(unnest([1,2,4,8,16,32,64,128,256,512,
+                  1024,2048,4096,8192]) AS BIGINT) AS bl),
+              bk AS (SELECT doc_id, nt, min(bl) AS bucket_len
+                FROM base JOIN pw ON bl >= nt
+                WHERE nt BETWEEN 1 AND 8192
+                GROUP BY 1, 2)
+              SELECT bucket_len, count(*) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                CAST(bucket_len * count(*) - sum(nt) AS BIGINT) AS pad_waste,
+                CAST((count(*) + (2048 // bucket_len) - 1)
+                  // (2048 // bucket_len) AS BIGINT) AS n_batches
+              FROM bk GROUP BY 1""")
+    ),
+
+    // ── CROSS-SOURCE LEAKAGE MATRIX (who copies from whom) ────────────────
+    QueryDef(
+      "q197_crosssource_leakage",
+      // The curation report layered on the near-dup machinery: the
+      // winnow candidate pairs ([[winnowPairs]] — already memoized, so
+      // this costs two doc-grain joins, not a fingerprint pass) joined
+      // to each member's source and folded into the (source, source)
+      // matrix — which corpora share content, the signal that drives
+      // per-source dedup budgets and license audits. Source pairs are
+      // canonicalized (least, greatest) so the matrix is triangular like
+      // the a<b pair convention; the diagonal is within-source
+      // duplication.
+      (s, d) => {
+        val pairs = winnowPairs(s, d)
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+          .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("n_shared")).cast("long").as("sum_shared"))
+      },
+      Some(SQL_WINNOW_PAIR_CTES + """,
+           j AS (SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b, n_shared
+                 FROM wpairs JOIN documents da ON wpairs.a = da.doc_id
+                   JOIN documents db ON wpairs.b = db.doc_id)
+           SELECT source_a, source_b, count(*) AS n_pairs,
+             CAST(sum(n_shared) AS BIGINT) AS sum_shared
+           FROM j GROUP BY 1, 2""")
     )
   )
 

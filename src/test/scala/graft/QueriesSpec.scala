@@ -578,6 +578,27 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("length buckets: exact power-of-two rounding, waste, and ceil-div batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lenbuck").toString
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // token counts 5, 8, 9, 1 -> buckets 8, 8, 16, 1
+    Seq((1L, words(5), "s1"), (2L, words(8), "s1"),
+        (3L, words(9), "s1"), (4L, words(1), "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    // columns: bucket_len, n_docs, sum_tokens, pad_waste, n_batches
+    val rows = SparkEntry.queries("q196_length_buckets")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows == Map(
+      1L -> ((1L, 1L, 0L, 1L)),
+      8L -> ((2L, 13L, 3L, 1L)),
+      16L -> ((1L, 9L, 7L, 1L))), rows)
+  }
+
   test("MMR rerank: diversity demotes the near-duplicate a relevance ranking keeps") {
     val s = spark
     import s.implicits._
