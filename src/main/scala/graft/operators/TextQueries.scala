@@ -2412,25 +2412,31 @@ object TextQueries {
       (s, d) => {
         val (allT, n) = trigramTable(s, d)
         val train = allT.filter(col("doc_id") % 2 === 0)
+        // the backoff ratios are resolved MODEL-SIDE: numerator and
+        // context counts pre-join inside the Zipf-bounded n-gram tables
+        // (trigram⋈bigram-context, bigram⋈unigram-context), so the
+        // corpus-sized eval stream pays TWO composite-key joins, not
+        // four — the model is where the joins belong at 100 TB
         val c3 = train.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
         val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val c23 = train.groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
         val c2 = train.groupBy("w2").agg(count(lit(1)).as("c2"))
         val c1u = train.groupBy("w3").agg(count(lit(1)).as("c1u"))
+        val s3 = c3.join(c12, Seq("w1", "w2"))
+          .select(col("w1"), col("w2"), col("w3"),
+            expr("(1000000 * c3) div c12").as("ppm3"))
+        val s2 = c23.join(broadcast(c2), Seq("w2"))
+          .select(col("w2"), col("w3"),
+            expr("(400000 * c23) div c2").as("ppm2"))
         allT
-          .join(c3, Seq("w1", "w2", "w3"), "left")
-          .join(c12, Seq("w1", "w2"), "left")
-          .join(c23, Seq("w2", "w3"), "left")
-          .join(broadcast(c2), Seq("w2"), "left")
+          .join(s3, Seq("w1", "w2", "w3"), "left")
+          .join(s2, Seq("w2", "w3"), "left")
           .join(broadcast(c1u), Seq("w3"), "left")
-          .withColumn("ppm",
-            when(col("c3").isNotNull, expr("(1000000 * c3) div c12"))
-              .when(col("c23").isNotNull, expr("(400000 * c23) div c2"))
-              .otherwise(expr(
-                s"(160000 * coalesce(c1u, CAST(0 AS BIGINT))) div ${n}L")))
+          .withColumn("ppm", coalesce(col("ppm3"), col("ppm2"),
+            expr(s"(160000 * coalesce(c1u, CAST(0 AS BIGINT))) div ${n}L")))
           .withColumn("lvl",
-            when(col("c3").isNotNull, 3L)
-              .when(col("c23").isNotNull, 2L).otherwise(1L))
+            when(col("ppm3").isNotNull, 3L)
+              .when(col("ppm2").isNotNull, 2L).otherwise(1L))
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).as("n_trigrams"),
             sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
