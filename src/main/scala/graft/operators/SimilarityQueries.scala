@@ -850,82 +850,29 @@ object SimilarityQueries {
       // Coarse codebook = the fixed q168 seeds; sub-codebooks = the
       // fixed q186 seeds; swapping either for the trained variants is
       // the q172/trainedCodebook composition, unchanged downstream.
-      (s, d) => {
-        val K = 8
-        val probes = ivfQueryProbes(s, d, nprobe = 2, None)
-        val probed = probes.select("cent_id").distinct().collect()
-          .map(_.getLong(0).toInt)
-        val idx = s.read.parquet(ivfPqLayout(s, d))
-          .filter(col("cent_id").isin(probed: _*))
-          .withColumn("cent_id", col("cent_id").cast("long"))
-        val lut = pqQueryLut(s, d)
-          .select(col("qid").as("lqid"), col("m").as("lm"),
-            col("cent").as("lcent"), col("qdot"))
-        val wTop = Window.partitionBy("qid")
-          .orderBy(col("adc").desc, col("cid").asc)
-        broadcast(probes.select("cent_id", "qid")).join(idx, "cent_id")
-          .join(broadcast(lut),
-            col("qid") === col("lqid") && col("m") === col("lm") &&
-              col("code") === col("lcent"))
-          .groupBy(col("qid"), col("cid"))
-          .agg(
-            // fixed-order fold over m: deterministic double sum
-            Shared.fsum(transform(
-              array_sort(collect_list(struct(col("m").as("m"),
-                col("qdot").as("qd")))),
-              e2 => e2.getField("qd"))).as("adc"),
-            sum(col("code") * pow(lit(K), col("m")).cast("long"))
-              .cast("long").as("code_packed"))
-          .withColumn("rk", row_number().over(wTop).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("qid", "cid", "code_packed", "adc", "rk")
-      },
-      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
-                FROM embeddings WHERE vec_id < 8),
-              corpus AS (SELECT vec_id AS cid, embedding AS v
-                FROM embeddings WHERE vec_id >= 13),
-              corpus_a AS (SELECT cid, v, cent_id FROM (
-                SELECT cid, v, cent_id,
-                  row_number() OVER (PARTITION BY cid
-                    ORDER BY ${SQL_DOT("v", "centv")} DESC, cent_id) AS rk
-                FROM corpus, cent) WHERE rk = 1),
-              qs AS (SELECT vec_id AS qid, embedding AS qv
-                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
-              q_a AS (SELECT qid, qv, cent_id FROM (
-                SELECT qid, qv, cent_id,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
-                FROM qs, cent) WHERE rk <= 2),
-              sc AS (SELECT cent, CAST(m AS BIGINT) AS m,
-                  list_transform(range(CAST(m*8+1 AS INT), CAST(m*8+9 AS INT)),
-                    i -> CAST(centv[i] AS DOUBLE)) AS scv
-                FROM cent c(cent, centv), (SELECT unnest(range(8)) AS m)),
-              cd AS (SELECT cid, m, cent,
-                  list_aggregate(list_transform(range(1, 9),
-                    i -> CAST(v[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
-                    'sum') AS dotv
-                FROM corpus_a, sc),
-              codes AS (SELECT cid, m, cent AS code FROM (
-                SELECT cid, m, cent, row_number() OVER (PARTITION BY cid, m
-                  ORDER BY dotv DESC, cent) AS rk FROM cd) WHERE rk = 1),
-              lut AS (SELECT qid, m, cent,
-                  list_aggregate(list_transform(range(1, 9),
-                    i -> CAST(qv[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
-                    'sum') AS qdot
-                FROM qs, sc),
-              cand AS (SELECT qid, cid FROM q_a JOIN corpus_a USING (cent_id)),
-              adc AS (SELECT cand.qid, codes.cid,
-                  list_aggregate(list(qdot ORDER BY codes.m), 'sum') AS adc,
-                  CAST(sum(code * (8 ** codes.m)) AS BIGINT) AS code_packed
-                FROM cand JOIN codes USING (cid)
-                  JOIN lut ON lut.qid = cand.qid AND codes.m = lut.m
-                    AND codes.code = lut.cent
-                GROUP BY 1, 2)
-              SELECT qid, cid, code_packed, adc,
-                CAST(row_number() OVER (PARTITION BY qid
-                  ORDER BY adc DESC, cid) AS BIGINT) AS rk
-              FROM adc QUALIFY rk <= 3""")
+      (s, d) => ivfPqProbe(s, d, ivfPqLayout(s, d)),
+      Some(ivfPqOracleSql)
     ),
+
+    // ── INCREMENTAL IVF-PQ index maintenance (append ≡ rebuild) ───────────
+    QueryDef(
+      "q198_ann_ivfpq_incremental",
+      // Production indexes are never rebuilt from scratch when corpus
+      // arrives — deltas are encoded with the FROZEN codebooks and
+      // appended. This query probes exactly such an index: the base
+      // batch (odd corpus ids) written first, the delta batch (even ids)
+      // encoded separately and appended partition-wise without touching
+      // base files ([[ivfPqLayoutIncremental]]). The probe is q189's
+      // verbatim ([[ivfPqProbe]]) and the ORACLE is q189's verbatim —
+      // the hash match proves the incrementally-maintained index answers
+      // queries identically to the one-shot rebuild, which is the entire
+      // maintenance contract. (Codebook drift/re-training is the point
+      // where a real deployment schedules a rebuild; with frozen
+      // codebooks, append is exact by construction.)
+      (s, d) => ivfPqProbe(s, d, ivfPqLayoutIncremental(s, d)),
+      Some(ivfPqOracleSql)
+    ),
+
 
     // ── MMR: diversity-aware re-ranking of retrieved candidates ───────────
     QueryDef(
@@ -1137,24 +1084,143 @@ object SimilarityQueries {
     val key = Shared.datasetKey(d)
     ivfLayoutMemo.computeIfAbsent(s"ivfpq:$key", _ =>
       Shared.timedMemoBuild("ivfpq") {
-        val M = 8; val SUB = 8
         val r = Shared.scratchRoot("ivfpq", key)
-        val slices = (0 until M).map(m => struct(lit(m).as("m"),
-          slice(asDouble(col("cv")), m * SUB + 1, SUB).as("sv")))
-        val sub = ivfCorpusAssign(s, d, None)
-          .select(col("cid"), col("cent_id"), explode(array(slices: _*)).as("s"))
-          .select(col("cid"), col("cent_id"),
-            col("s.m").as("m"), col("s.sv").as("cv8"))
-        val wCode = Window.partitionBy("cid", "m")
-          .orderBy(col("dotv").desc, col("cent").asc)
-        sub.join(broadcast(pqSubCents(s, d)), "m")
-          .withColumn("dotv", dot(col("cv8"), col("scv")))
-          .withColumn("rk", row_number().over(wCode))
-          .filter(col("rk") === 1)
-          .select(col("cid"), col("cent_id"), col("m"), col("cent").as("code"))
+        pqEncode(s, d, ivfCorpusAssign(s, d, None))
           .write.mode("overwrite").partitionBy("cent_id").parquet(r.toString)
         r.toString
       })
+  }
+
+  /** The q189/q198 oracle: coarse assignment + PQ codes + ADC from
+    * first principles — shared because the incremental index must
+    * answer identically to the one-shot rebuild.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              corpus AS (SELECT vec_id AS cid, embedding AS v
+                FROM embeddings WHERE vec_id >= 13),
+              corpus_a AS (SELECT cid, v, cent_id FROM (
+                SELECT cid, v, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("v", "centv")} DESC, cent_id) AS rk
+                FROM corpus, cent) WHERE rk = 1),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, cent) WHERE rk <= 2),
+              sc AS (SELECT cent, CAST(m AS BIGINT) AS m,
+                  list_transform(range(CAST(m*8+1 AS INT), CAST(m*8+9 AS INT)),
+                    i -> CAST(centv[i] AS DOUBLE)) AS scv
+                FROM cent c(cent, centv), (SELECT unnest(range(8)) AS m)),
+              cd AS (SELECT cid, m, cent,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CAST(v[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
+                    'sum') AS dotv
+                FROM corpus_a, sc),
+              codes AS (SELECT cid, m, cent AS code FROM (
+                SELECT cid, m, cent, row_number() OVER (PARTITION BY cid, m
+                  ORDER BY dotv DESC, cent) AS rk FROM cd) WHERE rk = 1),
+              lut AS (SELECT qid, m, cent,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CAST(qv[CAST(m*8 AS INT) + i] AS DOUBLE) * scv[i]),
+                    'sum') AS qdot
+                FROM qs, sc),
+              cand AS (SELECT qid, cid FROM q_a JOIN corpus_a USING (cent_id)),
+              adc AS (SELECT cand.qid, codes.cid,
+                  list_aggregate(list(qdot ORDER BY codes.m), 'sum') AS adc,
+                  CAST(sum(code * (8 ** codes.m)) AS BIGINT) AS code_packed
+                FROM cand JOIN codes USING (cid)
+                  JOIN lut ON lut.qid = cand.qid AND codes.m = lut.m
+                    AND codes.code = lut.cent
+                GROUP BY 1, 2)
+              SELECT qid, cid, code_packed, adc,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY adc DESC, cid) AS BIGINT) AS rk
+              FROM adc QUALIFY rk <= 3"""
+
+  /** The IVF-PQ probe over any code layout root: statically pruned code
+    * scan + broadcast ADC LUT + fixed-order fold — q189's query body,
+    * shared with the incremental index (q198).
+    */
+  private[graft] def ivfPqProbe(s: SparkSession, d: String,
+      root: String): DataFrame = {
+    val K = 8
+    val probes = ivfQueryProbes(s, d, nprobe = 2, None)
+    val probed = probes.select("cent_id").distinct().collect()
+      .map(_.getLong(0).toInt)
+    val idx = s.read.parquet(root)
+      .filter(col("cent_id").isin(probed: _*))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val lut = pqQueryLut(s, d)
+      .select(col("qid").as("lqid"), col("m").as("lm"),
+        col("cent").as("lcent"), col("qdot"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("adc").desc, col("cid").asc)
+    broadcast(probes.select("cent_id", "qid")).join(idx, "cent_id")
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("m") === col("lm") &&
+          col("code") === col("lcent"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(
+        Shared.fsum(transform(
+          array_sort(collect_list(struct(col("m").as("m"),
+            col("qdot").as("qd")))),
+          e2 => e2.getField("qd"))).as("adc"),
+        sum(col("code") * pow(lit(K), col("m")).cast("long"))
+          .cast("long").as("code_packed"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "cid", "code_packed", "adc", "rk")
+  }
+
+  /** q198's two-phase index: the SAME (cid, cent_id, m, code) rows as
+    * [[ivfPqLayout]], but built INCREMENTALLY — the base batch (odd corpus
+    * vec_ids) is written first, then the delta batch (even) is encoded
+    * with the same frozen codebooks and APPENDED partition-wise, never
+    * touching the base files. This is production index maintenance: new
+    * corpus arrives, only its codes are computed and written; probes read
+    * the union. The q189-vs-q198 hash match (same oracle) plus the
+    * row-set spec prove append ≡ one-shot rebuild.
+    */
+  private[graft] def ivfPqLayoutIncremental(s: SparkSession, d: String): String = {
+    val key = Shared.datasetKey(d)
+    ivfLayoutMemo.computeIfAbsent(s"ivfpq_inc:$key", _ =>
+      Shared.timedMemoBuild("ivfpq_inc") {
+        val r = Shared.scratchRoot("ivfpq_inc", key)
+        pqEncode(s, d, ivfCorpusAssign(s, d, None)
+            .filter(col("cid") % 2 === 1))
+          .write.mode("overwrite").partitionBy("cent_id").parquet(r.toString)
+        pqEncode(s, d, ivfCorpusAssign(s, d, None)
+            .filter(col("cid") % 2 === 0))
+          .write.mode("append").partitionBy("cent_id").parquet(r.toString)
+        r.toString
+      })
+  }
+
+  /** PQ-encode an assigned corpus slice: (cid, cent_id, cv) → one
+    * (cid, cent_id, m, code) row per subspace — the shared encoder of
+    * [[ivfPqLayout]] and the incremental delta path.
+    */
+  private def pqEncode(s: SparkSession, d: String,
+      assigned: DataFrame): DataFrame = {
+    val M = 8; val SUB = 8
+    val slices = (0 until M).map(m => struct(lit(m).as("m"),
+      slice(asDouble(col("cv")), m * SUB + 1, SUB).as("sv")))
+    val sub = assigned
+      .select(col("cid"), col("cent_id"), explode(array(slices: _*)).as("s"))
+      .select(col("cid"), col("cent_id"),
+        col("s.m").as("m"), col("s.sv").as("cv8"))
+    val wCode = Window.partitionBy("cid", "m")
+      .orderBy(col("dotv").desc, col("cent").asc)
+    sub.join(broadcast(pqSubCents(s, d)), "m")
+      .withColumn("dotv", dot(col("cv8"), col("scv")))
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("cent_id"), col("m"), col("cent").as("code"))
   }
 
   /** q189's query-side ADC lookup table (qid, m, cent, qdot): each query

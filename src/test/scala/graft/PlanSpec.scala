@@ -218,6 +218,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q172_ann_ivf_trained_partitioned" /* K≤8 learned-centroid broadcast (probe ranking), like q168 */,
       "q189_ann_ivfpq" /* K=8 centroid broadcast (probe ranking), like q168 */,
       "q195_mmr_rerank" /* broadcast-brute candidate generation, like q41 */,
+      "q198_ann_ivfpq_incremental" /* K=8 centroid broadcast (probe ranking), like q189 */,
+      "q196_length_buckets" /* 14-row powers-table broadcast range join */,
       "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
       "q188_hashed_ngram_classifier" /* 1-row train-totals broadcast, like q173 */,
       "q175_bpe_apply" /* 1-row vocab-size broadcast onto a 1-row totals agg, like q89 */,

@@ -558,6 +558,18 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0L)._3 > rows(3L)._3, rows) // a train member does too
   }
 
+  test("incremental IVF-PQ append yields the identical code row-set as one-shot") {
+    import graft.operators.SimilarityQueries
+    def rows(root: String) = spark.read.parquet(root)
+      .select("cid", "cent_id", "m", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val one = rows(SimilarityQueries.ivfPqLayout(spark, sf))
+    val inc = rows(SimilarityQueries.ivfPqLayoutIncremental(spark, sf))
+    assert(one.nonEmpty && one == inc,
+      s"append diverged from rebuild: ${(one -- inc).take(3)} vs ${(inc -- one).take(3)}")
+  }
+
   test("IVF-PQ results stay inside each query's probed coarse partitions") {
     import graft.operators.SimilarityQueries
     // composition invariant: every returned candidate belongs to a coarse
