@@ -874,6 +874,93 @@ object SimilarityQueries {
     ),
 
 
+    // ── PCA top component via POWER ITERATION (the embedding-analysis op) ─
+    QueryDef(
+      "q199_pca_power",
+      // The dominant principal component of the (exactly centered)
+      // embedding matrix by two unrolled power-iteration rounds — the
+      // q159-Lloyd discipline applied to spectral analysis: every
+      // corpus-sized reduction is a rounded-decimal sum (order-
+      // independent, bit-identical in both engines), every normalization
+      // is IEEE sqrt/divide on identical operands, and the seed is the
+      // deterministic all-ones vector. PCA over embeddings is the
+      // workhorse behind whitening, ANN dimensionality budgeting (which
+      // MRL truncation q102 presumes), and drift monitoring.
+      //
+      // Shape, and why it scales: per round, ONE corpus scan computes
+      // both the per-row projection (a codegen zip_with fold against the
+      // 64-double LITERAL iterate — no join, no shuffle on the row
+      // stream) and the per-dimension accumulations (posexplode → 64
+      // groups, map-side combined). The iterate itself is a MODEL
+      // PARAMETER (64 doubles) — collected and re-broadcast as literals
+      // each round, exactly how distributed training ships gradients;
+      // driver materialization is O(dim), never O(rows).
+      (s, d) => {
+        import s.implicits._
+        val corpus = embeddings(s, d)
+          .select(col("vec_id"), asDouble(col("embedding")).as("x"))
+        def colSum(df: DataFrame, arrCol: String, weight: Column): Array[Double] =
+          df.select(posexplode(col(arrCol)).as(Seq("pos", "c")), weight.as("dt"))
+            .groupBy("pos")
+            .agg(sum(round(col("c") * col("dt"), 6).cast("decimal(18,6)"))
+              .cast("double").as("w"))
+            .orderBy("pos").collect().map(_.getDouble(1))
+        val mean = corpus
+          .select(posexplode(col("x")).as(Seq("pos", "c")))
+          .groupBy("pos")
+          .agg((sum(round(col("c"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("m"))
+          .orderBy("pos").collect().map(_.getDouble(1))
+        val mLit = array(mean.map(lit): _*)
+        def iterate(v: Array[Double]): Array[Double] = {
+          val vLit = array(v.map(lit): _*)
+          val centered = corpus.withColumn("cen",
+            zip_with(col("x"), mLit, (a, b) => a - b))
+          val withDot = centered.withColumn("dt",
+            Shared.fsum(zip_with(col("cen"), vLit, (a, b) => a * b)))
+          val w = colSum(withDot, "cen", col("dt"))
+          // left-to-right fold matches list_aggregate 'sum' order
+          val nrm = math.sqrt(w.foldLeft(0.0)((a, y) => a + y * y))
+          w.map(_ / nrm)
+        }
+        val v2 = iterate(iterate(Array.fill(64)(1.0)))
+        v2.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }
+          .toSeq.toDF("dim", "loading")
+      },
+      Some(s"""WITH corpus AS (SELECT vec_id, embedding AS x FROM embeddings),
+              mean AS (SELECT i,
+                  CAST(sum(CAST(round(CAST(x[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) AS m
+                FROM corpus, range(1, 65) t(i) GROUP BY i),
+              mv AS (SELECT list(m ORDER BY i) AS m FROM mean),
+              d0 AS (SELECT vec_id, x, m,
+                  list_aggregate(list_transform(range(1, 65),
+                    i -> (CAST(x[i] AS DOUBLE) - m[i]) * 1.0), 'sum') AS dt
+                FROM corpus, mv),
+              w1 AS (SELECT i,
+                  CAST(sum(CAST(round((CAST(x[i] AS DOUBLE) - m[i]) * dt, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS w
+                FROM d0, range(1, 65) t(i) GROUP BY i),
+              u1 AS (SELECT list_transform(wv, y -> y / nrm) AS v FROM (
+                SELECT wv,
+                  sqrt(list_aggregate(list_transform(wv, y -> y*y), 'sum')) AS nrm
+                FROM (SELECT list(w ORDER BY i) AS wv FROM w1))),
+              d1 AS (SELECT vec_id, x, m,
+                  list_aggregate(list_transform(range(1, 65),
+                    i -> (CAST(x[i] AS DOUBLE) - m[i]) * v[i]), 'sum') AS dt
+                FROM corpus, mv, u1),
+              w2 AS (SELECT i,
+                  CAST(sum(CAST(round((CAST(x[i] AS DOUBLE) - m[i]) * dt, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS w
+                FROM d1, range(1, 65) t(i) GROUP BY i),
+              u2 AS (SELECT list_transform(wv, y -> y / nrm) AS v FROM (
+                SELECT wv,
+                  sqrt(list_aggregate(list_transform(wv, y -> y*y), 'sum')) AS nrm
+                FROM (SELECT list(w ORDER BY i) AS wv FROM w2)))
+              SELECT CAST(i AS BIGINT) AS dim, v[i] AS loading
+              FROM u2, range(1, 65) t(i)""")
+    ),
+
     // ── MMR: diversity-aware re-ranking of retrieved candidates ───────────
     QueryDef(
       "q195_mmr_rerank",

@@ -611,6 +611,24 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       16L -> ((1L, 9L, 7L, 1L))), rows)
   }
 
+  test("PCA power iteration recovers a planted dominant direction") {
+    val s = spark
+    import s.implicits._
+    // only dimension 1 varies after centering -> the top component must
+    // be ±e1 (loading magnitude ~1 on dim 1, ~0 elsewhere)
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    (0 until 6).map { i =>
+      val v = Array.fill(64)(7.0f); v(0) = (i % 5).toFloat
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val loads = SparkEntry.queries("q199_pca_power")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(math.abs(loads(1L)) - 1.0) < 1e-9, loads(1L))
+    (2L to 64L).foreach(j =>
+      assert(math.abs(loads(j)) < 1e-9, s"dim $j loading ${loads(j)}"))
+  }
+
   test("MMR rerank: diversity demotes the near-duplicate a relevance ranking keeps") {
     val s = spark
     import s.implicits._
