@@ -2710,6 +2710,104 @@ object TextQueries {
            SELECT source_a, source_b, count(*) AS n_pairs,
              CAST(sum(n_shared) AS BIGINT) AS sum_shared
            FROM j GROUP BY 1, 2""")
+    ),
+
+    // ── RAG CONTEXT ASSEMBLY capstone (chunk → embed → retrieve → pack) ───
+    QueryDef(
+      "q200_rag_context",
+      // The retrieval-side counterpart of q166's curation capstone: the
+      // full RAG preprocessing pipeline as ONE declarative plan — q116's
+      // sliding 64/32 chunking, a deterministic hash-projection embedding
+      // per chunk (q46's dyadic md5 features: every value is k/2³², so
+      // all cosines are IEEE-identical in both engines), cosine top-5
+      // retrieval per query (queries = the first 32 tokens of docs 1–3,
+      // own-doc chunks excluded), and BUDGETED CONTEXT PACKING: a
+      // running token total in rank order keeps chunks while the 96-token
+      // budget holds — the decision every serving stack makes per
+      // request. Output = the ranked candidate table with the packing
+      // verdict per row, so the oracle pins ranking, tie-breaks, the
+      // cumulative sum, and the keep/cut boundary all at once.
+      //
+      // Shape, and why it scales: chunking + embedding is one zero-
+      // shuffle per-row stage; scoring joins the 3-query broadcast onto
+      // the chunk stream (the q41 brute demo shape — the IVF/PQ family
+      // is the production path for the scoring stage, unchanged); the
+      // pack is a per-query window over ≤5 rows.
+      (s, d) => {
+        def embed(txt: Column): Column = transform(sequence(lit(1), lit(8)),
+          k => h32(concat(txt, lit(":"), k.cast("string"))).cast("double") /
+            lit(4294967296.0))
+        def nrm(v: Column): Column =
+          sqrt(Shared.fsum(zip_with(v, v, (a, b) => a * b)))
+        val t = tokens(col("text"))
+        val chunks = Tables.documents(s, d)
+          .filter(col("doc_id") > 3)
+          .select(col("doc_id"), t.as("t"),
+            (floor((greatest(size(t) - lit(64), lit(0)) + lit(31)) / lit(32))
+              .cast("int") + lit(1)).as("nc"))
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), col("nc") - 1), i =>
+              struct(i.cast("long").as("chunk_id"),
+                array_join(slice(col("t"), i * 32 + 1, lit(64)), " ").as("ctext"),
+                size(slice(col("t"), i * 32 + 1, lit(64))).cast("long")
+                  .as("n_tokens")))).as("c"))
+          .select(col("doc_id"), col("c.chunk_id"), col("c.n_tokens"),
+            embed(col("c.ctext")).as("cv"))
+        val queries = Tables.documents(s, d)
+          .filter(col("doc_id").between(1, 3))
+          .select(col("doc_id").as("qid"),
+            embed(array_join(slice(t, 1, 32), " ")).as("qv"))
+        val wRk = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("doc_id").asc, col("chunk_id").asc)
+        val wCum = Window.partitionBy("qid").orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        broadcast(queries).crossJoin(chunks)
+          .withColumn("cos",
+            Shared.fsum(zip_with(col("qv"), col("cv"), (a, b) => a * b)) /
+              (nrm(col("qv")) * nrm(col("cv"))))
+          .withColumn("rk", row_number().over(wRk).cast("long"))
+          .filter(col("rk") <= 5)
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+          .withColumn("kept", (col("cum_tokens") <= 96).cast("long"))
+          .select("qid", "rk", "doc_id", "chunk_id", "cos", "n_tokens",
+            "cum_tokens", "kept")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t,
+                  CAST(CEIL(greatest(len($SQL_TOKENS) - 64, 0) / 32.0) AS INT) + 1 AS nc
+                FROM documents),
+              ch AS (SELECT doc_id, u.chunk_id, u.n_tokens, u.ctext
+                FROM (SELECT doc_id, unnest(list_transform(range(0, nc),
+                    i -> struct_pack(chunk_id := CAST(i AS BIGINT),
+                      ctext := array_to_string(t[i*32+1:i*32+64], ' '),
+                      n_tokens := CAST(len(t[i*32+1:i*32+64]) AS BIGINT)))) AS u
+                  FROM tok WHERE doc_id > 3)),
+              cemb AS (SELECT doc_id, chunk_id, n_tokens,
+                  list_transform(range(1, 9), k ->
+                    CAST(${SQL_H32("ctext || ':' || k")} AS DOUBLE)
+                      / 4294967296.0) AS cv
+                FROM ch),
+              q AS (SELECT doc_id AS qid,
+                  list_transform(range(1, 9), k ->
+                    CAST(${SQL_H32("array_to_string(t[1:32], ' ') || ':' || k")} AS DOUBLE)
+                      / 4294967296.0) AS qv
+                FROM tok WHERE doc_id BETWEEN 1 AND 3),
+              scored AS (SELECT qid, doc_id, chunk_id, n_tokens,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> qv[i] * cv[i]), 'sum')
+                  / (sqrt(list_aggregate(list_transform(qv, y -> y*y), 'sum'))
+                   * sqrt(list_aggregate(list_transform(cv, y -> y*y), 'sum'))) AS cos
+                FROM q CROSS JOIN cemb),
+              ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, doc_id, chunk_id) AS BIGINT) AS rk
+                FROM scored QUALIFY rk <= 5)
+              SELECT qid, rk, doc_id, chunk_id, cos, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY qid ORDER BY rk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_tokens,
+                CAST(CASE WHEN sum(n_tokens) OVER (PARTITION BY qid ORDER BY rk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 96
+                  THEN 1 ELSE 0 END AS BIGINT) AS kept
+              FROM ranked""")
     )
   )
 

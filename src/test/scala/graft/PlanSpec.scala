@@ -220,6 +220,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q195_mmr_rerank" /* broadcast-brute candidate generation, like q41 */,
       "q198_ann_ivfpq_incremental" /* K=8 centroid broadcast (probe ranking), like q189 */,
       "q196_length_buckets" /* 14-row powers-table broadcast range join */,
+      "q200_rag_context" /* 3-query broadcast onto the chunk stream, like q41 */,
       "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
       "q188_hashed_ngram_classifier" /* 1-row train-totals broadcast, like q173 */,
       "q175_bpe_apply" /* 1-row vocab-size broadcast onto a 1-row totals agg, like q89 */,
