@@ -776,6 +776,78 @@ object ExtQueries {
                 split_part(text, ' ', 3) AS third_field,
                 CAST(instr(text, 'table') AS BIGINT) AS pos_table
               FROM documents""")
+    ),
+
+    // ── DATA-QUALITY EXPECTATIONS gate (the Deequ shape) ──────────────────
+    QueryDef(
+      "q201_dq_expectations",
+      // Declarative ingest-time data validation — the production gate in
+      // front of every warehouse table: seven expectations (row count,
+      // key uniqueness, two range checks, a domain check, completeness,
+      // referential integrity) evaluated as ONE aggregation pass over
+      // lineitem plus ONE anti-join count against orders, reported as
+      // (check_name, observed violation count, passed). Observations are
+      // exact BIGINTs, so the report is engine-identical. The fixture's
+      // (l_orderkey, l_linenumber) is deliberately NOT unique, so the
+      // pk check demonstrably FAILS — a gate that can only pass proves
+      // nothing. Scale shape: metrics fold map-side into one row; the
+      // RI probe is a broadcast/shuffle anti-join, the q13 shape.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val m = li.agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) -
+            countDistinct(col("l_orderkey"), col("l_linenumber"))).as("pkdup"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("qty"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("disc"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)).as("flag"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nullship"))
+        val ri = li.join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        m.crossJoin(ri).selectExpr(
+          """stack(7,
+             'row_count_min', n, CAST(n >= 1000 AS BIGINT),
+             'pk_dup_rows', pkdup, CAST(pkdup = 0 AS BIGINT),
+             'quantity_range', qty, CAST(qty = 0 AS BIGINT),
+             'discount_range', disc, CAST(disc = 0 AS BIGINT),
+             'returnflag_domain', flag, CAST(flag = 0 AS BIGINT),
+             'shipdate_complete', nullship, CAST(nullship = 0 AS BIGINT),
+             'orderkey_ri', orphans, CAST(orphans = 0 AS BIGINT)
+             ) AS (check_name, observed, passed)""")
+      },
+      Some("""WITH m AS (SELECT count(*) AS n,
+                  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS pkdup,
+                  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS qty,
+                  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS disc,
+                  sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS flag,
+                  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS nullship
+                FROM lineitem),
+              ri AS (SELECT count(*) AS orphans FROM lineitem l
+                LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderkey IS NULL)
+              SELECT 'row_count_min' AS check_name,
+                CAST(n AS BIGINT) AS observed,
+                CAST(n >= 1000 AS BIGINT) AS passed FROM m
+              UNION ALL SELECT 'pk_dup_rows', CAST(pkdup AS BIGINT),
+                CAST(pkdup = 0 AS BIGINT) FROM m
+              UNION ALL SELECT 'quantity_range', CAST(qty AS BIGINT),
+                CAST(qty = 0 AS BIGINT) FROM m
+              UNION ALL SELECT 'discount_range', CAST(disc AS BIGINT),
+                CAST(disc = 0 AS BIGINT) FROM m
+              UNION ALL SELECT 'returnflag_domain', CAST(flag AS BIGINT),
+                CAST(flag = 0 AS BIGINT) FROM m
+              UNION ALL SELECT 'shipdate_complete', CAST(nullship AS BIGINT),
+                CAST(nullship = 0 AS BIGINT) FROM m
+              UNION ALL SELECT 'orderkey_ri', CAST(orphans AS BIGINT),
+                CAST(orphans = 0 AS BIGINT) FROM ri""")
     )
   )
 }

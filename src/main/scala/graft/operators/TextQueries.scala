@@ -2507,70 +2507,8 @@ object TextQueries {
       // join on doc_id — the one keyed doc-grain join. Train stats fold
       // to ONE row. No shuffle anywhere except the per-doc score
       // aggregation and the count aggregations.
-      (s, d) => {
-        val B = NbBuckets
-        val (allB, _) = bigramTable(s, d)
-        val labels = Tables.documents(s, d)
-          .select(col("doc_id"),
-            length(col("text")).cast("long").as("f1"),
-            length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-              .cast("long").as("f3"))
-          .select(col("doc_id"),
-            when(col("f1").between(100, 400) &&
-              col("f3") * 4 > col("f1") * 3, 1L).otherwise(0L).as("y"))
-        val feats = allB.withColumn("bucket",
-          pmod(h32(concat_ws(" ", col("w1"), col("w2"))), lit(B.toLong)))
-        val trainF = feats.filter(col("doc_id") % 2 === 0)
-          .join(labels, Seq("doc_id"))
-        val model = trainF.groupBy("bucket").agg(
-          sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
-        val stats = trainF.agg(
-          sum(when(col("y") === 1, 1L).otherwise(0L)).as("t1"),
-          sum(when(col("y") === 0, 1L).otherwise(0L)).as("t0"))
-        feats
-          .join(broadcast(model), Seq("bucket"), "left")
-          .crossJoin(broadcast(stats))
-          .withColumn("w", expr(
-            s"""(1000000 * (coalesce(n1, CAST(0 AS BIGINT)) + 1)) div (t1 + $B)
-                - (1000000 * (coalesce(n0, CAST(0 AS BIGINT)) + 1)) div (t0 + $B)"""))
-          .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("n_feats"),
-            sum(col("w")).cast("long").as("score_ppm"))
-          .join(labels, Seq("doc_id"))
-          .withColumn("pred", (col("score_ppm") > 0).cast("long"))
-          .select("doc_id", "source", "y", "n_feats", "score_ppm", "pred")
-      },
-      Some(s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t FROM documents),
-              bg AS (SELECT doc_id, source,
-                       ${SQL_H32("t[p] || ' ' || t[p+1]")} % $NbBuckets AS bucket
-                     FROM (SELECT doc_id, source, t,
-                             unnest(generate_series(1, len(t) - 1)) AS p
-                           FROM tok WHERE len(t) >= 2)),
-              lab AS (SELECT doc_id,
-                        CASE WHEN length(text) BETWEEN 100 AND 400
-                          AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4
-                              > length(text) * 3
-                          THEN 1 ELSE 0 END AS y
-                      FROM documents),
-              trf AS (SELECT bucket, y FROM bg JOIN lab USING (doc_id)
-                      WHERE doc_id % 2 = 0),
-              model AS (SELECT bucket,
-                          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
-                          sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
-                        FROM trf GROUP BY 1),
-              st AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS t1,
-                       sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS t0 FROM trf),
-              sc AS (SELECT doc_id, source,
-                       (1000000 * (coalesce(n1, 0) + 1)) // (t1 + $NbBuckets)
-                       - (1000000 * (coalesce(n0, 0) + 1)) // (t0 + $NbBuckets) AS w
-                     FROM bg LEFT JOIN model USING (bucket) CROSS JOIN st)
-              SELECT doc_id, source, CAST(lab.y AS BIGINT) AS y,
-                count(*) AS n_feats,
-                CAST(sum(w) AS BIGINT) AS score_ppm,
-                CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
-              FROM sc JOIN lab USING (doc_id)
-              GROUP BY doc_id, source, lab.y""")
+      (s, d) => nbScores(s, d),
+      Some(nbScoreSql)
     ),
 
     // ── INVERTED-INDEX phrase search (postings adjacency join) ────────────
@@ -2808,6 +2746,39 @@ object TextQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 96
                   THEN 1 ELSE 0 END AS BIGINT) AS kept
               FROM ranked""")
+    ),
+
+    // ── CLASSIFIER CALIBRATION: decile lift table over q188's scores ──────
+    QueryDef(
+      "q202_score_deciles",
+      // The MLOps step after training a quality classifier: bucket the
+      // corpus into score deciles and report positives per bucket — the
+      // lift table that decides where to put the keep/drop threshold.
+      // Scores come from the SHARED q188 pipeline ([[nbScores]] — one
+      // definition, zero drift risk), deciles from ntile over the total
+      // order (score desc, doc_id) so both engines bucket identically.
+      // NOTE the global ntile window runs single-partition — acceptable
+      // for the doc-grain score table (≪ corpus; one row per document);
+      // at extreme scale the q181 distributed-prefix-sum shape computes
+      // the same global rank without the bottleneck.
+      (s, d) => {
+        val w = Window.orderBy(col("score_ppm").desc, col("doc_id").asc)
+        nbScores(s, d)
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).cast("long").as("n_pos"),
+            min(col("score_ppm")).as("min_score"),
+            max(col("score_ppm")).as("max_score"))
+      },
+      Some(s"""WITH base AS ($nbScoreSql),
+              dd AS (SELECT *, CAST(ntile(10) OVER (
+                  ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS decile
+                FROM base)
+              SELECT decile, count(*) AS n,
+                CAST(sum(y) AS BIGINT) AS n_pos,
+                min(score_ppm) AS min_score, max(score_ppm) AS max_score
+              FROM dd GROUP BY 1""")
     )
   )
 
@@ -3012,6 +2983,79 @@ object TextQueries {
     * vocabulary, which is what keeps it broadcastable at every scale.
     */
   private[graft] final val NbBuckets = 4096
+
+  /** q188's oracle (the full per-doc score SELECT) — shared so the
+    * q202 calibration CTE wraps the identical definition. */
+  private lazy val nbScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t FROM documents),
+              bg AS (SELECT doc_id, source,
+                       ${SQL_H32("t[p] || ' ' || t[p+1]")} % $NbBuckets AS bucket
+                     FROM (SELECT doc_id, source, t,
+                             unnest(generate_series(1, len(t) - 1)) AS p
+                           FROM tok WHERE len(t) >= 2)),
+              lab AS (SELECT doc_id,
+                        CASE WHEN length(text) BETWEEN 100 AND 400
+                          AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4
+                              > length(text) * 3
+                          THEN 1 ELSE 0 END AS y
+                      FROM documents),
+              trf AS (SELECT bucket, y FROM bg JOIN lab USING (doc_id)
+                      WHERE doc_id % 2 = 0),
+              model AS (SELECT bucket,
+                          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+                          sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
+                        FROM trf GROUP BY 1),
+              st AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS t1,
+                       sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS t0 FROM trf),
+              sc AS (SELECT doc_id, source,
+                       (1000000 * (coalesce(n1, 0) + 1)) // (t1 + $NbBuckets)
+                       - (1000000 * (coalesce(n0, 0) + 1)) // (t0 + $NbBuckets) AS w
+                     FROM bg LEFT JOIN model USING (bucket) CROSS JOIN st)
+              SELECT doc_id, source, CAST(lab.y AS BIGINT) AS y,
+                count(*) AS n_feats,
+                CAST(sum(w) AS BIGINT) AS score_ppm,
+                CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+              FROM sc JOIN lab USING (doc_id)
+              GROUP BY doc_id, source, lab.y"""
+
+  /** q188's full train-and-score pipeline as a frame:
+    * (doc_id, source, y, n_feats, score_ppm, pred) — shared with the
+    * q202 calibration table so the score definition can never drift.
+    */
+  private[graft] def nbScores(s: SparkSession, d: String): DataFrame = {
+    val B = NbBuckets
+    val (allB, _) = bigramTable(s, d)
+    val labels = Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("f1"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("long").as("f3"))
+      .select(col("doc_id"),
+        when(col("f1").between(100, 400) &&
+          col("f3") * 4 > col("f1") * 3, 1L).otherwise(0L).as("y"))
+    val feats = allB.withColumn("bucket",
+      pmod(h32(concat_ws(" ", col("w1"), col("w2"))), lit(B.toLong)))
+    val trainF = feats.filter(col("doc_id") % 2 === 0)
+      .join(labels, Seq("doc_id"))
+    val model = trainF.groupBy("bucket").agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+    val stats = trainF.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("t0"))
+    feats
+      .join(broadcast(model), Seq("bucket"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", expr(
+        s"""(1000000 * (coalesce(n1, CAST(0 AS BIGINT)) + 1)) div (t1 + $B)
+            - (1000000 * (coalesce(n0, CAST(0 AS BIGINT)) + 1)) div (t0 + $B)"""))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("w")).cast("long").as("score_ppm"))
+      .join(labels, Seq("doc_id"))
+      .withColumn("pred", (col("score_ppm") > 0).cast("long"))
+      .select("doc_id", "source", "y", "n_feats", "score_ppm", "pred")
+  }
 
   /** Trigram table (doc_id, source, w1, w2, w3), materialized once per
     * (process, dataset) to scratch parquet — the [[bigramTable]] contract

@@ -223,6 +223,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q200_rag_context" /* 3-query broadcast onto the chunk stream, like q41 */,
       "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
       "q188_hashed_ngram_classifier" /* 1-row train-totals broadcast, like q173 */,
+      "q202_score_deciles" /* rides nbScores' 1-row broadcast, like q188 */,
+      "q201_dq_expectations" /* cross join of two single-row aggregates, like q89 */,
       "q175_bpe_apply" /* 1-row vocab-size broadcast onto a 1-row totals agg, like q89 */,
       "q178_mix_upsample" /* 1-row n_max broadcast onto the per-stratum counts, like q130 */,
       "q130_temperature_mix" /* 1-row weight-total broadcast, like q89 */,
