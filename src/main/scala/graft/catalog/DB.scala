@@ -387,6 +387,76 @@ final class DB private (val root: Path, val spark: SparkSession) {
     } finally wipeTmp()
   }
 
+  /** History-preserving SCD2 upsert (the warehouse dimension-history
+    * pattern): the table's pinned schema is the BUSINESS columns plus the
+    * system pair (`valid_from`, `valid_to` — BIGINT versions; current
+    * rows carry `valid_to = Long.MaxValue` so the no-null ingest contract
+    * holds). For a delta batch at `version`:
+    *   - keys whose current row differs in ANY business attribute get the
+    *     old row CLOSED (`valid_to = version`) and a new current row
+    *     appended (`valid_from = version`);
+    *   - brand-new keys append as current;
+    *   - attribute-identical rows are a NO-OP (standard SCD2 change
+    *     detection — re-sending an unchanged dimension must not spawn
+    *     history).
+    * Point-in-time view: `valid_from <= t < valid_to`; current view:
+    * `valid_to = Long.MaxValue`. Commit goes through [[atomicRewrite]]
+    * (snapshot-manifest swap), so readers see old-or-new, never a mix;
+    * at scale the same merge drops onto [[upsertPartitioned]]'s
+    * touched-partition machinery since closures only touch the delta's
+    * key partitions.
+    */
+  def upsertScd2(name: String, df: DataFrame, keys: Seq[String],
+      version: Long): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    val sys = Seq("valid_from", "valid_to")
+    require(sys.forall(schema.fieldNames.contains),
+      s"SCD2 table $name must declare valid_from/valid_to BIGINT columns")
+    val bizSchema = StructType(schema.fields.filterNot(f => sys.contains(f.name)))
+    require(keys.nonEmpty && keys.forall(bizSchema.fieldNames.contains),
+      s"upsert keys must be business columns, got $keys")
+    if (df.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        bizSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+      throw new IllegalArgumentException("Mismatched data type")
+    val attrs = bizSchema.fieldNames.filterNot(keys.contains).toSeq
+    // stage-and-validate once, the [[upsert]] discipline
+    val tmp = root.resolve(s"$name.__stage")
+    def wipeTmp(): Unit = if (Files.exists(tmp))
+      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    wipeTmp()
+    try {
+      nullGuarded(df, bizSchema).write
+        .option("compression", "lz4").parquet(tmp.toString)
+      val staged = spark.read.schema(
+        StructType(bizSchema.fields.map(_.copy(nullable = true))))
+        .parquet(tmp.toString)
+      val hist = table(name)
+      val cur = hist.filter(col("valid_to") === Long.MaxValue)
+      val past = hist.filter(col("valid_to") =!= Long.MaxValue)
+      val joinCond = keys.map(k => col(s"d.$k") === col(s"c.$k"))
+        .reduce(_ && _)
+      val joined = staged.as("d").join(cur.as("c"), joinCond, "left_outer")
+      // changed = new key (no current row) OR any attribute differs
+      val isChanged = col(s"c.${keys.head}").isNull ||
+        attrs.map(a => !(col(s"d.$a") <=> col(s"c.$a"))).reduce(_ || _)
+      val changed = joined.filter(isChanged)
+        .select(bizSchema.fieldNames.map(f => col(s"d.$f").as(f)).toSeq: _*)
+      val changedKeys = changed.select(keys.map(col): _*).distinct()
+      val newRows = changed
+        .withColumn("valid_from", lit(version))
+        .withColumn("valid_to", lit(Long.MaxValue))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      val closed = cur.join(changedKeys, keys, "left_semi")
+        .withColumn("valid_to", lit(version))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      val keptCur = cur.join(changedKeys, keys, "left_anti")
+      atomicRewrite(name,
+        past.unionByName(keptCur).unionByName(closed).unionByName(newRows),
+        schema, None)
+    } finally wipeTmp()
+  }
+
   /** Partition-scoped SCD1 upsert — the at-scale refinement [[upsert]]'s
     * scaladoc promises: on a directory-partitioned table (written via
     * [[writePartitioned]]), rows of `df` replace same-key rows and ONLY

@@ -493,6 +493,66 @@ object EventQueries {
                  OR b0.sum_value != f.sum_value""")
     ),
 
+    // ── SCD2 dimension history (history-preserving MERGE) ─────────────────
+    QueryDef(
+      "q203_scd2_history",
+      // The warehouse dimension-history pattern DB.upsert (SCD1) cannot
+      // express: [[graft.catalog.DB.upsertScd2]] closes changed rows
+      // (valid_to = version) and appends new current rows, while
+      // attribute-identical delta rows are a NO-OP — re-sending an
+      // unchanged dimension must not spawn history. The fixture loads
+      // the customer dimension at v1, then applies a v2 delta where
+      // keys ≡0 (mod 3) change balance (+100) and keys ≡1 re-send
+      // UNCHANGED; the oracle reconstructs the exact expected history
+      // closed-form, so change detection, closure stamping, the no-op
+      // rule, and the atomic rewrite all sit under the hash match.
+      // Scale shape: one left-outer join of the delta against current
+      // rows (keyed), two semi/anti splits, one commit — and the merge
+      // drops onto upsertPartitioned's touched-partition machinery when
+      // the dimension is partitioned.
+      (s, d) => {
+        import graft.catalog.DB
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType, nullable = false),
+          StructField("c_acctbal", DoubleType, nullable = false),
+          StructField("c_mktsegment", StringType, nullable = false),
+          StructField("valid_from", LongType, nullable = false),
+          StructField("valid_to", LongType, nullable = false)))
+        val root = Shared.scratchRoot("q203", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val db = DB.init(root.toString, Seq("dim" -> schema))(s)
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+        db.upsertScd2("dim", base, Seq("c_custkey"), version = 1L)
+        val delta = base
+          .filter(col("c_custkey") % 3 <= 1)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")))
+        db.upsertScd2("dim", delta, Seq("c_custkey"), version = 2L)
+        db.table("dim")
+          .filter(col("c_custkey") < 100)
+          .select("c_custkey", "c_acctbal", "valid_from", "valid_to")
+      },
+      Some("""WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                  c_acctbal FROM customer WHERE c_custkey < 100)
+              SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS valid_from,
+                CAST(CASE WHEN c_custkey % 3 = 0 THEN 2
+                  ELSE 9223372036854775807 END AS BIGINT) AS valid_to
+              FROM c
+              UNION ALL
+              SELECT c_custkey, c_acctbal + 100.0, CAST(2 AS BIGINT),
+                CAST(9223372036854775807 AS BIGINT)
+              FROM c WHERE c_custkey % 3 = 0""")
+    ),
+
     // ── RETENTION COHORTS: the classic product-analytics matrix ───────────
     QueryDef(
       "q194_retention_cohorts",

@@ -495,4 +495,45 @@ class DBSpec extends AnyFunSuite with SparkFixture {
     assert(db.table("zgrid").count() == 65536L &&
       db.table("lingrid").count() == 65536L)
   }
+
+  test("SCD2 upsert: change closes history, no-op resend is silent, PIT view works") {
+    implicit val s = spark
+    import s.implicits._
+    val MaxV = Long.MaxValue
+    val dimSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = false),
+      StructField("valid_from", LongType, nullable = false),
+      StructField("valid_to", LongType, nullable = false)))
+    val db = DB.init(freshDir("scd2"), Seq("dim" -> dimSchema))
+    def delta(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+    def hist = db.table("dim").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    db.upsertScd2("dim", delta(1L -> "a", 2L -> "b"), Seq("k"), version = 1L)
+    assert(hist == Set((1L, "a", 1L, MaxV), (2L, "b", 1L, MaxV)))
+    // v2: key 1 changes, key 2 re-sent UNCHANGED (must be a no-op),
+    // key 3 is new
+    db.upsertScd2("dim", delta(1L -> "a2", 2L -> "b", 3L -> "c"),
+      Seq("k"), version = 2L)
+    assert(hist == Set(
+      (1L, "a", 1L, 2L), (1L, "a2", 2L, MaxV),
+      (2L, "b", 1L, MaxV), (3L, "c", 2L, MaxV)))
+    // v3: key 1 changes again -> two closed rows in its history chain
+    db.upsertScd2("dim", delta(1L -> "a3"), Seq("k"), version = 3L)
+    assert(hist == Set(
+      (1L, "a", 1L, 2L), (1L, "a2", 2L, 3L), (1L, "a3", 3L, MaxV),
+      (2L, "b", 1L, MaxV), (3L, "c", 2L, MaxV)))
+    // point-in-time view at t=2: the rows where valid_from <= 2 < valid_to
+    val pit = db.table("dim")
+      .filter("valid_from <= 2 AND valid_to > 2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pit == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // rejects a delta carrying the system columns
+    intercept[IllegalArgumentException] {
+      db.upsertScd2("dim",
+        Seq((9L, "x", 9L, 9L)).toDF("k", "v", "valid_from", "valid_to"),
+        Seq("k"), version = 4L)
+    }
+  }
 }
