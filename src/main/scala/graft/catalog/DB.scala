@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** The `DB` facade — capability-parity port of the reference's public API
@@ -331,16 +331,21 @@ final class DB private (val root: Path, val spark: SparkSession) {
       throw new IllegalArgumentException(s"Table not found: $name"))
     val dir = tableDir(name)
     if (!Files.exists(dir)) return (0, 0)
-    val before = parquetFiles(dir)
+    // COMMITTED files only, on both sides of the report: superseded
+    // generations retained for time travel are not part of the table —
+    // counting them would make every compaction look like a no-op
+    def committed: Seq[String] =
+      snapshotFiles(name).getOrElse(listRelParquet(name))
+    val before = committed
     if (before.isEmpty) return (0, 0)
-    val totalBytes = before.map(Files.size).sum
+    val totalBytes = before.map(f => Files.size(dir.resolve(f))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // read through table(): on a snapshot-committed table the manifest is
     // the truth — a raw directory read would resurrect superseded files.
-    // The rewrite's directory swap discards the manifest along with the
-    // old generation, returning the table to plain single-swap semantics.
+    // The rewrite commits a new manifest generation; the old one stays
+    // readable via tableAsOf until expireSnapshots reclaims it.
     atomicRewrite(name, table(name), schema, Some(nFiles))
-    (before.size, parquetFiles(dir).size)
+    (before.size, committed.size)
   }
 
   /** SCD1 upsert (MERGE semantics on plain parquet): rows of `df` REPLACE
@@ -385,6 +390,58 @@ final class DB private (val root: Path, val spark: SparkSession) {
         .join(staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
       atomicRewrite(name, kept.unionByName(staged), schema, None)
     } finally wipeTmp()
+  }
+
+  /** Keyed DELETE — the MERGE family's third verb: rows matching any key
+    * tuple in `keyDf` are removed, committed through the same atomic
+    * snapshot rewrite (old-or-new, the deleted version stays readable via
+    * [[tableAsOf]] until [[expireSnapshots]]). `keyDf` must carry exactly
+    * the key columns.
+    */
+  def delete(name: String, keyDf: DataFrame, keys: Seq[String]): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+      s"delete keys must be table columns, got $keys")
+    require(keyDf.schema.fieldNames.toSeq == keys,
+      s"keyDf must carry exactly the key columns $keys, " +
+        s"got ${keyDf.schema.fieldNames.toSeq}")
+    val kept = table(name).join(keyDf.distinct(), keys, "left_anti")
+    atomicRewrite(name, kept, schema, None)
+  }
+
+  /** Change-data-capture DIFF between two retained snapshot versions (the
+    * Delta CDF / Iceberg changelog read, on plain parquet): one full
+    * outer join of `tableAsOf(vOld)` against `vNew` (default: current) on
+    * the keys, rows classified I / U / D, unchanged keys emitted not at
+    * all. Output: `op`, the keys, and `before_X` / `after_X` for every
+    * non-key column. The downstream of every incremental pipeline —
+    * "what changed since the version I last processed" — as one keyed
+    * join over two MV-sized snapshots.
+    */
+  def diff(name: String, keys: Seq[String], vOld: Long,
+      vNew: Option[Long] = None): DataFrame = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"Table not found: $name"))
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+      s"diff keys must be table columns, got $keys")
+    val attrs = schema.fieldNames.filterNot(keys.contains).toSeq
+    val o = tableAsOf(name, vOld).as("o")
+    val n = vNew.map(tableAsOf(name, _)).getOrElse(table(name)).as("n")
+    val cond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val oldExists = col(s"o.${keys.head}").isNotNull
+    val newExists = col(s"n.${keys.head}").isNotNull
+    val changed = attrs.map(a => !(col(s"o.$a") <=> col(s"n.$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, cond, "full_outer")
+      .withColumn("op",
+        when(!oldExists, lit("I")).when(!newExists, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(Seq(col("op")) ++
+        keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++
+        attrs.flatMap(a => Seq(col(s"o.$a").as(s"before_$a"),
+          col(s"n.$a").as(s"after_$a"))): _*)
   }
 
   /** History-preserving SCD2 upsert (the warehouse dimension-history
@@ -614,12 +671,18 @@ final class DB private (val root: Path, val spark: SparkSession) {
     if (!df.filter(anyNull).isEmpty)
       throw new IllegalArgumentException("Mismatched data type")
     val z = DB.zValue(col(colA), col(colB))
+    val before = if (Files.exists(snapshotPath(name)))
+      Some(listRelParquet(name).toSet) else None
     nullGuarded(df, schema).withColumn("__z", z)
       .repartitionByRange(col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("append").option("compression", "lz4")
       .parquet(tableDir(name).toString)
+    before.foreach { b =>
+      val cur = snapshotFiles(name).getOrElse(Seq.empty)
+      commitSnapshot(name, cur ++ listRelParquet(name).filterNot(b))
+    }
   }
 
   private def parquetFiles(p: Path): Seq[Path] =
@@ -634,31 +697,55 @@ final class DB private (val root: Path, val spark: SparkSession) {
       nFiles: Option[Int]): Unit = {
     val dir = tableDir(name)
     val sortCols = schema.fieldNames.map(col).toSeq
+    // sweep residue no retained manifest references (crashed commits,
+    // expired generations) — the upsertPartitioned preamble
+    if (Files.exists(snapshotPath(name))) {
+      val retained = retainedFiles(name)
+      listRelParquet(name).filterNot(retained)
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    }
     val tmp = root.resolve(s"$name.__rewrite")
     // When the caller doesn't pin a file count, derive it from the
-    // CURRENT on-disk size (≈ the rewrite's size for merge-style
-    // rewrites): file count scales with data at 100 TB, while a small
-    // table rewrites to ONE file instead of spark.sql.shuffle.partitions
+    // COMMITTED generation's size (≈ the rewrite's size for merge-style
+    // rewrites; superseded-but-retained files must not inflate it):
+    // file count scales with data at 100 TB, while a small table
+    // rewrites to ONE file instead of spark.sql.shuffle.partitions
     // shards — an upsert loop on an MV-sized table otherwise pays a
     // range-sampling job plus a 32-tiny-file write+read per merge
     // (measured: the dominant cost of q150's maintenance steps).
     val n = nFiles.getOrElse {
-      val bytes = if (Files.exists(dir)) parquetFiles(dir).map(Files.size).sum
-        else 0L
+      val bytes =
+        if (!Files.exists(dir)) 0L
+        else snapshotFiles(name) match {
+          case Some(files) => files.map(f => Files.size(dir.resolve(f))).sum
+          case None => parquetFiles(dir).map(Files.size).sum
+        }
       math.max(1, math.ceil(bytes.toDouble / (128L * 1024 * 1024)).toInt)
     }
-    val repart = df.repartitionByRange(n, sortCols: _*)
-    repart.sortWithinPartitions(sortCols: _*)
-      .write.mode("overwrite").option("compression", "lz4")
-      .parquet(tmp.toString)
-    val old = root.resolve(s"$name.__old")
-    // a stale __old from a crashed prior rewrite must not block this one
-    if (Files.exists(old))
-      Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    if (Files.exists(dir)) Files.move(dir, old)
-    Files.move(tmp, dir)
-    if (Files.exists(old))
-      Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // stage the rewrite FIRST (it reads the generation it supersedes),
+    // then adopt the staged part-files next to the old generation and
+    // swap the snapshot manifest — the commit point. Old files stay on
+    // disk for retained manifests ([[tableAsOf]]); [[expireSnapshots]]
+    // is the reclamation point. This gives every rewrite verb (upsert,
+    // SCD2, delete, compact) the same old-or-new durability AND time
+    // travel as the partitioned merge path.
+    def wipeTmp(): Unit = if (Files.exists(tmp))
+      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    wipeTmp()
+    try {
+      df.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite").option("compression", "lz4")
+        .parquet(tmp.toString)
+      Files.createDirectories(dir)
+      val gen = s"g${currentVersion(name) + 1}"
+      val newFiles = parquetFiles(tmp).map { p =>
+        val nm = s"$gen-${p.getFileName}"
+        Files.move(p, dir.resolve(nm))
+        nm
+      }
+      commitSnapshot(name, newFiles)
+    } finally wipeTmp()
   }
 
   /** Range-sorted LZ4 Parquet append — realizes `README.md:44`'s sort
@@ -666,12 +753,22 @@ final class DB private (val root: Path, val spark: SparkSession) {
     */
   private def writeValidated(df: DataFrame, name: String, schema: StructType): Unit = {
     val sortCols = schema.fieldNames.map(col).toSeq
+    // snapshot-committed tables (a prior rewrite/merge versioned them):
+    // an append must join the manifest or it would be invisible — record
+    // the physical listing BEFORE the write so only THIS batch's files
+    // are adopted (the writePartitioned discipline)
+    val before = if (Files.exists(snapshotPath(name)))
+      Some(listRelParquet(name).toSet) else None
     df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .write
       .mode("append")
       .option("compression", "lz4")
       .parquet(tableDir(name).toString)
+    before.foreach { b =>
+      val cur = snapshotFiles(name).getOrElse(Seq.empty)
+      commitSnapshot(name, cur ++ listRelParquet(name).filterNot(b))
+    }
   }
 
   /** Bucketed ingest: hash-bucket the table by `bucketCols` into `numBuckets`

@@ -553,6 +553,64 @@ object EventQueries {
               FROM c WHERE c_custkey % 3 = 0""")
     ),
 
+    // ── CDC: change-data-capture diff between snapshot versions ───────────
+    QueryDef(
+      "q204_snapshot_cdc",
+      // The changelog read every incremental consumer needs ("what
+      // changed since the version I last processed"): drive a dimension
+      // through upsert v1 (initial load) → upsert v2 (balance change for
+      // keys ≡0 mod 3, brand-new synthetic keys for ≡0 mod 5) → DELETE
+      // v3 (keys ≡0 mod 7 — the MERGE family's third verb, new this
+      // round), then ask [[graft.catalog.DB.diff]] for v1→current:
+      // one full outer join of two retained snapshots classifying rows
+      // I / U / D with before/after values; unchanged keys emit nothing.
+      // The oracle reconstructs the exact expected changelog closed-form
+      // — note a key both updated (v2) and deleted (v3) must surface as
+      // D with its ORIGINAL before-value, which only falls out if diff
+      // really reads the retained v1 files, not any later state.
+      (s, d) => {
+        import graft.catalog.DB
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType, nullable = false),
+          StructField("c_acctbal", DoubleType, nullable = false)))
+        val root = Shared.scratchRoot("q204", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val db = DB.init(root.toString, Seq("dim" -> schema))(s)
+        val base = Tables.customer(s, d)
+          .filter(col("c_custkey") < 200)
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_acctbal"))
+        db.upsert("dim", base, Seq("c_custkey"))                       // v1
+        val delta = base.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .unionByName(base.filter(col("c_custkey") % 5 === 0)
+            .select((col("c_custkey") + 10000L).as("c_custkey"),
+              col("c_acctbal")))
+        db.upsert("dim", delta, Seq("c_custkey"))                      // v2
+        db.delete("dim",
+          base.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+          Seq("c_custkey"))                                            // v3
+        db.diff("dim", Seq("c_custkey"), vOld = 1L)
+      },
+      Some("""WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal AS b
+                FROM customer WHERE c_custkey < 200)
+              SELECT 'D' AS op, k AS c_custkey, b AS before_c_acctbal,
+                CAST(NULL AS DOUBLE) AS after_c_acctbal
+              FROM c WHERE k % 7 = 0
+              UNION ALL
+              SELECT 'U', k, b, b + 100.0 FROM c
+              WHERE k % 3 = 0 AND k % 7 != 0
+              UNION ALL
+              SELECT 'I', k + 10000, CAST(NULL AS DOUBLE), b FROM c
+              WHERE k % 5 = 0""")
+    ),
+
     // ── RETENTION COHORTS: the classic product-analytics matrix ───────────
     QueryDef(
       "q194_retention_cohorts",

@@ -496,6 +496,42 @@ class DBSpec extends AnyFunSuite with SparkFixture {
       db.table("lingrid").count() == 65536L)
   }
 
+  test("delete + CDC diff: I/U/D classified; plain upserts are time-travelable now") {
+    implicit val s = spark
+    import s.implicits._
+    val dimSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = false)))
+    val db = DB.init(freshDir("cdc"), Seq("dim" -> dimSchema))
+    db.upsert("dim", Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("k", "v"),
+      Seq("k"))                                                     // v1
+    db.upsert("dim", Seq(2L -> "b2", 4L -> "d").toDF("k", "v"),
+      Seq("k"))                                                     // v2
+    db.delete("dim", Seq(3L).toDF("k"), Seq("k"))                   // v3
+    // the r9 atomicRewrite upgrade: EVERY rewrite verb commits a
+    // retained manifest, so v1 is still readable after two more commits
+    assert(db.tableAsOf("dim", 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    val d = db.diff("dim", Seq("k"), vOld = 1L).collect()
+      .map(r => r.getLong(1) -> ((r.getString(0),
+        Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(d == Map(
+      2L -> (("U", Some("b"), Some("b2"))),
+      3L -> (("D", Some("c"), None)),
+      4L -> (("I", None, Some("d")))), d)
+    // unchanged key 1 emits nothing; diff of identical versions is empty
+    assert(!d.contains(1L))
+    assert(db.diff("dim", Seq("k"), vOld = 3L).isEmpty)
+    // appends onto a versioned table join the manifest (stay visible)
+    db.write("dim", Seq(Row(9L, "z")))
+    assert(db.table("dim").count() == 4L)
+    // keyDf must carry exactly the key columns
+    intercept[IllegalArgumentException] {
+      db.delete("dim", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    }
+  }
+
   test("SCD2 upsert: change closes history, no-op resend is silent, PIT view works") {
     implicit val s = spark
     import s.implicits._
