@@ -611,6 +611,115 @@ object EventQueries {
               WHERE k % 5 = 0""")
     ),
 
+    // ── OLS TREND + FORECAST per group (closed-form linear regression) ────
+    QueryDef(
+      "q205_ols_forecast",
+      // The capacity-planning query every metrics warehouse runs: fit a
+      // least-squares line to each event type's weekly volume and
+      // forecast the next week. Closed-form OLS — slope = (nΣxy−ΣxΣy) /
+      // (nΣx²−(Σx)²) — over EXACT BIGINT sums (x = epoch week index,
+      // y = weekly count), so both engines derive bit-identical doubles
+      // from identical integers with the identical division order; no
+      // iterative fitting, no RNG. Trains in ONE aggregation per group —
+      // how linear models should train at any scale (the q173 argument,
+      // regression form).
+      (s, d) => {
+        val weekNs = 604800L * 1000L * 1000L * 1000L
+        val wk = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts div ${weekNs}L").as("x"))
+          .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+        wk.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            max(col("x")).as("xmax"))
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .withColumn("intercept",
+            (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+              col("n").cast("double"))
+          .withColumn("forecast_next",
+            col("intercept") + col("slope") * (col("xmax") + 1).cast("double"))
+          .select("event_type", "n", "slope", "intercept", "forecast_next")
+      },
+      Some("""WITH wk AS (SELECT event_type,
+                  epoch_us(ts) // 604800000000 AS x, count(*) AS y
+                FROM events GROUP BY 1, 2),
+              st AS (SELECT event_type, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                  sum(x*x) AS sxx, max(x) AS xmax
+                FROM wk GROUP BY 1),
+              fit AS (SELECT event_type, CAST(n AS BIGINT) AS n, xmax,
+                  CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                  sx, sy
+                FROM st)
+              SELECT event_type, n, slope,
+                (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) AS intercept,
+                (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + slope * CAST(xmax + 1 AS DOUBLE) AS forecast_next
+              FROM fit""")
+    ),
+
+    // ── Z-SCORE ANOMALY DETECTION (exact-integer moment inputs) ───────────
+    QueryDef(
+      "q206_anomaly_zscore",
+      // The observability op next to the trend fit: flag events whose
+      // value sits > 3σ from its type's mean. The moments come from
+      // EXACT integer sums (value in cents via the DECIMAL(18,2) cast —
+      // the q59 variance discipline), so μ and σ² are identical doubles
+      // in both engines and the 3σ comparison lands identically even at
+      // the boundary. One aggregation + one broadcast-sized join of
+      // per-type stats back onto the stream; reported per type so the
+      // output stays bounded: counts plus the worst offender.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long").as("c"))
+        val st = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("qc"))
+        ev.join(broadcast(st), "event_type")
+          .withColumn("mu", col("sc").cast("double") / col("n").cast("double"))
+          .withColumn("sig2",
+            (col("qc").cast("double") -
+              col("sc").cast("double") * col("sc").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"))
+          .withColumn("dev2",
+            (col("c").cast("double") - col("mu")) *
+              (col("c").cast("double") - col("mu")))
+          .withColumn("is_anom", (col("dev2") > col("sig2") * 9.0).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("is_anom")).cast("long").as("n_anomalies"),
+            max(when(col("is_anom") === 1, col("c"))).as("worst_cents"))
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                FROM events),
+              st AS (SELECT event_type, count(*) AS n, sum(c) AS sc,
+                  sum(c*c) AS qc
+                FROM ev GROUP BY 1),
+              j AS (SELECT ev.event_type, c,
+                  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS sig2
+                FROM ev JOIN st ON ev.event_type = st.event_type),
+              f AS (SELECT event_type, c,
+                  CASE WHEN (CAST(c AS DOUBLE) - mu) * (CAST(c AS DOUBLE) - mu)
+                    > sig2 * 9.0 THEN 1 ELSE 0 END AS is_anom
+                FROM j)
+              SELECT event_type, count(*) AS n_events,
+                CAST(sum(is_anom) AS BIGINT) AS n_anomalies,
+                max(CASE WHEN is_anom = 1 THEN c END) AS worst_cents
+              FROM f GROUP BY 1""")
+    ),
+
     // ── RETENTION COHORTS: the classic product-analytics matrix ───────────
     QueryDef(
       "q194_retention_cohorts",
