@@ -1133,6 +1133,46 @@ object CoreQueries {
               s_suppkey >> 1 AS shr,
               CAST(bit_count(s_suppkey) AS BIGINT) AS pop
               FROM supplier""")
+    ),
+
+    // ── 2D SKYLINE (pareto-optimal set via one running-max window) ────────
+    QueryDef(
+      "q207_skyline_2d",
+      // The multi-criteria dominance query (best price for its size):
+      // keep every part NOT strictly dominated — no other part both
+      // strictly cheaper AND strictly larger. The naive form is an
+      // O(n²) self-join; the 2D skyline collapses to ONE window: order
+      // by exact price cents, and a part survives iff the max size over
+      // all STRICTLY cheaper parts (RANGE frame ending 1 cent before
+      // the current value — ties are excluded from the frame, which is
+      // exactly the strictness rule) does not exceed its own size. All
+      // frame arithmetic is BIGINT cents, so frame membership is
+      // engine-identical. Scale shape: one range-partitioned global
+      // sort + a running max — no self-join at any size.
+      (s, d) => {
+        val w = Window.orderBy("price_c")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("price_c"),
+            col("p_size").cast("long").as("size"))
+          .withColumn("best_cheaper", max(col("size")).over(w))
+          .filter(col("best_cheaper").isNull ||
+            col("best_cheaper") <= col("size"))
+          .select("p_partkey", "price_c", "size")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS price_c,
+                  CAST(p_size AS BIGINT) AS size
+                FROM part),
+              wmax AS (SELECT *, max(size) OVER (ORDER BY price_c
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS best_cheaper
+                FROM p)
+              SELECT p_partkey, price_c, size FROM wmax
+              WHERE best_cheaper IS NULL OR best_cheaper <= size""")
     )
   )
 }

@@ -2779,6 +2779,55 @@ object TextQueries {
                 CAST(sum(y) AS BIGINT) AS n_pos,
                 min(score_ppm) AS min_score, max(score_ppm) AS max_score
               FROM dd GROUP BY 1""")
+    ),
+
+    // ── BUDGET APPORTIONMENT (largest-remainder sampling quotas) ──────────
+    QueryDef(
+      "q208_budget_apportion",
+      // The budget-allocation step between weighting (q130's temperature
+      // mix decides PROPORTIONS) and sampling (q183 draws the rows): turn
+      // per-source token masses into INTEGER document quotas summing to
+      // exactly N=1000 via the largest-remainder method — base quota
+      // ⌊N·T_s/T⌋, then the N−Σ⌊⌋ leftover seats go to the largest
+      // remainders (N·T_s mod T, ties by source name). Every quantity is
+      // exact BIGINT, so the apportionment is engine-identical including
+      // the tie order — the property a reproducible data recipe needs.
+      // Shape: one corpus aggregation to source masses (tiny), then
+      // windows over the source table (model-sized at any corpus scale).
+      (s, d) => {
+        val N = 1000L
+        val masses = Tables.documents(s, d)
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source").agg(sum(col("nt")).as("tokens"))
+        val wTot = Window.partitionBy()
+        val wRk = Window.orderBy(col("rem").desc, col("source").asc)
+        masses
+          .withColumn("total", sum(col("tokens")).over(wTot))
+          .withColumn("base", expr(s"($N * tokens) div total"))
+          .withColumn("rem", expr(s"($N * tokens) % total"))
+          .withColumn("leftover", lit(N) - sum(col("base")).over(wTot))
+          .withColumn("rk", row_number().over(wRk).cast("long"))
+          .withColumn("extra", (col("rk") <= col("leftover")).cast("long"))
+          .withColumn("quota", col("base") + col("extra"))
+          .select("source", "tokens", "base", "extra", "quota")
+      },
+      Some(s"""WITH m AS (SELECT source,
+                  CAST(sum(len($SQL_TOKENS)) AS BIGINT) AS tokens
+                FROM documents GROUP BY 1),
+              a AS (SELECT source, tokens,
+                  sum(tokens) OVER () AS total FROM m),
+              b AS (SELECT source, tokens,
+                  (1000 * tokens) // total AS base,
+                  (1000 * tokens) % total AS rem FROM a),
+              c AS (SELECT *, 1000 - sum(base) OVER () AS leftover,
+                  CAST(row_number() OVER (ORDER BY rem DESC, source)
+                    AS BIGINT) AS rk FROM b)
+              SELECT source, tokens, CAST(base AS BIGINT) AS base,
+                CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                  AS extra,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota
+              FROM c""")
     )
   )
 

@@ -611,6 +611,40 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       16L -> ((1L, 9L, 7L, 1L))), rows)
   }
 
+  test("2D skyline: strict dominance only — price ties never dominate") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("skyline").toString
+    // parts 2 and 4 are dominated (something cheaper AND larger exists);
+    // 5 ties 1 on price, so neither dominates the other and both survive
+    Seq((1L, 10.00, 5), (2L, 20.00, 3), (3L, 5.00, 2),
+        (4L, 30.00, 7), (5L, 10.00, 9))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .write.parquet(s"$dir/part.parquet")
+    val keep = SparkEntry.queries("q207_skyline_2d")(spark, dir)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 3L, 5L), keep)
+  }
+
+  test("budget apportionment: quotas sum exactly to N, remainder ties by source") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("apport").toString
+    // masses 7/7/3 (total 17): bases 411/411/176 sum 998, remainders
+    // 13/13/8 -> the two leftover seats go to sA and sB (tie on 13,
+    // source-name order), never sC
+    def doc(id: Long, n: Int, src: String) =
+      (id, (1 to n).map(i => s"t$i").mkString(" "), src)
+    Seq(doc(1, 7, "sA"), doc(2, 7, "sB"), doc(3, 3, "sC"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q208_budget_apportion")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows == Map("sA" -> ((411L, 1L, 412L)), "sB" -> ((411L, 1L, 412L)),
+      "sC" -> ((176L, 0L, 176L))), rows)
+    assert(rows.values.map(_._3).sum == 1000L)
+  }
+
   test("PCA power iteration recovers a planted dominant direction") {
     val s = spark
     import s.implicits._
