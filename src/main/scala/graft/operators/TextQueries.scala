@@ -2781,6 +2781,156 @@ object TextQueries {
               FROM dd GROUP BY 1""")
     ),
 
+    // ── PMI CO-OCCURRENCE (distributional association mining) ─────────────
+    QueryDef(
+      "q209_pmi_cooccur",
+      // The word2vec-era distributional-semantics statistic: which token
+      // pairs co-occur within a ±2 window far above chance. The
+      // association score is the exact PMI RATIO
+      //   p(w1,w2) / (p(w1)·p(w2)) = c12·N² / (W·c1·c2)
+      // computed as doubles from exact BIGINT counts in a pinned
+      // multiplication order (log-free per the q57 discipline — the
+      // ratio ranks identically to PMI). Count floor c12 ≥ 5 kills the
+      // hapax noise; top-20 by (ratio desc, pair asc).
+      //
+      // Shape, and why it scales: ZERO new corpus scans — the ±1 pairs
+      // are the memoized [[bigramTable]], the ±2 skip-grams project from
+      // the memoized [[trigramTable]] (w1, w3), and unigram counts scan
+      // the memoized [[postingsTable]]; N and W are two scalar model
+      // parameters. Pair counting is one hash aggregation; the unigram
+      // attach is a broadcast (vocab-bounded) join.
+      (s, d) => {
+        val (bg, _) = bigramTable(s, d)
+        val (tg, _) = trigramTable(s, d)
+        val pairs = bg.select(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+          .unionAll(tg.select(least(col("w1"), col("w3")).as("a"),
+            greatest(col("w1"), col("w3")).as("b")))
+        val post = postingsTable(s, d)
+        val n = post.count()
+        val w = pairs.count()
+        val uni = post.groupBy("w").agg(count(lit(1)).as("c"))
+        pairs.groupBy("a", "b").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+          .join(broadcast(uni.select(col("w").as("a"), col("c").as("ca"))), "a")
+          .join(broadcast(uni.select(col("w").as("b"), col("c").as("cb"))), "b")
+          .withColumn("pmi_ratio",
+            col("c12").cast("double") * lit(n.toDouble) * lit(n.toDouble) /
+              (lit(w.toDouble) * col("ca").cast("double") *
+                col("cb").cast("double")))
+          .select(col("a").as("w1"), col("b").as("w2"), col("c12"),
+            col("pmi_ratio"))
+          .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              bg AS (SELECT least(t[p], t[p+1]) AS a,
+                       greatest(t[p], t[p+1]) AS b
+                     FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS p
+                           FROM tok WHERE len(t) >= 2)),
+              sk AS (SELECT least(t[p], t[p+2]) AS a,
+                       greatest(t[p], t[p+2]) AS b
+                     FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS p
+                           FROM tok WHERE len(t) >= 3)),
+              pairs AS (SELECT * FROM bg UNION ALL SELECT * FROM sk),
+              c12 AS (SELECT a, b, count(*) AS c12 FROM pairs
+                      GROUP BY 1, 2 HAVING count(*) >= 5),
+              uni AS (SELECT w, count(*) AS c FROM
+                        (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM (SELECT unnest(t) FROM tok)),
+              ww AS (SELECT count(*) AS wtot FROM pairs)
+              SELECT a AS w1, b AS w2, c12,
+                CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(wtot AS DOUBLE) * CAST(ca.c AS DOUBLE)
+                     * CAST(cb.c AS DOUBLE)) AS pmi_ratio
+              FROM c12 JOIN uni ca ON c12.a = ca.w
+                JOIN uni cb ON c12.b = cb.w
+                CROSS JOIN nn CROSS JOIN ww
+              ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20"""),
+      headline = true
+    ),
+
+    // ── TRAINED LANGUAGE-ID (char-trigram NB) + confusion matrix ──────────
+    QueryDef(
+      "q210_langid_trained",
+      // q34's heuristic lang-ID upgraded to the TRAINED form real
+      // pipelines use (the langid.py/CLD architecture): per-language
+      // char-trigram models fit on the even-id split, every document
+      // scored under every language with add-one-smoothed log-free ppm
+      // sums (the q169/q188 convention — exact BIGINT, engine-identical
+      // argmax with the (score desc, lang asc) tie-break), and the
+      // self-evaluation reported as the confusion matrix against the
+      // corpus's own lang labels — the artifact a model audit reads.
+      //
+      // Shape, and why it scales: the MODEL is dense (train-trigram
+      // universe × languages) but char-trigram-bounded (≲ |charset|³·L
+      // rows) → broadcast; unseen eval trigrams take the per-language
+      // smoothing floor via a 5-row broadcast fan-out. One corpus scan
+      // feeds train counting and scoring; scoring is one broadcast join
+      // + one (doc, lang) aggregation + one per-doc argmax window.
+      (s, d) => {
+        val tri = Tables.documents(s, d)
+          .filter(length(col("text")) >= 3)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            explode(transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3)))).as("g"))
+        val train = tri.filter(col("doc_id") % 2 === 0)
+        val cnts = train.groupBy("g", "true_lang")
+          .agg(count(lit(1)).as("c"))
+          .withColumnRenamed("true_lang", "lang")
+        val nl = train.groupBy("true_lang").agg(count(lit(1)).as("n_lang"))
+          .withColumnRenamed("true_lang", "lang")
+        val v = train.agg(countDistinct(col("g"))).head.getLong(0)
+        val model = train.select("g").distinct()
+          .crossJoin(broadcast(nl))
+          .join(cnts, Seq("g", "lang"), "left")
+          .withColumn("ppm", expr(
+            s"""(1000000 * (coalesce(c, CAST(0 AS BIGINT)) + 1))
+                div (n_lang + ${v}L)"""))
+          .select("g", "lang", "ppm")
+        val langsF = nl.withColumn("floor",
+          expr(s"1000000 div (n_lang + ${v}L)")).select("lang", "floor")
+        val wBest = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("lang").asc)
+        tri.crossJoin(broadcast(langsF))
+          .join(broadcast(model), Seq("g", "lang"), "left")
+          .withColumn("p", coalesce(col("ppm"), col("floor")))
+          .groupBy("doc_id", "true_lang", "lang")
+          .agg(sum(col("p")).cast("long").as("score"))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .groupBy(col("true_lang").as("lang"), col("lang").as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH tri AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, CAST(length(text) - 1 AS INT)),
+                    i -> substring(text, i, 3))) AS g
+                FROM documents WHERE length(text) >= 3),
+              tr AS (SELECT * FROM tri WHERE doc_id % 2 = 0),
+              cnts AS (SELECT g, lang, count(*) AS c FROM tr GROUP BY 1, 2),
+              nl AS (SELECT lang, count(*) AS n_lang FROM tr GROUP BY 1),
+              vv AS (SELECT count(DISTINCT g) AS v FROM tr),
+              gu AS (SELECT DISTINCT g FROM tr),
+              model AS (SELECT gu.g, nl.lang,
+                  (1000000 * (coalesce(c, 0) + 1)) // (n_lang + v) AS ppm
+                FROM gu CROSS JOIN nl CROSS JOIN vv
+                  LEFT JOIN cnts ON gu.g = cnts.g AND nl.lang = cnts.lang),
+              fl AS (SELECT lang, 1000000 // (n_lang + v) AS fl
+                FROM nl CROSS JOIN vv),
+              sc AS (SELECT tri.doc_id, tri.lang AS true_lang,
+                  fl.lang AS cand,
+                  CAST(sum(coalesce(ppm, fl.fl)) AS BIGINT) AS score
+                FROM tri CROSS JOIN fl
+                  LEFT JOIN model ON tri.g = model.g AND fl.lang = model.lang
+                GROUP BY 1, 2, 3),
+              pred AS (SELECT doc_id, true_lang, cand AS pred_lang FROM sc
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, cand) = 1)
+              SELECT true_lang AS lang, pred_lang, count(*) AS n_docs
+              FROM pred GROUP BY 1, 2""")
+    ),
+
     // ── BUDGET APPORTIONMENT (largest-remainder sampling quotas) ──────────
     QueryDef(
       "q208_budget_apportion",

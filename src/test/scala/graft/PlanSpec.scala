@@ -221,6 +221,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q198_ann_ivfpq_incremental" /* K=8 centroid broadcast (probe ranking), like q189 */,
       "q196_length_buckets" /* 14-row powers-table broadcast range join */,
       "q200_rag_context" /* 3-query broadcast onto the chunk stream, like q41 */,
+      "q210_langid_trained" /* 5-row language-table broadcast fan-outs (model + floor) */,
       "q173_quality_classifier" /* 1-row trained-model broadcast, like q89 */,
       "q188_hashed_ngram_classifier" /* 1-row train-totals broadcast, like q173 */,
       "q202_score_deciles" /* rides nbScores' 1-row broadcast, like q188 */,

@@ -611,6 +611,42 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       16L -> ((1L, 9L, 7L, 1L))), rows)
   }
 
+  test("trained language-ID: distinct char distributions classify held-out docs") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("langid").toString
+    // two synthetic languages with disjoint character inventories; even
+    // ids train, odd ids are held out — the confusion matrix must be
+    // purely diagonal
+    val aa = "aba bab aab bba aba bab"
+    val zz = "zyz yzy zzy yyz zyz yzy"
+    Seq((0L, aa, "aa"), (2L, aa, "aa"), (1L, aa, "aa"), (3L, aa, "aa"),
+        (4L, zz, "zz"), (6L, zz, "zz"), (5L, zz, "zz"), (7L, zz, "zz"))
+      .map { case (id, t, l) => (id, t, l, "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("q210_langid_trained")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(("aa", "aa") -> 4L, ("zz", "zz") -> 4L), m)
+  }
+
+  test("PMI co-occurrence: a planted high-association pair ranks first") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmi").toString
+    // "qq ww" always adjacent (6 co-occurrences) while filler tokens
+    // co-occur with everything — the planted pair must rank top
+    val docs = (1L to 6L).map(i =>
+      (i, s"qq ww f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f", "s1"))
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q209_pmi_cooccur")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.head._1 == "qq" && rows.head._2 == "ww"
+      && rows.head._3 >= 6L, rows.toSeq)
+  }
+
   test("2D skyline: strict dominance only — price ties never dominate") {
     val s = spark
     import s.implicits._
