@@ -2978,6 +2978,157 @@ object TextQueries {
                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                   AS BIGINT) AS quota
               FROM c""")
+    ),
+
+    // ── VOCABULARY GROWTH CURVE (Heaps' law) ─────────────────────────────
+    QueryDef(
+      "q211_vocab_growth",
+      // The corpus-statistics curve every scaling study plots: cumulative
+      // distinct vocabulary vs cumulative tokens at 10 checkpoints of the
+      // corpus in doc_id order (Heaps' law V(n) ≈ K·n^β — the curve
+      // itself; no float fit). "First occurrence" is exact: a token's
+      // entry point is min(doc_id), so vocab at checkpoint k counts the
+      // tokens whose min lands in buckets ≤ k.
+      //
+      // Shape, and why it scales: checkpoints are FIXED doc_id ranges
+      // ((doc_id·10) div (max+1)) — a scalar probe plus a map-side bucket
+      // tag, never a global row_number sort over the corpus. One pass
+      // over the memoized [[postingsTable]] feeds both aggregations
+      // (per-bucket token/doc counts; per-token min then per-bucket
+      // counts); the cumulative window runs over the 10-row bucket table
+      // — model-sized at any corpus scale.
+      (s, d) => {
+        val post = postingsTable(s, d)
+        val nb = Tables.documents(s, d)
+          .agg(max(col("doc_id"))).head.getLong(0) + 1
+        def bktOf(c: String) = expr(s"(($c * 10) div ${nb}L) + 1")
+        val spine = post.withColumn("bucket", bktOf("doc_id"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_tok"),
+            countDistinct(col("doc_id")).as("n_docs"))
+        val firsts = post.groupBy("w").agg(min(col("doc_id")).as("fd"))
+          .withColumn("bucket", bktOf("fd"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(firsts, Seq("bucket"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .select(col("bucket"),
+            sum(col("n_docs")).over(w).as("docs_cum"),
+            sum(col("n_tok")).over(w).as("tokens_cum"),
+            sum(col("n_new")).over(w).as("vocab_cum"))
+      },
+      Some(s"""WITH nbs AS (SELECT max(doc_id) + 1 AS nb FROM documents),
+              tok AS (SELECT doc_id, unnest($SQL_TOKENS) AS w FROM documents),
+              tb AS (SELECT ((doc_id * 10) // nb) + 1 AS bucket, doc_id, w
+                     FROM tok CROSS JOIN nbs),
+              spine AS (SELECT bucket, count(*) AS n_tok,
+                          count(DISTINCT doc_id) AS n_docs
+                        FROM tb GROUP BY 1),
+              fo AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+              fb AS (SELECT ((fd * 10) // nb) + 1 AS bucket,
+                       count(*) AS n_new
+                     FROM fo CROSS JOIN nbs GROUP BY 1),
+              j AS (SELECT spine.bucket, n_docs, n_tok,
+                      coalesce(n_new, 0) AS n_new
+                    FROM spine LEFT JOIN fb ON spine.bucket = fb.bucket)
+              SELECT bucket,
+                CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+                CAST(sum(n_tok) OVER w AS BIGINT) AS tokens_cum,
+                CAST(sum(n_new) OVER w AS BIGINT) AS vocab_cum
+              FROM j WINDOW w AS (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+    ),
+
+    // ── EXACT SIMILARITY JOIN VIA PREFIX FILTERING (AllPairs/PPJoin) ─────
+    QueryDef(
+      "q212_jaccard_prefix_join",
+      // The EXACT counterpart to the approximate near-dup family
+      // (MinHash q38, SimHash q174, winnowing q154): every document pair
+      // with hashed-3-shingle-set Jaccard ≥ 0.8, found by PREFIX
+      // FILTERING (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06 —
+      // the published exact-similarity-join technique) instead of an
+      // all-pairs scan. Order every doc's shingle set by GLOBAL document
+      // frequency ascending (rarest first, id tie-break); a pair with
+      // Jaccard ≥ τ must share at least one token inside the two
+      // prefixes of length |X| − ⌈τ·|X|⌉ + 1, so candidates come from a
+      // keyed equi-join on prefix shingles alone. The size filter
+      // 4·max(|A|,|B|) ≤ 5·min(|A|,|B|) (τ = 4/5 cross-multiplied — all
+      // BIGINT, no doubles) prunes length-incompatible pairs in the join
+      // condition; verification counts the exact intersection and keeps
+      // 5·i ≥ 4·(|A|+|B|−i). The similarity universe is the hashed
+      // shingle set (Shared.h32, the q37 declared convention), mirrored
+      // bit-for-bit by the oracle.
+      //
+      // Shape, and why it scales: the per-doc frequency ordering is a
+      // doc-partitioned window (never a global vocab sort); candidate
+      // generation touches only prefix tokens — rare by construction, so
+      // bucket lists stay short where an inverted index over ALL tokens
+      // would explode on stopword shingles; verification is two keyed
+      // equi-joins on the memoized [[shingleSetTable]]. No stage is
+      // quadratic in corpus size — the published contrast to the capped
+      // all-pairs demos (q36/q43).
+      (s, d) => {
+        val e = shingleSetTable(s, d)
+        val sz = e.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val dfq = e.groupBy("g").agg(count(lit(1)).as("df"))
+        val wOrd = Window.partitionBy("doc_id")
+          .orderBy(col("df").asc, col("g").asc)
+        val pref = e.join(sz, "doc_id").join(dfq, "g")
+          .withColumn("rn", row_number().over(wOrd))
+          .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+          .select("doc_id", "g", "sz")
+        val cand = pref.select(col("doc_id").as("d1"), col("g"),
+            col("sz").as("sz1"))
+          .join(pref.select(col("doc_id").as("d2"), col("g"),
+            col("sz").as("sz2")), "g")
+          .filter(col("d1") < col("d2") &&
+            lit(4) * greatest(col("sz1"), col("sz2")) <=
+              lit(5) * least(col("sz1"), col("sz2")))
+          .select("d1", "d2", "sz1", "sz2").distinct()
+        cand
+          .join(e.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+          .join(e.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+          .groupBy("d1", "d2", "sz1", "sz2")
+          .agg(count(lit(1)).as("inter_sz"))
+          .withColumn("union_sz", col("sz1") + col("sz2") - col("inter_sz"))
+          .filter(lit(5) * col("inter_sz") >= lit(4) * col("union_sz"))
+          .select(col("d1").as("doc1"), col("d2").as("doc2"),
+            col("inter_sz"), col("union_sz"),
+            (col("inter_sz").cast("double") / col("union_sz").cast("double"))
+              .as("jaccard"))
+      },
+      Some(s"""$SQL_WITH_SHINGLES,
+              e AS (SELECT DISTINCT doc_id, ${Shared.SQL_H32("w")} AS g
+                    FROM (SELECT doc_id, unnest(sh) AS w FROM shingled)),
+              sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+              df AS (SELECT g, count(*) AS df FROM e GROUP BY 1),
+              ord AS (SELECT e.doc_id, e.g, sz.sz,
+                        row_number() OVER (PARTITION BY e.doc_id
+                          ORDER BY df.df, e.g) AS rn
+                      FROM e JOIN sz ON e.doc_id = sz.doc_id
+                        JOIN df ON e.g = df.g),
+              pref AS (SELECT doc_id, g, sz FROM ord
+                       WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+              cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                         a.sz AS sz1, b.sz AS sz2
+                       FROM pref a JOIN pref b ON a.g = b.g
+                         AND a.doc_id < b.doc_id
+                       WHERE 4 * greatest(a.sz, b.sz)
+                         <= 5 * least(a.sz, b.sz)),
+              inter AS (SELECT d1, d2, sz1, sz2, count(*) AS inter_sz
+                        FROM cand
+                          JOIN e ea ON ea.doc_id = cand.d1
+                          JOIN e eb ON eb.doc_id = cand.d2
+                            AND ea.g = eb.g
+                        GROUP BY 1, 2, 3, 4)
+              SELECT d1 AS doc1, d2 AS doc2, inter_sz,
+                sz1 + sz2 - inter_sz AS union_sz,
+                CAST(inter_sz AS DOUBLE)
+                  / CAST(sz1 + sz2 - inter_sz AS DOUBLE) AS jaccard
+              FROM inter
+              WHERE 5 * inter_sz >= 4 * (sz1 + sz2 - inter_sz)"""),
+      headline = true
     )
   )
 
@@ -3321,6 +3472,35 @@ object TextQueries {
 
   /** dataset dir (normalized) → materialized postings for this JVM */
   private val postingsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Hashed-3-shingle SET table (doc_id, g): each doc's distinct shingles
+    * under Shared.h32 — the similarity universe the MinHash family
+    * already declares, materialized once per (process, dataset) to
+    * scratch parquet (the [[postingsTable]] memo contract) because the
+    * prefix-filter join (q212) consumes this lineage four ways (sizes,
+    * document frequencies, prefix ordering, verification) and structural
+    * single execution beats hoping ReuseExchange fires. Shingle strings
+    * never leave the build stage — the scratch carries (i64, i64) rows.
+    */
+  private[graft] def shingleSetTable(s: SparkSession, d: String): DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = shingleSetMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("shingleset") {
+        val r = Shared.scratchRoot("shingleset", key)
+        withShingles(s, d, nonEmpty = true)
+          .select(col("doc_id"), explode(col("sh")).as("w"))
+          .select(col("doc_id"), h32(col("w")).as("g"))
+          .distinct()
+          .write.mode("overwrite").option("compression", "lz4")
+          .parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+
+  /** dataset dir (normalized) → materialized shingle sets for this JVM */
+  private val shingleSetMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shingle length of the exact-substring dedup family (q163/q170). */

@@ -942,6 +942,65 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(sb("N").toDouble / base("N") - 0.05) < 0.03)
   }
 
+  test("vocab growth: cumulative curve is monotone and exact on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    // 10 docs (ids 0..9 -> one per bucket); doc i introduces exactly one
+    // NEW token (n$i) plus the repeat token r -- vocab_cum must be i+2
+    // at bucket i+1 (the 11th distinct token is r, first seen in doc 0)
+    (0L to 9L).map(i => (i, s"r n$i r", "s1"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q211_vocab_growth")(spark, dir)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    rows.zipWithIndex.foreach { case ((b, dc, tc, vc), i) =>
+      assert(b == i + 1 && dc == i + 1 && tc == 3L * (i + 1) && vc == i + 2,
+        s"bucket $b: ($dc, $tc, $vc)")
+    }
+  }
+
+  test("prefix-filter Jaccard join equals brute-force all-pairs at threshold") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin").toString
+    // docs 1/2: identical 12-token text (jac 1.0); doc 3: one token
+    // changed near the end (high jac, above 0.8); doc 4: half different
+    // (below); docs 5/6: unrelated
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val nearD = ((1 to 11).map(i => s"w$i") :+ "zz").mkString(" ")
+    val far = ((1 to 6).map(i => s"w$i") ++ (1 to 6).map(i => s"x$i")).mkString(" ")
+    Seq((1L, base, "s"), (2L, base, "s"), (3L, nearD, "s"),
+        (4L, far, "s"), (5L, "aa bb cc dd ee", "s"), (6L, "ff gg hh ii jj", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q212_jaccard_prefix_join")(spark, dir)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same hashed-shingle universe
+    val e = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2)," +
+          " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3)))")))
+        .as("w"))
+      .select(col("doc_id"), expr(
+        "cast(conv(substring(md5(w), 1, 8), 16, 10) as long)").as("g"))
+      .distinct()
+    val sz = e.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = e.as("a").join(e.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+      .filter(lit(5) * col("i") >= lit(4) * (col("s1") + col("s2") - col("i")))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got $got, brute $brute")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
