@@ -754,6 +754,129 @@ object EventQueries {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
               FROM act JOIN coh USING (user_id)
               GROUP BY 1, 2""")
+    ),
+
+    // ── MARKOV NEXT-EVENT TRANSITION MODEL ────────────────────────────────
+    QueryDef(
+      "q213_markov_transitions",
+      // The behavioral-model query product analytics runs after funnels
+      // (q58) and sessions (q28): the first-order Markov transition
+      // matrix over per-user event streams — P(next = b | current = a)
+      // from exact adjacent-pair counts. Adjacency is pinned by the
+      // (ts, event_id) total order (the q62 lag discipline), so both
+      // engines see identical pair streams even under timestamp ties.
+      //
+      // Shape, and why it scales: ONE user-partitioned window (lead) —
+      // the stream shuffles once on user_id — then a hash aggregation
+      // into the |types|² transition matrix, a model-sized table; the
+      // row-total attach is a broadcast join onto that model, never a
+      // second pass over events.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val cnt = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        val tot = cnt.groupBy("from_type")
+          .agg(sum(col("n_trans")).as("n_from"))
+        cnt.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n_trans"),
+            col("n_from"),
+            (col("n_trans").cast("double") / col("n_from").cast("double"))
+              .as("p"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS to_type
+                FROM events),
+              cnt AS (SELECT event_type AS from_type, to_type,
+                  count(*) AS n_trans
+                FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              tot AS (SELECT from_type, sum(n_trans) AS n_from
+                FROM cnt GROUP BY 1)
+              SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+                CAST(n_from AS BIGINT) AS n_from,
+                CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+              FROM cnt JOIN tot USING (from_type)""")
+    ),
+
+    // ── FIRST/LAST-TOUCH PURCHASE ATTRIBUTION ─────────────────────────────
+    QueryDef(
+      "q214_touch_attribution",
+      // The marketing-attribution query: credit each purchase to the
+      // user's FIRST touch (earliest prior non-purchase event) and LAST
+      // touch (most recent prior non-purchase event), reporting per
+      // channel the purchase count and exact attributed revenue in
+      // cents. Both credits come from ONE user-partitioned running
+      // window over the (ts, event_id)-ordered stream — first/last with
+      // ignoreNulls over a ROWS frame ending one row before the current
+      // — so a purchase with no prior touch lands in the '(none)'
+      // channel and totals are conserved.
+      //
+      // Shape, and why it scales: one shuffle on user_id feeds both
+      // window credits in a single pass; the two per-channel rollups
+      // aggregate a purchases-only projection into channel-bounded
+      // tables and meet in a model-sized full outer join.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        val pur = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+          .withColumn("first_ch",
+            coalesce(first(touch, ignoreNulls = true).over(w), lit("(none)")))
+          .withColumn("last_ch",
+            coalesce(last(touch, ignoreNulls = true).over(w), lit("(none)")))
+          .filter(col("event_type") === "purchase")
+        val byLast = pur.groupBy(col("last_ch").as("channel"))
+          .agg(count(lit(1)).as("n_last"),
+            sum(col("cents")).as("rev_last_cents"))
+        val byFirst = pur.groupBy(col("first_ch").as("channel"))
+          .agg(count(lit(1)).as("n_first"),
+            sum(col("cents")).as("rev_first_cents"))
+        byLast.join(byFirst, Seq("channel"), "full_outer")
+          .select(col("channel"),
+            coalesce(col("n_last"), lit(0L)).as("n_last"),
+            coalesce(col("rev_last_cents"), lit(0L)).as("rev_last_cents"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"),
+            coalesce(col("rev_first_cents"), lit(0L)).as("rev_first_cents"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+                  event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  CASE WHEN event_type <> 'purchase' THEN event_type END
+                    AS touch
+                FROM events),
+              cr AS (SELECT *,
+                  coalesce(first_value(touch IGNORE NULLS) OVER w, '(none)')
+                    AS first_ch,
+                  coalesce(last_value(touch IGNORE NULLS) OVER w, '(none)')
+                    AS last_ch
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              pur AS (SELECT * FROM cr WHERE event_type = 'purchase'),
+              bl AS (SELECT last_ch AS channel, count(*) AS n_last,
+                  sum(cents) AS rev_last_cents FROM pur GROUP BY 1),
+              bf AS (SELECT first_ch AS channel, count(*) AS n_first,
+                  sum(cents) AS rev_first_cents FROM pur GROUP BY 1)
+              SELECT coalesce(bl.channel, bf.channel) AS channel,
+                CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+                CAST(coalesce(rev_last_cents, 0) AS BIGINT)
+                  AS rev_last_cents,
+                CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+                CAST(coalesce(rev_first_cents, 0) AS BIGINT)
+                  AS rev_first_cents
+              FROM bl FULL OUTER JOIN bf ON bl.channel = bf.channel""")
     )
   )
 }

@@ -1001,6 +1001,47 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("markov transitions: exact pair counts with (ts, event_id) tie-break") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    // user 1: A B A B A in ts order; the two t=30 events order by
+    // event_id (4 then 5), so the final transitions are B->A then A->A
+    Seq((1L, 10L, 1L, "A", 0.0, "{}"), (2L, 20L, 1L, "B", 0.0, "{}"),
+        (3L, 25L, 1L, "A", 0.0, "{}"), (4L, 30L, 1L, "B", 0.0, "{}"),
+        (5L, 30L, 1L, "A", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q213_markov_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(("A", "B") -> 2L, ("B", "A") -> 2L), m)
+  }
+
+  test("touch attribution: first/last credit and the (none) channel conserve totals") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attrib").toString
+    Seq((1L, 10L, 1L, "click", 0.0, "{}"), (2L, 20L, 1L, "view", 0.0, "{}"),
+        (3L, 30L, 1L, "purchase", 10.00, "{}"),
+        (4L, 40L, 1L, "purchase", 5.00, "{}"),
+        (5L, 10L, 2L, "purchase", 7.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q214_touch_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // user 1's two purchases: first touch = click, last touch differs
+    // per purchase (view for the 1st; the preceding purchase doesn't
+    // count as a touch, so view again for the 2nd); user 2 has no touch
+    assert(rows("click") == ((0L, 0L, 2L, 1500L)), rows)
+    assert(rows("view") == ((2L, 1500L, 0L, 0L)), rows)
+    assert(rows("(none)") == ((1L, 700L, 1L, 700L)), rows)
+    val purchases = rows.values.map(_._1).sum
+    assert(purchases == 3L, s"last-touch credits must conserve: $rows")
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
