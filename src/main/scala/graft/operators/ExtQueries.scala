@@ -848,6 +848,102 @@ object ExtQueries {
                 CAST(nullship = 0 AS BIGINT) FROM m
               UNION ALL SELECT 'orderkey_ri', CAST(orphans AS BIGINT),
                 CAST(orphans = 0 AS BIGINT) FROM ri""")
+    ),
+
+    // ── SOURCE ABLATION (leave-one-out corpus metric deltas) ──────────────
+    QueryDef(
+      "q215_source_ablation",
+      // The data-valuation question curation asks before dropping a
+      // source: how does the corpus-level metric move if source s is
+      // removed? Metric here is mean tokens per document. Leave-one-out
+      // needs NO per-source rescan: the full-corpus totals (T, N) and
+      // each source's partials (t_s, n_s) come from ONE grouped pass,
+      // and mean-without-s = (T − t_s)/(N − n_s) is plain arithmetic on
+      // the 20-row per-source table. All inputs are exact BIGINTs; the
+      // division is the one pinned double expression (q205 discipline).
+      //
+      // Shape, and why it scales: one corpus scan → groupBy(source);
+      // the totals window runs over the source-bounded model table.
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("source"), size(tokens(col("text"))).cast("long")
+            .as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_toks"))
+        val w = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        per
+          .withColumn("tot_docs", sum(col("n_docs")).over(w))
+          .withColumn("tot_toks", sum(col("n_toks")).over(w))
+          .select(col("source"), col("n_docs"), col("n_toks"),
+            (col("tot_toks").cast("double") / col("tot_docs").cast("double"))
+              .as("mean_full"),
+            ((col("tot_toks") - col("n_toks")).cast("double") /
+              (col("tot_docs") - col("n_docs")).cast("double"))
+              .as("mean_without"))
+          .withColumn("delta", col("mean_without") - col("mean_full"))
+      },
+      Some(s"""WITH per AS (SELECT source, count(*) AS n_docs,
+                  sum(len($SQL_TOKENS)) AS n_toks
+                FROM documents GROUP BY 1),
+              t AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                  CAST(n_toks AS BIGINT) AS n_toks,
+                  CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+                  CAST(sum(n_toks) OVER () AS BIGINT) AS tot_toks
+                FROM per)
+              SELECT source, n_docs, n_toks,
+                CAST(tot_toks AS DOUBLE) / CAST(tot_docs AS DOUBLE)
+                  AS mean_full,
+                CAST(tot_toks - n_toks AS DOUBLE)
+                  / CAST(tot_docs - n_docs AS DOUBLE) AS mean_without,
+                CAST(tot_toks - n_toks AS DOUBLE)
+                  / CAST(tot_docs - n_docs AS DOUBLE)
+                  - CAST(tot_toks AS DOUBLE) / CAST(tot_docs AS DOUBLE)
+                  AS delta
+              FROM t""")
+    ),
+
+    // ── QUANTILE NORMALIZATION ACROSS SOURCES ─────────────────────────────
+    QueryDef(
+      "q216_quantile_normalize",
+      // Score calibration before cross-source mixing: a raw per-doc
+      // score (n_chars) is comparable WITHIN a source but not across
+      // sources with different length profiles. Quantile-normalize:
+      // each doc gets its within-source decile (ntile(10) over the
+      // unique (n_chars, doc_id) order — both engines define ntile by
+      // the same earlier-buckets-larger rule), and the normalized score
+      // is the GLOBAL mean of that decile across all sources, written
+      // as exact-BIGINT sum/count division. After this, decile k means
+      // the same number from every source — the rank-preserving map
+      // real feature pipelines use.
+      //
+      // Shape, and why it scales: the ranking window partitions by
+      // source (parallel across sources, never a global sort); the
+      // decile profile is a 10-row model table broadcast back.
+      (s, d) => {
+        val wSrc = Window.partitionBy("source")
+          .orderBy(col("n_chars"), col("doc_id"))
+        val ranked = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("decile", ntile(10).over(wSrc).cast("long"))
+        val prof = ranked.groupBy("decile")
+          .agg(sum(col("n_chars")).as("sc"), count(lit(1)).as("nc"))
+          .select(col("decile"),
+            (col("sc").cast("double") / col("nc").cast("double"))
+              .as("norm_score"))
+        ranked.join(broadcast(prof), "decile")
+          .select("doc_id", "source", "n_chars", "decile", "norm_score")
+      },
+      Some("""WITH ranked AS (SELECT doc_id, source, n_chars,
+                  CAST(ntile(10) OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+                FROM documents),
+              prof AS (SELECT decile,
+                  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS norm_score
+                FROM ranked GROUP BY 1)
+              SELECT doc_id, source, n_chars, decile, norm_score
+              FROM ranked JOIN prof USING (decile)""")
     )
   )
 }

@@ -1042,6 +1042,43 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(purchases == 3L, s"last-touch credits must conserve: $rows")
   }
 
+  test("source ablation: leave-one-out means are exact on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ablate").toString
+    // sA: 2 docs x 4 tokens; sB: 2 docs x 2 tokens -> full mean 3.0;
+    // without sA the mean drops to 2.0, without sB it rises to 4.0
+    Seq((1L, "a b c d", "sA"), (2L, "e f g h", "sA"),
+        (3L, "i j", "sB"), (4L, "k l", "sB"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("q215_source_ablation")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m("sA") == ((2L, 8L, 3.0, 2.0)), m)
+    assert(m("sB") == ((2L, 4L, 3.0, 4.0)), m)
+  }
+
+  test("quantile normalization: same decile -> same normalized score across sources") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qnorm").toString
+    // sA docs are 10x longer than sB; after normalization the i-th
+    // ranked doc of each source must share the identical score
+    val docs = (1 to 10).map(i => (i.toLong, "x", "sA", i * 100L)) ++
+      (1 to 10).map(i => (i + 10L, "x", "sB", i * 10L))
+    docs.toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q216_quantile_normalize")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getDouble(4)))
+    val byDecile = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byDecile.foreach { case (dk, scores) =>
+      assert(scores.size == 1, s"decile $dk has split scores $scores")
+    }
+    // decile k holds one doc per source: mean of (k*100, k*10) = 55k
+    val d1 = rows.filter(_._2 == 1L).head._3
+    assert(d1 == 55.0, d1)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
