@@ -212,6 +212,86 @@ object GraphQueries {
                 dnd, n_rows FROM a
               UNION ALL
               SELECT 'l_returnflag', NULL, NULL, rnd, n_rows FROM a""")
+    ),
+
+    // ── TRIANGLE COUNTING (degree-ordered orientation) ────────────────────
+    QueryDef(
+      "q218_triangle_count",
+      // The third classic distributed-graph statistic next to PageRank
+      // (q145) and connected components (q73): triangles in the
+      // part-co-purchase graph (parts sharing an order), the clustering
+      // signal behind recommendation and community metrics. The naive
+      // wedge join explodes on hubs; the published fix (Suri &
+      // Vassilvitskii, WWW'11; Cohen's MapReduce curriculum) ORIENTS
+      // every edge from its lower-(degree, id) endpoint to the higher
+      // one — an acyclic tournament where each triangle appears exactly
+      // once and every wedge is centered at its LOWEST-degree vertex,
+      // bounding the join fan-out by sqrt-degeneracy instead of max
+      // degree.
+      //
+      // Shape, and why it scales: per-order pairs are bounded by order
+      // size (never corpus-quadratic); distinct-edge + degree are hash
+      // aggregations; the wedge join and closing-edge semi-join are
+      // keyed equi-joins on the oriented edge set.
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val e = li.select(col("l_orderkey").as("o"), col("l_partkey").as("a"))
+          .join(li.select(col("l_orderkey").as("o"),
+            col("l_partkey").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        // orientation key is the TOTAL order (deg, id); carrying the
+        // head's key in `ed` lets the wedge canonicalize its two ends in
+        // that same order, so the closing edge is probed by ONE
+        // equi-join (an OR-of-directions join would plan as a nested
+        // loop — the thing orientation exists to avoid)
+        val ed = e
+          .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+          .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+          .select(
+            when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+              col("a")).otherwise(col("b")).as("u"),
+            when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+              col("b")).otherwise(col("a")).as("v"),
+            when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+              col("degb")).otherwise(col("dega")).as("dv"))
+        val x = ed.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
+        val y = ed.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
+        val wedges = x.join(y, "u")
+          .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+        val tri = wedges.join(
+          ed.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+          .select("n_nodes", "n_edges", "n_triangles")
+      },
+      Some("""WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              deg AS (SELECT v, count(*) AS deg FROM
+                  (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+              ed AS (SELECT
+                  CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                    THEN e.a ELSE e.b END AS u,
+                  CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                    THEN e.b ELSE e.a END AS v,
+                  CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                    THEN db.deg ELSE da.deg END AS dv
+                FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+              wedges AS (SELECT x.u, x.v AS w1, y.v AS w2
+                FROM ed x JOIN ed y ON x.u = y.u
+                WHERE (x.dv, x.v) < (y.dv, y.v)),
+              tri AS (SELECT count(*) AS n_triangles
+                FROM wedges JOIN ed c
+                  ON wedges.w1 = c.u AND wedges.w2 = c.v)
+              SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+                CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                CAST(n_triangles AS BIGINT) AS n_triangles
+              FROM tri""")
     )
   )
 }

@@ -3068,67 +3068,104 @@ object TextQueries {
       // equi-joins on the memoized [[shingleSetTable]]. No stage is
       // quadratic in corpus size — the published contrast to the capped
       // all-pairs demos (q36/q43).
-      (s, d) => {
-        val e = shingleSetTable(s, d)
-        val sz = e.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val dfq = e.groupBy("g").agg(count(lit(1)).as("df"))
-        val wOrd = Window.partitionBy("doc_id")
-          .orderBy(col("df").asc, col("g").asc)
-        val pref = e.join(sz, "doc_id").join(dfq, "g")
-          .withColumn("rn", row_number().over(wOrd))
-          .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-          .select("doc_id", "g", "sz")
-        val cand = pref.select(col("doc_id").as("d1"), col("g"),
-            col("sz").as("sz1"))
-          .join(pref.select(col("doc_id").as("d2"), col("g"),
-            col("sz").as("sz2")), "g")
-          .filter(col("d1") < col("d2") &&
-            lit(4) * greatest(col("sz1"), col("sz2")) <=
-              lit(5) * least(col("sz1"), col("sz2")))
-          .select("d1", "d2", "sz1", "sz2").distinct()
-        cand
-          .join(e.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
-          .join(e.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
-          .groupBy("d1", "d2", "sz1", "sz2")
-          .agg(count(lit(1)).as("inter_sz"))
-          .withColumn("union_sz", col("sz1") + col("sz2") - col("inter_sz"))
-          .filter(lit(5) * col("inter_sz") >= lit(4) * col("union_sz"))
+      (s, d) =>
+        jaccardPrefixPairs(s, d)
           .select(col("d1").as("doc1"), col("d2").as("doc2"),
             col("inter_sz"), col("union_sz"),
             (col("inter_sz").cast("double") / col("union_sz").cast("double"))
-              .as("jaccard"))
-      },
-      Some(s"""$SQL_WITH_SHINGLES,
-              e AS (SELECT DISTINCT doc_id, ${Shared.SQL_H32("w")} AS g
-                    FROM (SELECT doc_id, unnest(sh) AS w FROM shingled)),
-              sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
-              df AS (SELECT g, count(*) AS df FROM e GROUP BY 1),
-              ord AS (SELECT e.doc_id, e.g, sz.sz,
-                        row_number() OVER (PARTITION BY e.doc_id
-                          ORDER BY df.df, e.g) AS rn
-                      FROM e JOIN sz ON e.doc_id = sz.doc_id
-                        JOIN df ON e.g = df.g),
-              pref AS (SELECT doc_id, g, sz FROM ord
-                       WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
-              cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-                         a.sz AS sz1, b.sz AS sz2
-                       FROM pref a JOIN pref b ON a.g = b.g
-                         AND a.doc_id < b.doc_id
-                       WHERE 4 * greatest(a.sz, b.sz)
-                         <= 5 * least(a.sz, b.sz)),
-              inter AS (SELECT d1, d2, sz1, sz2, count(*) AS inter_sz
-                        FROM cand
-                          JOIN e ea ON ea.doc_id = cand.d1
-                          JOIN e eb ON eb.doc_id = cand.d2
-                            AND ea.g = eb.g
-                        GROUP BY 1, 2, 3, 4)
-              SELECT d1 AS doc1, d2 AS doc2, inter_sz,
-                sz1 + sz2 - inter_sz AS union_sz,
+              .as("jaccard")),
+      Some(s"""$SQL_JPAIR_CTES
+              SELECT d1 AS doc1, d2 AS doc2, inter_sz, union_sz,
                 CAST(inter_sz AS DOUBLE)
-                  / CAST(sz1 + sz2 - inter_sz AS DOUBLE) AS jaccard
-              FROM inter
-              WHERE 5 * inter_sz >= 4 * (sz1 + sz2 - inter_sz)"""),
+                  / CAST(union_sz AS DOUBLE) AS jaccard
+              FROM jp"""),
       headline = true
+    ),
+
+    // ── GROUP-AWARE TRAIN/VAL/TEST SPLIT (leakage-safe) ──────────────────
+    QueryDef(
+      "q217_split_assign",
+      // The split step every training pipeline runs after dedup: assign
+      // docs to train/val/test at CLUSTER granularity — near-dup
+      // clusters from q212's exact-Jaccard pairs transitively closed
+      // (Shared.minLabelComponents; singletons keep their own id) — so
+      // near-duplicates can never straddle a split boundary, the
+      // eval-contamination bug doc-level hashing causes. Assignment is
+      // deterministic: cluster label mod 10 (0-7 train, 8 val, 9 test).
+      // Two audits ship with the table: cross_pairs counts near-dup
+      // pairs landing in different splits under THIS assignment (proved
+      // 0 by the oracle compare, not assumed), and naive_cross_pairs
+      // counts what doc-granular id-mod-10 assignment WOULD have leaked
+      // — the nonzero number that justifies the operator.
+      //
+      // Shape, and why it scales: pairs come from the prefix-filter
+      // join (never all-pairs); the component fixpoint runs on the
+      // pair graph, orders of magnitude smaller than the corpus; the
+      // audits join only within the pair list; output is the 3-row
+      // split table.
+      (s, d) => {
+        val jp = jaccardPrefixPairs(s, d).select("d1", "d2")
+        val docs = Tables.documents(s, d).select("doc_id")
+        val comps = Shared.minLabelComponents(s,
+          docs.select(col("doc_id").as("id")),
+          jp.select(col("d1").as("a"), col("d2").as("b")))
+        val asg = docs
+          .join(comps.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .withColumn("cl", coalesce(col("comp"), col("doc_id")))
+          .withColumn("split",
+            when(col("cl") % 10 <= 7, "train")
+              .when(col("cl") % 10 === 8, "val").otherwise("test"))
+          .select("doc_id", "split")
+        val pairs = jp
+          .join(asg.select(col("doc_id").as("d1"), col("split").as("sa")),
+            "d1")
+          .join(asg.select(col("doc_id").as("d2"), col("split").as("sb")),
+            "d2")
+        val cross = pairs.filter(col("sa") =!= col("sb"))
+          .groupBy(col("sa").as("split"))
+          .agg(count(lit(1)).as("cross_pairs"))
+        val naive = pairs.filter(col("d1") % 10 =!= col("d2") % 10)
+          .groupBy(col("sa").as("split"))
+          .agg(count(lit(1)).as("naive_cross_pairs"))
+        asg.groupBy("split").agg(count(lit(1)).as("n_docs"))
+          .join(cross, Seq("split"), "left")
+          .join(naive, Seq("split"), "left")
+          .select(col("split"), col("n_docs"),
+            coalesce(col("cross_pairs"), lit(0L)).as("cross_pairs"),
+            coalesce(col("naive_cross_pairs"), lit(0L))
+              .as("naive_cross_pairs"))
+      },
+      Some(s"""WITH RECURSIVE ${SQL_JPAIR_CTES.stripPrefix("WITH ")},
+              wedges AS (SELECT d1 AS a, d2 AS b FROM jp
+                         UNION ALL SELECT d2, d1 FROM jp),
+              nodes AS (SELECT doc_id AS id FROM documents),
+              reach AS (SELECT id, id AS r FROM nodes
+                        UNION
+                        SELECT e.b, reach.r FROM reach
+                          JOIN wedges e ON e.a = reach.id),
+              comp AS (SELECT id AS doc_id, min(r) AS cl
+                       FROM reach GROUP BY 1),
+              asg AS (SELECT doc_id,
+                  CASE WHEN cl % 10 <= 7 THEN 'train'
+                       WHEN cl % 10 = 8 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM comp),
+              pairs AS (SELECT jp.d1, jp.d2, a1.split AS sa, a2.split AS sb
+                FROM jp JOIN asg a1 ON jp.d1 = a1.doc_id
+                  JOIN asg a2 ON jp.d2 = a2.doc_id),
+              cross_t AS (SELECT sa AS split, count(*) AS cross_pairs
+                FROM pairs WHERE sa <> sb GROUP BY 1),
+              naive AS (SELECT sa AS split, count(*) AS naive_cross_pairs
+                FROM pairs WHERE (d1 % 10) <> (d2 % 10) GROUP BY 1),
+              spl AS (SELECT split, count(*) AS n_docs FROM asg GROUP BY 1)
+              SELECT spl.split, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(coalesce(cross_pairs, 0) AS BIGINT) AS cross_pairs,
+                CAST(coalesce(naive_cross_pairs, 0) AS BIGINT)
+                  AS naive_cross_pairs
+              FROM spl
+                LEFT JOIN cross_t ON spl.split = cross_t.split
+                LEFT JOIN naive ON spl.split = naive.split""")
     )
   )
 
@@ -3502,6 +3539,73 @@ object TextQueries {
   /** dataset dir (normalized) → materialized shingle sets for this JVM */
   private val shingleSetMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q212's verified pair stream — (d1, d2, sz1, sz2, inter_sz,
+    * union_sz) with hashed-shingle Jaccard ≥ 4/5 — extracted so the
+    * split assigner (q217) clusters on the same contract the similarity
+    * join reports. All comparisons are integer cross-multiplications;
+    * see the q212 QueryDef for the prefix-filter completeness argument.
+    */
+  private[graft] def jaccardPrefixPairs(s: SparkSession, d: String): DataFrame = {
+    val e = shingleSetTable(s, d)
+    val sz = e.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfq = e.groupBy("g").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("g").asc)
+    val pref = e.join(sz, "doc_id").join(dfq, "g")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .select("doc_id", "g", "sz")
+    val cand = pref.select(col("doc_id").as("d1"), col("g"),
+        col("sz").as("sz1"))
+      .join(pref.select(col("doc_id").as("d2"), col("g"),
+        col("sz").as("sz2")), "g")
+      .filter(col("d1") < col("d2") &&
+        lit(4) * greatest(col("sz1"), col("sz2")) <=
+          lit(5) * least(col("sz1"), col("sz2")))
+      .select("d1", "d2", "sz1", "sz2").distinct()
+    cand
+      .join(e.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+      .join(e.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2", "sz1", "sz2")
+      .agg(count(lit(1)).as("inter_sz"))
+      .withColumn("union_sz", col("sz1") + col("sz2") - col("inter_sz"))
+      .filter(lit(5) * col("inter_sz") >= lit(4) * col("union_sz"))
+  }
+
+  /** q212's pair CTEs for the oracle, ending in jp(d1, d2, inter_sz,
+    * union_sz) — shared verbatim by q212 and q217 (the
+    * sqlWinnowPairCtes precedent: one definition, zero drift).
+    */
+  private def SQL_JPAIR_CTES: String =
+    s"""$SQL_WITH_SHINGLES,
+        e AS (SELECT DISTINCT doc_id, ${Shared.SQL_H32("w")} AS g
+              FROM (SELECT doc_id, unnest(sh) AS w FROM shingled)),
+        szt AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+        dft AS (SELECT g, count(*) AS df FROM e GROUP BY 1),
+        ord AS (SELECT e.doc_id, e.g, szt.sz,
+                  row_number() OVER (PARTITION BY e.doc_id
+                    ORDER BY dft.df, e.g) AS rn
+                FROM e JOIN szt ON e.doc_id = szt.doc_id
+                  JOIN dft ON e.g = dft.g),
+        pref AS (SELECT doc_id, g, sz FROM ord
+                 WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                   a.sz AS sz1, b.sz AS sz2
+                 FROM pref a JOIN pref b ON a.g = b.g
+                   AND a.doc_id < b.doc_id
+                 WHERE 4 * greatest(a.sz, b.sz)
+                   <= 5 * least(a.sz, b.sz)),
+        inter AS (SELECT d1, d2, sz1, sz2, count(*) AS inter_sz
+                  FROM cand
+                    JOIN e ea ON ea.doc_id = cand.d1
+                    JOIN e eb ON eb.doc_id = cand.d2
+                      AND ea.g = eb.g
+                  GROUP BY 1, 2, 3, 4),
+        jp AS (SELECT d1, d2, inter_sz,
+                 sz1 + sz2 - inter_sz AS union_sz
+               FROM inter
+               WHERE 5 * inter_sz >= 4 * (sz1 + sz2 - inter_sz))"""
 
   /** Shingle length of the exact-substring dedup family (q163/q170). */
   private[graft] final val SubstrK = 8

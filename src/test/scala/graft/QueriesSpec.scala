@@ -1079,6 +1079,39 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(d1 == 55.0, d1)
   }
 
+  test("group-aware split: a near-dup cluster straddling the naive boundary stays together") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    // docs 7 and 18: identical 12-token text (a near-dup pair) whose ids
+    // land in DIFFERENT naive id-mod-10 buckets; cluster label = min id
+    // = 7 -> both must land in train, cross_pairs 0, naive_cross 1
+    val dup = (1 to 12).map(i => s"w$i").mkString(" ")
+    val fillers = (0 to 30).filter(i => i != 7 && i != 18)
+      .map(i => (i.toLong, s"f${i}a f${i}b f${i}c f${i}d f${i}e", "s"))
+    (fillers ++ Seq((7L, dup, "s"), (18L, dup, "s")))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q217_split_assign")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.values.map(_._2).sum == 0L, s"cluster split leaked: $rows")
+    assert(rows("train")._3 == 1L, s"naive leak not detected: $rows")
+    assert(rows.values.map(_._1).sum == 31L, rows)
+  }
+
+  test("triangle count: oriented wedge closure is exact on a planted graph") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    // order 1 holds parts {1,2,3} (one triangle), order 2 holds {3,4}
+    // (dangling edge), order 3 repeats {1,2} (duplicate edge, no new
+    // triangle): K4 minus two edges -> exactly 1 triangle, 4 edges
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q218_triangle_count")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)), r)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
