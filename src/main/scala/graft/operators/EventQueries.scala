@@ -877,6 +877,69 @@ object EventQueries {
                 CAST(coalesce(rev_first_cents, 0) AS BIGINT)
                   AS rev_first_cents
               FROM bl FULL OUTER JOIN bf ON bl.channel = bf.channel""")
+    ),
+
+    // ── SEASONAL-NAIVE FORECAST (day-of-week profile + holdout error) ─────
+    QueryDef(
+      "q220_seasonal_forecast",
+      // The seasonality complement to the linear trend fit (q205):
+      // forecast each day of the FINAL week's per-type revenue by the
+      // mean of the same weekday over all PRIOR days — the seasonal-
+      // naive baseline every forecasting eval starts from — and report
+      // the absolute error per (event_type, weekday). Daily totals are
+      // exact cents; day index = ts div 86400e9 nanos; weekday =
+      // (day + 3) mod 7 (epoch day 0 was a Thursday; 0 = Monday). The
+      // forecast is the one pinned sum/count division; actual, forecast
+      // and |error| land identically in both engines.
+      //
+      // Shape, and why it scales: one scan → per-(type, day) exact
+      // aggregation (the fact-sized shuffle); the train/holdout split,
+      // weekday profile, and error table all run on the days×types
+      // model table.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts div ${dayNs}L").as("day"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+          .groupBy("event_type", "day")
+          .agg(sum(col("cents")).as("day_cents"))
+        val dmax = daily.agg(max(col("day"))).head.getLong(0)
+        val cutoff = dmax - 6
+        val prof = daily.filter(col("day") < cutoff)
+          .withColumn("dow", (col("day") + 3) % 7)
+          .groupBy("event_type", "dow")
+          .agg(sum(col("day_cents")).as("sp"), count(lit(1)).as("np"))
+        daily.filter(col("day") >= cutoff)
+          .withColumn("dow", (col("day") + 3) % 7)
+          .join(prof, Seq("event_type", "dow"))
+          .withColumn("forecast_cents",
+            col("sp").cast("double") / col("np").cast("double"))
+          .withColumn("abs_err",
+            abs(col("day_cents").cast("double") - col("forecast_cents")))
+          .select(col("event_type"), col("dow"),
+            col("day_cents").as("actual_cents"), col("forecast_cents"),
+            col("abs_err"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS day_cents
+                FROM events GROUP BY 1, 2),
+              mx AS (SELECT max(day) - 6 AS cutoff FROM daily),
+              prof AS (SELECT event_type, (day + 3) % 7 AS dow,
+                  sum(day_cents) AS sp, count(*) AS np
+                FROM daily CROSS JOIN mx WHERE day < cutoff GROUP BY 1, 2)
+              SELECT daily.event_type, (day + 3) % 7 AS dow,
+                CAST(day_cents AS BIGINT) AS actual_cents,
+                CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) AS forecast_cents,
+                abs(CAST(day_cents AS DOUBLE)
+                  - CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) AS abs_err
+              FROM daily CROSS JOIN mx
+                JOIN prof ON daily.event_type = prof.event_type
+                  AND (day + 3) % 7 = prof.dow
+              WHERE day >= cutoff""")
     )
   )
 }

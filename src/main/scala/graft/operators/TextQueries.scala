@@ -3166,6 +3166,88 @@ object TextQueries {
               FROM spl
                 LEFT JOIN cross_t ON spl.split = cross_t.split
                 LEFT JOIN naive ON spl.split = naive.split""")
+    ),
+
+    // ── CLIPPED BIGRAM OVERLAP (ROUGE-2/BLEU-style pair scoring) ─────────
+    QueryDef(
+      "q219_ngram_overlap",
+      // The eval-pipeline score behind ROUGE-2 and BLEU's modified
+      // precision, applied where training pipelines use it: grading HOW
+      // MUCH of a near-dup pair is actually shared text. For each q212
+      // pair, clipped bigram overlap = Σ_g min(c1(g), c2(g)) over
+      // bigram MULTIPLICITIES (the clipping that stops a repeated
+      // bigram from over-counting), precision = overlap/|bigrams(d2)|,
+      // recall = overlap/|bigrams(d1)|, F1 with both divisions pinned.
+      // All counts exact BIGINT; both engines derive identical doubles.
+      //
+      // Shape, and why it scales: pair-scoped — the candidate list
+      // comes from the prefix-filter join, bigram counts project from
+      // the memoized [[bigramTable]], and the overlap is two keyed
+      // equi-joins + one aggregation per pair. Never corpus-quadratic.
+      (s, d) => {
+        val jp = jaccardPrefixPairs(s, d).select("d1", "d2")
+        val (bg, _) = bigramTable(s, d)
+        val cnt = bg.filter(col("w1").isNotNull)
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy("doc_id").agg(sum(col("c")).as("nb"))
+        val ov = jp
+          .join(cnt.select(col("doc_id").as("d1"), col("w1"), col("w2"),
+            col("c").as("c1")), Seq("d1"))
+          .join(cnt.select(col("doc_id").as("d2"), col("w1"), col("w2"),
+            col("c").as("c2")), Seq("d2", "w1", "w2"))
+          .groupBy("d1", "d2")
+          .agg(sum(least(col("c1"), col("c2"))).as("overlap"))
+        jp.join(ov, Seq("d1", "d2"), "left")
+          .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+          .join(tot.select(col("doc_id").as("d1"), col("nb").as("nb1")), "d1")
+          .join(tot.select(col("doc_id").as("d2"), col("nb").as("nb2")), "d2")
+          .withColumn("p", col("overlap").cast("double") /
+            col("nb2").cast("double"))
+          .withColumn("r", col("overlap").cast("double") /
+            col("nb1").cast("double"))
+          .withColumn("f1",
+            when(col("p") + col("r") === 0.0, lit(0.0))
+              .otherwise(lit(2.0) * col("p") * col("r") /
+                (col("p") + col("r"))))
+          .select(col("d1").as("doc1"), col("d2").as("doc2"),
+            col("overlap"), col("nb1"), col("nb2"), col("p"), col("r"),
+            col("f1"))
+      },
+      Some(s"""WITH RECURSIVE ${SQL_JPAIR_CTES.stripPrefix("WITH ")},
+              bg AS (SELECT doc_id, t[p] AS w1, t[p+1] AS w2
+                     FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 1)) AS p
+                           FROM tok WHERE len(t) >= 2)),
+              cnt AS (SELECT doc_id, w1, w2, count(*) AS c
+                      FROM bg GROUP BY 1, 2, 3),
+              tot AS (SELECT doc_id, sum(c) AS nb FROM cnt GROUP BY 1),
+              ov AS (SELECT jp.d1, jp.d2,
+                       sum(least(a.c, b.c)) AS overlap
+                     FROM jp
+                       JOIN cnt a ON a.doc_id = jp.d1
+                       JOIN cnt b ON b.doc_id = jp.d2
+                         AND a.w1 = b.w1 AND a.w2 = b.w2
+                     GROUP BY 1, 2),
+              sc AS (SELECT jp.d1 AS doc1, jp.d2 AS doc2,
+                       CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+                       CAST(t1.nb AS BIGINT) AS nb1,
+                       CAST(t2.nb AS BIGINT) AS nb2
+                     FROM jp
+                       LEFT JOIN ov ON jp.d1 = ov.d1 AND jp.d2 = ov.d2
+                       JOIN tot t1 ON jp.d1 = t1.doc_id
+                       JOIN tot t2 ON jp.d2 = t2.doc_id)
+              SELECT doc1, doc2, overlap, nb1, nb2,
+                CAST(overlap AS DOUBLE) / CAST(nb2 AS DOUBLE) AS p,
+                CAST(overlap AS DOUBLE) / CAST(nb1 AS DOUBLE) AS r,
+                CASE WHEN CAST(overlap AS DOUBLE) / CAST(nb2 AS DOUBLE)
+                        + CAST(overlap AS DOUBLE) / CAST(nb1 AS DOUBLE) = 0
+                  THEN 0.0
+                  ELSE 2.0 * (CAST(overlap AS DOUBLE) / CAST(nb2 AS DOUBLE))
+                         * (CAST(overlap AS DOUBLE) / CAST(nb1 AS DOUBLE))
+                       / (CAST(overlap AS DOUBLE) / CAST(nb2 AS DOUBLE)
+                          + CAST(overlap AS DOUBLE) / CAST(nb1 AS DOUBLE))
+                  END AS f1
+              FROM sc""")
     )
   )
 

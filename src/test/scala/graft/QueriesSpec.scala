@@ -1112,6 +1112,50 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)), r)
   }
 
+  test("ngram overlap: clipped multiplicities on a planted containment pair") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rouge").toString
+    // doc 1 repeats "x y" 3x, doc 2 once, over a shared 60-token tail:
+    // doc 2's shingle set is contained in doc 1's (jac 60/62 >= 0.8),
+    // and the clipped bigram overlap is 61 = min(3,1)[xy] + 0[yx]
+    // + 1[y-t1] + 59 tail pairs -- the clip is what keeps p at 1.0
+    val tail60 = (1 to 60).map(i => s"t$i").mkString(" ")
+    Seq((1L, s"x y x y x y $tail60", "s"), (2L, s"x y $tail60", "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q219_ngram_overlap")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((1L, 2L, 61L, 65L, 61L)), row)
+    val (p, rr) = (1.0, 61.0 / 65.0)
+    assert(row.getDouble(5) == p && row.getDouble(6) == rr)
+    assert(math.abs(row.getDouble(7) - 2.0 * p * rr / (p + rr)) < 1e-12)
+  }
+
+  test("seasonal forecast: holdout week scored against prior same-weekday means") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seasonal").toString
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    // 21 days of type A: one 1.00 event per day in the 14 training days
+    // (two prior samples per weekday -> forecast 100 cents), one 3.00
+    // event per day in the holdout week -> error 200 cents on all 7 days
+    val ev = (0 to 20).map { d =>
+      (d.toLong, d * dayNs + 1L, 1L, "A", if (d < 14) 1.00 else 3.00, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q220_seasonal_forecast")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == 7, rows.toSeq)
+    assert(rows.map(_._1).toSet == (0L to 6L).toSet)
+    rows.foreach { case (_, actual, fc, err) =>
+      assert(actual == 300L && fc == 100.0 && err == 200.0)
+    }
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
