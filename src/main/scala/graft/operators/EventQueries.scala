@@ -940,6 +940,75 @@ object EventQueries {
                 JOIN prof ON daily.event_type = prof.event_type
                   AND (day + 3) % 7 = prof.dow
               WHERE day >= cutoff""")
+    ),
+
+    // ── CUSUM CHANGEPOINT DETECTION (exact integer statistic) ─────────────
+    QueryDef(
+      "q222_cusum_changepoint",
+      // The mean-shift detector next to the pointwise z-score (q206):
+      // where did each event type's daily volume CHANGE LEVEL? The
+      // classic CUSUM argmax — the day d maximizing |prefix_d − d·S/n|
+      // — rewritten integer-exact by scaling through n: stat_d =
+      // |n·prefix_d − d·S|, every term BIGINT, so argmax and tie-break
+      // (earliest day) are engine-identical with zero float drift. Also
+      // reports the mean level before/after the cut as the two pinned
+      // divisions — the human-readable magnitude of the shift.
+      //
+      // Shape, and why it scales: one fact-sized aggregation to daily
+      // counts; prefix sums and the argmax run per type on the
+      // days×types model table (type-partitioned windows, parallel
+      // across types, never a global sort).
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val daily = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts div ${dayNs}L").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val wAll = Window.partitionBy("event_type")
+        val wPick = Window.partitionBy("event_type")
+          .orderBy(col("stat").desc, col("day").asc)
+        daily
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("pref", sum(col("y")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("s", sum(col("y")).over(wAll))
+          .withColumn("stat",
+            abs(col("n") * col("pref") - col("rn") * col("s")))
+          // the cut is BETWEEN days, so the last day is not a candidate
+          // (stat is identically 0 there; excluding it also pins the
+          // uniform-series edge case away from a 0/0 mean_after)
+          .filter(col("rn") < col("n"))
+          .withColumn("pick", row_number().over(wPick))
+          .filter(col("pick") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            col("stat").as("cusum_stat"),
+            (col("pref").cast("double") / col("rn").cast("double"))
+              .as("mean_before"),
+            ((col("s") - col("pref")).cast("double") /
+              (col("n") - col("rn")).cast("double")).as("mean_after"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day, count(*) AS y
+                FROM events GROUP BY 1, 2),
+              pf AS (SELECT event_type, day, y,
+                  CAST(row_number() OVER w AS BIGINT) AS rn,
+                  sum(y) OVER w AS pref,
+                  count(*) OVER (PARTITION BY event_type) AS n,
+                  sum(y) OVER (PARTITION BY event_type) AS s
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              st AS (SELECT *, abs(n * pref - rn * s) AS stat FROM pf
+                     WHERE rn < n),
+              pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY stat DESC, day) AS pk FROM st)
+              SELECT event_type, day AS cp_day,
+                CAST(stat AS BIGINT) AS cusum_stat,
+                CAST(pref AS DOUBLE) / CAST(rn AS DOUBLE) AS mean_before,
+                CAST(s - pref AS DOUBLE) / CAST(n - rn AS DOUBLE)
+                  AS mean_after
+              FROM pick WHERE pk = 1""")
     )
   )
 }

@@ -3248,6 +3248,58 @@ object TextQueries {
                           + CAST(overlap AS DOUBLE) / CAST(nb1 AS DOUBLE))
                   END AS f1
               FROM sc""")
+    ),
+
+    // ── N-GRAM NOVELTY SCAN (per-source memorization profile) ────────────
+    QueryDef(
+      "q221_novelty_scan",
+      // The scaling-literature novelty statistic: what fraction of each
+      // source's 8-gram positions introduce an 8-gram never seen in any
+      // EARLIER document (doc_id order)? Low novelty flags boilerplate
+      // and template-heavy sources before they dilute a training mix;
+      // it is the corpus-level reading of the span-dedup signal. An
+      // 8-gram's entry point is min(doc_id) over its occurrences, so a
+      // position is novel iff its doc IS that minimum — exact, no
+      // sketches.
+      //
+      // Shape, and why it scales: the position stream is the memoized
+      // [[substrStarts]] scratch (built once, shared with q163/q170);
+      // first-occurrence is one hash aggregation on the 8-gram key; the
+      // novelty flags aggregate per doc BEFORE the tiny source attach,
+      // so the join moves doc-grain rows, not positions.
+      (s, d) => {
+        val st = substrStarts(s, d)
+        val fd = st.groupBy("h").agg(min(col("doc_id")).as("fd"))
+        val perDoc = st.join(fd, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pos"),
+            sum(when(col("doc_id") === col("fd"), 1L).otherwise(0L))
+              .as("n_novel"))
+        perDoc
+          .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(sum(col("n_pos")).as("n_pos"),
+            sum(col("n_novel")).as("n_novel"))
+          .select(col("source"), col("n_pos"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_pos").cast("double"))
+              .as("novelty"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t
+                  FROM documents),
+              st AS (SELECT doc_id, source,
+                  array_to_string(list_slice(t, p, p + 7), ' ') AS g
+                FROM (SELECT doc_id, source, t,
+                        unnest(generate_series(1, len(t) - 7)) AS p
+                      FROM tok WHERE len(t) >= 8)),
+              fd AS (SELECT g, min(doc_id) AS fd FROM st GROUP BY 1),
+              per AS (SELECT st.source, count(*) AS n_pos,
+                  sum(CASE WHEN st.doc_id = fd.fd THEN 1 ELSE 0 END)
+                    AS n_novel
+                FROM st JOIN fd USING (g) GROUP BY 1)
+              SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+                CAST(n_novel AS BIGINT) AS n_novel,
+                CAST(n_novel AS DOUBLE) / CAST(n_pos AS DOUBLE) AS novelty
+              FROM per""")
     )
   )
 

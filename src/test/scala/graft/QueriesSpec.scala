@@ -1156,6 +1156,41 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("novelty scan: a verbatim copy source scores zero novelty") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("novel").toString
+    // srcA introduces 10 tokens (3 8-gram positions, all novel);
+    // srcB repeats the identical text under a LATER doc_id -> 0 novel
+    val txt = (1 to 10).map(i => s"n$i").mkString(" ")
+    Seq((1L, txt, "srcA"), (2L, txt, "srcB"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("q221_novelty_scan")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m("srcA") == ((3L, 3L, 1.0)), m)
+    assert(m("srcB") == ((3L, 0L, 0.0)), m)
+  }
+
+  test("cusum changepoint: a planted level shift is located exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    // type A: 1 event/day for days 0..9, then 5 events/day for 10..19
+    // -> the cut between day 9 and 10 maximizes |n*pref - rn*s|
+    val ev = ((0 to 9).flatMap(dd => Seq((dd, 1))) ++
+      (10 to 19).flatMap(dd => (1 to 5).map(k => (dd, k))))
+      .zipWithIndex.map { case ((dd, _), i) =>
+        (i.toLong, dd * dayNs + i, 1L, "A", 0.0, "{}")
+      }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q222_cusum_changepoint")(spark, dir).collect()(0)
+    assert(r.getString(0) == "A" && r.getLong(1) == 9L, r)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0, r)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
