@@ -263,10 +263,14 @@ object GraphQueries {
           .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
         val tri = wedges.join(
           ed.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+        // graph-size scalars are tiny-aggregate counts (the q145/q209
+        // driver-side scalar-probe pattern) — attaching them as literals
+        // keeps the result single-pass with zero cartesian joins
+        val nEdges = e.count()
+        val nNodes = deg.count()
         tri.agg(count(lit(1)).as("n_triangles"))
-          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-          .select("n_nodes", "n_edges", "n_triangles")
+          .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+            col("n_triangles"))
       },
       Some("""WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
                 FROM lineitem x JOIN lineitem y

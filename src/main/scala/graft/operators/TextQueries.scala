@@ -3300,6 +3300,127 @@ object TextQueries {
                 CAST(n_novel AS BIGINT) AS n_novel,
                 CAST(n_novel AS DOUBLE) / CAST(n_pos AS DOUBLE) AS novelty
               FROM per""")
+    ),
+
+    // ── SOURCE-OVERLAP CONTAINMENT MATRIX (corpus data map) ──────────────
+    QueryDef(
+      "q223_source_overlap_matrix",
+      // The data map curation reads before mixing sources: for every
+      // ordered source pair (A, B), what fraction of A's distinct
+      // 8-word-window shingle vocabulary also appears in B? Asymmetric
+      // containment (not Jaccard) is the right lens — a small source
+      // fully contained in a big one is a redundancy signal the
+      // symmetric score hides. Exact distinct-set arithmetic over the
+      // hashed 3-shingle universe.
+      //
+      // Shape, and why it scales: the per-source shingle sets project
+      // from the memoized [[shingleSetTable]] + a doc-grain source
+      // attach; the pair intersection is ONE keyed equi-join on the
+      // shingle hash whose fan-out per key is bounded by the SOURCE
+      // count (model-sized), never by corpus size; output is the
+      // sources² matrix.
+      (s, d) => {
+        val sg = shingleSetTable(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+          .select("source", "g").distinct()
+        val sz = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+        sg.select(col("source").as("src_a"), col("g"))
+          .join(sg.select(col("source").as("src_b"), col("g")), "g")
+          .filter(col("src_a") =!= col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter_sz"))
+          .join(broadcast(sz.select(col("source").as("src_a"),
+            col("sz").as("sz_a"))), "src_a")
+          .select(col("src_a"), col("src_b"), col("inter_sz"), col("sz_a"),
+            (col("inter_sz").cast("double") / col("sz_a").cast("double"))
+              .as("containment"))
+      },
+      Some(s"""$SQL_WITH_SHINGLES,
+              e AS (SELECT DISTINCT doc_id, ${Shared.SQL_H32("w")} AS g
+                    FROM (SELECT doc_id, unnest(sh) AS w FROM shingled)),
+              sg AS (SELECT DISTINCT d.source, e.g
+                     FROM e JOIN documents d ON e.doc_id = d.doc_id),
+              sz AS (SELECT source, count(*) AS sz FROM sg GROUP BY 1),
+              ov AS (SELECT a.source AS src_a, b.source AS src_b,
+                       count(*) AS inter_sz
+                     FROM sg a JOIN sg b ON a.g = b.g
+                       AND a.source <> b.source
+                     GROUP BY 1, 2)
+              SELECT src_a, src_b, CAST(inter_sz AS BIGINT) AS inter_sz,
+                CAST(sz.sz AS BIGINT) AS sz_a,
+                CAST(inter_sz AS DOUBLE) / CAST(sz.sz AS DOUBLE)
+                  AS containment
+              FROM ov JOIN sz ON ov.src_a = sz.source""")
+    ),
+
+    // ── MINHASH CALIBRATION (estimator vs exact, per pair) ───────────────
+    QueryDef(
+      "q224_minhash_calibration",
+      // The index-quality report for the approximate dedup path: over
+      // the verified near-dup pairs, how close is the 16-hash MinHash
+      // estimate (matching signature positions / 16) to the EXACT
+      // hashed-shingle Jaccard the prefix-filter join proves? This is
+      // the measurement that justifies (or re-sizes) the signature
+      // budget — the same audit q151/q159 run for ANN recall, applied
+      // to the MinHash family.
+      //
+      // Shape, and why it scales: signatures are computed ONLY for
+      // pair members (a semi-join pushes the pair-id filter below the
+      // md5 fan-out); exact Jaccard rides along from the pair stream;
+      // the comparison is a model-sized join of two signature rows per
+      // pair.
+      (s, d) => {
+        val jp = jaccardPrefixPairs(s, d)
+        val members = jp.select(col("d1").as("doc_id"))
+          .union(jp.select(col("d2").as("doc_id"))).distinct()
+        val base = withShingles(s, d, nonEmpty = true)
+          .join(members, Seq("doc_id"), "left_semi")
+          .withColumn("shh", transform(col("sh"), h32(_)))
+        val sig = base.select(col("doc_id") +:
+          (0 until NUM_HASHES).map(j => minhash(col("shh"), j).as(s"mh$j")): _*)
+        val s1 = sig.select(col("doc_id").as("d1") +:
+          (0 until NUM_HASHES).map(j => col(s"mh$j").as(s"a$j")): _*)
+        val s2 = sig.select(col("doc_id").as("d2") +:
+          (0 until NUM_HASHES).map(j => col(s"mh$j").as(s"b$j")): _*)
+        val matches = (0 until NUM_HASHES)
+          .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        jp.join(s1, "d1").join(s2, "d2")
+          .withColumn("matches", matches)
+          .withColumn("est_jaccard",
+            col("matches").cast("double") / lit(NUM_HASHES.toDouble))
+          .withColumn("exact_jaccard",
+            col("inter_sz").cast("double") / col("union_sz").cast("double"))
+          .select(col("d1").as("doc1"), col("d2").as("doc2"),
+            col("matches"), col("est_jaccard"), col("exact_jaccard"),
+            abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+      },
+      Some(s"""WITH RECURSIVE ${SQL_JPAIR_CTES.stripPrefix("WITH ")},
+              members AS (SELECT DISTINCT doc_id FROM
+                          (SELECT d1 AS doc_id FROM jp
+                           UNION ALL SELECT d2 FROM jp)),
+              hashed AS (SELECT s.doc_id,
+                  list_transform(s.sh, x -> ${SQL_H32("x")}) AS shh
+                FROM shingled s JOIN members m ON s.doc_id = m.doc_id
+                WHERE len(s.sh) > 0),
+              sig AS (SELECT doc_id,
+                  ${(0 until 16).map(j => s"${SQL_MINHASH(j)} AS mh$j")
+                    .mkString(", ")}
+                FROM hashed),
+              cmp AS (SELECT jp.d1, jp.d2, jp.inter_sz, jp.union_sz,
+                  ${(0 until 16).map(j =>
+                    s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+                    .mkString(" + ")} AS matches
+                FROM jp JOIN sig a ON jp.d1 = a.doc_id
+                  JOIN sig b ON jp.d2 = b.doc_id)
+              SELECT d1 AS doc1, d2 AS doc2,
+                CAST(matches AS BIGINT) AS matches,
+                CAST(matches AS DOUBLE) / 16.0 AS est_jaccard,
+                CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE)
+                  AS exact_jaccard,
+                abs(CAST(matches AS DOUBLE) / 16.0
+                  - CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE))
+                  AS abs_err
+              FROM cmp""")
     )
   )
 

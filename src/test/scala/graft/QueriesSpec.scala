@@ -1191,6 +1191,34 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0, r)
   }
 
+  test("source overlap matrix: containment is asymmetric and exact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcov").toString
+    // srcB's 5-token text is a prefix of srcA's 8-token text: B's 3
+    // shingles are all in A (containment 1.0), while A->B covers 3/6
+    Seq((1L, "a b c d e f g h", "srcA"), (2L, "a b c d e", "srcB"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("q223_source_overlap_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(("srcB", "srcA")) == ((3L, 3L, 1.0)), m)
+    assert(m(("srcA", "srcB")) == ((3L, 6L, 0.5)), m)
+  }
+
+  test("minhash calibration: identical docs estimate 1.0 with zero error") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mhcal").toString
+    val txt = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq((1L, txt, "s"), (2L, txt, "s"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q224_minhash_calibration")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 16L && r(0).getDouble(3) == 1.0 &&
+      r(0).getDouble(4) == 1.0 && r(0).getDouble(5) == 0.0, r(0))
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
