@@ -1009,6 +1009,114 @@ object EventQueries {
                 CAST(s - pref AS DOUBLE) / CAST(n - rn AS DOUBLE)
                   AS mean_after
               FROM pick WHERE pk = 1""")
+    ),
+
+    // ── ROLLING 7-DAY ACTIVE USERS (exact sliding distinct) ───────────────
+    QueryDef(
+      "q225_rolling_active_users",
+      // The DAU/WAU/stickiness board: per day, distinct users that day
+      // (DAU), distinct users over the trailing 7 days (WAU), and
+      // DAU/WAU. Sliding DISTINCT doesn't decompose into window frames
+      // (you can't subtract a leaving day's users — they may remain via
+      // another day), so the exact distributed form is CONTRIBUTION
+      // EXPANSION: each active (user, day) grain contributes itself to
+      // the 7 window anchors it belongs to, then one distinct-count per
+      // anchor. Bounded 7× expansion of the DEDUPLICATED user-day grain
+      // — far smaller than the event stream — not of raw events.
+      //
+      // Shape, and why it scales: one fact-sized distinct to user-day;
+      // the explode is model×7; both counts are hash aggregations
+      // keyed on day. Leading days carry partial windows by definition.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val act = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+          .distinct()
+        val dmax = act.agg(max(col("day"))).head.getLong(0)
+        val wau = act
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .filter(col("day") <= dmax)
+          .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+        act.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+          .join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double"))
+              .as("stickiness"))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+              mx AS (SELECT max(day) AS dmax FROM act),
+              contrib AS (SELECT user_id,
+                  unnest(generate_series(day, day + 6)) AS d FROM act),
+              wau AS (SELECT d AS day, count(DISTINCT user_id) AS wau
+                FROM contrib CROSS JOIN mx WHERE d <= dmax GROUP BY 1),
+              dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                FROM act GROUP BY 1)
+              SELECT day, CAST(dau AS BIGINT) AS dau,
+                CAST(wau AS BIGINT) AS wau,
+                CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+              FROM dau JOIN wau USING (day)""")
+    ),
+
+    // ── INTER-EVENT TIME STATISTICS (exact moments) ───────────────────────
+    QueryDef(
+      "q226_interevent_times",
+      // The arrival-process profile: per event type, the distribution
+      // of gaps between consecutive events — the input to capacity
+      // models and burst detectors. Gaps are exact millisecond BIGINTs
+      // from the (ts, event_id)-ordered stream (lag window, q62
+      // discipline); mean and variance come from exact integer moment
+      // sums (the q59 variance form), so every output double is the
+      // same pinned division in both engines.
+      //
+      // Shape, and why it scales: one shuffle on event_type feeds the
+      // lag window; the moments are one aggregation into the 5-row
+      // model table. Millisecond units keep the squared-gap sum far
+      // inside BIGINT at any realistic rate.
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          // integer `div`, never `/`: Long / Long is DOUBLE division in
+          // Column math, and its rounding can disagree with floor at
+          // .999… quotients — a one-ulp hash mismatch waiting to happen
+          .withColumn("gap", expr("(ts - prev_ts) div 1000000L"))
+          .filter(col("gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap")).as("min_ms"), max(col("gap")).as("max_ms"),
+            sum(col("gap")).as("sg"), sum(col("gap") * col("gap")).as("qg"))
+          .select(col("event_type"), col("n_gaps"), col("min_ms"),
+            col("max_ms"),
+            (col("sg").cast("double") / col("n_gaps").cast("double"))
+              .as("mean_ms"),
+            ((col("qg").cast("double") -
+              col("sg").cast("double") * col("sg").cast("double") /
+                col("n_gaps").cast("double")) /
+              col("n_gaps").cast("double")).as("var_ms2"))
+      },
+      Some("""WITH seq AS (SELECT event_type, epoch_us(ts) AS tu, event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events),
+              g AS (SELECT event_type, (tu - prev) // 1000 AS gap
+                FROM seq WHERE prev IS NOT NULL),
+              m AS (SELECT event_type, count(*) AS n_gaps,
+                  min(gap) AS min_ms, max(gap) AS max_ms,
+                  sum(gap) AS sg, sum(gap * gap) AS qg
+                FROM g GROUP BY 1)
+              SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+                CAST(min_ms AS BIGINT) AS min_ms,
+                CAST(max_ms AS BIGINT) AS max_ms,
+                CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_ms,
+                (CAST(qg AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                    / CAST(n_gaps AS DOUBLE))
+                  / CAST(n_gaps AS DOUBLE) AS var_ms2
+              FROM m""")
     )
   )
 }

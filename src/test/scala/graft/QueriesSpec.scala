@@ -1219,6 +1219,46 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       r(0).getDouble(4) == 1.0 && r(0).getDouble(5) == 0.0, r(0))
   }
 
+  test("rolling active users: sliding distinct counts users once per window") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wau").toString
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    // user 1 active on days 0 and 3 (multiple events on day 0 must not
+    // double-count); user 2 active on day 8 only
+    val ev = Seq((1L, 0L), (2L, 0L), (3L, 3L), (4L, 8L)).zipWithIndex.map {
+      case ((u0, dd), i) =>
+        val u = if (dd == 8L) 2L else 1L
+        (i.toLong, dd * dayNs + i, u, "click", 0.0, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q225_rolling_active_users")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // day 3: user 1 active that day, window {0..3} holds only user 1
+    assert(m(3L) == ((1L, 1L)), m)
+    // day 8: user 2 is the DAU; window {2..8} holds users 1 (day 3) and 2
+    assert(m(8L) == ((1L, 2L)), m)
+    // windows never extend past dmax
+    assert(!m.contains(9L) && !m.contains(14L), m)
+  }
+
+  test("inter-event times: exact millisecond gaps and moments") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gaps").toString
+    val msNs = 1000L * 1000L
+    // type A at 0ms, 100ms, 400ms -> gaps 100, 300: mean 200, var 10000
+    val ev = Seq(0L, 100L, 400L).zipWithIndex.map { case (ms, i) =>
+      (i.toLong, ms * msNs, 1L, "A", 0.0, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q226_interevent_times")(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 100L, 300L)), r)
+    assert(r.getDouble(4) == 200.0 && r.getDouble(5) == 10000.0, r)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
