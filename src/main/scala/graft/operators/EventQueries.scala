@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.streaming.EventStream
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1117,6 +1118,184 @@ object EventQueries {
                     / CAST(n_gaps AS DOUBLE))
                   / CAST(n_gaps AS DOUBLE) AS var_ms2
               FROM m""")
+    ),
+
+    // ── RFM SEGMENTATION (exact quantile ranks, no global window) ─────────
+    QueryDef(
+      "q227_rfm_segments",
+      // The classic customer segmentation: per purchasing user, quintile
+      // scores for Recency (days since last purchase), Frequency
+      // (purchase count) and Monetary (cents), quintile 1 = best. The
+      // quantile rank is EXACT but never a single-partition global
+      // window: each metric packs into a UNIQUE key (metric·2³² +
+      // user_id — bounds documented below) and
+      // [[Shared.distributedPrefixSum]] delivers the global 0-based rank
+      // with parallel per-bucket windows; the bucket is then the closed
+      // form (5·rank) div n. Both engines compute the identical
+      // (key-order, formula) pair, so tie handling is pinned by
+      // construction. Bounds contract: recency < 2²⁰ days, per-user
+      // purchases < 2²⁰, per-user cents < 2³⁰ — all far above any real
+      // corpus; violations would overflow the packed key, not silently
+      // mis-rank.
+      //
+      // Shape, and why it scales: one fact pass to user grain; three
+      // prefix-sum rounds on the user-grain table (each: parallel
+      // bucket windows + a model-sized offset table); one final hash
+      // aggregation into the ≤125-segment model table.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val pur = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+        val user = pur.groupBy("user_id")
+          .agg(max(col("day")).as("last_day"),
+            count(lit(1)).as("freq"), sum(col("cents")).as("cents"))
+        val n = user.count()
+        if (n == 0) {
+          // no purchases → empty segment table (never a null scalar)
+          import org.apache.spark.sql.types._
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("segment", StringType),
+              StructField("n_users", LongType),
+              StructField("total_cents", LongType))))
+        } else {
+          val dmax = pur.agg(max(col("day"))).head.getLong(0)
+          val keyed = user
+            .withColumn("rkey",
+              (lit(dmax) - col("last_day")) * lit(1L << 32) + col("user_id"))
+            .withColumn("fkey",
+              (lit(1L << 20) - col("freq")) * lit(1L << 32) + col("user_id"))
+            .withColumn("mkey",
+              (lit(1L << 30) - col("cents")) * lit(1L << 32) + col("user_id"))
+          def score(df: DataFrame, key: String, out: String): DataFrame =
+            Shared.distributedPrefixSum(
+                df.withColumn("one", lit(1L)), key, "one")
+              .withColumn(out, expr(s"((5 * cum) div ${n}L) + 1"))
+              .drop("cum", "one")
+          val scored = score(score(score(keyed, "rkey", "r"), "fkey", "f"),
+            "mkey", "m")
+          scored
+            .select(concat(col("r"), lit("-"), col("f"), lit("-"), col("m"))
+              .as("segment"), col("cents"))
+            .groupBy("segment")
+            .agg(count(lit(1)).as("n_users"),
+              sum(col("cents")).as("total_cents"))
+        }
+      },
+      Some("""WITH pur AS (SELECT user_id,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+              u AS (SELECT user_id, max(day) AS last_day,
+                  count(*) AS freq, sum(cents) AS cents
+                FROM pur GROUP BY 1),
+              mx AS (SELECT (SELECT max(day) FROM pur) AS dmax,
+                  (SELECT count(*) FROM u) AS n),
+              st AS (SELECT user_id, cents,
+                  ((5 * (row_number() OVER (ORDER BY
+                      (dmax - last_day) * 4294967296 + user_id) - 1))
+                    // n) + 1 AS r,
+                  ((5 * (row_number() OVER (ORDER BY
+                      (1048576 - freq) * 4294967296 + user_id) - 1))
+                    // n) + 1 AS f,
+                  ((5 * (row_number() OVER (ORDER BY
+                      (1073741824 - cents) * 4294967296 + user_id) - 1))
+                    // n) + 1 AS m
+                FROM u CROSS JOIN mx)
+              SELECT r || '-' || f || '-' || m AS segment,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+              FROM st GROUP BY 1""")
+    ),
+
+    // ── REVENUE CONCENTRATION (Gini + minimal top-80% set) ────────────────
+    QueryDef(
+      "q228_revenue_concentration",
+      // The inequality report behind every "whales" analysis: the exact
+      // Gini coefficient of per-user purchase revenue and the size of
+      // the MINIMAL user set covering 80% of revenue. Both are
+      // TIE-INVARIANT rank statistics — permuting users with equal
+      // revenue changes neither Σ(2r+1−n)·x nor where the cumulative
+      // crosses 4/5 of total — so the arbitrary-within-ties prefix
+      // order of [[Shared.distributedPrefixSum]] is provably safe here
+      // (unlike quantile BUCKETING, which q227 pins with unique keys).
+      // The 80% test is the integer cross-multiplication
+      // 5·(total − cum − x) < 4·total; Gini's single division is the
+      // one pinned double op.
+      //
+      // Shape, and why it scales: one fact pass to user grain; one
+      // prefix-sum round (parallel bucket windows) delivers both rank
+      // and running revenue; the output is one row.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val pur = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+          .groupBy("user_id").agg(sum(col("cents")).as("x"))
+        val n = pur.count()
+        if (n == 0) {
+          import org.apache.spark.sql.types._
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("n_users", LongType),
+              StructField("total_cents", LongType),
+              StructField("gini", DoubleType),
+              StructField("top80_users", LongType),
+              StructField("top80_share", DoubleType))))
+        } else {
+          val total = pur.agg(sum(col("x"))).head.getLong(0)
+          val ranked = Shared.distributedPrefixSum(
+              pur.withColumn("one", lit(1L)), "x", "one")
+            .withColumnRenamed("cum", "rank0")
+          val cumd = Shared.distributedPrefixSum(ranked, "x", "x")
+          cumd
+            .withColumn("gterm",
+              (lit(2L) * col("rank0") + 1L - lit(n)) * col("x"))
+            .withColumn("in_top",
+              when(lit(5L) * (lit(total) - col("cum") - col("x")) <
+                lit(4L) * lit(total), 1L).otherwise(0L))
+            .agg(sum(col("gterm")).as("gnum"), sum(col("in_top")).as("topn"),
+              sum(when(col("in_top") === 1L, col("x"))).as("topsum"))
+            .select(lit(n).as("n_users"), lit(total).as("total_cents"),
+              (col("gnum").cast("double") /
+                (lit(n).cast("double") * lit(total).cast("double")))
+                .as("gini"),
+              col("topn").as("top80_users"),
+              (col("topsum").cast("double") / lit(total).cast("double"))
+                .as("top80_share"))
+        }
+      },
+      Some("""WITH pur AS (SELECT user_id,
+                  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS x
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              mx AS (SELECT count(*) AS n, sum(x) AS total FROM pur),
+              rk AS (SELECT x,
+                  CAST(row_number() OVER (ORDER BY x, user_id) - 1
+                    AS BIGINT) AS rank0,
+                  sum(x) OVER (ORDER BY x, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS cum
+                FROM pur),
+              t AS (SELECT rk.x, rank0, coalesce(cum, 0) AS cum, n, total
+                FROM rk CROSS JOIN mx)
+              SELECT CAST(any_value(n) AS BIGINT) AS n_users,
+                CAST(any_value(total) AS BIGINT) AS total_cents,
+                CAST(sum((2 * rank0 + 1 - n) * x) AS DOUBLE)
+                  / (CAST(any_value(n) AS DOUBLE)
+                     * CAST(any_value(total) AS DOUBLE)) AS gini,
+                CAST(sum(CASE WHEN 5 * (total - cum - x) < 4 * total
+                  THEN 1 ELSE 0 END) AS BIGINT) AS top80_users,
+                CAST(sum(CASE WHEN 5 * (total - cum - x) < 4 * total
+                  THEN x END) AS DOUBLE)
+                  / CAST(any_value(total) AS DOUBLE) AS top80_share
+              FROM t""")
     )
   )
 }

@@ -1259,6 +1259,41 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(4) == 200.0 && r.getDouble(5) == 10000.0, r)
   }
 
+  test("rfm segments: quintile ranks are exact on five distinct users") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toString
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    // user u purchases once on day u for u dollars: recency ranks
+    // reverse user order, frequency ties break by user_id, monetary
+    // follows user order -> segment r-f-m = (6-u)-(u)-(6-u)
+    val ev = (1 to 5).map(u => (u.toLong, u * dayNs, u.toLong, "purchase",
+      u * 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q227_rfm_segments")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = (1 to 5).map(u => s"${6 - u}-$u-${6 - u}" -> 1L).toMap
+    assert(m == expect, m)
+  }
+
+  test("revenue concentration: exact Gini and minimal top-80% set") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    // revenues 1,1,1,1,16 dollars: gini = 6000/(5*2000) = 0.6; the
+    // single 16-dollar whale is exactly the minimal 80% cover
+    val ev = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0), (5L, 16.0))
+      .map { case (u, v) => (u, u * 1000L, u, "purchase", v, "{}") }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q228_revenue_concentration")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2000L, r)
+    assert(r.getDouble(2) == 0.6, r)
+    assert(r.getLong(3) == 1L && r.getDouble(4) == 0.8, r)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
