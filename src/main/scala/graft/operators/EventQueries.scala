@@ -1296,6 +1296,60 @@ object EventQueries {
                   THEN x END) AS DOUBLE)
                   / CAST(any_value(total) AS DOUBLE) AS top80_share
               FROM t""")
+    ),
+
+    // ── PEAK SLIDING-WINDOW LOAD (exact, gap-safe) ────────────────────────
+    QueryDef(
+      "q230_peak_load",
+      // The capacity question behind rate limits: the busiest sliding
+      // 60-minute window per event type, at minute granularity. A
+      // prefix-sum over minutes would need a DENSE minute spine (gaps
+      // break frame arithmetic); the gap-safe exact form is the q225
+      // CONTRIBUTION EXPANSION on the minute grain: each (type, minute)
+      // count fans out to the ≤60 window anchors covering it, one hash
+      // aggregation sums per anchor, and the per-type argmax takes
+      // (count desc, earliest anchor). Anchors clamp to the observed
+      // minute range so before-start windows can't duplicate ties.
+      //
+      // Shape, and why it scales: one fact pass to minute grain (the
+      // only fact-sized shuffle); the expansion is minutes×60 —
+      // time-bounded, not event-bounded; the argmax is a type-
+      // partitioned window on the anchor table.
+      (s, d) => {
+        val minNs = 60L * 1000L * 1000L * 1000L
+        val byMin = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts div ${minNs}L").as("m"))
+          .groupBy("event_type", "m").agg(count(lit(1)).as("c"))
+        val mmin = byMin.agg(min(col("m"))).head.getLong(0)
+        val wTop = Window.partitionBy("event_type")
+          .orderBy(col("peak_events").desc, col("window_start_min").asc)
+        byMin
+          .select(col("event_type"), col("c"),
+            explode(sequence(greatest(col("m") - 59, lit(mmin)), col("m")))
+              .as("window_start_min"))
+          .groupBy("event_type", "window_start_min")
+          .agg(sum(col("c")).as("peak_events"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") === 1)
+          .select("event_type", "window_start_min", "peak_events")
+      },
+      Some("""WITH bymin AS (SELECT event_type,
+                  epoch_us(ts) // 60000000 AS m, count(*) AS c
+                FROM events GROUP BY 1, 2),
+              mx AS (SELECT min(m) AS mmin FROM bymin),
+              anch AS (SELECT event_type,
+                  unnest(generate_series(greatest(m - 59, mmin), m)) AS w,
+                  c
+                FROM bymin CROSS JOIN mx),
+              agg AS (SELECT event_type, w AS window_start_min,
+                  sum(c) AS peak_events
+                FROM anch GROUP BY 1, 2),
+              pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY peak_events DESC, window_start_min) AS rk
+                FROM agg)
+              SELECT event_type, window_start_min,
+                CAST(peak_events AS BIGINT) AS peak_events
+              FROM pick WHERE rk = 1""")
     )
   )
 }

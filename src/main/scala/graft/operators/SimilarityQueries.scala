@@ -1052,6 +1052,102 @@ object SimilarityQueries {
               SELECT qid, CAST(2 AS BIGINT) AS pick, cid, mmr AS score FROM s2
               UNION ALL
               SELECT qid, CAST(3 AS BIGINT) AS pick, cid, mmr AS score FROM s3""")
+    ),
+
+    // ── CLASS SEPARABILITY (Fisher-style centroid/scatter report) ────────
+    QueryDef(
+      "q229_class_separability",
+      // The label-quality audit run before training a classifier on an
+      // embedding column: for every label pair, the squared centroid
+      // distance (between-class) against the two within-class variance
+      // traces, and their Fisher-style ratio — low ratios flag label
+      // pairs the embedding cannot distinguish. Determinism is the q83
+      // + q206 discipline composed: per-(label, dim) moments are exact
+      // BIGINTs in micro-units of the 6-decimal-rounded element, every
+      // per-dim variance/centroid is one pinned IEEE expression on
+      // those integers, and all cross-DIM sums are fixed-order
+      // left-to-right folds over dim-sorted arrays (fsum — the q189
+      // ADC convention), never a shuffle-order double sum.
+      //
+      // Shape, and why it scales: one fact pass to (label, dim) moments
+      // (the only fact-sized shuffle); within-traces and the pair
+      // matrix live on the labels×dims model table; pair math is a
+      // dim-keyed self-join of that model, labels²-bounded.
+      (s, d) => {
+        val stats = embeddings(s, d)
+          .select(col("label").cast("long").as("label"),
+            posexplode(asDouble(col("embedding"))).as(Seq("p0", "x")))
+          .select(col("label"), (col("p0") + 1).as("dim"),
+            // exact micro-units via the proven decimal(18,6) cast (q83):
+            // double*1e6 could land one ulp below the integer
+            (round(col("x"), 6).cast("decimal(18,6)") * 1000000)
+              .cast("long").as("xi"))
+          .groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+            sum(col("xi") * col("xi")).as("qx"))
+        // per-dim variance in micro^2 units, then the ordered fold
+        val within = stats
+          .withColumn("var_d",
+            (col("qx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"))
+          .groupBy("label")
+          .agg(Shared.fsum(transform(
+            array_sort(collect_list(struct(col("dim"), col("var_d")))),
+            e => e.getField("var_d"))).as("wtrace"),
+            max(col("n")).as("n"))
+        val a = stats.select(col("label").as("la"), col("dim"),
+          (col("sx").cast("double") / col("n").cast("double")).as("ma"))
+        val b = stats.select(col("label").as("lb"), col("dim"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mb"))
+        val between = a.join(b, "dim").filter(col("la") < col("lb"))
+          .withColumn("t", (col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .groupBy("la", "lb")
+          .agg(Shared.fsum(transform(
+            array_sort(collect_list(struct(col("dim"), col("t")))),
+            e => e.getField("t"))).as("dist2"))
+        between
+          .join(within.select(col("label").as("la"), col("wtrace").as("wa")),
+            "la")
+          .join(within.select(col("label").as("lb"), col("wtrace").as("wb")),
+            "lb")
+          .select(col("la").as("label_a"), col("lb").as("label_b"),
+            col("dist2"), col("wa"), col("wb"),
+            // zero scatter (degenerate constant classes) → NULL, pinned
+            // identically via NULLIF in the oracle: ANSI Spark would
+            // throw on the bare division, DuckDB would return NULL
+            when(col("wa") + col("wb") === 0.0, lit(null).cast("double"))
+              .otherwise(col("dist2") / (col("wa") + col("wb")))
+              .as("separability"))
+      },
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                  CAST(i AS BIGINT) AS dim,
+                  CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xi
+                FROM embeddings, range(1, 65) t(i)),
+              stats AS (SELECT label, dim, count(*) AS n,
+                  sum(xi) AS sx, sum(xi * xi) AS qx
+                FROM e GROUP BY 1, 2),
+              vd AS (SELECT label, dim, n,
+                  (CAST(qx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_d,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+                FROM stats),
+              wt AS (SELECT label,
+                  list_aggregate(list(var_d ORDER BY dim), 'sum') AS wtrace
+                FROM vd GROUP BY 1),
+              bt AS (SELECT a.label AS la, b.label AS lb,
+                  list_aggregate(
+                    list((a.mu - b.mu) * (a.mu - b.mu) ORDER BY a.dim),
+                    'sum') AS dist2
+                FROM vd a JOIN vd b ON a.dim = b.dim AND a.label < b.label
+                GROUP BY 1, 2)
+              SELECT la AS label_a, lb AS label_b, dist2,
+                wa.wtrace AS wa, wb.wtrace AS wb,
+                dist2 / NULLIF(wa.wtrace + wb.wtrace, 0.0) AS separability
+              FROM bt JOIN wt wa ON bt.la = wa.label
+                JOIN wt wb ON bt.lb = wb.label""")
     )
   )
 

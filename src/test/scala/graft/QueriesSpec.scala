@@ -1294,6 +1294,46 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) == 1L && r.getDouble(4) == 0.8, r)
   }
 
+  test("class separability: identical-label clusters separate from a shifted one") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fisher").toString
+    // 64-dim vectors: label 0 at the origin, label 1 shifted by +1 in
+    // dim 1 only, both with zero within-class variance in dims 2..64
+    // and a tiny split in dim 1 for label 0 -> dist2 dominates
+    def vec(d1: Float) = (d1 +: Array.fill(63)(0.0f)).toSeq
+    val rows = Seq((1L, vec(0.0f), 0), (2L, vec(0.0f), 0),
+      (3L, vec(1.0f), 1), (4L, vec(1.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q229_class_separability")(spark, dir)
+      .collect()(0)
+    // micro-units: dist2 = (1e6)^2, both within-traces exactly 0
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L, r)
+    assert(r.getDouble(2) == 1e12 && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 0.0, r)
+    // zero within-class scatter -> separability is NULL by contract
+    assert(r.isNullAt(5), r)
+  }
+
+  test("peak load: the busiest sliding hour is found across minute gaps") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("peak").toString
+    val minNs = 60L * 1000L * 1000L * 1000L
+    // type A: 1 event at minute 0, then 3 events spread over minutes
+    // 100..150 (gap-separated) -> best window starts at minute 91,
+    // the earliest anchor covering minutes 100..150
+    val ev = (Seq(0L) ++ Seq(100L, 120L, 150L)).zipWithIndex.map {
+      case (m, i) => (i.toLong, m * minNs + i, 1L, "A", 0.0, "{}")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q230_peak_load")(spark, dir).collect()(0)
+    assert(r.getString(0) == "A" && r.getLong(1) == 91L && r.getLong(2) == 3L,
+      r)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
