@@ -1173,6 +1173,67 @@ object CoreQueries {
                 FROM p)
               SELECT p_partkey, price_c, size FROM wmax
               WHERE best_cheaper IS NULL OR best_cheaper <= size""")
+    ),
+
+    // ── ASSOCIATION RULES (support / confidence / lift) ──────────────────
+    QueryDef(
+      "q231_association_rules",
+      // Market-basket mining over co-ordered parts: directed rules
+      // A → B with support(AB) ≥ 3 baskets, scored by confidence
+      // c(AB)/c(A) and lift N·c(AB)/(c(A)·c(B)) — the Agrawal/Srikant
+      // frequent-pair form, top-20 by (lift desc, antecedent,
+      // consequent). All counts exact BIGINT from distinct basket-item
+      // grains; both ratios are pinned double divisions.
+      //
+      // Shape, and why it scales: per-basket pairs are bounded by
+      // basket size (never corpus-quadratic); support pruning happens
+      // AT THE PAIR AGGREGATION before any scoring join; item counts
+      // attach by broadcast (the surviving pair list is support-bounded,
+      // items vocabulary-bounded); basket total N is a scalar probe.
+      (s, d) => {
+        val it = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val n = it.select("o").distinct().count()
+        val cnt = it.groupBy("p").agg(count(lit(1)).as("cp"))
+        val pairs = it.select(col("o"), col("p").as("pa"))
+          .join(it.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") =!= col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 3)
+        pairs
+          .join(broadcast(cnt.select(col("p").as("pa"), col("cp").as("ca"))),
+            "pa")
+          .join(broadcast(cnt.select(col("p").as("pb"), col("cp").as("cb"))),
+            "pb")
+          .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+            col("cab").as("support"),
+            (col("cab").cast("double") / col("ca").cast("double"))
+              .as("confidence"),
+            (lit(n).cast("double") * col("cab").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double")))
+              .as("lift"))
+          .orderBy(col("lift").desc, col("antecedent").asc,
+            col("consequent").asc)
+          .limit(20)
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+              nb AS (SELECT count(DISTINCT o) AS n FROM it),
+              cnt AS (SELECT p, count(*) AS cp FROM it GROUP BY 1),
+              pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS cab
+                FROM it a JOIN it b ON a.o = b.o AND a.p <> b.p
+                GROUP BY 1, 2 HAVING count(*) >= 3)
+              SELECT pa AS antecedent, pb AS consequent,
+                CAST(cab AS BIGINT) AS support,
+                CAST(cab AS DOUBLE) / CAST(ca.cp AS DOUBLE) AS confidence,
+                CAST(n AS DOUBLE) * CAST(cab AS DOUBLE)
+                  / (CAST(ca.cp AS DOUBLE) * CAST(cb.cp AS DOUBLE)) AS lift
+              FROM pairs
+                JOIN cnt ca ON pairs.pa = ca.p
+                JOIN cnt cb ON pairs.pb = cb.p
+                CROSS JOIN nb
+              ORDER BY lift DESC, antecedent, consequent LIMIT 20""")
     )
   )
 }

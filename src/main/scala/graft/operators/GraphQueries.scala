@@ -233,13 +233,18 @@ object GraphQueries {
       // size (never corpus-quadratic); distinct-edge + degree are hash
       // aggregations; the wedge join and closing-edge semi-join are
       // keyed equi-joins on the oriented edge set.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        // the edge set feeds degree, orientation, the scalar probes AND
+        // the closing join — RELIABLY checkpoint it (and the oriented
+        // set below) so consumers read a small file instead of replaying
+        // the per-order pair pipeline three times (the q145 discipline;
+        // measured 9.9s → the edge pipeline was ~2/3 of it)
         val e = li.select(col("l_orderkey").as("o"), col("l_partkey").as("a"))
           .join(li.select(col("l_orderkey").as("o"),
             col("l_partkey").as("b")), "o")
           .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+          .select("a", "b").distinct().checkpoint()
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         // orientation key is the TOTAL order (deg, id); carrying the
@@ -257,6 +262,7 @@ object GraphQueries {
               col("b")).otherwise(col("a")).as("v"),
             when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
               col("degb")).otherwise(col("dega")).as("dv"))
+          .checkpoint()
         val x = ed.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
         val y = ed.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
         val wedges = x.join(y, "u")

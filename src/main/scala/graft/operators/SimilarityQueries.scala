@@ -1148,6 +1148,69 @@ object SimilarityQueries {
                 dist2 / NULLIF(wa.wtrace + wb.wtrace, 0.0) AS separability
               FROM bt JOIN wt wa ON bt.la = wa.label
                 JOIN wt wb ON bt.lb = wb.label""")
+    ),
+
+    // ── EMBEDDING DRIFT (per-label centroid shift between halves) ────────
+    QueryDef(
+      "q232_embedding_drift",
+      // The feature-drift monitor for an embedding pipeline: split the
+      // corpus into two fixed vec_id-range halves (the q211 checkpoint
+      // discipline — a scalar probe + map-side tag, no global sort) and
+      // report each label's squared centroid shift between halves, with
+      // both half sizes. A re-embedded or re-crawled batch that moved a
+      // class's centroid shows up here before it breaks a downstream
+      // classifier. Determinism is the q229 stack: exact micro-unit
+      // BIGINT moments per (label, half, dim), pinned per-dim IEEE
+      // means, fixed-order cross-dim folds.
+      //
+      // Shape, and why it scales: one fact pass to (label, half, dim)
+      // moments; everything after lives on the labels×dims model table.
+      (s, d) => {
+        val base = embeddings(s, d)
+        val nb = base.agg(max(col("vec_id"))).head.getLong(0) + 1
+        val stats = base
+          .select(col("label").cast("long").as("label"),
+            expr(s"(vec_id * 2) div ${nb}L").as("half"),
+            posexplode(asDouble(col("embedding"))).as(Seq("p0", "x")))
+          .select(col("label"), col("half"), (col("p0") + 1).as("dim"),
+            (round(col("x"), 6).cast("decimal(18,6)") * 1000000)
+              .cast("long").as("xi"))
+          .groupBy("label", "half", "dim")
+          .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"))
+          .withColumn("mu",
+            col("sx").cast("double") / col("n").cast("double"))
+        val a = stats.filter(col("half") === 0)
+          .select(col("label"), col("dim"), col("mu").as("ma"),
+            col("n").as("na"))
+        val b = stats.filter(col("half") === 1)
+          .select(col("label"), col("dim"), col("mu").as("mb"),
+            col("n").as("nb"))
+        a.join(b, Seq("label", "dim"))
+          .withColumn("t", (col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .groupBy("label")
+          .agg(max(col("na")).as("n_first"), max(col("nb")).as("n_second"),
+            Shared.fsum(transform(
+              array_sort(collect_list(struct(col("dim"), col("t")))),
+              e => e.getField("t"))).as("drift2"))
+      },
+      Some("""WITH nbs AS (SELECT max(vec_id) + 1 AS nb FROM embeddings),
+              e AS (SELECT CAST(label AS BIGINT) AS label,
+                  (vec_id * 2) // nb AS half, CAST(i AS BIGINT) AS dim,
+                  CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xi
+                FROM embeddings CROSS JOIN nbs, range(1, 65) t(i)),
+              stats AS (SELECT label, half, dim, count(*) AS n,
+                  CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+                FROM e GROUP BY 1, 2, 3),
+              j AS (SELECT a.label, a.dim,
+                  (a.mu - b.mu) * (a.mu - b.mu) AS t,
+                  a.n AS na, b.n AS nbn
+                FROM stats a JOIN stats b ON a.label = b.label
+                  AND a.dim = b.dim AND a.half = 0 AND b.half = 1)
+              SELECT label, CAST(max(na) AS BIGINT) AS n_first,
+                CAST(max(nbn) AS BIGINT) AS n_second,
+                list_aggregate(list(t ORDER BY dim), 'sum') AS drift2
+              FROM j GROUP BY 1""")
     )
   )
 

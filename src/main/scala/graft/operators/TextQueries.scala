@@ -3797,11 +3797,37 @@ object TextQueries {
 
   /** q212's verified pair stream — (d1, d2, sz1, sz2, inter_sz,
     * union_sz) with hashed-shingle Jaccard ≥ 4/5 — extracted so the
-    * split assigner (q217) clusters on the same contract the similarity
-    * join reports. All comparisons are integer cross-multiplications;
-    * see the q212 QueryDef for the prefix-filter completeness argument.
+    * split assigner (q217), the overlap scorer (q219) and the MinHash
+    * calibration (q224) cluster/score on the same contract the
+    * similarity join reports. All comparisons are integer
+    * cross-multiplications; see the q212 QueryDef for the prefix-filter
+    * completeness argument.
+    *
+    * Materialized once per (process, dataset) to scratch parquet (the
+    * [[shingleSetTable]] memo contract): four queries consume this
+    * lineage, and the prefix window + verify joins are the expensive
+    * part of each — first caller pays ~one q212, every other consumer
+    * reads a pair-count-sized parquet.
     */
   private[graft] def jaccardPrefixPairs(s: SparkSession, d: String): DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = jpairsMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("jpairs") {
+        val r = Shared.scratchRoot("jpairs", key)
+        jaccardPrefixPairsBuild(s, d)
+          .write.mode("overwrite").option("compression", "lz4")
+          .parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+
+  /** dataset dir (normalized) → materialized verified pairs, this JVM */
+  private val jpairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** the actual pair pipeline — see [[jaccardPrefixPairs]] */
+  private def jaccardPrefixPairsBuild(s: SparkSession, d: String): DataFrame = {
     val e = shingleSetTable(s, d)
     val sz = e.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfq = e.groupBy("g").agg(count(lit(1)).as("df"))
@@ -3819,8 +3845,11 @@ object TextQueries {
         lit(4) * greatest(col("sz1"), col("sz2")) <=
           lit(5) * least(col("sz1"), col("sz2")))
       .select("d1", "d2", "sz1", "sz2").distinct()
-    cand
-      .join(e.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+    // the surviving candidate list is near-dup-bounded (tiny next to the
+    // shingle stream) — broadcast it through both verify joins so the
+    // 1.5M-row shingle table never shuffles on the pair keys
+    e.select(col("doc_id").as("d1"), col("g"))
+      .join(broadcast(cand), Seq("d1"))
       .join(e.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
       .groupBy("d1", "d2", "sz1", "sz2")
       .agg(count(lit(1)).as("inter_sz"))

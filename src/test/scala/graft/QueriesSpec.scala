@@ -1334,6 +1334,41 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       r)
   }
 
+  test("association rules: confidence is asymmetric, lift exact, support pruned") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rules").toString
+    // 6 baskets: {1,2} x3 (frequent pair), {1} x2 alone, {3,4} once
+    // (below support) -> rules 1->2 (conf 3/5) and 2->1 (conf 1)
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (5L, 1L), (6L, 3L), (6L, 4L))
+    li.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q231_association_rules")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.keySet == Set((1L, 2L), (2L, 1L)), rows)
+    assert(rows((1L, 2L)) == ((3L, 0.6, 6.0 * 3.0 / (5.0 * 3.0))), rows)
+    assert(rows((2L, 1L)) == ((3L, 1.0, 6.0 * 3.0 / (3.0 * 5.0))), rows)
+  }
+
+  test("embedding drift: a planted centroid shift between halves is exact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    // label 0: first half at 0.0, second half at 0.5 in dim 1 ->
+    // drift2 = (5e5 micro)^2 = 2.5e11; label 1 identical halves -> 0
+    def vec(d1: Float) = (d1 +: Array.fill(63)(0.0f)).toSeq
+    val rows = Seq((0L, vec(0.0f), 0), (1L, vec(0.0f), 1),
+      (2L, vec(0.5f), 0), (3L, vec(0.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val m = SparkEntry.queries("q232_embedding_drift")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(0L) == ((1L, 1L, 2.5e11)), m)
+    assert(m(1L) == ((1L, 1L, 0.0)), m)
+  }
+
   test("oracle SQL exists for every query unless explicitly rows-only") {
     val missing = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"rows-only queries (document why): $missing")
