@@ -244,6 +244,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, s"unexpected cartesian/NLJ in: $offenders")
   }
 
+  test("q212 (prefix-filter join): reads the memoized pair table — one scratch scan, no joins") {
+    // the verified pair stream materializes once per process (jpairs memo
+    // — four consumers: q212/q217/q219/q224), so q212's own plan is a
+    // single scan of the pair scratch plus projection; the prefix-filter
+    // pipeline shape runs exactly once inside the memo build
+    val df = SparkEntry.queries("q212_jaccard_prefix_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("graft_jpairs".r.findAllIn(p).size >= 1 &&
+      "Scan parquet".r.findAllIn(p).size == 1,
+      s"q212 must read the pair scratch exactly once:\n$p")
+    assert(!p.contains("Join"), s"q212 must plan no joins:\n$p")
+  }
+
   test("q163 (substring spans): memoized starts scratch + semi join, no all-pairs") {
     val p = plan("q163_exact_substr_spans")
     // r8: the (doc_id, p, h) start table materializes ONCE to scratch
