@@ -46,6 +46,75 @@ object RtcdbFormat {
   val RowsPerBlock = 1024
   val IndexEntryBytes = 40
 
+  /** Per-block bloom sidecar (`{table}.{col}.bloom`) — OUR extension, not
+    * part of the reference format. Additive: `.data`/`.index` bytes stay
+    * byte-identical to the reference, and a reader that ignores the
+    * sidecar (the reference, older versions of this source) sees the same
+    * table. Purpose: the 40-byte zone maps prune nothing for equality
+    * predicates on NON-leading columns whose values scatter across blocks
+    * (every block's [min,max] spans the domain) and for strings sharing an
+    * 8-byte prefix — at 10⁹ blocks a point lookup on such a column decodes
+    * every block. One bloom per block per column closes that: 10240 bits /
+    * 7 hashes over the block's FULL values (whole string bytes, not the
+    * prefix) ≈ 1% false positives at 1024 rows — so an equality scan
+    * decodes ~1% of blocks instead of all of them, and a false positive
+    * only costs a wasted decode (row-level eval still filters exactly).
+    * The file is headerless like the index: block k's filter lives at
+    * byte offset k*1280, so append and concat-commit work identically to
+    * index entries. Consistency contract: a column's bloom is VALID only
+    * when its block count equals its index entry count — every writer
+    * either appends both in lockstep or deletes the sidecar (legacy
+    * tables, lost files), and readers verify the size equation before
+    * consulting it, so a stale sidecar degrades to "no pruning", never to
+    * a wrong skip.
+    */
+  val BloomBytesPerBlock = 1280
+  val BloomHashes = 7
+  private val BloomBits = BloomBytesPerBlock * 8
+
+  def bloomPath(root: Path, table: String, col: String): Path =
+    root.resolve(s"$table.$col.bloom")
+
+  private def fnv64(bytes: Array[Byte], seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** set the value's k bit positions in `bits` (double hashing) */
+  def bloomInsert(bits: Array[Byte], value: Array[Byte]): Unit = {
+    val h1 = fnv64(value, 0xcbf29ce484222325L)
+    val h2 = fnv64(value, 0x84222325cbf29ce4L) | 1L
+    var i = 0
+    while (i < BloomHashes) {
+      val bit = (((h1 + i * h2) % BloomBits + BloomBits) % BloomBits).toInt
+      bits(bit >>> 3) = (bits(bit >>> 3) | (1 << (bit & 7))).toByte
+      i += 1
+    }
+  }
+
+  /** false ⇒ the value is PROVABLY absent from the block */
+  def bloomMayContain(bits: Array[Byte], value: Array[Byte]): Boolean = {
+    val h1 = fnv64(value, 0xcbf29ce484222325L)
+    val h2 = fnv64(value, 0x84222325cbf29ce4L) | 1L
+    var i = 0
+    while (i < BloomHashes) {
+      val bit = (((h1 + i * h2) % BloomBits + BloomBits) % BloomBits).toInt
+      if ((bits(bit >>> 3) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def bloomValueBytes(isLong: Boolean, v: Any): Array[Byte] =
+    if (isLong) longToBytes8(v.asInstanceOf[Long])
+    else v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+
   private val lz4 = LZ4Factory.fastestInstance()
 
   // ── value codecs ────────────────────────────────────────────────────────
@@ -201,10 +270,27 @@ object RtcdbFormat {
     val indexFiles = schema.fields.map { f =>
       new RandomAccessFile(indexPath(rootP, table, f.name).toFile, "rw")
     }
+    // bloom lockstep check BEFORE appending: a column whose sidecar block
+    // count doesn't match its index entry count (legacy table, lost file)
+    // can't take positional appends — delete the sidecar and stop
+    // maintaining it (advisory data; readers then just skip bloom pruning)
+    val bloomOk = schema.fields.map { f =>
+      val ip = indexPath(rootP, table, f.name)
+      val bp = bloomPath(rootP, table, f.name)
+      val entries = if (Files.exists(ip)) Files.size(ip) / IndexEntryBytes else 0L
+      val blooms = if (Files.exists(bp)) Files.size(bp) / BloomBytesPerBlock else 0L
+      if (entries == blooms) true
+      else { Files.deleteIfExists(bp); false }
+    }
+    val bloomFiles = schema.fields.zip(bloomOk).map { case (f, ok) =>
+      if (ok) new RandomAccessFile(bloomPath(rootP, table, f.name).toFile, "rw")
+      else null
+    }
     try {
       val positions = dataFiles.map(_.length())
       dataFiles.foreach(f => f.seek(f.length()))
       indexFiles.foreach(f => f.seek(f.length()))
+      bloomFiles.foreach(f => if (f != null) f.seek(f.length()))
 
       rows.grouped(RowsPerBlock).foreach { block =>
         schema.fields.zipWithIndex.foreach { case (field, ci) =>
@@ -213,17 +299,20 @@ object RtcdbFormat {
           var maxB: Array[Byte] = null
           var minL = Long.MaxValue
           var maxL = Long.MinValue
+          val bloom = new Array[Byte](BloomBytesPerBlock)
           block.foreach { row =>
             val v = row.get(ci)
             (field.dataType, v) match {
               case (LongType, l: java.lang.Long) =>
                 encodeLong(buf, l)
                 minL = math.min(minL, l); maxL = math.max(maxL, l)
+                bloomInsert(bloom, longToBytes8(l))
               case (StringType, s: String) =>
                 encodeString(buf, s)
                 val p = prefix8(s)
                 if (minB == null || compareBytes(p, minB) < 0) minB = p
                 if (maxB == null || compareBytes(p, maxB) > 0) maxB = p
+                bloomInsert(bloom, s.getBytes(StandardCharsets.UTF_8))
               case _ =>
                 throw new IllegalArgumentException("Mismatched data type")
             }
@@ -235,11 +324,13 @@ object RtcdbFormat {
             if (field.dataType == LongType) longToBytes8(minL) else minB,
             if (field.dataType == LongType) longToBytes8(maxL) else maxB)
           indexFiles(ci).write(entry.toBytes)
+          if (bloomFiles(ci) != null) bloomFiles(ci).write(bloom)
           positions(ci) += comp.length
         }
       }
     } finally {
       dataFiles.foreach(_.close()); indexFiles.foreach(_.close())
+      bloomFiles.foreach(f => if (f != null) f.close())
     }
   }
 

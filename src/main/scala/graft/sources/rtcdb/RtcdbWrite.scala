@@ -82,9 +82,10 @@ class RtcdbWrite(root: String, table: String, schema: StructType,
     truncate)
 }
 
-/** per-column staged part: file path + its 40-byte entries (raw bytes) */
+/** per-column staged part: file path + its 40-byte entries (raw bytes) +
+  * the per-block bloom sidecar bytes (1280 B/block, RtcdbFormat) */
 final case class RtcdbColPart(partPath: String, entryBytes: Array[Byte],
-    dataLength: Long) extends Serializable
+    dataLength: Long, bloomBytes: Array[Byte]) extends Serializable
 final case class RtcdbTaskCommit(parts: Array[RtcdbColPart])
     extends WriterCommitMessage
 
@@ -114,6 +115,7 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
     if (truncate) schema.fieldNames.foreach { c =>
       Files.deleteIfExists(dataPath(rootP, table, c))
       Files.deleteIfExists(indexPath(rootP, table, c))
+      Files.deleteIfExists(bloomPath(rootP, table, c))
     }
     // Repair pass: a crash BETWEEN a prior commit's per-column index
     // renames leaves columns at different commit generations (one column
@@ -145,6 +147,25 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
             try ch.truncate(minEntries * IndexEntryBytes) finally ch.close()
           }
       }
+    // bloom sidecars follow the index repair positionally: truncate each
+    // to the repaired entry count; anything NOT in exact lockstep with its
+    // index after that (legacy table, lost/odd-sized file) is deleted —
+    // blooms are advisory, and only the size equation makes a skip sound
+    val bloomOk: Map[String, Boolean] = schema.fieldNames.map { c =>
+      val ip = indexPath(rootP, table, c)
+      val bp = bloomPath(rootP, table, c)
+      val entries = if (Files.exists(ip)) Files.size(ip) / IndexEntryBytes else 0L
+      if (Files.exists(bp) &&
+          Files.size(bp) / BloomBytesPerBlock > entries) {
+        val ch = FileChannel.open(bp, StandardOpenOption.WRITE)
+        try ch.truncate(entries * BloomBytesPerBlock) finally ch.close()
+      }
+      val blooms = if (Files.exists(bp)) Files.size(bp) / BloomBytesPerBlock else 0L
+      val aligned = blooms == entries &&
+        (!Files.exists(bp) || Files.size(bp) % BloomBytesPerBlock == 0)
+      if (!aligned) Files.deleteIfExists(bp)
+      c -> aligned
+    }.toMap
     // Stitch parts in partition order — data first, index published LAST:
     // phase 1 appends every column's data bytes (zero-copy channel
     // transfer) and collects that column's rebased index entries in
@@ -164,6 +185,7 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
           StandardOpenOption.CREATE, StandardOpenOption.WRITE,
           StandardOpenOption.APPEND)
         val entryBuf = new ByteArrayOutputStream()
+        val bloomBuf = new ByteArrayOutputStream()
         try {
           var base = dataOut.size()
           messages.foreach {
@@ -182,11 +204,25 @@ class RtcdbBatchWrite(root: String, table: String, schema: StructType,
                 entryBuf.write(
                   e.copy(startPosition = e.startPosition + base).toBytes)
               }
+              bloomBuf.write(part.bloomBytes)
               base += part.dataLength
             case _ => ()
           }
           dataOut.force(false)
         } finally dataOut.close()
+        // bloom appended BEFORE the index publish: in the crash window the
+        // sidecar is longer than the index, which readers ignore (size
+        // equation) and the next commit's repair re-truncates — never a
+        // misaligned skip
+        if (bloomOk(c)) {
+          val bOut = FileChannel.open(bloomPath(rootP, table, c),
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+            StandardOpenOption.APPEND)
+          try {
+            bOut.write(java.nio.ByteBuffer.wrap(bloomBuf.toByteArray))
+            bOut.force(false)
+          } finally bOut.close()
+        }
         entryBuf.toByteArray
       }
     schema.fieldNames.zipWithIndex.foreach { case (c, ci) =>
@@ -277,6 +313,7 @@ class RtcdbDataWriter(root: String, table: String, schema: StructType,
     Paths.get(root, s".$table.$c.part-$partitionId-$taskId-$uuid"))
   private val outs = partPaths.map(p => new RandomAccessFile(p.toFile, "rw"))
   private val entryBufs = Array.fill(schema.length)(new ByteArrayOutputStream())
+  private val bloomBufs = Array.fill(schema.length)(new ByteArrayOutputStream())
   private val positions = Array.fill(schema.length)(0L)
 
   private val buffer = new scala.collection.mutable.ArrayBuffer[InternalRow](RowsPerBlock)
@@ -294,6 +331,7 @@ class RtcdbDataWriter(root: String, table: String, schema: StructType,
       var maxB: Array[Byte] = null
       var minL = Long.MaxValue
       var maxL = Long.MinValue
+      val bloom = new Array[Byte](BloomBytesPerBlock)
       buffer.foreach { row =>
         if (row.isNullAt(ci))
           throw new IllegalArgumentException("Mismatched data type")
@@ -304,12 +342,15 @@ class RtcdbDataWriter(root: String, table: String, schema: StructType,
               s"rtcdb: negative value $l in uint64 column '${field.name}'")
             encodeLong(buf, l)
             minL = math.min(minL, l); maxL = math.max(maxL, l)
+            bloomInsert(bloom, longToBytes8(l))
           case StringType =>
             val s = row.getUTF8String(ci).toString
             encodeString(buf, s)
             val p = prefix8(s)
             if (minB == null || compareBytes(p, minB) < 0) minB = p
             if (maxB == null || compareBytes(p, maxB) > 0) maxB = p
+            bloomInsert(bloom,
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           case _ =>
             throw new IllegalArgumentException("Mismatched data type")
         }
@@ -321,6 +362,7 @@ class RtcdbDataWriter(root: String, table: String, schema: StructType,
         if (field.dataType == LongType) longToBytes8(minL) else minB,
         if (field.dataType == LongType) longToBytes8(maxL) else maxB)
       entryBufs(ci).write(entry.toBytes)
+      bloomBufs(ci).write(bloom)
       positions(ci) += comp.length
     }
     buffer.clear()
@@ -331,7 +373,7 @@ class RtcdbDataWriter(root: String, table: String, schema: StructType,
     outs.foreach(_.close())
     RtcdbTaskCommit(schema.indices.map(ci =>
       RtcdbColPart(partPaths(ci).toString, entryBufs(ci).toByteArray,
-        positions(ci))).toArray)
+        positions(ci), bloomBufs(ci).toByteArray)).toArray)
   }
 
   override def abort(): Unit = {
