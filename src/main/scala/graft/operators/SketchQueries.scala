@@ -146,6 +146,48 @@ object SketchQueries {
               GROUP BY 1""")
     ),
 
+    QueryDef(
+      "q233_rtcdb_bloom_point",
+      // The bloom-sidecar read path, driver-visible end to end: orders is
+      // written to the rtcdb format sorted by o_orderkey (the leading
+      // column), so o_custkey values SCATTER across blocks — every block's
+      // zone map spans the custkey domain and the 40-byte index can prune
+      // nothing for the point predicate below. The per-block bloom sidecar
+      // (RtcdbFormat, our format extension) is what serves it: the reader
+      // verifies the size equation, probes each zone-admitted block's
+      // filter for the literal, and decodes only may-contain blocks
+      // (~1% FP) — RtcdbSourceSpec asserts the pruned-block counts and the
+      // stale-sidecar degradation; this query makes the same path
+      // oracle-checked. At 10⁹ blocks this is the difference between a
+      // point lookup decoding everything and decoding ~nothing.
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType, nullable = false),
+          StructField("o_custkey", LongType, nullable = false),
+          StructField("o_orderpriority", StringType, nullable = false)))
+        val dir = Shared.scratchRoot("rtcdb-bloom", d)
+        java.nio.file.Files.createDirectories(dir)
+        RtcdbFormat.writeMetadata(dir, Seq("orders" -> schema))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+          .write.format("rtcdb")
+          .option("path", dir.toString).option("table", "orders")
+          .mode("overwrite").save()
+        s.read.format("rtcdb")
+          .option("path", dir.toString).option("table", "orders")
+          .load()
+          .filter(col("o_custkey") === 7L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+              FROM orders
+              WHERE o_custkey = 7
+              GROUP BY 1""")
+    ),
+
     // ── Z-ordered catalog layout, driver-visible end to end ───────────────
     QueryDef(
       "q147_zorder_roundtrip",

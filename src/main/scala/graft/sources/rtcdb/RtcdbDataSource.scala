@@ -297,11 +297,16 @@ object RtcdbScanStats {
   val plannedBlocks = new AtomicLong(0)
   val prunedBlocks = new AtomicLong(0)
   val runtimeFilteredScans = new AtomicLong(0)
+  /** blocks the zone maps ADMITTED but the bloom sidecar proved empty —
+    * the sidecar's whole value (equality on scattered non-leading columns,
+    * where every block's [min,max] spans the domain) */
+  val bloomPrunedBlocks = new AtomicLong(0)
   /** 40-byte entries read ON THE DRIVER during planning — the O(log n)
     * proof (RtcdbSourceSpec asserts this stays logarithmic + constant) */
   val driverIndexEntryReads = new AtomicLong(0)
   def reset(): Unit = {
     plannedBlocks.set(0); prunedBlocks.set(0); runtimeFilteredScans.set(0)
+    bloomPrunedBlocks.set(0)
     driverIndexEntryReads.set(0)
   }
 }
@@ -370,10 +375,30 @@ object RtcdbPruning extends Serializable {
     val from = if (i >= 0) i else -(i + 1)
     from < sorted.length && sorted(from) <= mx
   }
+
+  /** bulk-read bloom filters for blocks [from, until) of one sidecar file
+    * (block k's 1280 bytes live at offset k*BloomBytesPerBlock — same
+    * headerless positional contract as the index) */
+  def readBloomRange(path: String, from: Int, until: Int): Array[Array[Byte]] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val n = math.max(0, until - from)
+      val buf = new Array[Byte](n * BloomBytesPerBlock)
+      raf.seek(from.toLong * BloomBytesPerBlock)
+      raf.readFully(buf)
+      Array.tabulate(n)(i => java.util.Arrays.copyOfRange(buf,
+        i * BloomBytesPerBlock, (i + 1) * BloomBytesPerBlock))
+    } finally raf.close()
+  }
 }
 
+/** `bloomPath` is null unless the column's bloom sidecar passed the
+  * size-equation validity check at planning time (exists, whole-filter
+  * aligned, block count in exact lockstep with its index entry count) —
+  * the contract that makes a bloom skip sound; anything else degrades to
+  * "no bloom pruning", never to a wrong skip */
 final case class RtcdbColSpec(name: String, isLong: Boolean,
-    dataPath: String, indexPath: String)
+    dataPath: String, indexPath: String, bloomPath: String = null)
 final case class RtcdbInputPartition(
     outputCols: Array[RtcdbColSpec],
     /** filter/runtime columns NOT in the output — index entries needed for
@@ -457,9 +482,20 @@ class RtcdbScan(root: String, table: String, declared: StructType,
   private def isLongCol(name: String): Boolean =
     declared(name).dataType == LongType
 
-  private def colSpec(c: String): RtcdbColSpec = RtcdbColSpec(c, isLongCol(c),
-    dataPath(Paths.get(root), table, c).toString,
-    indexPath(Paths.get(root), table, c).toString)
+  private def colSpec(c: String): RtcdbColSpec = {
+    val ip = indexPath(Paths.get(root), table, c)
+    // bloom validity (size equation, RtcdbFormat doc): sidecar block count
+    // must equal THIS column's index entry count exactly — a stale, torn,
+    // or legacy sidecar fails the equation and the scan silently degrades
+    // to zone-map-only pruning. One stat call per column, driver-side.
+    val bp = bloomPath(Paths.get(root), table, c)
+    val bloomValid = Files.exists(bp) && Files.exists(ip) &&
+      Files.size(bp) % BloomBytesPerBlock == 0 &&
+      Files.size(bp) / BloomBytesPerBlock == Files.size(ip) / IndexEntryBytes
+    RtcdbColSpec(c, isLongCol(c),
+      dataPath(Paths.get(root), table, c).toString, ip.toString,
+      if (bloomValid) bp.toString else null)
+  }
 
   // ── driver-side binary search on the leading (sorted) column ───────────
   // Under the format's sort contract the leading column's per-block mins
@@ -659,7 +695,30 @@ class RtcdbPartitionReader(part: RtcdbInputPartition, countOnly: Boolean)
     }
   }
 
-  /** zone-map + runtime-set evaluation for block `b` (range-relative) */
+  // ── bloom sidecar consult (equality predicates only) ───────────────────
+  // Zone maps prune nothing for equality on a NON-leading column whose
+  // values scatter (every block's [min,max] spans the domain) — exactly
+  // the case the per-block bloom sidecar (RtcdbFormat) closes. Slices are
+  // bulk-read once per partition (1280 B/block), only for columns that
+  // (a) passed the driver's size-equation validity check (bloomPath set)
+  // and (b) carry an equality predicate here. A failed probe PROVES the
+  // value absent from the block; a false positive only costs a wasted
+  // decode (row-level FilterExec still evaluates exactly).
+  private val MaxBloomRuntimeKeys = 256
+  private val bloomEligible: Set[String] =
+    part.pushed.collect { case EqualTo(a, _) => a }.toSet ++
+      part.runtimeInSets.collect {
+        case (c, ks) if ks.length <= MaxBloomRuntimeKeys => c
+      }
+  private val bloomSlices: Map[String, (Boolean, Array[Array[Byte]])] =
+    (part.outputCols ++ part.filterOnlyCols).iterator
+      .filter(c => c.bloomPath != null && bloomEligible.contains(c.name))
+      .map(c => c.name -> (c.isLong, RtcdbPruning.readBloomRange(
+        c.bloomPath, part.blockStart, part.blockEnd)))
+      .toMap
+
+  /** zone-map + runtime-set + bloom evaluation for block `b`
+    * (range-relative) */
   private def blockSurvives(b: Int): Boolean = {
     def colEntry(name: String): Option[(RtcdbColSpec, IndexEntry)] = {
       val oi = part.outputCols.indexWhere(_.name == name)
@@ -670,7 +729,7 @@ class RtcdbPartitionReader(part: RtcdbInputPartition, countOnly: Boolean)
         else None
       }
     }
-    part.pushed.forall { f =>
+    val zoneOk = part.pushed.forall { f =>
       val name = f match {
         case EqualTo(a, _) => a
         case GreaterThan(a, _) => a
@@ -689,6 +748,28 @@ class RtcdbPartitionReader(part: RtcdbInputPartition, countOnly: Boolean)
           java.nio.ByteBuffer.wrap(e.max).getLong)
       }
     }
+    if (!zoneOk) return false
+    val bloomOk = part.pushed.forall {
+      case EqualTo(a, v) => bloomSlices.get(a).forall { case (isLong, s) =>
+        // type-guard mirrors blockMayMatch's literal patterns: only probe
+        // when the literal carries the column's exact runtime type
+        if (isLong && v.isInstanceOf[Long])
+          bloomMayContain(s(b), longToBytes8(v.asInstanceOf[Long]))
+        else if (!isLong && v.isInstanceOf[String])
+          bloomMayContain(s(b), v.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else true
+      }
+      case _ => true
+    } && part.runtimeInSets.forall { case (name, keys) =>
+      bloomSlices.get(name) match {
+        case Some((true, s)) =>
+          keys.exists(k => bloomMayContain(s(b), longToBytes8(k)))
+        case _ => true
+      }
+    }
+    if (!bloomOk) RtcdbScanStats.bloomPrunedBlocks.incrementAndGet()
+    bloomOk
   }
 
   private val files = part.outputCols.map(c => new RandomAccessFile(c.dataPath, "r"))

@@ -273,13 +273,21 @@ object RtcdbFormat {
     // bloom lockstep check BEFORE appending: a column whose sidecar block
     // count doesn't match its index entry count (legacy table, lost file)
     // can't take positional appends — delete the sidecar and stop
-    // maintaining it (advisory data; readers then just skip bloom pruning)
+    // maintaining it (advisory data; readers then just skip bloom pruning).
+    // The alignment guard matters as much as the count: a partial bloom
+    // tail (crash mid-bloom-append) can pass the integer-division count
+    // while ending at a NON-multiple of BloomBytesPerBlock — appending at
+    // that unaligned offset would permanently shift every later block's
+    // filter bytes, turning the sidecar's "provably absent" answers into
+    // wrong skips once a reader consults it (r9 advice).
     val bloomOk = schema.fields.map { f =>
       val ip = indexPath(rootP, table, f.name)
       val bp = bloomPath(rootP, table, f.name)
       val entries = if (Files.exists(ip)) Files.size(ip) / IndexEntryBytes else 0L
       val blooms = if (Files.exists(bp)) Files.size(bp) / BloomBytesPerBlock else 0L
-      if (entries == blooms) true
+      val aligned = !Files.exists(bp) ||
+        Files.size(bp) % BloomBytesPerBlock == 0
+      if (entries == blooms && aligned) true
       else { Files.deleteIfExists(bp); false }
     }
     val bloomFiles = schema.fields.zip(bloomOk).map { case (f, ok) =>

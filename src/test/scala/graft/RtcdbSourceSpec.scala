@@ -539,6 +539,155 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
     assert(viaRtcdb == viaParquet)
   }
 
+  // ── bloom sidecar (our extension; RtcdbFormat doc comment) ─────────────
+
+  private val bloomSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),      // leading, sorted
+    StructField("tag", StringType, nullable = false),  // scattered strings
+    StructField("v", LongType, nullable = false)))     // scattered longs
+
+  /** 16 blocks sorted by k; tag/v values scatter so every block's zone map
+    * spans the domain — the exact shape zone maps cannot prune and the
+    * bloom sidecar exists for */
+  private def scatteredStore(tag: String): String = {
+    val dir = Files.createTempDirectory(s"rtcdb_$tag")
+    RtcdbFormat.writeMetadata(dir, Seq("t" -> bloomSchema))
+    val rows = (0L until 16 * 1024L).map { i =>
+      val h = (i * 2654435761L) % 100003L
+      Row(i, s"tag$h", h)
+    }
+    RtcdbFormat.write(dir.toString, "t", bloomSchema, rows)
+    dir.toString
+  }
+
+  private def readT(root: String) =
+    spark.read.format("rtcdb").option("path", root).option("table", "t").load()
+
+  test("bloom sidecar prunes blocks for equality on scattered non-leading columns") {
+    val root = scatteredStore("bloom")
+    // the value at i=5000 lives in exactly one block (values are unique mod
+    // 100003 over this range); zone maps admit ~all 16 blocks
+    val needle = (5000L * 2654435761L) % 100003L
+    RtcdbScanStats.reset()
+    val hitL = readT(root).filter(col("v") === needle).collect()
+    assert(hitL.length == 1 && hitL.head.getLong(0) == 5000L)
+    assert(RtcdbScanStats.bloomPrunedBlocks.get() >= 12,
+      s"bloom pruned ${RtcdbScanStats.bloomPrunedBlocks.get()} of 16 blocks")
+    assert(RtcdbScanStats.plannedBlocks.get() <= 4,
+      s"decoded ${RtcdbScanStats.plannedBlocks.get()} blocks — bloom not consulted?")
+    // string column: 8-byte prefix zone maps can NEVER prove equality
+    // absent here (shared "tag" prefix) — only the bloom can skip
+    RtcdbScanStats.reset()
+    val hitS = readT(root).filter(col("tag") === s"tag$needle").collect()
+    assert(hitS.length == 1 && hitS.head.getLong(0) == 5000L)
+    assert(RtcdbScanStats.bloomPrunedBlocks.get() >= 12)
+    assert(RtcdbScanStats.plannedBlocks.get() <= 4)
+    // a never-wrong-skip sanity sweep: every 97th row must be found
+    val sample = (0L until 16 * 1024L by 97L).toSeq
+    val expected = sample.map(i => (i * 2654435761L) % 100003L).toSet
+    val got = readT(root)
+      .filter(col("v").isin(sample.map(i => (i * 2654435761L) % 100003L): _*))
+      .collect().map(_.getLong(2)).toSet
+    assert(got == expected)
+  }
+
+  test("a stale or missing bloom sidecar degrades to no pruning, identical results") {
+    val root = scatteredStore("bloomstale")
+    val needle = (9000L * 2654435761L) % 100003L
+    // missing sidecar: delete v's bloom entirely
+    Files.delete(Paths.get(root, "t.v.bloom"))
+    RtcdbScanStats.reset()
+    val hit = readT(root).filter(col("v") === needle).collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 9000L)
+    assert(RtcdbScanStats.bloomPrunedBlocks.get() == 0)
+    assert(RtcdbScanStats.plannedBlocks.get() == 16,
+      "without a sidecar every zone-admitted block must decode")
+    // misaligned sidecar (the r9-advice partial-tail crash artifact): 100
+    // garbage bytes appended — integer division still equals the entry
+    // count, but the size equation fails ⇒ reader must ignore it
+    val bp = Paths.get(root, "t.tag.bloom")
+    Files.write(bp, Array.fill[Byte](100)(0x5a),
+      java.nio.file.StandardOpenOption.APPEND)
+    RtcdbScanStats.reset()
+    val hitS = readT(root).filter(col("tag") === s"tag$needle").collect()
+    assert(hitS.length == 1 && hitS.head.getLong(0) == 9000L)
+    assert(RtcdbScanStats.bloomPrunedBlocks.get() == 0,
+      "a misaligned sidecar must never be consulted")
+    // and the next serial append DELETES the unaligned sidecar instead of
+    // appending at an unaligned offset (which would shift every later
+    // block's filter bytes into wrong-skip territory)
+    RtcdbFormat.write(root, "t", bloomSchema, Seq(Row(99999L, "tagx", 1L)))
+    assert(!Files.exists(bp), "partial-tail sidecar must be deleted, not appended to")
+    // v's sidecar was deleted above: append must not resurrect it half-built
+    assert(!Files.exists(Paths.get(root, "t.v.bloom")))
+  }
+
+  test("bloom sidecar stays in lockstep with the index across appends and repair") {
+    val root = freshDb("bloomstep")
+    def entries(c: String) =
+      Files.size(Paths.get(root, s"events.$c.index")) / RtcdbFormat.IndexEntryBytes
+    def blooms(c: String) =
+      Files.size(Paths.get(root, s"events.$c.bloom")) / RtcdbFormat.BloomBytesPerBlock
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (0L until 2500L).map(i => Row(s"e$i", i, i)))
+    RtcdbFormat.write(root, "events", eventsSchema,
+      (2500L until 3000L).map(i => Row(s"e$i", i, i)))
+    for (c <- Seq("event", "timestamp", "id")) {
+      assert(entries(c) == 4 && blooms(c) == 4, s"col $c out of lockstep")
+      assert(Files.size(Paths.get(root, s"events.$c.bloom"))
+        % RtcdbFormat.BloomBytesPerBlock == 0)
+    }
+    // an OVER-LONG sidecar (commit crashed after bloom append, before the
+    // index publish) is truncated back to the entry count by the next
+    // distributed commit's repair pass, then maintained normally
+    Files.write(Paths.get(root, "events.id.bloom"),
+      Array.fill[Byte](2 * RtcdbFormat.BloomBytesPerBlock)(1),
+      java.nio.file.StandardOpenOption.APPEND)
+    val s = spark
+    import s.implicits._
+    Seq(("z1", 9000L, 9000L)).toDF("event", "timestamp", "id")
+      .write.format("rtcdb").option("path", root).option("table", "events")
+      .mode("append").save()
+    assert(entries("id") == blooms("id"),
+      s"repair left id at ${blooms("id")} blooms for ${entries("id")} entries")
+  }
+
+  test("distributed writer's bloom sidecar bytes match the serial writer's") {
+    // drive the DSv2 write path directly with task splits on block
+    // boundaries (2 tasks × 2048 rows), so blocks — and therefore per-block
+    // filters — must be byte-identical to one serial write of the same rows
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.rtcdb.{RtcdbWriterFactory, RtcdbBatchWrite}
+    val rows = (0L until 4096L).map { i =>
+      val h = (i * 40503L) % 65521L
+      (f"w$i%06d", h, i)
+    }
+    val dDir = Files.createTempDirectory("rtcdb_dbloom")
+    RtcdbFormat.writeMetadata(dDir, Seq("events" -> eventsSchema))
+    val factory = new RtcdbWriterFactory(dDir.toString, "events", eventsSchema)
+    val msgs = Seq(0, 1).map { task =>
+      val w = factory.createWriter(task, task.toLong)
+      rows.slice(task * 2048, (task + 1) * 2048).foreach { r =>
+        w.write(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r._1), r._2, r._3)))
+      }
+      w.commit()
+    }
+    new RtcdbBatchWrite(dDir.toString, "events", eventsSchema, false)
+      .commit(msgs.toArray)
+    val sDir = freshDb("sbloom")
+    RtcdbFormat.write(sDir, "events", eventsSchema,
+      rows.map(r => Row(r._1, r._2, r._3)))
+    for (c <- Seq("event", "timestamp", "id")) {
+      val d = Files.readAllBytes(dDir.resolve(s"events.$c.bloom"))
+      val s2 = Files.readAllBytes(Paths.get(sDir, s"events.$c.bloom"))
+      assert(d.length == 4 * RtcdbFormat.BloomBytesPerBlock)
+      assert(java.util.Arrays.equals(d, s2),
+        s"column '$c': distributed and serial bloom sidecars differ")
+    }
+  }
+
   test("distributed writer: overwrite truncates, nulls and negatives abort") {
     val s = spark
     import s.implicits._
