@@ -1135,29 +1135,53 @@ object CoreQueries {
               FROM supplier""")
     ),
 
-    // ── 2D SKYLINE (pareto-optimal set via one running-max window) ────────
+    // ── 2D SKYLINE (pareto-optimal set, bucketed running max) ─────────────
     QueryDef(
       "q207_skyline_2d",
       // The multi-criteria dominance query (best price for its size):
       // keep every part NOT strictly dominated — no other part both
       // strictly cheaper AND strictly larger. The naive form is an
-      // O(n²) self-join; the 2D skyline collapses to ONE window: order
-      // by exact price cents, and a part survives iff the max size over
-      // all STRICTLY cheaper parts (RANGE frame ending 1 cent before
-      // the current value — ties are excluded from the frame, which is
-      // exactly the strictness rule) does not exceed its own size. All
-      // frame arithmetic is BIGINT cents, so frame membership is
-      // engine-identical. Scale shape: one range-partitioned global
-      // sort + a running max — no self-join at any size.
+      // O(n²) self-join; the 2D skyline collapses to a running max over
+      // strictly-cheaper rows. A bare Window.orderBy would compute that
+      // max on ONE partition (Spark funnels the whole table through a
+      // single task — the r9-flagged scale-killer), so this is the
+      // Shared.distributedPrefixSum shape instead, max for sum:
+      //   1. bucket rows by price range (price_c div 256 — price-ordered
+      //      buckets, so every row in an EARLIER bucket is strictly
+      //      cheaper by construction; 256 cents ⇒ ~40 buckets on the
+      //      testdata's 90000–99990¢ domain, ~470 on the full TPC-H one —
+      //      enough parallel groups, still a model-sized offset table);
+      //   2. per-bucket running max in a PARTITIONED window, RANGE frame
+      //      ending 1 cent before the current value — same-price ties
+      //      always share a bucket, and the frame excludes them, which is
+      //      exactly the strictness rule;
+      //   3. per-bucket maxima fold into prior-bucket prefix maxima in a
+      //      window over the MODEL-SIZED bucket table, broadcast back.
+      // best_cheaper = greatest(local, prior) — greatest skips NULLs, and
+      // is NULL only for the globally cheapest price, matching the
+      // single-window form row for row. All frame arithmetic is BIGINT
+      // cents, so frame membership is engine-identical; the oracle keeps
+      // the plain one-window spec, so the hash match proves the bucketed
+      // decomposition ≡ the global running max.
       (s, d) => {
-        val w = Window.orderBy("price_c")
-          .rangeBetween(Window.unboundedPreceding, -1)
-        Tables.part(s, d)
+        val base = Tables.part(s, d)
           .select(col("p_partkey"),
             (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
               .cast("long").as("price_c"),
             col("p_size").cast("long").as("size"))
-          .withColumn("best_cheaper", max(col("size")).over(w))
+          .withColumn("pbkt", (col("price_c") / 256L).cast("long"))
+        val wLocal = Window.partitionBy("pbkt").orderBy("price_c")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wPrior = Window.orderBy("pbkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val priors = base.groupBy("pbkt").agg(max(col("size")).as("bmax"))
+          .withColumn("prior_best", max(col("bmax")).over(wPrior))
+          .select("pbkt", "prior_best")
+        base
+          .withColumn("local_best", max(col("size")).over(wLocal))
+          .join(broadcast(priors), "pbkt")
+          .withColumn("best_cheaper",
+            greatest(col("local_best"), col("prior_best")))
           .filter(col("best_cheaper").isNull ||
             col("best_cheaper") <= col("size"))
           .select("p_partkey", "price_c", "size")

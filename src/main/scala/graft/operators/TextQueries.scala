@@ -2755,16 +2755,46 @@ object TextQueries {
       // corpus into score deciles and report positives per bucket — the
       // lift table that decides where to put the keep/drop threshold.
       // Scores come from the SHARED q188 pipeline ([[nbScores]] — one
-      // definition, zero drift risk), deciles from ntile over the total
-      // order (score desc, doc_id) so both engines bucket identically.
-      // NOTE the global ntile window runs single-partition — acceptable
-      // for the doc-grain score table (≪ corpus; one row per document);
-      // at extreme scale the q181 distributed-prefix-sum shape computes
-      // the same global rank without the bottleneck.
+      // definition, zero drift risk). Deciles are computed WITHOUT a
+      // global window (the r9-flagged single-partition ntile is gone):
+      // the total order (score desc, doc_id asc) packs into the unique
+      // BIGINT key (2³⁰ − score_ppm)·2³² + doc_id (the q227 discipline),
+      // [[Shared.distributedPrefixSum]] delivers the exact 0-based global
+      // rank with PARALLEL per-bucket windows — the bucket width 2⁴⁸
+      // spans 2¹⁶ score units, so the offset table is ≤ ~2¹⁴ rows by the
+      // score-range bound, independent of corpus size — and the decile is
+      // then ntile's closed form over (rank, n): sizes ⌈n/10⌉ for the
+      // first n mod 10 buckets, ⌊n/10⌋ after. Both engines evaluate the
+      // identical (key order, formula) pair, so bucketing is pinned; the
+      // oracle keeps the plain ntile spec, so the hash match proves the
+      // distributed rank ≡ the global window. Bounds contract:
+      // |score_ppm| < 2³⁰ (≡ per-doc bigram count < 2³⁰/10⁶ ≈ 1074 — far
+      // above the corpus) and doc_id < 2³², ENFORCED by a raise_error
+      // guard rather than documented away — an overflowing key aborts the
+      // query, never silently mis-ranks.
       (s, d) => {
-        val w = Window.orderBy(col("score_ppm").desc, col("doc_id").asc)
-        nbScores(s, d)
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val n = bigramTable(s, d)._1.select("doc_id").distinct().count()
+        val q10 = n / 10L
+        val rem = n % 10L
+        val cut = (q10 + 1L) * rem
+        val keyed = nbScores(s, d)
+          .withColumn("rkey",
+            when(abs(col("score_ppm")) >= lit(1L << 30) ||
+              col("doc_id") < 0 || col("doc_id") >= lit(1L << 32),
+              raise_error(concat(lit("q202: score/doc_id outside the " +
+                "packed-key bounds contract: "), col("doc_id"))))
+              .otherwise((lit(1L << 30) - col("score_ppm")) * lit(1L << 32) +
+                col("doc_id")))
+        Shared.distributedPrefixSum(
+            keyed.withColumn("one", lit(1L)), "rkey", "one",
+            bucket = 1L << 48)
+          .withColumn("decile",
+            // `div`, not `/`: Long/Long Column `/` is DOUBLE division
+            // (q226's lesson) — ntile's arithmetic must stay integral
+            when(col("cum") < cut, expr(s"(cum div ${q10 + 1L}L) + 1L"))
+              .otherwise(expr(
+                s"${rem}L + ((cum - ${cut}L) div ${math.max(q10, 1L)}L) + 1L"))
+              .cast("long"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n"),
             sum(col("y")).cast("long").as("n_pos"),

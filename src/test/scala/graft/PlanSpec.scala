@@ -368,6 +368,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"offsets must attach as a broadcast:\n$p")
   }
 
+  test("q207/q202: no corpus-sized single-partition window (r9 scale-killers)") {
+    // both queries previously funneled their whole input through ONE
+    // WindowExec task (q207: unpartitioned RANGE running max; q202:
+    // global ntile). Now the corpus-sized windows must partition by the
+    // price/key bucket, with only the model-sized bucket-offset table
+    // allowed an unpartitioned window, and offsets attaching broadcast.
+    val p207 = plan("q207_skyline_2d")
+    assert(p207.contains("windowspecdefinition(pbkt"),
+      s"q207 running max must partition by pbkt:\n$p207")
+    assert(p207.contains("BroadcastHashJoin"),
+      s"q207 prior-bucket maxima must attach broadcast:\n$p207")
+    val p202 = plan("q202_score_deciles")
+    assert(p202.contains("windowspecdefinition(__bkt"),
+      s"q202 rank must partition by __bkt:\n$p202")
+    assert(!p202.contains("ntile"),
+      s"q202 must not run a global ntile:\n$p202")
+    assert(p202.contains("BroadcastHashJoin"),
+      s"q202 offsets must attach broadcast:\n$p202")
+  }
+
   test("q173 (quality classifier): train is one reduction, model attaches broadcast") {
     // closed-form training: the stats subtree reduces to ONE row and the
     // corpus scoring pass receives it as a broadcast — never a shuffle
