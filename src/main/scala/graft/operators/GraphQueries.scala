@@ -231,20 +231,34 @@ object GraphQueries {
       //
       // Shape, and why it scales: per-order pairs are bounded by order
       // size (never corpus-quadratic); distinct-edge + degree are hash
-      // aggregations; the wedge join and closing-edge semi-join are
-      // keyed equi-joins on the oriented edge set.
+      // aggregations; the wedge join and closing-edge probe are keyed
+      // equi-joins on the oriented edge set, hinted SHUFFLED HASH — the
+      // build sides are edge lists, not fact tables, and skipping both
+      // sort passes is the point of the orientation's bounded fan-out.
       (s, d) => Shared.withCheckpointDir(s) {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-        // the edge set feeds degree, orientation, the scalar probes AND
-        // the closing join — RELIABLY checkpoint it (and the oriented
-        // set below) so consumers read a small file instead of replaying
-        // the per-order pair pipeline three times (the q145 discipline;
-        // measured 9.9s → the edge pipeline was ~2/3 of it)
-        val e = li.select(col("l_orderkey").as("o"), col("l_partkey").as("a"))
-          .join(li.select(col("l_orderkey").as("o"),
-            col("l_partkey").as("b")), "o")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct().checkpoint()
+        // Per-order pair generation via ONE aggregation: collect each
+        // order's distinct parts into a sorted basket (map-side combine
+        // collapses duplicate (order, part) rows pre-shuffle; basket
+        // width is order-size-bounded), then emit ordered pairs with an
+        // array HOF inside codegen. This replaces the r9 fact×fact
+        // self-join — lineitem shuffled TWICE on orderkey plus a
+        // join-row stream of Σ|order|² rows — with one fact shuffle and
+        // zero joins before the edge set exists (r9 verdict: the self-
+        // join was ~2/3 of the 9.9 s cost). The edge set feeds degree,
+        // orientation, the scalar probes AND the closing join — RELIABLY
+        // checkpoint it (and the oriented set below) so consumers read a
+        // small file instead of replaying the pair pipeline (q145
+        // discipline).
+        val baskets = li.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+        val e = baskets
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct().checkpoint()
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         // orientation key is the TOTAL order (deg, id); carrying the
@@ -265,10 +279,11 @@ object GraphQueries {
           .checkpoint()
         val x = ed.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
         val y = ed.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
-        val wedges = x.join(y, "u")
+        val wedges = x.join(y.hint("shuffle_hash"), "u")
           .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
         val tri = wedges.join(
-          ed.select(col("u").as("w1"), col("v").as("w2")), Seq("w1", "w2"))
+          ed.select(col("u").as("w1"), col("v").as("w2")).hint("shuffle_hash"),
+          Seq("w1", "w2"))
         // graph-size scalars are tiny-aggregate counts (the q145/q209
         // driver-side scalar-probe pattern) — attaching them as literals
         // keeps the result single-pass with zero cartesian joins
