@@ -1133,10 +1133,14 @@ object EventQueries {
       // with parallel per-bucket windows; the bucket is then the closed
       // form (5·rank) div n. Both engines compute the identical
       // (key-order, formula) pair, so tie handling is pinned by
-      // construction. Bounds contract: recency < 2²⁰ days, per-user
-      // purchases < 2²⁰, per-user cents < 2³⁰ — all far above any real
-      // corpus; violations would overflow the packed key, not silently
-      // mis-rank.
+      // construction. Bounds contract: user_id < 2³², recency spread
+      // < 2³⁰ days, per-user purchases < 2²⁰, per-user cents < 2³⁰ —
+      // all far above any real corpus — and ENFORCED: a violating row
+      // would wrap the packed key negative (Long arithmetic is silent),
+      // which IS a silent mis-rank, so every key carries a raise_error
+      // guard on key < 0 ∨ user_id ≥ 2³² — violations abort the query
+      // loudly instead (r9 advice; distributedPrefixSum's non-negative
+      // order-key contract is what the guard preserves).
       //
       // Shape, and why it scales: one fact pass to user grain; three
       // prefix-sum rounds on the user-grain table (each: parallel
@@ -1164,13 +1168,21 @@ object EventQueries {
               StructField("total_cents", LongType))))
         } else {
           val dmax = pur.agg(max(col("day"))).head.getLong(0)
+          // bounds guard (see contract above): any packed key gone
+          // negative — or a user_id wide enough to collide keys — aborts
+          def guarded(c: org.apache.spark.sql.Column) =
+            when(c < 0 || col("user_id") < 0 ||
+              col("user_id") >= lit(1L << 32),
+              raise_error(concat(lit("q227: packed-key bounds contract " +
+                "violated for user_id "), col("user_id"))))
+              .otherwise(c)
           val keyed = user
-            .withColumn("rkey",
-              (lit(dmax) - col("last_day")) * lit(1L << 32) + col("user_id"))
-            .withColumn("fkey",
-              (lit(1L << 20) - col("freq")) * lit(1L << 32) + col("user_id"))
-            .withColumn("mkey",
-              (lit(1L << 30) - col("cents")) * lit(1L << 32) + col("user_id"))
+            .withColumn("rkey", guarded(
+              (lit(dmax) - col("last_day")) * lit(1L << 32) + col("user_id")))
+            .withColumn("fkey", guarded(
+              (lit(1L << 20) - col("freq")) * lit(1L << 32) + col("user_id")))
+            .withColumn("mkey", guarded(
+              (lit(1L << 30) - col("cents")) * lit(1L << 32) + col("user_id")))
           def score(df: DataFrame, key: String, out: String): DataFrame =
             Shared.distributedPrefixSum(
                 df.withColumn("one", lit(1L)), key, "one")
@@ -1308,8 +1320,15 @@ object EventQueries {
       // CONTRIBUTION EXPANSION on the minute grain: each (type, minute)
       // count fans out to the ≤60 window anchors covering it, one hash
       // aggregation sums per anchor, and the per-type argmax takes
-      // (count desc, earliest anchor). Anchors clamp to the observed
-      // minute range so before-start windows can't duplicate ties.
+      // (count desc, earliest anchor). Anchors clamp to the GLOBAL
+      // minimum observed minute so before-start windows can't duplicate
+      // ties — deliberately global, not per type (and mirrored exactly
+      // in the oracle): a late-starting type may therefore report a
+      // peak window_start_min earlier than its own first event when the
+      // tie-break walks to the earliest covering anchor; the window
+      // still covers the same events. A per-type clamp (min(m) over the
+      // event_type partition) is the alternative semantics if window
+      // starts must lie within each type's own observed range.
       //
       // Shape, and why it scales: one fact pass to minute grain (the
       // only fact-sized shuffle); the expansion is minutes×60 —
