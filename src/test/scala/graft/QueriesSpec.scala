@@ -647,6 +647,30 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
       && rows.head._3 >= 6L, rows.toSeq)
   }
 
+  test("HTML extraction: chrome dropped, body kept byte-exact, entities decoded") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("htmlx").toString
+    val body1 = "the quick brown fox jumps over the lazy dog again and again"
+    val body3 = "alpha &amp; beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, body1, "s1"),
+        (2L, "too short", "s1"),           // body fails the ≥10-word rule
+        (3L, body3, "s1"))                 // &amp; must decode to &
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val rows = SparkEntry.queries("q234_html_extract")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(6)))).toMap
+    // 5 non-empty segments each (title, nav, body, ad, footer); only the
+    // body survives the density rule, and its bytes are pinned by md5
+    assert(rows(1L) == ((5L, 1L, md5hex(body1))), rows(1L))
+    assert(rows(2L)._2 == 0L && rows(2L)._3 == md5hex(""), rows(2L))
+    assert(rows(3L) == ((5L, 1L,
+      md5hex(body3.replace("&amp;", "&")))), rows(3L))
+  }
+
   test("2D skyline: strict dominance only — price ties never dominate") {
     val s = spark
     import s.implicits._
