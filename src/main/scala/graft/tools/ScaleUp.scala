@@ -42,7 +42,10 @@ object ScaleUp {
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").option("compression", "lz4")
+      // snappy, not lz4: Spark's lz4 parquet pages use the hadoop-framed
+      // variant DuckDB can't read, and r10 runs the ORACLE against scaled
+      // sets too (sf1 regression proofs) — snappy is readable by both
+      df.write.mode("overwrite").option("compression", "snappy")
         .parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
