@@ -944,6 +944,122 @@ object ExtQueries {
                 FROM ranked GROUP BY 1)
               SELECT doc_id, source, n_chars, decile, norm_score
               FROM ranked JOIN prof USING (decile)""")
+    ),
+
+    // ── K-ANONYMITY AUDIT (privacy screen for released grains) ────────────
+    QueryDef(
+      "q237_k_anonymity",
+      // The privacy counterpart to q127's PII redaction: before a table
+      // leaves the pipeline, audit whether its quasi-identifier
+      // combinations isolate individuals — a release is k-anonymous iff
+      // every QI group holds ≥ k rows. Two grains of the customer
+      // table, k = 5: the coarse QI (nation, market segment) and the
+      // fine QI adding a $2000 account-balance bucket (exact cents div,
+      // never float) — showing how one added column collapses anonymity.
+      // Per grain: group count, the smallest group (the worst-case k),
+      // violating-group count, and rows that would need suppression.
+      //
+      // Shape, and why it scales: two hash aggregations to QI grain
+      // (group cardinality is QI-domain-bounded, ≪ rows), each folded
+      // to a 1-row summary; output is 2 rows.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val c = Tables.customer(s, d).select(
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 200000L").as("balbkt"))
+        def audit(grain: String, keys: Seq[String]) =
+          c.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+            .agg(lit(grain).as("grain"),
+              count(lit(1)).as("n_groups"),
+              min(col("n")).as("min_k"),
+              sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+              sum(when(col("n") < 5, col("n")).otherwise(0L))
+                .as("rows_suppressed"))
+        audit("nation_segment", Seq("nat", "seg"))
+          .unionAll(audit("nation_segment_bal", Seq("nat", "seg", "balbkt")))
+      },
+      Some("""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                  c_mktsegment AS seg,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 200000 AS balbkt
+                FROM customer),
+              g1 AS (SELECT nat, seg, count(*) AS n FROM c GROUP BY 1, 2),
+              g2 AS (SELECT nat, seg, balbkt, count(*) AS n FROM c
+                GROUP BY 1, 2, 3)
+              SELECT 'nation_segment' AS grain,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(min(n) AS BIGINT) AS min_k,
+                CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating,
+                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                  AS rows_suppressed
+              FROM g1
+              UNION ALL
+              SELECT 'nation_segment_bal', CAST(count(*) AS BIGINT),
+                CAST(min(n) AS BIGINT),
+                CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+              FROM g2""")
+    ),
+
+    // ── URL CANONICALIZATION + PRE-FETCH DEDUP (crawl frontier op) ────────
+    QueryDef(
+      "q238_url_canonical",
+      // The crawl-frontier stage BEFORE q234's extraction: the same page
+      // is discovered under many URLs (tracking params, host case, ref
+      // variants), and fetching duplicates wastes the crawl budget. Each
+      // doc gets a deterministic messy URL (mixed-case host, utm/ref
+      // query params, article id = doc_id mod 50 so ~10 discovered URLs
+      // alias each article); canonicalization = lowercase the HOST only
+      // (paths are case-sensitive per RFC 3986, hosts are not), strip
+      // the query string, strip the trailing slash — all Java∩RE2
+      // regexes (q98 contract). Dedup groups by canonical URL elect the
+      // min-doc_id representative (q165's election discipline): the
+      // fetch list. Output is canonical-URL grain: host, path depth,
+      // alias count, representative.
+      //
+      // Shape, and why it scales: one documents scan, per-row regex
+      // projection, ONE hash aggregation on the canonical key — the
+      // exact-dedup shape (q30) applied to the frontier.
+      (s, d) => {
+        val url = concat(lit("https://WWW."), col("source"),
+          lit(".Example.COM/"), col("lang"), lit("/article/"),
+          (col("doc_id") % 50).cast("string"),
+          lit("/?utm_source=feed&ref=r"), (col("doc_id") % 7).cast("string"),
+          lit("&utm_campaign=x"))
+        val host = lower(regexp_extract(url, "^https?://([^/]+)", 1))
+        val path = regexp_replace(
+          regexp_extract(url, "^https?://[^/]+([^?#]*)", 1), "/$", "")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("https://"), host, path).as("canon"),
+            host.as("host"),
+            (length(path) - length(regexp_replace(path, "/", "")))
+              .cast("long").as("depth"))
+          .groupBy("canon", "host", "depth")
+          .agg(count(lit(1)).as("n_aliases"),
+            min(col("doc_id")).as("fetch_doc"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                  'https://WWW.' || source || '.Example.COM/' || lang
+                  || '/article/' || (doc_id % 50)
+                  || '/?utm_source=feed&ref=r' || (doc_id % 7)
+                  || '&utm_campaign=x' AS url
+                FROM documents),
+              p AS (SELECT doc_id,
+                  lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+                  regexp_replace(
+                    regexp_extract(url, '^https?://[^/]+([^?#]*)', 1),
+                    '/$', '') AS path
+                FROM u)
+              SELECT 'https://' || host || path AS canon, host,
+                CAST(length(path) - length(replace(path, '/', ''))
+                  AS BIGINT) AS depth,
+                count(*) AS n_aliases,
+                CAST(min(doc_id) AS BIGINT) AS fetch_doc
+              FROM p GROUP BY 1, 2, 3""")
     )
   )
 }

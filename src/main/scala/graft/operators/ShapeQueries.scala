@@ -371,6 +371,44 @@ object ShapeQueries {
                      GROUP BY 1)
               SELECT k, n_nullsafe, coalesce(n_strict, 0) AS n_strict
               FROM ns LEFT JOIN st USING (k)""")
+    ),
+
+    // ── TPC-H Q13 shape: customer order-count distribution ────────────────
+    QueryDef(
+      "q235_tpch_q13",
+      // The custdist histogram — the one TPC-H shape the suite was
+      // missing: a LEFT OUTER join whose PREDICATE LIVES IN THE ON
+      // CLAUSE (customers whose only orders are excluded must still
+      // appear with count 0 — a WHERE would drop them, the classic Q13
+      // trap), followed by two stacked aggregations (orders per
+      // customer, then customers per order-count). The exclusion
+      // predicate stands in for Q13's comment filter (this orders table
+      // has no o_comment): drop '3-LOW' priority orders.
+      //
+      // Shape, and why it scales: one shuffled outer join on custkey
+      // (both sides key-partitioned; no broadcast — customer is a fact
+      // here), one custkey-grain aggregation that rides the SAME
+      // partitioning (no second shuffle until the tiny histogram agg),
+      // then a distribution-grain hash agg of ≤ max-orders-per-customer
+      // rows.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+        val perCust = Tables.customer(s, d).select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "3-LOW", "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                  AND o.o_orderpriority <> '3-LOW'
+                GROUP BY 1)
+              GROUP BY 1""")
     )
   )
 }

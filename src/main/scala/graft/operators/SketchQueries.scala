@@ -188,6 +188,51 @@ object SketchQueries {
               GROUP BY 1""")
     ),
 
+    QueryDef(
+      "q239_csv_roundtrip",
+      // CSV — the interchange format every real pipeline ingests from —
+      // driver-visible end to end (the q139 pattern for the text-format
+      // family; DBSpec covers CSV/JSON/ORC as unit round-trips): orders
+      // flows through a quoted, headered CSV written by the engine
+      // (money pinned to exact BIGINT cents BEFORE the text hop — float
+      // → text → float is the classic CSV corruption; priorities carry
+      // commas' worth of quoting risk in general), is read back under an
+      // EXPLICIT schema (never inference — inference is a second scan
+      // and a type lottery at 100 TB), and the aggregate must hash-match
+      // DuckDB reading the original parquet. Any quoting, escaping,
+      // header, or type-mapping defect breaks the row hashes.
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val dir = Shared.scratchRoot("csv-rt", d).toString + "/orders_csv"
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("total_c"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        s.read
+          .schema(StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_custkey", LongType),
+            StructField("o_orderstatus", StringType),
+            StructField("o_orderpriority", StringType),
+            StructField("total_c", LongType))))
+          .option("header", "true").csv(dir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("total_c")).as("sum_total_c"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS sum_total_c,
+                CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                CAST(max(o_orderkey) AS BIGINT) AS max_key
+              FROM orders
+              GROUP BY 1, 2""")
+    ),
+
     // ── Z-ordered catalog layout, driver-visible end to end ───────────────
     QueryDef(
       "q147_zorder_roundtrip",
