@@ -1224,6 +1224,112 @@ object EventQueries {
               FROM st GROUP BY 1""")
     ),
 
+    // ── TOP USER PATHS (ordered 3-step sequences) ─────────────────────────
+    QueryDef(
+      "q242_top_paths",
+      // The "top paths" report next to q213's transition matrix: the
+      // most-traveled ORDERED 3-step event sequences across user
+      // streams, with user reach. Two stacked leads over the same
+      // (ts, event_id)-pinned user window (ONE shuffle, one sort — both
+      // leads ride the same WindowExec frame), then a hash aggregation
+      // into the ≤|types|³ path table; top-10 by (travellers desc, path
+      // asc) — a model-sized total order.
+      //
+      // Shape, and why it scales: the stream shuffles ONCE on user_id;
+      // everything after is path-grain (types³-bounded, broadcastable).
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+            col("e3").as("s3"))
+          .agg(count(lit(1)).as("n_walks"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_walks").desc, col("s1").asc, col("s2").asc,
+            col("s3").asc)
+          .limit(10)
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type AS s1,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS s2,
+                  lead(event_type, 2) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS s3
+                FROM events),
+              paths AS (SELECT s1, s2, s3, count(*) AS n_walks,
+                  count(DISTINCT user_id) AS n_users
+                FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+                GROUP BY 1, 2, 3)
+              SELECT s1, s2, s3, CAST(n_walks AS BIGINT) AS n_walks,
+                CAST(n_users AS BIGINT) AS n_users
+              FROM paths
+              ORDER BY n_walks DESC, s1, s2, s3
+              LIMIT 10""")
+    ),
+
+    // ── WINSORIZED ROBUST STATISTICS (outlier-clamped moments) ────────────
+    QueryDef(
+      "q243_winsorized_stats",
+      // The robust-stats step before any mean-based monitoring: clamp
+      // each event type's purchase values into its own [p05, p95] before
+      // averaging, so a single whale or logging glitch can't move the
+      // metric. Percentiles are the q63 exact-interpolation pair (both
+      // engines compute identical doubles on 2-decimal data), then
+      // FLOORED/CEILED to integer cents so the winsorized stream stays
+      // BIGINT and the mean is one pinned division — clamping to the raw
+      // interpolated double would make the sum order-dependent (the q59
+      // exactness discipline).
+      //
+      // Shape, and why it scales: one fact pass to (type, cents) grain,
+      // one percentile aggregation to the model-sized type table,
+      // broadcast bounds back onto the stream, one clamped aggregation.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val v = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click", "view"))
+          .select(col("event_type"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+        val bounds = v.groupBy("event_type")
+          .agg(floor(expr("percentile(cents, 0.05)")).cast("long").as("lo"),
+            ceil(expr("percentile(cents, 0.95)")).cast("long").as("hi"))
+        v.join(broadcast(bounds), "event_type")
+          .select(col("event_type"), col("lo"), col("hi"),
+            greatest(col("lo"), least(col("hi"), col("cents"))).as("wc"),
+            (col("cents") < col("lo")).cast("long").as("clip_lo"),
+            (col("cents") > col("hi")).cast("long").as("clip_hi"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min(col("lo")).as("lo_cents"), min(col("hi")).as("hi_cents"),
+            sum(col("clip_lo")).as("n_clip_lo"),
+            sum(col("clip_hi")).as("n_clip_hi"),
+            (sum(col("wc")).cast("double") / count(lit(1)).cast("double"))
+              .as("winsorized_mean_cents"))
+      },
+      Some("""WITH v AS (SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+              b AS (SELECT event_type,
+                  CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+                  CAST(ceil(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+                FROM v GROUP BY 1)
+              SELECT v.event_type, count(*) AS n,
+                CAST(min(lo) AS BIGINT) AS lo_cents,
+                CAST(min(hi) AS BIGINT) AS hi_cents,
+                CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clip_lo,
+                CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clip_hi,
+                CAST(sum(greatest(lo, least(hi, cents))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS winsorized_mean_cents
+              FROM v JOIN b USING (event_type)
+              GROUP BY 1""")
+    ),
+
     // ── REVENUE CONCENTRATION (Gini + minimal top-80% set) ────────────────
     QueryDef(
       "q228_revenue_concentration",

@@ -2931,6 +2931,131 @@ object TextQueries {
               FROM ext"""),
     ),
 
+    // ── DEDUP THRESHOLD SENSITIVITY SWEEP (aggressiveness tuning) ─────────
+    QueryDef(
+      "q240_dedup_threshold_sweep",
+      // The decision-support table every dedup deployment needs before
+      // picking its aggressiveness: how many near-dup pairs — and how
+      // many documents — each evidence threshold would implicate. Sweeps
+      // the winnow-pair evidence floor t ∈ [2, 6] over the MEMOIZED
+      // candidate pair table ([[winnowPairs]] — zero corpus scans here)
+      // via CONTRIBUTION EXPANSION (q225's shape): a pair with n_shared
+      // = k feeds thresholds 2..min(k, 6), a document feeds thresholds
+      // up to its STRONGEST pair's evidence, one hash aggregation each.
+      // Monotone by construction — the table shows exactly where the
+      // pair count falls off.
+      //
+      // Shape, and why it scales: the pair table is near-dup-bounded
+      // (≪ corpus); the expansion is ≤ 5× pairs; both aggregations are
+      // threshold-grain (≤ 5 rows out).
+      (s, d) => {
+        val pr = winnowPairs(s, d)
+        val nPairs = pr
+          .select(explode(sequence(lit(2L), least(col("n_shared"), lit(6L))))
+            .as("threshold"))
+          .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+        val nDocs = pr
+          .select(explode(array(col("a"), col("b"))).as("doc_id"),
+            col("n_shared"))
+          .groupBy("doc_id").agg(max(col("n_shared")).as("m"))
+          .select(explode(sequence(lit(2L), least(col("m"), lit(6L))))
+            .as("threshold"))
+          .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+        // pairs at t imply docs at t and vice versa — inner join is total
+        nPairs.join(nDocs, "threshold")
+      },
+      Some(s"""$SQL_WINNOW_PAIR_CTES,
+              pt AS (SELECT unnest(generate_series(2, least(n_shared, 6)))
+                  AS threshold FROM wpairs),
+              np AS (SELECT threshold, count(*) AS n_pairs FROM pt
+                GROUP BY 1),
+              ds AS (SELECT doc_id, max(n_shared) AS m FROM
+                  (SELECT a AS doc_id, n_shared FROM wpairs
+                   UNION ALL SELECT b, n_shared FROM wpairs)
+                GROUP BY 1),
+              dt AS (SELECT unnest(generate_series(2, least(m, 6)))
+                  AS threshold FROM ds),
+              nd AS (SELECT threshold, count(*) AS n_docs FROM dt
+                GROUP BY 1)
+              SELECT threshold, n_pairs, n_docs
+              FROM np JOIN nd USING (threshold)""")
+    ),
+
+    // ── T5-STYLE SPAN CORRUPTION (denoising objective prep) ───────────────
+    QueryDef(
+      "q241_span_corruption",
+      // The training-data TRANSFORM behind T5/UL2 denoising: mask fixed
+      // token spans with incrementing sentinels, emit the corrupted
+      // input and the reconstruction target. Spans are deterministic
+      // (every 7th position starting at the 4th opens a 3-token span —
+      // ~43% corruption on long docs, non-overlapping by construction)
+      // so both engines build IDENTICAL bytes: position p (1-based) maps
+      // to '<x{(p-4) div 7}>' at a span start, drops inside a span, and
+      // passes through elsewhere; the target keeps exactly the masked
+      // tokens, each span prefixed by its sentinel. md5 fingerprints pin
+      // every input/target byte; counts + exact-ppm corruption ratio
+      // make the audit columns.
+      //
+      // Shape, and why it scales: one documents scan, all array HOFs in
+      // codegen, zero shuffles — the embarrassingly-parallel per-row
+      // transform shape (q234's contract).
+      (s, d) => {
+        val t = Shared.tokens(col("text"))
+        val pos = sequence(lit(1), size(t))
+        def sentinel(p: Column) =
+          concat(lit("<x"), ((p - 4) / 7).cast("long").cast("string"),
+            lit(">"))
+        val corrupted = array_join(filter(transform(pos, p =>
+          when(p % 7 === 4, sentinel(p))
+            .when(p % 7 === 5 || p % 7 === 6, lit(null))
+            .otherwise(element_at(t, p))), x => x.isNotNull), " ")
+        val target = array_join(filter(transform(pos, p =>
+          when(p % 7 === 4,
+            concat(sentinel(p), lit(" "), element_at(t, p)))
+            .when(p % 7 === 5 || p % 7 === 6, element_at(t, p))
+            .otherwise(lit(null))), x => x.isNotNull), " ")
+        val nMasked = size(filter(pos, p =>
+          p % 7 === 4 || p % 7 === 5 || p % 7 === 6)).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(t).cast("long").as("n_tokens"),
+            nMasked.as("n_masked"),
+            size(filter(pos, p => p % 7 === 4)).cast("long").as("n_spans"),
+            substring(md5(corrupted), 1, 16).as("fp_input"),
+            substring(md5(target), 1, 16).as("fp_target"))
+          .withColumn("corruption_ppm",
+            expr("1000000L * n_masked div n_tokens"))
+          .select("doc_id", "n_tokens", "n_masked", "n_spans",
+            "corruption_ppm", "fp_input", "fp_target")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents),
+              m AS (SELECT doc_id, len(t) AS n_tokens,
+                  array_to_string(list_filter(list_transform(
+                    range(1, len(t) + 1), p ->
+                      CASE WHEN p % 7 = 4
+                        THEN '<x' || ((p - 4) // 7) || '>'
+                      WHEN p % 7 = 5 OR p % 7 = 6 THEN NULL
+                      ELSE t[p] END), x -> x IS NOT NULL), ' ') AS corrupted,
+                  array_to_string(list_filter(list_transform(
+                    range(1, len(t) + 1), p ->
+                      CASE WHEN p % 7 = 4
+                        THEN '<x' || ((p - 4) // 7) || '> ' || t[p]
+                      WHEN p % 7 = 5 OR p % 7 = 6 THEN t[p]
+                      ELSE NULL END), x -> x IS NOT NULL), ' ') AS target,
+                  len(list_filter(range(1, len(t) + 1), p ->
+                    p % 7 IN (4, 5, 6))) AS n_masked,
+                  len(list_filter(range(1, len(t) + 1), p ->
+                    p % 7 = 4)) AS n_spans
+                FROM tok)
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_masked AS BIGINT) AS n_masked,
+                CAST(n_spans AS BIGINT) AS n_spans,
+                1000000 * n_masked // n_tokens AS corruption_ppm,
+                substring(md5(corrupted), 1, 16) AS fp_input,
+                substring(md5(target), 1, 16) AS fp_target
+              FROM m""")
+    ),
+
     // ── PMI CO-OCCURRENCE (distributional association mining) ─────────────
     QueryDef(
       "q209_pmi_cooccur",
