@@ -1330,6 +1330,203 @@ object EventQueries {
               GROUP BY 1""")
     ),
 
+    // ── A/B EXPERIMENT READOUT (hash assignment + exact chi-square) ───────
+    QueryDef(
+      "q244_ab_experiment",
+      // The experimentation readout: users deterministically assigned to
+      // variants by the engine-shared 32-bit hash (h32 of a salted
+      // user_id — the q72 split discipline, so assignment is reproducible
+      // anywhere and uncorrelated with user_id order), conversion = any
+      // BIG-TICKET purchase (exact cents ≥ 15000 — plain any-purchase is
+      // degenerate on this corpus: every user buys something), and the
+      // 2×2 chi-square statistic computed from EXACT integer counts in
+      // one pinned double expression — the q103 moment discipline
+      // applied to the contingency table; a zero marginal NULLs χ² via
+      // nullif instead of dividing by zero (ANSI throws, and the
+      // statistic is undefined there anyway). Output: one row with the
+      // table, both rates, and χ².
+      //
+      // Shape, and why it scales: one events pass to user grain (hash
+      // agg), one fold of the user table into 4 integers, scalar math.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+              >= 15000L, 1L).otherwise(0L))
+            .as("conv"))
+          .withColumn("variant",
+            pmod(Shared.h32(
+              concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L)))
+        users.agg(
+            sum(when(col("variant") === 0 && col("conv") === 1, 1L)
+              .otherwise(0L)).as("a_conv"),
+            sum(when(col("variant") === 0 && col("conv") === 0, 1L)
+              .otherwise(0L)).as("a_non"),
+            sum(when(col("variant") === 1 && col("conv") === 1, 1L)
+              .otherwise(0L)).as("b_conv"),
+            sum(when(col("variant") === 1 && col("conv") === 0, 1L)
+              .otherwise(0L)).as("b_non"))
+          .withColumn("rate_a", expr(
+            "CAST(a_conv AS DOUBLE) / nullif(CAST(a_conv + a_non AS DOUBLE), 0.0)"))
+          .withColumn("rate_b", expr(
+            "CAST(b_conv AS DOUBLE) / nullif(CAST(b_conv + b_non AS DOUBLE), 0.0)"))
+          .withColumn("chi2", expr(
+            """CAST(a_conv + a_non + b_conv + b_non AS DOUBLE)
+               * CAST(a_conv * b_non - a_non * b_conv AS DOUBLE)
+               * CAST(a_conv * b_non - a_non * b_conv AS DOUBLE)
+               / nullif(CAST(a_conv + a_non AS DOUBLE)
+                  * CAST(b_conv + b_non AS DOUBLE)
+                  * CAST(a_conv + b_conv AS DOUBLE)
+                  * CAST(a_non + b_non AS DOUBLE), 0.0)"""))
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                    AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      >= 15000 THEN 1 ELSE 0 END)
+                    AS conv
+                FROM events GROUP BY 1),
+              v AS (SELECT conv,
+                  ${Shared.SQL_H32("'exp1:' || user_id")} % 2 AS variant
+                FROM u),
+              t AS (SELECT
+                  CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS a_conv,
+                  CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS a_non,
+                  CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS b_conv,
+                  CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS b_non
+                FROM v)
+              SELECT a_conv, a_non, b_conv, b_non,
+                CAST(a_conv AS DOUBLE)
+                  / nullif(CAST(a_conv + a_non AS DOUBLE), 0.0) AS rate_a,
+                CAST(b_conv AS DOUBLE)
+                  / nullif(CAST(b_conv + b_non AS DOUBLE), 0.0) AS rate_b,
+                CAST(a_conv + a_non + b_conv + b_non AS DOUBLE)
+                  * CAST(a_conv * b_non - a_non * b_conv AS DOUBLE)
+                  * CAST(a_conv * b_non - a_non * b_conv AS DOUBLE)
+                  / nullif(CAST(a_conv + a_non AS DOUBLE)
+                     * CAST(b_conv + b_non AS DOUBLE)
+                     * CAST(a_conv + b_conv AS DOUBLE)
+                     * CAST(a_non + b_non AS DOUBLE), 0.0) AS chi2
+              FROM t""")
+    ),
+
+    // ── TIME-TO-CONVERT LATENCY (running-min pairing + exact percentiles) ─
+    QueryDef(
+      "q245_time_to_convert",
+      // How long from first view to first purchase — the latency
+      // distribution behind funnel SLAs. The pairing needs no join: a
+      // running min of view timestamps inside the (ts, event_id)-ordered
+      // user window means every purchase row already knows the earliest
+      // view before it; the per-user minimum of (purchase ts − first
+      // view) IS the first-qualifying-purchase latency (later purchases
+      // only grow the delta). Minutes via integer div of the epoch-nano
+      // contract; distribution via the q63 exact percentile pair.
+      //
+      // Shape, and why it scales: ONE events shuffle (the user window),
+      // user-grain aggregation, then a global fold to one row — no
+      // events×events join anywhere.
+      (s, d) => {
+        val wRun = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lat = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("fv",
+            min(when(col("event_type") === "view", col("ts"))).over(wRun))
+          .filter(col("event_type") === "purchase" && col("fv").isNotNull)
+          .groupBy("user_id")
+          .agg(min(expr("(ts - fv) div 60000000000L")).as("lat_min"))
+        lat.agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lat_min, 0.5)").as("median_min"),
+          expr("percentile(lat_min, 0.9)").as("p90_min"),
+          max(col("lat_min")).as("max_min"))
+      },
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) * 1000 AS tns,
+                  event_id, event_type FROM events),
+              r AS (SELECT user_id, tns, event_type,
+                  min(CASE WHEN event_type = 'view' THEN tns END)
+                    OVER (PARTITION BY user_id ORDER BY tns, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS fv
+                FROM o),
+              lat AS (SELECT user_id,
+                  min((tns - fv) // 60000000000) AS lat_min
+                FROM r
+                WHERE event_type = 'purchase' AND fv IS NOT NULL
+                GROUP BY 1)
+              SELECT count(*) AS n_converted,
+                median(lat_min) AS median_min,
+                quantile_cont(lat_min, 0.9) AS p90_min,
+                CAST(max(lat_min) AS BIGINT) AS max_min
+              FROM lat""")
+    ),
+
+    // ── BEHAVIORAL BITMASK SEGMENTATION (bit_or aggregation) ──────────────
+    QueryDef(
+      "q246_bitmask_segments",
+      // Segment users by WHICH event types they fired in their FIRST DAY
+      // (onboarding behavior — all-time masks are degenerate on a
+      // long-lived corpus where every user eventually does everything),
+      // as a bitmask: one bit per type, OR-folded per user, then a
+      // census per distinct mask with a readable label — the
+      // bitmap-index idea (roaring-style audience segmentation) in
+      // aggregate form. 2⁵ possible segments regardless of corpus size —
+      // the canonical high-cardinality→model-size collapse.
+      //
+      // Shape, and why it scales: the first-event anchor is an
+      // unordered per-user window min (no sort, one shuffle — reused by
+      // the bit_or agg on the same partitioning), then a census
+      // aggregation over ≤32 masks.
+      (s, d) => {
+        val bit = when(col("event_type") === "click", 1L)
+          .when(col("event_type") === "view", 2L)
+          .when(col("event_type") === "purchase", 4L)
+          .when(col("event_type") === "signup", 8L)
+          .when(col("event_type") === "error", 16L)
+          .otherwise(0L)
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val wU = Window.partitionBy("user_id")
+        val masks = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), bit.as("b"))
+          .withColumn("t0", min(col("ts")).over(wU))
+          .filter(col("ts") < col("t0") + dayNs)
+          .groupBy("user_id").agg(expr("bit_or(b)").as("mask"))
+        masks.groupBy("mask")
+          .agg(count(lit(1)).as("n_users"))
+          .withColumn("label", concat(
+            when(col("mask").bitwiseAND(1) =!= 0, "C").otherwise("-"),
+            when(col("mask").bitwiseAND(2) =!= 0, "V").otherwise("-"),
+            when(col("mask").bitwiseAND(4) =!= 0, "P").otherwise("-"),
+            when(col("mask").bitwiseAND(8) =!= 0, "S").otherwise("-"),
+            when(col("mask").bitwiseAND(16) =!= 0, "E").otherwise("-")))
+      },
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) * 1000 AS tns,
+                  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                    WHEN 'error' THEN 16 ELSE 0 END AS b
+                FROM events),
+              f AS (SELECT user_id, tns, b,
+                  min(tns) OVER (PARTITION BY user_id) AS t0
+                FROM b),
+              m AS (SELECT user_id, bit_or(b) AS mask FROM f
+                WHERE tns < t0 + 86400000000000 GROUP BY 1)
+              SELECT CAST(mask AS BIGINT) AS mask,
+                count(*) AS n_users,
+                (CASE WHEN mask & 1 <> 0 THEN 'C' ELSE '-' END)
+                || (CASE WHEN mask & 2 <> 0 THEN 'V' ELSE '-' END)
+                || (CASE WHEN mask & 4 <> 0 THEN 'P' ELSE '-' END)
+                || (CASE WHEN mask & 8 <> 0 THEN 'S' ELSE '-' END)
+                || (CASE WHEN mask & 16 <> 0 THEN 'E' ELSE '-' END)
+                  AS label
+              FROM m GROUP BY 1, 3""")
+    ),
+
     // ── REVENUE CONCENTRATION (Gini + minimal top-80% set) ────────────────
     QueryDef(
       "q228_revenue_concentration",
