@@ -299,6 +299,94 @@ object Multimodal {
     })
   }
 
+  /** q247's NEAR-dup corpus: like [[bmpMediaKeyed]] but with (a) a
+    * SCRAMBLED pixel formula `((ck·2654435761 + (3i+c)·40503) mod 65521)
+    * mod 256` — [[bmpPixel]]'s linear raster makes aHash masks collapse
+    * onto a handful of phase-shifted sawtooth patterns, so unrelated
+    * images collide at hamming ≤ 3 and pair counts go quadratic; the
+    * scramble makes distinct keys behave like random 64-bit masks — and
+    * (b) a deterministic one-pixel edit: every duplicate-group member
+    * with `(doc_id div keyMod) % 3 == 1` gets +120 (mod 256) added to
+    * all three channels of pixel `(doc_id div keyMod) % 64`. Same-key
+    * images are near-identical (a few aHash bits apart), different keys
+    * stay far. Bytes still cross the REAL encoder/decoder.
+    */
+  def bmpMediaKeyedPerturbed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val side = 8
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val ck = id % keyMod
+        val grp = id / keyMod
+        val perturbed = grp % 3 == 1
+        val pi = (grp % 64).toInt
+        val px = new Array[Byte](side * side * 3)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val i = y * side + x
+            var c = 0
+            while (c < 3) {
+              val base =
+                (((ck * 2654435761L + (i * 3 + c) * 40503L) % 65521L)
+                  % 256L).toInt
+              val v = if (perturbed && i == pi) (base + 120) % 256 else base
+              px(i * 3 + c) = v.toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        id -> BmpCodec.encode(BmpCodec.Bmp(side, side, px))
+      }
+    }
+  }
+
+  final case class BmpAHashParts(media_id: Long, hi: Long, lo: Long)
+
+  /** [[bmpAHashes]]' bits as two NUMERIC 32-bit halves (raster order,
+    * MSB-first: hi = Σ_{i<32} bit_i·2^(31−i), lo = Σ_{32≤i<64}
+    * bit_i·2^(63−i)) so LSH banding keys and hamming confirmation run as
+    * pure integer ops (16-bit band extraction, xor + bit_count) instead
+    * of string surgery — both engine-identical by construction.
+    */
+  def bmpAHashParts(
+      media: Dataset[(Long, Array[Byte])]): Dataset[BmpAHashParts] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      BmpCodec.decode(bytes).map { img =>
+        val n = img.width * img.height
+        val gray = new Array[Long](n)
+        var tot = 0L
+        var i = 0
+        while (i < n) {
+          val b = img.pixels(i * 3) & 0xff
+          val g = img.pixels(i * 3 + 1) & 0xff
+          val r = img.pixels(i * 3 + 2) & 0xff
+          gray(i) = (b + g + r) / 3
+          tot += gray(i)
+          i += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < n && i < 64) {
+          if (gray(i) * n >= tot) {
+            if (i < 32) hi |= 1L << (31 - i)
+            else lo |= 1L << (63 - i)
+          }
+          i += 1
+        }
+        BmpAHashParts(id, hi, lo)
+      }
+    })
+  }
+
   /** REAL decode + feature extraction: strict BMP decode, exact integer
     * per-channel sums; undecodable rows are dropped (never crash, never
     * fake)

@@ -496,6 +496,105 @@ object MultimodalQueries {
               FROM bits GROUP BY ahash HAVING count(*) >= 2""")
     ),
 
+    // ── image NEAR-dup (aHash LSH banding + exact hamming confirm) ────────
+    QueryDef(
+      "q247_image_neardup_lsh",
+      // q167 finds byte-identical images; real corpora carry
+      // NEAR-identical ones (re-encodes, tiny edits). This is the
+      // perceptual near-dup join: a synthesized corpus where every third
+      // duplicate-group member carries a one-pixel edit
+      // ([[Multimodal.bmpMediaKeyedPerturbed]] — bytes still cross the
+      // real codec), aHash fingerprints as NUMERIC 32-bit halves, LSH
+      // banding into 4×16-bit integer keys, candidates from a keyed
+      // band equi-join (q174's discipline in the image domain — never
+      // all-pairs), and an exact hamming ≤ 3 confirm via xor+bit_count.
+      // The PIGEONHOLE pins completeness: hd ≤ 3 over 4 bands forces a
+      // colliding band, so banding finds EVERY qualifying pair — which
+      // is why the oracle can be the all-pairs join over closed-form
+      // bits, and the hash match proves banding ≡ exhaustive search.
+      //
+      // Shape, and why it scales: decode+hash is a zero-shuffle per-row
+      // scan; candidates are one keyed equi-join on (band, value); the
+      // confirm joins attach fingerprint halves by media id. At 10⁹
+      // images the all-pairs oracle is impossible and THIS plan is the
+      // published answer.
+      (s, d) => {
+        val fp = Multimodal.bmpAHashParts(
+          Multimodal.bmpMediaKeyedPerturbed(Tables.documents(s, d), 97L))
+          .toDF()
+        val bands = fp.select(col("media_id"), explode(array(
+            struct(lit(0L).as("bi"), expr("hi div 65536L").as("bv")),
+            struct(lit(1L).as("bi"), expr("hi % 65536L").as("bv")),
+            struct(lit(2L).as("bi"), expr("lo div 65536L").as("bv")),
+            struct(lit(3L).as("bi"), expr("lo % 65536L").as("bv")))).as("b"))
+          .select(col("media_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+        val cand = bands.select(col("media_id").as("d1"), col("bi"),
+            col("bv"))
+          .join(bands.select(col("media_id").as("d2"), col("bi"),
+            col("bv")), Seq("bi", "bv"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        cand
+          .join(fp.select(col("media_id").as("d1"), col("hi").as("h1"),
+            col("lo").as("l1")), "d1")
+          .join(fp.select(col("media_id").as("d2"), col("hi").as("h2"),
+            col("lo").as("l2")), "d2")
+          .withColumn("hamming",
+            expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)").cast("long"))
+          .filter(col("hamming") <= 3)
+          // near-dup-pair calibration table (hamming-grain): exact pair
+          // and doc reach per distance — pinning the counts pins every
+          // pair the banding found without a corpus-quadratic output
+          .select(col("hamming"), col("d1"), col("d2"))
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("d1")).as("n_left_docs"),
+            min(col("d1") * 1000000L + col("d2")).as("sample_pair"))
+      },
+      Some("""WITH g AS (SELECT doc_id AS mid, doc_id % 97 AS ck,
+                  doc_id // 97 AS grp FROM documents),
+              px AS (SELECT mid, CAST(i AS BIGINT) AS i,
+                  ((CASE WHEN grp % 3 = 1 AND i = grp % 64
+                    THEN ((ck*2654435761 + (i*3 + 0)*40503) % 65521) % 256
+                         + 120
+                    ELSE ((ck*2654435761 + (i*3 + 0)*40503) % 65521) % 256
+                    END) % 256
+                 + (CASE WHEN grp % 3 = 1 AND i = grp % 64
+                    THEN ((ck*2654435761 + (i*3 + 1)*40503) % 65521) % 256
+                         + 120
+                    ELSE ((ck*2654435761 + (i*3 + 1)*40503) % 65521) % 256
+                    END) % 256
+                 + (CASE WHEN grp % 3 = 1 AND i = grp % 64
+                    THEN ((ck*2654435761 + (i*3 + 2)*40503) % 65521) % 256
+                         + 120
+                    ELSE ((ck*2654435761 + (i*3 + 2)*40503) % 65521) % 256
+                    END) % 256) // 3 AS gray
+                FROM g, unnest(range(64)) t(i)),
+              tot AS (SELECT mid, sum(gray) AS tg FROM px GROUP BY 1),
+              bits AS (SELECT px.mid, px.i,
+                  CASE WHEN gray * 64 >= tg THEN 1 ELSE 0 END AS bit
+                FROM px JOIN tot ON px.mid = tot.mid),
+              parts AS (SELECT mid,
+                  sum(CASE WHEN i < 32
+                    THEN bit * (CAST(1 AS BIGINT) << CAST(31 - i AS INT))
+                    ELSE 0 END) AS hi,
+                  sum(CASE WHEN i >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << CAST(63 - i AS INT))
+                    ELSE 0 END) AS lo
+                FROM bits GROUP BY 1),
+              pr AS (SELECT a.mid AS d1, b.mid AS d2,
+                  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                    AS hamming
+                FROM parts a JOIN parts b ON a.mid < b.mid
+                WHERE bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) <= 3)
+              SELECT CAST(hamming AS BIGINT) AS hamming,
+                count(*) AS n_pairs,
+                count(DISTINCT d1) AS n_left_docs,
+                CAST(min(d1 * 1000000 + d2) AS BIGINT) AS sample_pair
+              FROM pr GROUP BY 1""")
+    ),
+
     // ── audio-level dedup (energy hash over REAL-decoded PCM) ─────────────
     QueryDef(
       "q176_audio_ehash_dedup",
