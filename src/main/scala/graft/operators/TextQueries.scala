@@ -3056,6 +3056,120 @@ object TextQueries {
               FROM m""")
     ),
 
+    // ── NEAR-DUP CLUSTER COHESION AUDIT (dedup quality control) ───────────
+    QueryDef(
+      "q248_cluster_cohesion",
+      // The QC report after clustering near-dups: are the clusters tight
+      // (every member pair candidate-connected) or chained (long sparse
+      // components that over-merge)? Per cluster-size bucket: cluster
+      // count, realized candidate edges vs the C(n,2) possible, edge
+      // density in exact ppm, and total shared-fingerprint evidence —
+      // the table that says whether the q154 evidence threshold is
+      // over- or under-merging BEFORE the q165 election deletes data.
+      //
+      // Shape, and why it scales: rides the memoized [[winnowPairs]] +
+      // [[winnowComponents]] scratches (zero corpus scans); one keyed
+      // join label→edges, two model-sized aggregations. Components have
+      // ≥ 2 members by construction (labels exist only for docs with an
+      // edge), so the density division can't hit zero.
+      (s, d) => {
+        val comp = winnowComponents(s, d)
+        val clus = comp.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+        val ce = winnowPairs(s, d)
+          .join(comp.select(col("id").as("a"), col("comp")), "a")
+          .groupBy("comp")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(col("n_shared")).as("sum_evidence"))
+        clus.join(ce, "comp")
+          .groupBy("n_docs")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("n_edges")).as("total_edges"),
+            sum(expr("n_docs * (n_docs - 1) div 2L")).as("total_possible"),
+            sum(col("sum_evidence")).as("total_evidence"))
+          .withColumn("density_ppm",
+            expr("1000000L * total_edges div total_possible"))
+      },
+      Some("WITH RECURSIVE " + SQL_WINNOW_PAIR_CTES.stripPrefix("WITH ") +
+        """,
+           wedges AS (SELECT a, b FROM wpairs
+                      UNION ALL SELECT b AS a, a AS b FROM wpairs),
+           wnodes AS (SELECT DISTINCT a AS id FROM wedges),
+           reach AS (SELECT id, id AS r FROM wnodes
+                     UNION
+                     SELECT e.b, reach.r FROM reach
+                       JOIN wedges e ON e.a = reach.id),
+           lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+           cl AS (SELECT comp, count(*) AS n_docs FROM lab GROUP BY 1),
+           ce AS (SELECT lab.comp, count(*) AS n_edges,
+                    sum(n_shared) AS sum_evidence
+                  FROM wpairs p JOIN lab ON p.a = lab.id GROUP BY 1)
+           SELECT n_docs, count(*) AS n_clusters,
+             CAST(sum(n_edges) AS BIGINT) AS total_edges,
+             CAST(sum(n_docs * (n_docs - 1) // 2) AS BIGINT)
+               AS total_possible,
+             CAST(sum(sum_evidence) AS BIGINT) AS total_evidence,
+             1000000 * CAST(sum(n_edges) AS BIGINT)
+               // CAST(sum(n_docs * (n_docs - 1) // 2) AS BIGINT)
+               AS density_ppm
+           FROM cl JOIN ce USING (comp)
+           GROUP BY 1""")
+    ),
+
+    // ── CLASSIFIER AUC (exact tie-invariant Mann-Whitney) ─────────────────
+    QueryDef(
+      "q249_classifier_auc",
+      // The third leg of the classifier-eval family (q188 scores, q202
+      // lift): exact ROC AUC as the Mann-Whitney statistic — the
+      // probability a positive outranks a negative, ties at half
+      // credit. Computed TIE-INVARIANTLY from the score-grain table:
+      // AUC·2n₁n₀ = Σ_s (2·pos(s)·negs_below(s) + pos(s)·neg(s)),
+      // all BIGINT; the one division is pinned double (q103
+      // discipline). negs_below is an EXCLUSIVE prefix sum over the
+      // unique score grain — [[Shared.distributedPrefixSum]] with
+      // scores shifted non-negative (|score| < 2³⁰ enforced by a
+      // raise_error guard, the q202 contract), never a global window.
+      //
+      // Shape, and why it scales: one score pass to score grain (≤ one
+      // row per distinct score), a prefix-sum round on that bounded
+      // table, one scalar fold. The oracle states the textbook global
+      // window; the hash match proves the distributed form ≡ it.
+      (s, d) => {
+        val g = nbScores(s, d)
+          .groupBy(col("score_ppm").as("sv"))
+          .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+            sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+          .withColumn("sk",
+            when(abs(col("sv")) >= lit(1L << 30),
+              raise_error(concat(lit("q249: |score| breaks the shift " +
+                "bound: "), col("sv"))))
+              .otherwise(col("sv") + lit(1L << 31)))
+        Shared.distributedPrefixSum(g, "sk", "nn", bucket = 1L << 16)
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(expr("2L * np * cum + np * nn")).as("num2"))
+          .withColumn("auc", expr(
+            "CAST(num2 AS DOUBLE) / nullif(CAST(2 * n_pos * n_neg AS DOUBLE), 0.0)"))
+          .select("n_pos", "n_neg", "auc")
+      },
+      Some(s"""WITH base AS ($nbScoreSql),
+              g AS (SELECT score_ppm AS sv,
+                  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+                FROM base GROUP BY 1),
+              c AS (SELECT sv, np, nn,
+                  coalesce(sum(nn) OVER (ORDER BY sv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum
+                FROM g),
+              t AS (SELECT sum(np) AS n1, sum(nn) AS n0,
+                  sum(2 * np * cum + np * nn) AS num2
+                FROM c)
+              SELECT CAST(n1 AS BIGINT) AS n_pos,
+                CAST(n0 AS BIGINT) AS n_neg,
+                CAST(num2 AS DOUBLE)
+                  / nullif(CAST(2 * n1 * n0 AS DOUBLE), 0.0) AS auc
+              FROM t""")
+    ),
+
     // ── PMI CO-OCCURRENCE (distributional association mining) ─────────────
     QueryDef(
       "q209_pmi_cooccur",
