@@ -388,6 +388,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"q202 offsets must attach broadcast:\n$p202")
   }
 
+  test("q247 (image near-dup LSH): keyed band join, never an all-pairs product") {
+    // the pigeonhole argument only pays off if the plan actually probes
+    // band keys — a cartesian/BNLJ over fingerprints would be the
+    // all-pairs shape the operator exists to avoid
+    val p = plan("q247_image_neardup_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q247 must not plan an all-pairs join:\n$p")
+  }
+
   test("q173 (quality classifier): train is one reduction, model attaches broadcast") {
     // closed-form training: the stats subtree reduces to ONE row and the
     // corpus scoring pass receives it as a broadcast — never a shuffle
