@@ -332,10 +332,13 @@ object GraphQueries {
           e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
             .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
             .select("a", "b").checkpoint()
-          val nEdges = e.count()
-          val nVerts = e.select(col("a").as("v"))
-            .unionAll(e.select(col("b").as("v"))).distinct().count()
-          (r.toLong, nVerts, nEdges)
+          // ONE action per round: endpoints carry both stats — distinct
+          // endpoints = vertices, half the exploded rows = edges
+          val st = e.select(explode(array(col("a"), col("b"))).as("v"))
+            .agg(countDistinct(col("v")).as("nv"),
+              (count(lit(1)) / 2).cast("long").as("ne"))
+            .head()
+          (r.toLong, st.getLong(0), st.getLong(1))
         }
         import s.implicits._
         rows.toDF("round", "n_vertices", "n_edges")

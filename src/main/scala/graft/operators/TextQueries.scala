@@ -3000,8 +3000,11 @@ object TextQueries {
       // codegen, zero shuffles — the embarrassingly-parallel per-row
       // transform shape (q234's contract).
       (s, d) => {
-        val t = Shared.tokens(col("text"))
-        val pos = sequence(lit(1), size(t))
+        // materialize the token array + position spine ONCE per row —
+        // inlining `tokens(col)` into every consumer re-runs the regex
+        // split ~6× per row (measured 2.9 s → the split dominated)
+        val t = col("t")
+        val pos = col("pos")
         def sentinel(p: Column) =
           concat(lit("<x"), ((p - 4) / 7).cast("long").cast("string"),
             lit(">"))
@@ -3017,6 +3020,8 @@ object TextQueries {
         val nMasked = size(filter(pos, p =>
           p % 7 === 4 || p % 7 === 5 || p % 7 === 6)).cast("long")
         Tables.documents(s, d)
+          .select(col("doc_id"), Shared.tokens(col("text")).as("t"))
+          .withColumn("pos", sequence(lit(1), size(t)))
           .select(col("doc_id"),
             size(t).cast("long").as("n_tokens"),
             nMasked.as("n_masked"),
@@ -4053,7 +4058,32 @@ object TextQueries {
     * (doc_id, source, y, n_feats, score_ppm, pred) — shared with the
     * q202 calibration table so the score definition can never drift.
     */
+  /** q188's scored corpus (doc_id, source, y, n_feats, score_ppm, pred),
+    * MEMOIZED to scratch parquet per (process, dataset) — THREE suite
+    * queries consume the full scoring pipeline (q188 itself, q202's
+    * deciles, q249's AUC) and before r10 each re-ran the train + score
+    * joins from the bigram scratch. Same contract as [[winnowPairs]]:
+    * first caller pays one materialization (attributed in the bench memo
+    * ledger), everyone else reads a doc-grain parquet.
+    */
   private[graft] def nbScores(s: SparkSession, d: String): DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = nbScoresMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("nbscores") {
+        val r = Shared.scratchRoot("nbscores", key)
+        nbScoresBuild(s, d).write.mode("overwrite")
+          .option("compression", "lz4").parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+
+  /** dataset key → materialized score table path for this JVM */
+  private val nbScoresMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** the actual scoring pipeline — see [[nbScores]] */
+  private def nbScoresBuild(s: SparkSession, d: String): DataFrame = {
     val B = NbBuckets
     val (allB, _) = bigramTable(s, d)
     val labels = Tables.documents(s, d)
