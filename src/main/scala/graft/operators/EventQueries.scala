@@ -1527,6 +1527,101 @@ object EventQueries {
               FROM m GROUP BY 1, 3""")
     ),
 
+    // ── STRICT-ORDER IN-SESSION FUNNEL (gap sessionization + pattern) ─────
+    QueryDef(
+      "q250_session_funnel_strict",
+      // The funnel q58 cannot express: stages must occur IN ORDER WITHIN
+      // ONE SESSION (view, then a click after that view, then a purchase
+      // after that click — the MATCH_RECOGNIZE shape, window-expressible).
+      // Sessions are 30-minute-gap runs via the classic lag + cumulative
+      // new-session-flag sessionization; stage detection is three CHAINED
+      // running mins inside the session window — fc counts a click only
+      // where a view already precedes it (fv known at that row), fp a
+      // purchase only after such a click, so ordering is enforced by
+      // construction, not by a self-join. Census: sessions + users per
+      // furthest stage reached.
+      //
+      // Shape, and why it scales: ONE shuffle on user_id serves every
+      // window (sessionization orders by (ts, event_id); the session
+      // window's (user, sid) partitioning is satisfied by the user
+      // clustering — Spark adds a sort, not an exchange), then one
+      // session-grain and one stage-grain aggregation.
+      (s, d) => {
+        val gapNs = 1800L * 1000L * 1000L * 1000L
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val wS = Window.partitionBy("user_id", "sid")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(wCum))
+          .withColumn("fv",
+            min(when(col("event_type") === "view", col("ts"))).over(wS))
+          .withColumn("fc",
+            min(when(col("event_type") === "click" && col("fv").isNotNull,
+              col("ts"))).over(wS))
+          .withColumn("fp",
+            min(when(col("event_type") === "purchase" &&
+              col("fc").isNotNull, col("ts"))).over(wS))
+          .groupBy("user_id", "sid")
+          .agg(max(when(col("fp").isNotNull, 3L)
+            .when(col("fc").isNotNull, 2L)
+            .when(col("fv").isNotNull, 1L).otherwise(0L)).as("stage"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) * 1000 AS tns,
+                  event_id, event_type FROM events),
+              l AS (SELECT *, lag(tns) OVER (PARTITION BY user_id
+                  ORDER BY tns, event_id) AS prev FROM o),
+              f AS (SELECT *, CASE WHEN prev IS NULL
+                  OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS new_s
+                FROM l),
+              sd AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                  ORDER BY tns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM f),
+              st AS (SELECT *,
+                  min(CASE WHEN event_type = 'view' THEN tns END)
+                    OVER w AS fv
+                FROM sd
+                WINDOW w AS (PARTITION BY user_id, sid
+                  ORDER BY tns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              st2 AS (SELECT *,
+                  min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                    THEN tns END) OVER w AS fc
+                FROM st
+                WINDOW w AS (PARTITION BY user_id, sid
+                  ORDER BY tns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              st3 AS (SELECT *,
+                  min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                    THEN tns END) OVER w AS fp
+                FROM st2
+                WINDOW w AS (PARTITION BY user_id, sid
+                  ORDER BY tns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              ses AS (SELECT user_id, sid,
+                  CAST(max(CASE WHEN fp IS NOT NULL THEN 3
+                    WHEN fc IS NOT NULL THEN 2
+                    WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS stage
+                FROM st3 GROUP BY 1, 2)
+              SELECT stage, count(*) AS n_sessions,
+                count(DISTINCT user_id) AS n_users
+              FROM ses GROUP BY 1""")
+    ),
+
     // ── REVENUE CONCENTRATION (Gini + minimal top-80% set) ────────────────
     QueryDef(
       "q228_revenue_concentration",
