@@ -318,7 +318,14 @@ object Multimodal {
     val side = 8
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
-        val ck = id % keyMod
+        // BLOCK-LOCAL duplicate groups: ids share a group only within
+        // their own keyMod·100-id block, so group size is bounded (~100)
+        // no matter how large the corpus — near-dup pair counts scale
+        // LINEARLY under ScaleUp's id-shifted replication instead of
+        // quadratically (the r10 sf1 probe caught the plain `id % keyMod`
+        // fixture going 18× on 10× data). Below id = keyMod·100 this is
+        // exactly `id % keyMod`, so sf ≤ 0.1 outputs are unchanged.
+        val ck = id % keyMod + keyMod * (id / (keyMod * 100))
         val grp = id / keyMod
         val perturbed = grp % 3 == 1
         val pi = (grp % 64).toInt

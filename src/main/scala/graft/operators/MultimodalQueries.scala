@@ -551,7 +551,8 @@ object MultimodalQueries {
             countDistinct(col("d1")).as("n_left_docs"),
             min(col("d1") * 1000000L + col("d2")).as("sample_pair"))
       },
-      Some("""WITH g AS (SELECT doc_id AS mid, doc_id % 97 AS ck,
+      Some("""WITH g AS (SELECT doc_id AS mid,
+                  doc_id % 97 + 97 * (doc_id // 9700) AS ck,
                   doc_id // 97 AS grp FROM documents),
               px AS (SELECT mid, CAST(i AS BIGINT) AS i,
                   ((CASE WHEN grp % 3 = 1 AND i = grp % 64

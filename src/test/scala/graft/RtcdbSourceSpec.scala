@@ -652,6 +652,33 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
       s"repair left id at ${blooms("id")} blooms for ${entries("id")} entries")
   }
 
+  test("bloom filter property: no false negatives ever, FP rate stays sane") {
+    // the filter's one-sided error is the whole soundness argument for
+    // the read path: a present value must ALWAYS probe true (else a
+    // wrong skip), an absent value may rarely probe true (a wasted
+    // decode, bounded ~1% at 1024 inserts / 10240 bits / 7 hashes)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val bits = new Array[Byte](RtcdbFormat.BloomBytesPerBlock)
+      val present = Array.fill(1024) {
+        val b = new Array[Byte](rnd.nextInt(24) + 1); rnd.nextBytes(b); b
+      }
+      present.foreach(RtcdbFormat.bloomInsert(bits, _))
+      present.foreach { v =>
+        assert(RtcdbFormat.bloomMayContain(bits, v),
+          s"false negative in trial $trial")
+      }
+      val probes = 20000
+      var fp = 0
+      for (_ <- 0 until probes) {
+        val b = new Array[Byte](32); rnd.nextBytes(b) // 32B ∉ present (≤25B)
+        if (RtcdbFormat.bloomMayContain(bits, b)) fp += 1
+      }
+      assert(fp < probes * 5 / 100,
+        s"trial $trial: FP rate ${fp.toDouble / probes} >= 5%")
+    }
+  }
+
   test("distributed writer's bloom sidecar bytes match the serial writer's") {
     // drive the DSv2 write path directly with task splits on block
     // boundaries (2 tasks × 2048 rows), so blocks — and therefore per-block
