@@ -1622,6 +1622,69 @@ object EventQueries {
               FROM ses GROUP BY 1""")
     ),
 
+    // ── TIME-DECAY ATTRIBUTION (exact dyadic weights) ─────────────────────
+    QueryDef(
+      "q251_decay_attribution",
+      // Between q214's first/last-touch extremes sits the industry
+      // default: every prior touch gets credit decaying with age. The
+      // usual exp(-λΔt) is cross-engine-unreproducible (transcendental);
+      // a half-life of exactly one day makes every weight the DYADIC
+      // integer 2^(30−Δdays) (Δdays = integer day gap ≤ 30, older
+      // touches get nothing) — so credit sums are pure BIGINT and the
+      // one share division is pinned. Pairing is the per-user
+      // purchase×prior-touch join — fan-out bounded by events-per-user
+      // squared (documented bound; the corpus keeps users at ~10²
+      // events), both sides sharing ONE user_id shuffle.
+      //
+      // Shape, and why it scales: keyed equi-join on user_id (never a
+      // global product), channel-grain aggregation (|types| rows), and
+      // a 1-row total broadcast for shares.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val ev = Tables.events(s, d)
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("tp"))
+        val touch = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts").as("tt"),
+            col("event_type").as("channel"))
+        val credit = pur.join(touch, Seq("user_id"))
+          .filter(col("tt") < col("tp") &&
+            col("tp") - col("tt") < lit(31L * dayNs))
+          .withColumn("dd", expr(s"(tp - tt) div ${dayNs}L"))
+          .withColumn("w", expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(30 - dd AS INT))"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_weighted_touches"),
+            sum(col("w")).as("credit_units"))
+        val tot = credit.agg(sum(col("credit_units")).as("total_units"))
+        // share as ONE pinned double division (10⁶·credit would overflow
+        // BIGINT on a large corpus — credit alone can reach ~2^45+)
+        credit.crossJoin(broadcast(tot))
+          .withColumn("share",
+            expr("CAST(credit_units AS DOUBLE) / CAST(total_units AS DOUBLE)"))
+          .select("channel", "n_weighted_touches", "credit_units", "share")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) * 1000 AS tns,
+                  event_type FROM events),
+              pur AS (SELECT user_id, tns AS tp FROM ev
+                WHERE event_type = 'purchase'),
+              touch AS (SELECT user_id, tns AS tt, event_type AS channel
+                FROM ev WHERE event_type <> 'purchase'),
+              cr AS (SELECT channel, count(*) AS n_weighted_touches,
+                  sum(CAST(1 AS BIGINT)
+                    << CAST(30 - (tp - tt) // 86400000000000 AS INT))
+                    AS credit_units
+                FROM pur JOIN touch USING (user_id)
+                WHERE tt < tp AND tp - tt < 31 * 86400000000000
+                GROUP BY 1),
+              t AS (SELECT sum(credit_units) AS total_units FROM cr)
+              SELECT channel, n_weighted_touches,
+                CAST(credit_units AS BIGINT) AS credit_units,
+                CAST(credit_units AS DOUBLE) / CAST(total_units AS DOUBLE)
+                  AS share
+              FROM cr CROSS JOIN t""")
+    ),
+
     // ── REVENUE CONCENTRATION (Gini + minimal top-80% set) ────────────────
     QueryDef(
       "q228_revenue_concentration",

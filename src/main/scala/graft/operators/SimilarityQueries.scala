@@ -363,6 +363,94 @@ object SimilarityQueries {
               QUALIFY rk <= 3""")
     ),
 
+    // ── EMBEDDING-SPACE OUTLIER AUDIT (assignment-distance 3σ) ────────────
+    QueryDef(
+      "q252_embedding_outliers",
+      // The embedding QC step next to q232's drift monitor: vectors far
+      // from EVERY coarse centroid are the mis-embedded / corrupted /
+      // out-of-distribution rows an index build should quarantine.
+      // Each corpus vector takes its best-centroid cosine (the q44
+      // assignment), FLOORED to exact micro-units so per-cluster moments
+      // are pure BIGINT (the q59/q206 discipline — cosines themselves
+      // are engine-identical via the pinned dot/norm folds); a member
+      // is an outlier when its squared deviation from the cluster mean
+      // exceeds 9σ² (two-sided exact-double test, q206's form). Output
+      // per cluster: size, mean similarity, outlier count, and the
+      // worst member.
+      //
+      // Shape, and why it scales: one broadcast assignment pass
+      // (K-bounded fan-out), one cluster-grain moment aggregation
+      // broadcast back, one flagging pass — never a vector×vector join.
+      (s, d) => {
+        val K = 8
+        val e = embeddings(s, d)
+        val cent = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        val w = Window.partitionBy("cid")
+          .orderBy(col("__d").desc, col("cent_id").asc)
+        val assigned = e.filter(col("vec_id") >= K)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          .crossJoin(broadcast(cent))
+          .withColumn("__d", dot(col("cv"), col("centv")))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .withColumn("sim_u",
+            floor(col("__d") / (norm(col("cv")) * norm(col("centv"))) *
+              lit(1000000.0)).cast("long"))
+          .select("cent_id", "cid", "sim_u")
+        val st = assigned.groupBy("cent_id").agg(
+          count(lit(1)).as("n"), sum(col("sim_u")).as("sc"),
+          sum(col("sim_u") * col("sim_u")).as("qc"))
+        assigned.join(broadcast(st), "cent_id")
+          .withColumn("mu", col("sc").cast("double") / col("n").cast("double"))
+          .withColumn("sig2",
+            (col("qc").cast("double") -
+              col("sc").cast("double") * col("sc").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"))
+          .withColumn("dev2",
+            (col("sim_u").cast("double") - col("mu")) *
+              (col("sim_u").cast("double") - col("mu")))
+          .withColumn("is_out", (col("dev2") > col("sig2") * 9.0).cast("long"))
+          .groupBy("cent_id")
+          .agg(count(lit(1)).as("n_members"),
+            min(col("mu")).as("mean_sim_micro"),
+            sum(col("is_out")).cast("long").as("n_outliers"),
+            min(when(col("is_out") === 1, col("sim_u"))).as("worst_sim_micro"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              corpus AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 8),
+              a AS (SELECT cid, cv, cent_id, centv FROM (
+                SELECT cid, cv, cent_id, centv,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, cent) WHERE rk = 1),
+              sim AS (SELECT cent_id, cid,
+                  CAST(floor(${SQL_DOT("cv", "centv")}
+                    / (${SQL_NORM("cv")} * ${SQL_NORM("centv")})
+                    * 1000000.0) AS BIGINT) AS sim_u
+                FROM a),
+              st AS (SELECT cent_id, count(*) AS n, sum(sim_u) AS sc,
+                  sum(sim_u * sim_u) AS qc
+                FROM sim GROUP BY 1),
+              j AS (SELECT sim.cent_id, cid, sim_u,
+                  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS sig2
+                FROM sim JOIN st ON sim.cent_id = st.cent_id),
+              f AS (SELECT cent_id, cid, sim_u, mu,
+                  CASE WHEN (CAST(sim_u AS DOUBLE) - mu)
+                      * (CAST(sim_u AS DOUBLE) - mu) > sig2 * 9.0
+                    THEN 1 ELSE 0 END AS is_out
+                FROM j)
+              SELECT cent_id, count(*) AS n_members,
+                min(mu) AS mean_sim_micro,
+                CAST(sum(is_out) AS BIGINT) AS n_outliers,
+                min(CASE WHEN is_out = 1 THEN sim_u END) AS worst_sim_micro
+              FROM f GROUP BY 1""")
+    ),
+
     // ── multi-probe IVF: bounded-recall-loss ANN (the q44 refinement) ─────
     QueryDef(
       "q151_ann_ivf_multiprobe",
