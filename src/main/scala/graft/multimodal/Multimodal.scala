@@ -394,6 +394,40 @@ object Multimodal {
     })
   }
 
+  final case class MuLawStats(media_id: Long, n_samples: Long,
+      sum_abs_dec: Long, sum_sq_dec: Long, max_abs_err: Long)
+
+  /** q253: per-clip PCM samples (the q142 closed-form formula) pushed
+    * through the REAL lossy μ-law codec — encode to G.711 bytes, decode
+    * back — with exact integer features of the QUANTIZED signal plus the
+    * worst per-sample quantization error. The oracle replays
+    * encode∘decode per sample in closed form (the segment algorithm is
+    * pure integer math), so every quantized value is load-bearing: a
+    * wrong segment bound, mantissa shift, bias, or sign convention
+    * changes sums the hash match catches.
+    */
+  def mulawRoundtripStats(docs: DataFrame): Dataset[MuLawStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (id % 50 + 10).toInt
+        val orig = Array.tabulate(n)(i =>
+          (((id * 13L + i.toLong * 7L) % 2003L) - 1001L).toInt)
+        val dec = MuLawCodec.decode(MuLawCodec.encode(orig))
+        var sa = 0L; var sq = 0L; var me = 0L
+        var i = 0
+        while (i < n) {
+          sa += math.abs(dec(i))
+          sq += dec(i).toLong * dec(i)
+          me = math.max(me, math.abs(orig(i) - dec(i)).toLong)
+          i += 1
+        }
+        MuLawStats(id, n.toLong, sa, sq, me)
+      }
+    }
+  }
+
   /** REAL decode + feature extraction: strict BMP decode, exact integer
     * per-channel sums; undecodable rows are dropped (never crash, never
     * fake)

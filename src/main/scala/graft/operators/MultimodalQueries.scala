@@ -596,6 +596,52 @@ object MultimodalQueries {
               FROM pr GROUP BY 1""")
     ),
 
+    // ── REAL LOSSY audio codec: G.711 μ-law round trip ────────────────────
+    QueryDef(
+      "q253_mulaw_roundtrip",
+      // The first REAL LOSSY codec in the multimodal family
+      // ([[graft.multimodal.MuLawCodec]] — ITU-T G.711 μ-law, the
+      // telephone companding standard, pure integer segment arithmetic):
+      // per-clip PCM samples are ENCODED to μ-law bytes and DECODED
+      // back, and the output pins exact features of the QUANTIZED
+      // signal plus the worst per-sample quantization error. Because
+      // both codec directions are closed-form integer math, the oracle
+      // replays encode∘decode per sample in SQL — lossy-ness itself is
+      // what the hash match verifies (sums of quantized values, not of
+      // the originals). MP3/AAC/H.264-class codecs stay behind the
+      // mapPartitions extension point (entropy+transform stacks beyond
+      // a dependency-free build); μ-law shows the lossy PATH — encode,
+      // quantize, audit — end to end.
+      //
+      // Shape, and why it scales: zero-shuffle per-row codec scan (the
+      // mapPartitions batch extension point), one clip-grain fold.
+      (s, d) =>
+        Multimodal.mulawRoundtripStats(Tables.documents(s, d)).toDF(),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                  CAST(doc_id % 50 + 10 AS BIGINT) AS n FROM documents),
+              sm AS (SELECT media_id, n,
+                  ((media_id*13 + i*7) % 2003) - 1001 AS s
+                FROM m, unnest(range(n)) t(i)),
+              enc AS (SELECT media_id, n, s,
+                  least(abs(s), 32635) + 132 AS a FROM sm),
+              seg AS (SELECT *, CASE WHEN a < 256 THEN 0
+                  WHEN a < 512 THEN 1 WHEN a < 1024 THEN 2
+                  WHEN a < 2048 THEN 3 WHEN a < 4096 THEN 4
+                  WHEN a < 8192 THEN 5 WHEN a < 16384 THEN 6
+                  ELSE 7 END AS e
+                FROM enc),
+              dec AS (SELECT media_id, n, s,
+                  (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+                  ((((a // (CAST(1 AS BIGINT) << (e + 3))) % 16) * 8 + 132)
+                    * (CAST(1 AS BIGINT) << e) - 132) AS d
+                FROM seg)
+              SELECT media_id, CAST(max(n) AS BIGINT) AS n_samples,
+                CAST(sum(abs(d)) AS BIGINT) AS sum_abs_dec,
+                CAST(sum(d*d) AS BIGINT) AS sum_sq_dec,
+                CAST(max(abs(s - d)) AS BIGINT) AS max_abs_err
+              FROM dec GROUP BY 1""")
+    ),
+
     // ── audio-level dedup (energy hash over REAL-decoded PCM) ─────────────
     QueryDef(
       "q176_audio_ehash_dedup",

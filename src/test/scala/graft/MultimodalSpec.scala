@@ -586,4 +586,36 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(GifCodec.decode(ext).get.indices.toSeq ==
       GifCodec.decode(ok).get.indices.toSeq)
   }
+
+  test("μ-law codec laws over the full 16-bit range") {
+    import graft.multimodal.MuLawCodec._
+    // G.711 invariants, swept exhaustively:
+    //  - value idempotence: decoded samples are FIXED POINTS of the
+    //    quantizer (re-encoding may flip between the two zero bytes
+    //    0x7F/0xFF — μ-law's signed zero — but the VALUE is stable);
+    //  - sign preservation and segment-bounded quantization error
+    //    (< 8·2^e where e is the segment of |s|+132, max 8·2^7 = 1024);
+    //  - monotone non-decreasing decode over the encode order.
+    var s = -32768
+    while (s <= 32767) {
+      val b = encodeSample(s)
+      val d = decodeSample(b)
+      assert(decodeSample(encodeSample(d)) == d, s"not a fixed point at $s")
+      assert(d == 0 || (d < 0) == (s < 0) || s == 0,
+        s"sign flipped at $s -> $d")
+      val a = math.min(math.abs(s), 32635) + 132
+      val e = (31 - Integer.numberOfLeadingZeros(a)) - 7
+      assert(math.abs(math.min(math.abs(s), 32635) - math.abs(d)) < (8 << e),
+        s"error bound broken at $s (d=$d, e=$e)")
+      s += 1
+    }
+    // monotone: larger sample never decodes strictly smaller
+    var x = -32768
+    while (x < 32767) {
+      val d1 = decodeSample(encodeSample(x))
+      val d2 = decodeSample(encodeSample(x + 1))
+      assert(d2 >= d1, s"non-monotone at $x")
+      x += 1
+    }
+  }
 }
