@@ -428,6 +428,37 @@ object Multimodal {
     }
   }
 
+  /** q254: per-clip PCM samples through the REAL STATEFUL lossy codec —
+    * IMA ADPCM encode to packed nibbles, decode back — with exact
+    * integer features of the reconstructed signal and the worst
+    * per-sample error. Clips are short (n = id mod 16 + 5 ≤ 20) because
+    * the oracle replays the adaptive state machine as UNROLLED SQL
+    * rounds (the BPE-oracle discipline); the state threading means one
+    * wrong transition anywhere shifts every later sample and breaks the
+    * hash.
+    */
+  def adpcmRoundtripStats(docs: DataFrame): Dataset[MuLawStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (id % 16 + 5).toInt
+        val orig = Array.tabulate(n)(i =>
+          (((id * 13L + i.toLong * 7L) % 2003L) - 1001L).toInt)
+        val dec = AdpcmCodec.decode(AdpcmCodec.encode(orig), n)
+        var sa = 0L; var sq = 0L; var me = 0L
+        var i = 0
+        while (i < n) {
+          sa += math.abs(dec(i))
+          sq += dec(i).toLong * dec(i)
+          me = math.max(me, math.abs(orig(i) - dec(i)).toLong)
+          i += 1
+        }
+        MuLawStats(id, n.toLong, sa, sq, me)
+      }
+    }
+  }
+
   /** REAL decode + feature extraction: strict BMP decode, exact integer
     * per-channel sums; undecodable rows are dropped (never crash, never
     * fake)

@@ -40,6 +40,66 @@ object MultimodalQueries {
                 FROM px JOIN tot ON px.ck = tot.ck AND px.mid = tot.mid
                 GROUP BY 1, 2)"""
 
+  /** q254's DuckDB oracle: the IMA ADPCM encoder state machine replayed
+    * as `maxN` UNROLLED rounds (the bpeRoundsSql discipline). Each round
+    * advances every clip one sample through nested subselects that name
+    * the spec's intermediates (step, sign, bit tests, vpdiff, clamps) —
+    * clips shorter than the round carry their state/stats unchanged via
+    * the `has` flag. Tables are the IMA spec constants inlined as array
+    * literals.
+    */
+  private def adpcmOracleSql(maxN: Int): String = {
+    val st = "[" + graft.multimodal.AdpcmCodec.StepTable.mkString(",") + "]"
+    val it = "[" + graft.multimodal.AdpcmCodec.IndexTable.mkString(",") + "]"
+    val rounds = (0 until maxN).map { i =>
+      s"""r${i + 1} AS (SELECT media_id, n,
+            CASE WHEN has THEN p2 ELSE pred END AS pred,
+            CASE WHEN has THEN i2 ELSE idx END AS idx,
+            CASE WHEN has THEN sa + abs(p2) ELSE sa END AS sa,
+            CASE WHEN has THEN sq + p2*p2 ELSE sq END AS sq,
+            CASE WHEN has THEN greatest(me, abs(s - p2)) ELSE me END AS me
+          FROM (SELECT *,
+              greatest(-32768, least(32767,
+                pred + CASE WHEN sgn = 1 THEN -vpdiff ELSE vpdiff END))
+                AS p2,
+              greatest(0, least(88, idx + ($it)[CAST(
+                sgn*8 + b2*4 + b1*2 + b0 + 1 AS INT)])) AS i2
+            FROM (SELECT *,
+                step//8 + b2*step + b1*(step//2) + b0*(step//4) AS vpdiff
+              FROM (SELECT *,
+                  CASE WHEN a2 >= step//4 THEN 1 ELSE 0 END AS b0
+                FROM (SELECT *,
+                    CASE WHEN a1 >= step//2 THEN 1 ELSE 0 END AS b1,
+                    a1 - (CASE WHEN a1 >= step//2 THEN 1 ELSE 0 END)
+                      * (step//2) AS a2
+                  FROM (SELECT *,
+                      CASE WHEN a0 >= step THEN 1 ELSE 0 END AS b2,
+                      a0 - (CASE WHEN a0 >= step THEN 1 ELSE 0 END) * step
+                        AS a1
+                    FROM (SELECT *,
+                        CASE WHEN d < 0 THEN 1 ELSE 0 END AS sgn,
+                        abs(d) AS a0
+                      FROM (SELECT media_id, n, pred, idx, sa, sq, me,
+                          n > $i AS has,
+                          ((media_id*13 + $i*7) % 2003) - 1001 AS s,
+                          ($st)[CAST(idx + 1 AS INT)] AS step,
+                          ((media_id*13 + $i*7) % 2003) - 1001 - pred AS d
+                        FROM r$i))))))))"""
+    }.mkString(",\n")
+    s"""WITH r0 AS (SELECT doc_id AS media_id,
+          CAST(doc_id % 16 + 5 AS BIGINT) AS n,
+          CAST(0 AS BIGINT) AS pred, CAST(0 AS BIGINT) AS idx,
+          CAST(0 AS BIGINT) AS sa, CAST(0 AS BIGINT) AS sq,
+          CAST(0 AS BIGINT) AS me
+        FROM documents),
+        $rounds
+        SELECT media_id, n AS n_samples,
+          CAST(sa AS BIGINT) AS sum_abs_dec,
+          CAST(sq AS BIGINT) AS sum_sq_dec,
+          CAST(me AS BIGINT) AS max_abs_err
+        FROM r$maxN"""
+  }
+
   /** media CTE mirroring [[Multimodal.mediaFromDocuments]] */
   private val SQL_MEDIA =
     """WITH media AS (SELECT doc_id AS media_id,
@@ -640,6 +700,28 @@ object MultimodalQueries {
                 CAST(sum(d*d) AS BIGINT) AS sum_sq_dec,
                 CAST(max(abs(s - d)) AS BIGINT) AS max_abs_err
               FROM dec GROUP BY 1""")
+    ),
+
+    // ── REAL STATEFUL lossy codec: IMA ADPCM round trip ───────────────────
+    QueryDef(
+      "q254_adpcm_roundtrip",
+      // The adaptive-predictive counterpart to q253's stateless μ-law
+      // ([[graft.multimodal.AdpcmCodec]] — IMA/DVI 4-bit ADPCM, the WAV
+      // format-0x11 codec): per-sample state (predictor, step index)
+      // threads through the clip, so the oracle cannot check samples
+      // independently — it REPLAYS the encoder's state machine as
+      // unrolled SQL rounds (generated below, the bpeRoundsSql
+      // discipline; clips are ≤ 20 samples by construction). One wrong
+      // step-table entry, clamp, shift, or index adaptation anywhere
+      // desynchronizes every later sample and breaks the hash — the
+      // strongest per-bit pin in the codec family.
+      //
+      // Shape, and why it scales: zero-shuffle per-row codec scan, one
+      // clip-grain fold — clip length is the fixture's, not the
+      // engine's, limit (the Scala codec streams any length).
+      (s, d) =>
+        Multimodal.adpcmRoundtripStats(Tables.documents(s, d)).toDF(),
+      Some(adpcmOracleSql(20))
     ),
 
     // ── audio-level dedup (energy hash over REAL-decoded PCM) ─────────────

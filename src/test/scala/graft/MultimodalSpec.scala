@@ -618,4 +618,38 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       x += 1
     }
   }
+
+  test("IMA ADPCM: hand-computed trajectory, packing, convergence, error bound") {
+    import graft.multimodal.AdpcmCodec._
+    // hand-run of the spec for [100, 100] from the zero state:
+    //   s=100: step=7, nib=7, vpdiff=0+7+3+1=11 → pred=11, idx=0+8=8
+    //   s=100: step=16, nib=7, vpdiff=2+16+8+4=30 → pred=41, idx=16
+    assert(decode(encode(Array(100, 100)), 2).toSeq == Seq(11, 41))
+    // nibble packing: low nibble first (IMA convention) — [100,100] is
+    // nibble 7 twice → one byte 0x77
+    assert(encode(Array(100, 100)).toSeq == Seq(0x77.toByte))
+    // constant signal: the adaptive step shrinks and the predictor
+    // converges onto the value (within the smallest step)
+    val const = Array.fill(64)(5000)
+    val dec = decode(encode(const), 64)
+    assert(math.abs(dec.last - 5000) <= 16, s"no convergence: ${dec.last}")
+    // per-sample error bound: |err| ≤ step used at that sample (replay
+    // states to know the step) — the quantizer's contract
+    val rnd = new scala.util.Random(7)
+    val sig = Array.fill(200)(rnd.nextInt(60000) - 30000)
+    val out = decode(encode(sig), 200)
+    var pred = 0; var idx = 0
+    for (i <- sig.indices) {
+      val step = StepTable(idx)
+      val (p2, i2, _) = encodeStep(pred, idx, sig(i))
+      assert(out(i) == p2, s"decode desync at $i")
+      // the quantizer's real contract: one step moves the predictor at
+      // most vpdiff_max = step + step/2 + step/4 + step/8 < 2·step
+      // (input-vs-output error is NOT bounded during attack transients —
+      // the adaptive step must catch up; that's ADPCM, not a bug)
+      assert(math.abs(p2.toLong - pred) < 2L * step,
+        s"movement ${p2 - pred} vs step $step at $i")
+      pred = p2; idx = i2
+    }
+  }
 }
