@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule())
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

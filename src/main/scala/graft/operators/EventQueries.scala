@@ -204,6 +204,45 @@ object EventQueries {
     ),
 
     QueryDef(
+      "q255_asof_custom_exec",
+      // q29's as-of, answered by the CUSTOM PHYSICAL OPERATOR instead of
+      // the tagged-union window: `AsOfJoinNode` → `AsOfJoinStrategy` →
+      // `AsOfJoinExec` (graft.plans — the custom-operator ladder's last
+      // rung: logical node + planner strategy + SparkPlan, registered at
+      // runtime via extraStrategies / GraftExtensions). The exec declares
+      // hash clustering + (key, ts) ordering and EnsureRequirements
+      // plans the exchanges and sorts; each co-partition pair then
+      // merges in ONE linear pass with O(1) state — no union
+      // materialize, no window buffer, LEFT semantics (unmatched clicks
+      // keep NULL view_id — pinned by the oracle's ASOF LEFT JOIN).
+      // Views pre-aggregate to unique (user, µs) with q29's tie-break,
+      // so the merge is deterministic; AsOfJoinSpec proves row equality
+      // with q29's window form and the plan shape.
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("tsu", expr("ts div 1000"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("vuser"), col("tsu").as("vts"))
+          .agg(max(col("event_id")).as("view_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("tsu"))
+        org.apache.spark.sql.graftshim.AsOfBridge
+          .sortedAsOf(clicks, "user_id", "tsu", views, "vuser", "vts")
+          .select("click_id", "user_id", "view_id")
+      },
+      Some("""WITH vraw AS (SELECT user_id AS vuser, epoch_us(ts) AS vts,
+                  event_id FROM events WHERE event_type = 'view'),
+              v AS (SELECT vuser, vts, max(event_id) AS view_id
+                FROM vraw GROUP BY 1, 2),
+              c AS (SELECT event_id AS click_id, user_id,
+                  epoch_us(ts) AS tsu
+                FROM events WHERE event_type = 'click')
+              SELECT c.click_id, c.user_id, v.view_id
+              FROM c ASOF LEFT JOIN v
+                ON c.user_id = v.vuser AND v.vts <= c.tsu""")
+    ),
+
+    QueryDef(
       "q150_incremental_mv",
       // Incremental materialized-view maintenance, driver-visible end to
       // end: the events table replays as two deterministic micro-batches

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The custom-operator ladder's last rung (SURVEY.md §2: custom
+  * `LogicalPlan` + `Strategy` + physical `SparkPlan`): a SORTED-MERGE
+  * AS-OF JOIN as a first-class physical operator.
+  *
+  * The suite's other as-of form (q29) composes existing operators — a
+  * tagged union + keyed running window. That pays one union materialize
+  * and one window pass over BOTH streams. This operator expresses the
+  * textbook merge directly: both sides hash-cluster on the key and sort
+  * by (key, ts) — declared via [[AsOfJoinExec.requiredChildDistribution]]
+  * / `requiredChildOrdering`, so EnsureRequirements plans the exchanges
+  * and sorts (never hand-scheduled) — and each co-partition pair merges
+  * in one linear pass: for every left row, the last right row of the
+  * same key with `rts <= lts` (LEFT semantics: no match ⇒ right columns
+  * NULL).
+  *
+  * Contract (enforced at facade level, `graftshim.AsOfBridge`):
+  * key/ts columns are LongType; right (key, ts) pairs should be unique
+  * when deterministic output matters (among full duplicates the merge
+  * keeps the last in partition order, exactly like vendor ASOF joins).
+  * Left rows stream, right rows buffer at most ONE live match per key —
+  * O(1) state, the property that makes the operator safe at any scale.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)),
+      ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rkOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rtOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0,
+      "as-of join: key/ts attributes not found in child output")
+    val outTypes = output.map(_.dataType).toArray
+    val nRight = right.output.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outTypes)
+      // O(1) merge state: the latest qualifying right row (copied — the
+      // underlying UnsafeRow is reused by the iterator) and its key
+      var m: InternalRow = null
+      var mKey = 0L
+      lIter.map { lrow =>
+        val lk = lrow.getLong(lkOrd)
+        val lt = lrow.getLong(ltOrd)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val h = rBuf.head
+          val rk = h.getLong(rkOrd)
+          if (rk < lk || (rk == lk && h.getLong(rtOrd) <= lt)) {
+            // rows with rk < lk can never match again (left keys are
+            // non-decreasing) — discard; same-key rows become the
+            // latest candidate
+            if (rk == lk) { m = h.copy(); mKey = lk }
+            rBuf.next()
+          } else advancing = false
+        }
+        val rr = if (m != null && mKey == lk) m else nullRight
+        proj(joined(lrow, rr))
+      }
+    }
+  }
+}
