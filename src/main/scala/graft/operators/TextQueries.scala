@@ -3175,6 +3175,96 @@ object TextQueries {
               FROM t""")
     ),
 
+    // ── LABEL PROPAGATION over the near-dup graph (label spreading) ───────
+    QueryDef(
+      "q256_label_propagation",
+      // SEMI-supervised quality labeling: only the even-doc_id half is
+      // labeled (q33's rule as 0/10⁶ ppm — the q72/q173 split
+      // discipline); odd docs seed NEUTRAL (500000) and must earn a
+      // label from their winnow neighbors — the Zhu/Ghahramani
+      // label-spreading idea on the similarity graph, in exact
+      // fixed-point arithmetic (q145's PageRank discipline: ppm-scaled
+      // BIGINT, truncating division — both engines iterate
+      // identically). Two unrolled rounds of s' = (s + Σ_neighbors s)
+      // div (deg + 1) over the SYMMETRIZED memoized pair graph; output
+      // = final-score bucket census + how many UNLABELED docs the graph
+      // resolved out of the neutral band (toward high or low quality).
+      //
+      // Shape, and why it scales: the pair graph is near-dup-bounded
+      // (memoized scratch, zero corpus scans); each round is one keyed
+      // join + one aggregation on that graph — never corpus-sized;
+      // isolated docs keep their seed by construction (left join,
+      // coalesce 0 neighbors).
+      (s, d) => {
+        val seed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 =!= 0, 500000L)
+              .when(length(col("text")).between(100, 400) &&
+                length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * 4 >
+                  length(col("text")) * 3, 1000000L)
+              .otherwise(0L).as("s0"))
+        val edges = winnowPairs(s, d)
+          .select(col("a"), col("b"))
+        val sym = edges.unionAll(edges.select(col("b").as("a"),
+          col("a").as("b")))
+        def round(scores: DataFrame, out: String, in: String): DataFrame = {
+          val nb = sym.join(scores.select(col("doc_id").as("b"),
+              col(in).as("sb")), "b")
+            .groupBy(col("a").as("doc_id"))
+            .agg(count(lit(1)).as("deg"), sum(col("sb")).as("nsum"))
+          scores.join(nb, Seq("doc_id"), "left_outer")
+            .withColumn(out, expr(
+              s"($in + coalesce(nsum, 0L)) div (coalesce(deg, 0L) + 1L)"))
+            .select(col("doc_id"), col("s0"), col(out))
+        }
+        val r2 = round(round(seed.withColumn("s1", col("s0")), "s1", "s0")
+          .select(col("doc_id"), col("s0"), col("s1")), "s2", "s1")
+        r2.select(col("doc_id"), col("s0"), col("s2"))
+          .withColumn("bucket", expr("s2 div 100000L"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L))
+              .as("n_unlabeled"),
+            sum(when(col("doc_id") % 2 =!= 0 && col("s2") > 550000L, 1L)
+              .otherwise(0L)).as("n_resolved_high"),
+            sum(when(col("doc_id") % 2 =!= 0 && col("s2") < 450000L, 1L)
+              .otherwise(0L)).as("n_resolved_low"))
+      },
+      Some("WITH " + SQL_WINNOW_PAIR_CTES.stripPrefix("WITH ") + """,
+           seed AS (SELECT doc_id,
+               CASE WHEN doc_id % 2 <> 0 THEN 500000
+                 WHEN length(text) BETWEEN 100 AND 400
+                 AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4
+                     > length(text) * 3
+                 THEN 1000000 ELSE 0 END AS s0
+             FROM documents),
+           sym AS (SELECT a, b FROM wpairs
+                   UNION ALL SELECT b AS a, a AS b FROM wpairs),
+           n1 AS (SELECT sym.a AS doc_id, count(*) AS deg,
+                    sum(seed.s0) AS nsum
+                  FROM sym JOIN seed ON sym.b = seed.doc_id GROUP BY 1),
+           r1 AS (SELECT seed.doc_id, seed.s0,
+                    (seed.s0 + coalesce(n1.nsum, 0))
+                      // (coalesce(n1.deg, 0) + 1) AS s1
+                  FROM seed LEFT JOIN n1 USING (doc_id)),
+           n2 AS (SELECT sym.a AS doc_id, count(*) AS deg,
+                    sum(r1.s1) AS nsum
+                  FROM sym JOIN r1 ON sym.b = r1.doc_id GROUP BY 1),
+           r2 AS (SELECT r1.doc_id, r1.s0,
+                    (r1.s1 + coalesce(n2.nsum, 0))
+                      // (coalesce(n2.deg, 0) + 1) AS s2
+                  FROM r1 LEFT JOIN n2 USING (doc_id))
+           SELECT CAST(s2 // 100000 AS BIGINT) AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unlabeled,
+             CAST(sum(CASE WHEN doc_id % 2 <> 0 AND s2 > 550000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved_high,
+             CAST(sum(CASE WHEN doc_id % 2 <> 0 AND s2 < 450000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved_low
+           FROM r2 GROUP BY 1""")
+    ),
+
     // ── PMI CO-OCCURRENCE (distributional association mining) ─────────────
     QueryDef(
       "q209_pmi_cooccur",
