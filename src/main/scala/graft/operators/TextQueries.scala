@@ -3265,6 +3265,91 @@ object TextQueries {
            FROM r2 GROUP BY 1""")
     ),
 
+    // ── THRESHOLD CALIBRATION AT TARGET FPR (conformal-style) ─────────────
+    QueryDef(
+      "q257_threshold_at_fpr",
+      // The deployment step after scoring (q188), ranking (q202), and
+      // AUC (q249): pick the DECISION THRESHOLD that caps the false
+      // positive rate at 5% on the labeled calibration split, then
+      // report what that threshold actually does on held-out data — the
+      // split-conformal recipe. The threshold is an exact rank
+      // statistic: the smallest calibration-negative score t with
+      // #(neg ≤ t) ≥ ⌈0.95·n₀⌉ (predict positive strictly above t), so
+      // FPR_cal ≤ 5% by construction. Selection runs on the negative
+      // score grain via [[Shared.distributedPrefixSum]] + a limit(1)
+      // min — never a global window; held-out confusion counts are
+      // exact BIGINTs, rates are pinned ppm divisions.
+      //
+      // Shape, and why it scales: score-grain prefix sum (bounded by
+      // distinct scores), 1-row threshold broadcast, one held-out pass.
+      (s, d) => {
+        val sc = nbScores(s, d)
+        val cal = sc.filter(col("doc_id") % 4 === 1)
+        val neg = cal.filter(col("y") === 0)
+          .groupBy(col("score_ppm").as("sv"))
+          .agg(count(lit(1)).as("nn"))
+          .withColumn("sk",
+            when(abs(col("sv")) >= lit(1L << 30),
+              raise_error(concat(lit("q257: |score| breaks the shift " +
+                "bound: "), col("sv"))))
+              .otherwise(col("sv") + lit(1L << 31)))
+        val n0 = cal.filter(col("y") === 0).count()
+        val need = (95L * n0 + 99L) / 100L  // ⌈0.95·n0⌉ in integers
+        val thr = Shared.distributedPrefixSum(neg, "sk", "nn",
+            bucket = 1L << 16)
+          .filter(col("cum") + col("nn") >= need) // inclusive rank
+          .agg(min(col("sv")).as("threshold"))
+        val hold = sc.filter(col("doc_id") % 4 === 3)
+          .crossJoin(broadcast(thr))
+          .withColumn("pos", (col("score_ppm") > col("threshold"))
+            .cast("long"))
+        hold.agg(
+            min(col("threshold")).as("threshold"),
+            lit(n0).as("n_cal_neg"),
+            sum(when(col("pos") === 1 && col("y") === 0, 1L).otherwise(0L))
+              .as("fp"),
+            sum(when(col("pos") === 1 && col("y") === 1, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("pos") === 0 && col("y") === 0, 1L).otherwise(0L))
+              .as("tn"),
+            sum(when(col("pos") === 0 && col("y") === 1, 1L).otherwise(0L))
+              .as("fn"))
+          .withColumn("fpr_ppm", expr("1000000L * fp div (fp + tn)"))
+          .withColumn("tpr_ppm", expr("1000000L * tp div (tp + fn)"))
+      },
+      Some(s"""WITH base AS ($nbScoreSql),
+              cal AS (SELECT * FROM base WHERE doc_id % 4 = 1),
+              n0t AS (SELECT count(*) AS n0 FROM cal WHERE y = 0),
+              thr AS (SELECT min(sv) AS threshold FROM (
+                  SELECT score_ppm AS sv,
+                    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                      OVER (ORDER BY score_ppm
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cneg
+                  FROM cal WHERE y = 0) q CROSS JOIN n0t
+                WHERE cneg >= (95 * n0 + 99) // 100),
+              hold AS (SELECT h.*, thr.threshold,
+                  CASE WHEN h.score_ppm > thr.threshold THEN 1 ELSE 0 END
+                    AS pos
+                FROM base h CROSS JOIN thr WHERE h.doc_id % 4 = 3),
+              agg AS (SELECT CAST(min(threshold) AS BIGINT) AS threshold,
+                  CAST(sum(CASE WHEN pos = 1 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+                  CAST(sum(CASE WHEN pos = 1 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN pos = 0 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn,
+                  CAST(sum(CASE WHEN pos = 0 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+                FROM hold)
+              SELECT threshold,
+                (SELECT CAST(n0 AS BIGINT) FROM n0t) AS n_cal_neg,
+                fp, tp, tn, fn,
+                1000000 * fp // (fp + tn) AS fpr_ppm,
+                1000000 * tp // (tp + fn) AS tpr_ppm
+              FROM agg""")
+    ),
+
     // ── PMI CO-OCCURRENCE (distributional association mining) ─────────────
     QueryDef(
       "q209_pmi_cooccur",
