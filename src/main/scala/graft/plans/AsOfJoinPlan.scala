@@ -80,7 +80,15 @@ case class AsOfJoinExec(
       "as-of join: key/ts attributes not found in child output")
     val outTypes = output.map(_.dataType).toArray
     val nRight = right.output.length
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions would throw its own (opaque) error — surface the
+    // co-partitioning contract explicitly if a planner change (e.g. an
+    // asymmetric AQE coalesce) ever desynchronizes the two sides
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of join children lost co-partitioning: ${lRdd.getNumPartitions}" +
+        s" vs ${rRdd.getNumPartitions} partitions")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
