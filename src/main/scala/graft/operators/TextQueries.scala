@@ -3350,6 +3350,191 @@ object TextQueries {
               FROM agg""")
     ),
 
+    // ── RANK FUSION of quality signals (Borda ensemble) ───────────────────
+    QueryDef(
+      "q258_rank_fusion",
+      // No single quality signal survives contact with a web corpus —
+      // production curation ENSEMBLES them. Borda-fuses three
+      // independent signals at the RANK level (rank fusion beats score
+      // averaging because the signals live on incomparable scales):
+      // the trained classifier margin (memoized [[nbScores]]), an
+      // n-gram repetition penalty (distinct/total bigrams, exact ppm —
+      // q74's signal), and length proximity to the 250-char sweet spot.
+      // Each signal ranks via the packed-key distributed prefix sum
+      // (q202's discipline — unique (score, doc_id) keys, raise_error
+      // bound guards, NO global window anywhere); the Borda sum orders
+      // the final keep list. Output: top-20 by (borda asc = best,
+      // doc_id) with per-signal ranks — the explainable keep decision.
+      //
+      // Shape, and why it scales: one documents scan (repetition +
+      // length), one memo scan (classifier), three prefix-sum rounds on
+      // doc-grain tables, one model-sized top-K.
+      (s, d) => {
+        val t = col("t")
+        val bg = transform(
+          sequence(lit(1), greatest(size(t) - 1, lit(1))),
+          i => concat_ws(" ", element_at(t, i.cast("int")),
+            element_at(t, (i + lit(1)).cast("int"))))
+        val withBg = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            Shared.tokens(col("text")).as("t"))
+          .withColumn("bgs", bg)
+          .select(col("doc_id"),
+            when(size(col("t")) >= 2,
+              expr("1000000L * size(array_distinct(bgs)) div size(bgs)"))
+              .otherwise(1000000L).as("uniq_ppm"),
+            (lit(0L) - abs(col("n_chars") - 250L)).as("len_score"))
+        val cls = nbScores(s, d).select(col("doc_id"), col("score_ppm"))
+        val base = withBg.join(cls, "doc_id")
+        // rank r = #docs with strictly better signal (0-based; better =
+        // LARGER score, so rank ascending on the NEGATED packed key)
+        def rank(df: DataFrame, sigCol: String, out: String): DataFrame =
+          Shared.distributedPrefixSum(
+            df.withColumn("__k",
+              when(abs(col(sigCol)) >= lit(1L << 30),
+                raise_error(concat(lit(s"q258: |$sigCol| breaks the " +
+                  "packing bound"), col(sigCol))))
+                .otherwise((lit(1L << 30) - col(sigCol)) * lit(1L << 32) +
+                  col("doc_id")))
+              .withColumn("__one", lit(1L)), "__k", "__one", 1L << 48)
+            .withColumn(out, col("cum")).drop("__k", "__one", "cum")
+        val ranked = rank(rank(rank(base, "score_ppm", "r_cls"),
+          "uniq_ppm", "r_rep"), "len_score", "r_len")
+        ranked
+          .withColumn("borda", col("r_cls") + col("r_rep") + col("r_len"))
+          .orderBy(col("borda").asc, col("doc_id").asc)
+          .limit(20)
+          .select("doc_id", "r_cls", "r_rep", "r_len", "borda")
+      },
+      Some(s"""WITH base0 AS ($nbScoreSql),
+              tok AS (SELECT doc_id, n_chars, $SQL_TOKENS AS t
+                FROM documents),
+              rep AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 2 THEN 1000000 *
+                    len(list_distinct(list_transform(
+                      range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+                    // len(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1]))
+                  ELSE 1000000 END AS uniq_ppm,
+                  0 - abs(n_chars - 250) AS len_score
+                FROM tok),
+              j AS (SELECT r.doc_id, r.uniq_ppm, r.len_score, b.score_ppm
+                FROM rep r JOIN base0 b ON r.doc_id = b.doc_id),
+              rk AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+                    - 1 AS BIGINT) AS r_cls,
+                  CAST(row_number() OVER (ORDER BY uniq_ppm DESC, doc_id)
+                    - 1 AS BIGINT) AS r_rep,
+                  CAST(row_number() OVER (ORDER BY len_score DESC, doc_id)
+                    - 1 AS BIGINT) AS r_len
+                FROM j)
+              SELECT doc_id, r_cls, r_rep, r_len,
+                r_cls + r_rep + r_len AS borda
+              FROM rk
+              ORDER BY borda, doc_id
+              LIMIT 20""")
+    ),
+
+    // ── DATASET CARD (corpus nutrition label, one declarative plan) ───────
+    QueryDef(
+      "q259_dataset_card",
+      // The summary artifact every released corpus ships with (the
+      // "datasheets for datasets" practice): size, composition,
+      // duplication, and quality in ONE long-form metric table, each
+      // number an exact BIGINT a downstream consumer can re-verify.
+      // Metrics: docs, sources, languages, chars, tokens, min/max doc
+      // tokens, exact-duplicate docs (q30's normalized-md5 rule),
+      // quality-rule passes (q33), and benchmark-overlap docs (q89's
+      // src0 ANY-shingle-overlap rule) — every rule shared verbatim
+      // with its standalone operator, so the card can never drift from
+      // the audits it summarizes.
+      //
+      // Shape, and why it scales: two documents scans (stats + the
+      // shingle overlap semi-join's probe side), one broadcast of the
+      // benchmark shingle set, model-sized output.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val t = Shared.tokens(col("text"))
+        val norm = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+        val stats = docs.select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), size(t).cast("long").as("ntok"), norm.as("h"),
+            when(length(col("text")).between(100, 400) &&
+              length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * 4 >
+                length(col("text")) * 3, 1L).otherwise(0L).as("q"))
+        val dup = stats.groupBy("h").agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("n") >= 2, col("n")).otherwise(0L))
+            .as("n_dup_docs"))
+        val sh = withShingles(s, d, nonEmpty = true)
+          .select(col("doc_id"), col("source"), explode(col("sh")).as("s3"))
+        val bench = sh.filter(col("source") === "src0")
+          .select("s3").distinct()
+        val contaminated = sh.filter(col("source") =!= "src0")
+          .join(broadcast(bench), Seq("s3"), "left_semi")
+          .agg(countDistinct(col("doc_id")).as("n_overlap_docs"))
+        val agg = stats.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("ntok")).as("total_tokens"),
+          min(col("ntok")).as("min_doc_tokens"),
+          max(col("ntok")).as("max_doc_tokens"),
+          sum(col("q")).as("n_quality_ok"))
+        val row = agg.crossJoin(broadcast(dup))
+          .crossJoin(broadcast(contaminated))
+        val metrics = Seq("n_docs", "n_sources", "n_langs", "total_chars",
+          "total_tokens", "min_doc_tokens", "max_doc_tokens",
+          "n_quality_ok", "n_dup_docs", "n_overlap_docs")
+        row.select(explode(array(metrics.map(m =>
+            struct(lit(m).as("metric"), col(m).cast("long").as("value")))
+            : _*)).as("e"))
+          .select(col("e.metric").as("metric"), col("e.value").as("value"))
+      },
+      Some(s"""$SQL_WITH_SHINGLES,
+              tk AS (SELECT doc_id, source, lang, n_chars, text,
+                  $SQL_TOKENS AS t FROM documents),
+              st AS (SELECT doc_id, source, lang, n_chars,
+                  len(t) AS ntok,
+                  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+                  CASE WHEN length(text) BETWEEN 100 AND 400
+                    AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        * 4 > length(text) * 3
+                    THEN 1 ELSE 0 END AS q
+                FROM tk),
+              dup AS (SELECT sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                    AS n_dup_docs
+                  FROM (SELECT h, count(*) AS n FROM st GROUP BY 1)),
+              x AS (SELECT sh.doc_id, d.source, unnest(sh.sh) AS s3
+                    FROM shingled sh JOIN documents d
+                      ON sh.doc_id = d.doc_id
+                    WHERE len(sh.sh) > 0),
+              bsh AS (SELECT DISTINCT s3 FROM x WHERE source = 'src0'),
+              cont AS (SELECT count(DISTINCT doc_id) AS n_overlap_docs
+                FROM x WHERE source <> 'src0'
+                  AND s3 IN (SELECT s3 FROM bsh)),
+              agg AS (SELECT count(*) AS n_docs,
+                  count(DISTINCT source) AS n_sources,
+                  count(DISTINCT lang) AS n_langs,
+                  sum(n_chars) AS total_chars,
+                  sum(ntok) AS total_tokens,
+                  min(ntok) AS min_doc_tokens,
+                  max(ntok) AS max_doc_tokens,
+                  sum(q) AS n_quality_ok
+                FROM st)
+              SELECT metric, CAST(value AS BIGINT) AS value FROM (
+                SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+                UNION ALL SELECT 'n_sources', n_sources FROM agg
+                UNION ALL SELECT 'n_langs', n_langs FROM agg
+                UNION ALL SELECT 'total_chars', total_chars FROM agg
+                UNION ALL SELECT 'total_tokens', total_tokens FROM agg
+                UNION ALL SELECT 'min_doc_tokens', min_doc_tokens FROM agg
+                UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM agg
+                UNION ALL SELECT 'n_quality_ok', n_quality_ok FROM agg
+                UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM dup
+                UNION ALL SELECT 'n_overlap_docs', n_overlap_docs
+                  FROM cont)""")
+    ),
+
     // ── PMI CO-OCCURRENCE (distributional association mining) ─────────────
     QueryDef(
       "q209_pmi_cooccur",
