@@ -3367,9 +3367,14 @@ object TextQueries {
       // doc_id) with per-signal ranks — the explainable keep decision.
       //
       // Shape, and why it scales: one documents scan (repetition +
-      // length), one memo scan (classifier), three prefix-sum rounds on
-      // doc-grain tables, one model-sized top-K.
-      (s, d) => {
+      // length), one memo scan (classifier), then the doc-grain signal
+      // table is RELIABLY CHECKPOINTED before ranking — each prefix-sum
+      // round bifurcates its input's lineage (per-bucket windows +
+      // offsets), so three chained rounds would re-run the signal
+      // pipeline up to 8× without the cut (measured 36 s → sub-second);
+      // the rounds themselves are doc-grain-cheap. One model-sized
+      // top-K closes.
+      (s, d) => Shared.withCheckpointDir(s) {
         val t = col("t")
         val bg = transform(
           sequence(lit(1), greatest(size(t) - 1, lit(1))),
@@ -3385,7 +3390,7 @@ object TextQueries {
               .otherwise(1000000L).as("uniq_ppm"),
             (lit(0L) - abs(col("n_chars") - 250L)).as("len_score"))
         val cls = nbScores(s, d).select(col("doc_id"), col("score_ppm"))
-        val base = withBg.join(cls, "doc_id")
+        val base = withBg.join(cls, "doc_id").checkpoint()
         // rank r = #docs with strictly better signal (0-based; better =
         // LARGER score, so rank ascending on the NEGATED packed key)
         def rank(df: DataFrame, sigCol: String, out: String): DataFrame =
