@@ -1060,6 +1060,44 @@ object ExtQueries {
                 count(*) AS n_aliases,
                 CAST(min(doc_id) AS BIGINT) AS fetch_doc
               FROM p GROUP BY 1, 2, 3""")
+    ),
+
+    // ── CROSS-LINGUAL ARTICLE ALIGNMENT (parallel-corpus mining) ──────────
+    QueryDef(
+      "q260_crosslingual_align",
+      // The bookkeeping stage of bitext mining: the same article
+      // published in several languages (here q238's URL fixture —
+      // article id = doc_id mod 50) yields translation-pair candidates.
+      // Per ordered language pair: how many articles have BOTH
+      // languages, and how many candidate document pairs that implies —
+      // the table that sizes an alignment run before any expensive
+      // embedding comparison happens.
+      //
+      // Shape, and why it scales: one aggregation to (article, lang)
+      // grain, a self-join ON THAT GRAIN (fan-out bounded by languages
+      // per article, never by docs), one langs²-bounded aggregation.
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select((col("doc_id") % 50).as("article"), col("lang"))
+          .groupBy("article", "lang").agg(count(lit(1)).as("n"))
+        g.select(col("article"), col("lang").as("lang_a"),
+            col("n").as("na"))
+          .join(g.select(col("article"), col("lang").as("lang_b"),
+            col("n").as("nb")), "article")
+          .filter(col("lang_a") < col("lang_b"))
+          .groupBy("lang_a", "lang_b")
+          .agg(countDistinct(col("article")).as("n_articles"),
+            sum(col("na") * col("nb")).as("n_candidate_pairs"))
+      },
+      Some("""WITH g AS (SELECT doc_id % 50 AS article, lang,
+                  count(*) AS n
+                FROM documents GROUP BY 1, 2)
+              SELECT a.lang AS lang_a, b.lang AS lang_b,
+                count(DISTINCT a.article) AS n_articles,
+                CAST(sum(a.n * b.n) AS BIGINT) AS n_candidate_pairs
+              FROM g a JOIN g b
+                ON a.article = b.article AND a.lang < b.lang
+              GROUP BY 1, 2""")
     )
   )
 }
