@@ -1258,6 +1258,76 @@ object CoreQueries {
                 JOIN cnt cb ON pairs.pb = cb.p
                 CROSS JOIN nb
               ORDER BY lift DESC, antecedent, consequent LIMIT 20""")
+    ),
+
+    // ── BENFORD FIRST-DIGIT AUDIT (fraud / synthetic-data detection) ──────
+    QueryDef(
+      "q264_benford_audit",
+      // The forensic-accounting screen applied to any monetary column:
+      // does the first significant digit of l_extendedprice follow
+      // Benford's law P(d) = log10(1 + 1/d)? Widely used to flag
+      // fabricated or synthetically generated records before they enter
+      // a training corpus. The digit is extracted EXACTLY — price in
+      // cents as BIGINT, first character of its decimal string — never
+      // via floating log10, so the 9 observed counts are exact and both
+      // engines agree at every boundary. The expected probabilities are
+      // the same 17-digit literals in both engines, so each χ² term
+      // (obs − N·p)²/(N·p) is an identical IEEE double.
+      //
+      // Shape, and why it scales: one projected scan + one 9-group hash
+      // aggregation (map-side combined); the Benford table is a 9-row
+      // broadcast; N attaches as a driver-probed literal (the q218
+      // scalar idiom). Output is 9 rows regardless of fact size.
+      (s, d) => {
+        val cents = Tables.lineitem(s, d).select(
+          (col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("c"))
+        val obs = cents
+          .select(substring(col("c").cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val n = cents.count()
+        val benford = Seq(
+          1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+          3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+          5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+          7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+          9 -> 0.04575749056067514)
+        import s.implicits._
+        val exp = benford.toDF("digit", "p_benford")
+        obs.join(broadcast(exp), "digit")
+          .select(col("digit"), col("n_obs"), col("p_benford"),
+            ((col("n_obs").cast("double") - lit(n).cast("double") * col("p_benford")) *
+              (col("n_obs").cast("double") - lit(n).cast("double") * col("p_benford")) /
+              (lit(n).cast("double") * col("p_benford"))).as("chi_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH cents AS (SELECT
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS c
+                FROM lineitem),
+              obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+                    AS digit, count(*) AS n_obs
+                FROM cents GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM cents),
+              benford(digit, p_benford) AS (VALUES
+                (1, CAST(0.3010299956639812 AS DOUBLE)),
+                (2, CAST(0.17609125905568124 AS DOUBLE)),
+                (3, CAST(0.12493873660829992 AS DOUBLE)),
+                (4, CAST(0.09691001300805642 AS DOUBLE)),
+                (5, CAST(0.07918124604762482 AS DOUBLE)),
+                (6, CAST(0.06694678963061322 AS DOUBLE)),
+                (7, CAST(0.05799194697768673 AS DOUBLE)),
+                (8, CAST(0.05115252244738129 AS DOUBLE)),
+                (9, CAST(0.04575749056067514 AS DOUBLE)))
+              SELECT obs.digit, CAST(n_obs AS BIGINT) AS n_obs, p_benford,
+                (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford) *
+                (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p_benford) /
+                (CAST(n AS DOUBLE) * p_benford) AS chi_term
+              FROM obs JOIN benford ON obs.digit = benford.digit
+                CROSS JOIN n
+              ORDER BY 1""")
     )
   )
 }

@@ -1869,6 +1869,147 @@ object EventQueries {
               SELECT event_type, window_start_min,
                 CAST(peak_events AS BIGINT) AS peak_events
               FROM pick WHERE rk = 1""")
+    ),
+
+    // ── MANN-WHITNEY U (distributed rank-sum drift test) ──────────────────
+    QueryDef(
+      "q261_mann_whitney",
+      // The nonparametric two-sample location test every experimentation
+      // and drift-monitoring stack ships: do 'click' values sit
+      // systematically above/below 'purchase' values, with no normality
+      // assumption. Ranks are midranks over the pooled sample; U, its
+      // null mean, and the tie-corrected variance follow the standard
+      // formulas, all computed from EXACT BIGINT count sums (value in
+      // cents via the DECIMAL(18,2) cast — the q59 discipline). Doubles
+      // appear only in the final pinned expressions (IEEE mult/div/sqrt
+      // on identical operands in identical order), so the single output
+      // row hash-matches the oracle bit-for-bit.
+      //
+      // Shape, and why it scales: rank NOTHING row-by-row — aggregate to
+      // the distinct-cents table (bounded by the value domain, not the
+      // event count), then the exclusive prefix sum of pooled counts via
+      // [[Shared.distributedPrefixSum]] (bucketed parallel windows + one
+      // model-sized offset window; no corpus-sized single-partition
+      // window anywhere). 2·midrank(v) = 2·cum_before + n_t + 1 stays
+      // integral, so the rank-sum Σ n_a·(2·cum+n_t+1) is an exact
+      // BIGINT reduction.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("c"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
+        val byv = ev.groupBy("c").agg(
+          sum(col("isa")).as("na"), count(lit(1)).as("nt"))
+        val pre = Shared.distributedPrefixSum(byv, "c", "nt")
+        val agg = pre.agg(
+          sum(col("na")).as("n_a"),
+          sum(col("nt") - col("na")).as("n_b"),
+          sum(col("nt")).as("n"),
+          sum(col("na") * (lit(2L) * col("cum") + col("nt") + lit(1L)))
+            .as("r2a"),
+          sum(col("nt") * col("nt") * col("nt") - col("nt")).as("ties"))
+        agg.select(
+          col("n_a"), col("n_b"),
+          ((col("r2a") - col("n_a") * (col("n_a") + lit(1L))).cast("double")
+            / 2.0).as("u_a"),
+          ((col("r2a") - col("n_a") * (col("n_a") + lit(1L)) -
+            col("n_a") * col("n_b")).cast("double") / 2.0 /
+            sqrt((col("n_a") * col("n_b")).cast("double") / 12.0 *
+              ((col("n").cast("double") + 1.0) -
+                col("ties").cast("double") /
+                  (col("n").cast("double") *
+                    (col("n").cast("double") - 1.0))))).as("z_score"))
+      },
+      Some("""WITH ev AS (SELECT
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+                FROM events WHERE event_type IN ('click', 'purchase')),
+              byv AS (SELECT c, sum(isa) AS na, count(*) AS nt
+                FROM ev GROUP BY 1),
+              pre AS (SELECT c, na, nt,
+                  coalesce(sum(nt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM byv),
+              agg AS (SELECT sum(na) AS n_a, sum(nt - na) AS n_b,
+                  sum(nt) AS n, sum(na * (2*cum + nt + 1)) AS r2a,
+                  sum(nt*nt*nt - nt) AS ties
+                FROM pre)
+              SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST(r2a - n_a*(n_a+1) AS DOUBLE) / 2.0 AS u_a,
+                CAST(r2a - n_a*(n_a+1) - n_a*n_b AS DOUBLE) / 2.0 /
+                  sqrt(CAST(n_a*n_b AS DOUBLE) / 12.0 *
+                    ((CAST(n AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+                      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+                  AS z_score
+              FROM agg""")
+    ),
+
+    // ── KOLMOGOROV-SMIRNOV TWO-SAMPLE TEST (distribution drift) ───────────
+    QueryDef(
+      "q262_ks_test",
+      // The companion shape test to q261's location test: the max CDF
+      // gap D between 'view' and 'error' event values — the statistic
+      // drift monitors raise on a distribution change that leaves the
+      // mean alone. D is an exact INTEGER maximization: at each distinct
+      // cents value, |ca·n_b − cb·n_a| with inclusive counts ca/cb; the
+      // single division making a double happens once on the final row,
+      // so D and its argmax location are bit-deterministic. Gap ties
+      // break to the smallest cents value (two-step max, no engine-
+      // specific arg_max tie behavior).
+      //
+      // Shape, and why it scales: the q261 distinct-value backbone — two
+      // bucketed prefix sums over the distinct-cents table (domain-
+      // bounded, not event-bounded), the 1-row totals and 1-row max
+      // attach as broadcasts, no global window, no row-level ranking.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "error"))
+          .select(
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("c"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("isa"))
+        val byv = ev.groupBy("c").agg(
+          sum(col("isa")).as("na"),
+          sum(lit(1L) - col("isa")).as("nb"))
+        val p1 = Shared.distributedPrefixSum(byv, "c", "na")
+          .withColumnRenamed("cum", "cax")
+        val p2 = Shared.distributedPrefixSum(p1, "c", "nb")
+          .withColumnRenamed("cum", "cbx")
+        val tot = byv.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+        val gaps = p2.crossJoin(broadcast(tot))
+          .select(col("c"), col("n_a"), col("n_b"),
+            abs((col("cax") + col("na")) * col("n_b") -
+                (col("cbx") + col("nb")) * col("n_a")).as("gap"))
+        val mx = gaps.agg(max(col("gap")).as("mgap"))
+        gaps.join(broadcast(mx), gaps("gap") === mx("mgap"))
+          .groupBy("n_a", "n_b", "mgap")
+          .agg(min(col("c")).as("ks_at_cents"))
+          .select(col("n_a"), col("n_b"),
+            (col("mgap").cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("d_stat"),
+            col("ks_at_cents"))
+      },
+      Some("""WITH ev AS (SELECT
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isa
+                FROM events WHERE event_type IN ('view', 'error')),
+              byv AS (SELECT c, sum(isa) AS na, sum(1 - isa) AS nb
+                FROM ev GROUP BY 1),
+              pre AS (SELECT c, na, nb,
+                  sum(na) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ca,
+                  sum(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cb
+                FROM byv),
+              tot AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM byv),
+              gaps AS (SELECT c, n_a, n_b, abs(ca*n_b - cb*n_a) AS gap
+                FROM pre CROSS JOIN tot),
+              mx AS (SELECT max(gap) AS mgap FROM gaps)
+              SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST(mgap AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) AS d_stat,
+                min(c) AS ks_at_cents
+              FROM gaps JOIN mx ON gap = mgap
+              GROUP BY n_a, n_b, mgap""")
     )
   )
 }

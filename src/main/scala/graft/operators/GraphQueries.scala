@@ -376,6 +376,76 @@ object GraphQueries {
                 (SELECT count(DISTINCT v) FROM
                   (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)),
                 (SELECT count(*) FROM e3)""")
+    ),
+
+    // ── BFS REACHABILITY PROFILE (layered frontier expansion) ─────────────
+    QueryDef(
+      "q263_bfs_reach",
+      // The fifth classic distributed-graph statistic (PageRank q145,
+      // components q73, triangles q218, k-core q236): breadth-first
+      // hop distance from a seed vertex — the primitive under "degrees
+      // of separation", influence radius, and graph-diameter probes.
+      // Seed = the minimum part key in the co-purchase graph (a
+      // deterministic choice both engines agree on); output = per hop
+      // 0..4, the cumulative reached-set size and the newly-reached
+      // count. The level-synchronous loop IS how Pregel/GraphX executes
+      // BFS: each round is one keyed equi-join frontier→neighbors plus
+      // a distinct, checkpointed so lineage stays flat.
+      //
+      // Shape, and why it scales: per-round cost is bounded by |edges|
+      // (a keyed shuffle join, never a cartesian); the reached set only
+      // grows and is vertex-bounded; hop count is a constant 4, so the
+      // whole query is ≤ 4 bounded supersteps — the textbook BSP shape.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val e = coPurchaseEdges(s, d)
+        val ed = e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+          .checkpoint()
+        val src = e.agg(min(col("a")).cast("long")).head.getLong(0)
+        var cur = s.range(1).select(lit(src).as("v")).checkpoint()
+        // counts(h+1) = |reached after h hops|; counts(0) is a 0 sentinel
+        val counts = scala.collection.mutable.ArrayBuffer(0L, 1L)
+        for (_ <- 1 to 4) {
+          val nxt = cur.join(ed, cur("v") === ed("u"))
+            .select(ed("v").cast("long").as("v"))
+            .unionAll(cur.select(col("v")))
+            .distinct()
+            .checkpoint()
+          counts += nxt.count()
+          cur = nxt
+        }
+        val rows = (0 to 4).map(h =>
+          (h.toLong, counts(h + 1),
+            counts(h + 1) - (if (h == 0) 0L else counts(h))))
+        import s.implicits._
+        rows.toDF("dist", "n_reached", "n_new")
+      },
+      Some("""WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              ed AS (SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b, a FROM e),
+              r0 AS (SELECT CAST(min(a) AS BIGINT) AS v FROM e),
+              r1 AS (SELECT DISTINCT v FROM (SELECT v FROM r0 UNION ALL
+                SELECT CAST(ed.v AS BIGINT) FROM ed JOIN r0 ON ed.u = r0.v)),
+              r2 AS (SELECT DISTINCT v FROM (SELECT v FROM r1 UNION ALL
+                SELECT CAST(ed.v AS BIGINT) FROM ed JOIN r1 ON ed.u = r1.v)),
+              r3 AS (SELECT DISTINCT v FROM (SELECT v FROM r2 UNION ALL
+                SELECT CAST(ed.v AS BIGINT) FROM ed JOIN r2 ON ed.u = r2.v)),
+              r4 AS (SELECT DISTINCT v FROM (SELECT v FROM r3 UNION ALL
+                SELECT CAST(ed.v AS BIGINT) FROM ed JOIN r3 ON ed.u = r3.v)),
+              c AS (SELECT
+                  (SELECT count(*) FROM r0) AS c0,
+                  (SELECT count(*) FROM r1) AS c1,
+                  (SELECT count(*) FROM r2) AS c2,
+                  (SELECT count(*) FROM r3) AS c3,
+                  (SELECT count(*) FROM r4) AS c4)
+              SELECT CAST(0 AS BIGINT) AS dist, CAST(c0 AS BIGINT) AS n_reached,
+                CAST(c0 AS BIGINT) AS n_new FROM c
+              UNION ALL SELECT 1, c1, c1 - c0 FROM c
+              UNION ALL SELECT 2, c2, c2 - c1 FROM c
+              UNION ALL SELECT 3, c3, c3 - c2 FROM c
+              UNION ALL SELECT 4, c4, c4 - c3 FROM c""")
     )
   )
 

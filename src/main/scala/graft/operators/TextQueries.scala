@@ -4180,6 +4180,55 @@ object TextQueries {
                   - CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE))
                   AS abs_err
               FROM cmp""")
+    ),
+
+    // ── SYSTEMATIC PPS SAMPLE (size-weighted corpus subsetting) ───────────
+    QueryDef(
+      "q265_pps_sample",
+      // Probability-proportional-to-size systematic sampling — the
+      // survey-statistics workhorse (Madow 1949) a corpus builder uses
+      // to draw a char-budget-faithful subset: walk the cumulative
+      // n_chars line in doc_id order and take a doc every W/k chars, so
+      // a doc's selection count is proportional to its size, EXACTLY
+      // and deterministically — no RNG, no transcendental key (the
+      // Efraimidis-Spirakis u^(1/w) trick would hinge on cross-engine
+      // ln/pow bit-equality). A doc is picked with multiplicity
+      // floor(k·ci/W) − floor(k·ce/W), ci/ce its inclusive/exclusive
+      // char prefix — pure BIGINT arithmetic both engines compute
+      // identically.
+      //
+      // Shape, and why it scales: the char prefix line comes from
+      // [[Shared.distributedPrefixSum]] (bucketed parallel windows +
+      // one model-sized offset window — never a corpus-sized
+      // single-partition sort); the k/W scalars are one driver-probed
+      // aggregate (the q218 idiom); selection is a stateless projected
+      // filter. Output is ≤ k rows by construction.
+      (s, d) => {
+        val k = 50L
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val w = docs.agg(sum(col("n_chars"))).head.getLong(0)
+        val pre = Shared.distributedPrefixSum(docs, "doc_id", "n_chars")
+        pre
+          .select(col("doc_id"), col("n_chars"),
+            expr(s"(${k}L * (cum + n_chars)) div ${w}L").as("fi"),
+            expr(s"(${k}L * cum) div ${w}L").as("fe"))
+          .filter(col("fi") > col("fe"))
+          .select(col("doc_id"), col("n_chars"),
+            (col("fi") - col("fe")).as("multiplicity"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+              w AS (SELECT sum(n_chars) AS w FROM docs),
+              pre AS (SELECT doc_id, n_chars,
+                  coalesce(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM docs),
+              sel AS (SELECT doc_id, n_chars,
+                  CAST(50 * (cum + n_chars) AS BIGINT) // w AS fi,
+                  CAST(50 * cum AS BIGINT) // w AS fe
+                FROM pre CROSS JOIN w)
+              SELECT doc_id, n_chars,
+                CAST(fi - fe AS BIGINT) AS multiplicity
+              FROM sel WHERE fi > fe""")
     )
   )
 
