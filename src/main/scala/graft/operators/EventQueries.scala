@@ -2010,6 +2010,90 @@ object EventQueries {
                 min(c) AS ks_at_cents
               FROM gaps JOIN mx ON gap = mgap
               GROUP BY n_a, n_b, mgap""")
+    ),
+
+    // ── MEDIAN / MAD ROBUST OUTLIERS (breakdown-resistant monitoring) ─────
+    QueryDef(
+      "q267_mad_outliers",
+      // The robust companion to q206's z-score screen: median + median
+      // absolute deviation, the 50%-breakdown estimators that stay
+      // honest when the contamination IS what you're hunting (a z-score
+      // threshold inflates σ with the very outliers it should flag).
+      // Both medians are EXACT order statistics on integer cents —
+      // lower median = min value whose doubled inclusive count reaches
+      // the group total — and the 3×MAD fence is a pure integer
+      // comparison, so every count matches the oracle exactly with zero
+      // floating point anywhere.
+      //
+      // Shape, and why it scales: two rounds of the distinct-value
+      // pattern, both with windows PARTITIONED by event_type (never a
+      // global window): group to (type, cents) — domain-bounded, not
+      // event-bounded — take the partitioned running count, pick the
+      // median by filter+min; repeat on |c − med|; 5-row med/mad tables
+      // re-attach as broadcasts.
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("c"))
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("ntot"))
+        def lowerMedian(vals: DataFrame, vc: String, out: String): DataFrame = {
+          val byv = vals.groupBy(col("event_type"), col(vc))
+            .agg(count(lit(1)).as("n"))
+          val w = Window.partitionBy("event_type").orderBy(vc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          byv.withColumn("ci", sum(col("n")).over(w))
+            .join(broadcast(tot), "event_type")
+            .filter(col("ci") * 2 >= col("ntot"))
+            .groupBy("event_type").agg(min(col(vc)).as(out))
+        }
+        val med = lowerMedian(ev, "c", "median_cents")
+        val ad = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+            abs(col("c") - col("median_cents")).as("ad"))
+        val mad = lowerMedian(ad, "ad", "mad_cents")
+        ev.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
+          .groupBy("event_type", "median_cents", "mad_cents")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(abs(col("c") - col("median_cents")) >
+              col("mad_cents") * 3, 1L).otherwise(0L)).as("n_outliers"))
+          .select("event_type", "n_events", "median_cents", "mad_cents",
+            "n_outliers")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                FROM events),
+              tot AS (SELECT event_type, count(*) AS ntot
+                FROM ev GROUP BY 1),
+              byv AS (SELECT event_type, c, count(*) AS n
+                FROM ev GROUP BY 1, 2),
+              cum AS (SELECT event_type, c,
+                  sum(n) OVER (PARTITION BY event_type ORDER BY c
+                    ROWS UNBOUNDED PRECEDING) AS ci
+                FROM byv),
+              med AS (SELECT cum.event_type, min(c) AS median_cents
+                FROM cum JOIN tot ON cum.event_type = tot.event_type
+                WHERE ci * 2 >= ntot GROUP BY 1),
+              ad AS (SELECT ev.event_type,
+                  abs(c - median_cents) AS ad
+                FROM ev JOIN med ON ev.event_type = med.event_type),
+              byad AS (SELECT event_type, ad, count(*) AS n
+                FROM ad GROUP BY 1, 2),
+              cumad AS (SELECT event_type, ad,
+                  sum(n) OVER (PARTITION BY event_type ORDER BY ad
+                    ROWS UNBOUNDED PRECEDING) AS ci
+                FROM byad),
+              mad AS (SELECT cumad.event_type, min(ad) AS mad_cents
+                FROM cumad JOIN tot ON cumad.event_type = tot.event_type
+                WHERE ci * 2 >= ntot GROUP BY 1)
+              SELECT ev.event_type, count(*) AS n_events,
+                median_cents, mad_cents,
+                CAST(sum(CASE WHEN abs(c - median_cents) > mad_cents * 3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM ev
+                JOIN med ON ev.event_type = med.event_type
+                JOIN mad ON ev.event_type = mad.event_type
+              GROUP BY ev.event_type, median_cents, mad_cents""")
     )
   )
 }

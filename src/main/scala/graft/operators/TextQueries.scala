@@ -4229,6 +4229,129 @@ object TextQueries {
               SELECT doc_id, n_chars,
                 CAST(fi - fe AS BIGINT) AS multiplicity
               FROM sel WHERE fi > fe""")
+    ),
+
+    // ── CLASSIFIER F1 REPORT (fixed-threshold confusion matrix) ───────────
+    QueryDef(
+      "q266_f1_report",
+      // The fourth leg of the classifier-eval family (q188 scores, q202
+      // lift, q249 AUC): the operating-point report — confusion matrix
+      // at the model's decision threshold (score > 0) on the HELD-OUT
+      // half (odd doc_ids; training used the even half), plus
+      // precision / recall / F1 / accuracy. Counts are exact BIGINTs;
+      // each ratio is ONE pinned double division (nullif-guarded), so
+      // the single output row hash-matches.
+      //
+      // Shape, and why it scales: reads the memoized [[nbScores]] doc-
+      // grain table (built once per process, shared with q188/q202/
+      // q249) — this query itself is one projected scan + one scalar
+      // aggregation, no joins, no windows.
+      (s, d) => {
+        val ho = nbScores(s, d).filter(col("doc_id") % 2 === 1)
+        ho.agg(
+            sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L))
+              .as("fp"),
+            sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L))
+              .as("fn"),
+            sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L))
+              .as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            expr("CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)")
+              .as("prec"),
+            expr("CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)")
+              .as("rec"),
+            expr("CAST(2 * tp AS DOUBLE) / " +
+              "nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0)").as("f1"),
+            expr("CAST(tp + tn AS DOUBLE) / " +
+              "CAST(tp + fp + fn + tn AS DOUBLE)").as("acc"))
+      },
+      Some(s"""WITH base AS ($nbScoreSql),
+              ho AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+              cm AS (SELECT
+                  sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+                  sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+                  sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+                  sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+                FROM ho)
+              SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+                  AS prec,
+                CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+                  AS rec,
+                CAST(2 * tp AS DOUBLE) /
+                  nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0) AS f1,
+                CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+                  AS acc
+              FROM cm""")
+    ),
+
+    // ── HASH BOOTSTRAP CONFIDENCE INTERVAL (uncertainty quantification) ───
+    QueryDef(
+      "q268_bootstrap_ci",
+      // The resampling answer to "how sure are we about this corpus
+      // statistic": a 200-replicate bootstrap CI for the mean document
+      // length. Randomness is the DETERMINISTIC shared digest — sample
+      // i of replicate r draws doc index h32(global_id) mod N — so both
+      // engines materialize the IDENTICAL resample and the interval is
+      // bit-reproducible run-to-run (the property an auditable pipeline
+      // needs from its error bars; no RNG state, no seed plumbing).
+      // Percentile endpoints use the exact order statistics (5th and
+      // 195th of 200 replicate means) via sort-limit on the model-sized
+      // means table, ties broken by replicate id.
+      //
+      // Shape, and why it scales: the resample spine is a range() ×
+      // keyed equi-join against the doc table (never a driver loop);
+      // replicate means are one hash aggregation to R rows; the
+      // endpoint probes run on that R-row table (the q218 scalar
+      // idiom). R is a constant — total cost is R·N join rows, linear
+      // in the corpus.
+      (s, d) => {
+        val reps = 200L
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val n = docs.count()
+        val spine = s.range(reps * n).select(
+          expr(s"id div ${n}L").as("rep"),
+          (Shared.h32(col("id").cast("string")) % lit(n)).as("idx"))
+        val means = spine.join(docs, spine("idx") === docs("doc_id"))
+          .groupBy("rep")
+          .agg(sum(col("n_chars")).as("sc"), count(lit(1)).as("cnt"))
+          .select(col("rep"),
+            (col("sc").cast("double") / col("cnt").cast("double")).as("m"))
+        val lo = means.orderBy(col("m").asc, col("rep").asc).limit(5)
+          .agg(max(col("m"))).head.getDouble(0)
+        val hi = means.orderBy(col("m").desc, col("rep").asc).limit(6)
+          .agg(min(col("m"))).head.getDouble(0)
+        docs.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("schars"))
+          .select(col("n_docs"), lit(reps).as("n_reps"),
+            (col("schars").cast("double") / col("n_docs").cast("double"))
+              .as("mean_chars"),
+            lit(lo).as("ci_lo"), lit(hi).as("ci_hi"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+              nn AS (SELECT count(*) AS n FROM docs),
+              idx0 AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS i
+                FROM docs),
+              spine AS (SELECT rr.rep,
+                  ${SQL_H32("CAST(rr.rep * nn.n + idx0.i AS VARCHAR)")}
+                    % nn.n AS idx
+                FROM range(0, 200) rr(rep) CROSS JOIN nn CROSS JOIN idx0),
+              means AS (SELECT rep,
+                  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+                FROM spine JOIN docs ON idx = doc_id GROUP BY rep),
+              lo AS (SELECT max(m) AS lo FROM
+                (SELECT m FROM means ORDER BY m, rep LIMIT 5)),
+              hi AS (SELECT min(m) AS hi FROM
+                (SELECT m FROM means ORDER BY m DESC, rep LIMIT 6))
+              SELECT CAST(n AS BIGINT) AS n_docs,
+                CAST(200 AS BIGINT) AS n_reps,
+                (SELECT CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  FROM docs) AS mean_chars,
+                lo AS ci_lo, hi AS ci_hi
+              FROM nn CROSS JOIN lo CROSS JOIN hi""")
     )
   )
 
