@@ -2094,6 +2094,126 @@ object EventQueries {
                 JOIN med ON ev.event_type = med.event_type
                 JOIN mad ON ev.event_type = mad.event_type
               GROUP BY ev.event_type, median_cents, mad_cents""")
+    ),
+
+    // ── THEIL-SEN ROBUST TREND (median-of-slopes regression) ──────────────
+    QueryDef(
+      "q269_theil_sen",
+      // The robust twin of q205's OLS forecast: the Theil-Sen slope —
+      // median over all pairwise day-to-day slopes — shrugs off the
+      // outlier days that drag a least-squares line (up to 29%
+      // contamination). Each pairwise slope is ONE pinned double
+      // division of exact BIGINT deltas; the median is an exact order
+      // statistic at position (m+1)/2 in the (slope, xi, xj) total
+      // order, so ties and the selection are engine-independent.
+      //
+      // Shape, and why it scales: the pair set is built on the DAY-grain
+      // table — time-bounded, not event-bounded — so the per-type
+      // self-join is model-sized at any corpus scale (the only
+      // fact-sized work is the day aggregation); the ranking window is
+      // partitioned by event_type over that bounded pair set.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val pts = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts div ${dayNs}L").as("x"))
+          .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+        val a = pts.select(col("event_type"), col("x").as("xi"),
+          col("y").as("yi"))
+        val b = pts.select(col("event_type"), col("x").as("xj"),
+          col("y").as("yj"))
+        val pr = a.join(b, Seq("event_type")).filter(col("xj") > col("xi"))
+          .select(col("event_type"), col("xi"), col("xj"),
+            ((col("yj") - col("yi")).cast("double") /
+              (col("xj") - col("xi")).cast("double")).as("slope"))
+        val cnt = pts.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"))
+        val m = pr.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("slope"), col("xi"), col("xj"))
+        pr.withColumn("rn", row_number().over(w))
+          .join(broadcast(m), "event_type")
+          .filter(expr("rn = (n_pairs + 1) div 2"))
+          .join(broadcast(cnt), "event_type")
+          .select(col("event_type"), col("n_days"), col("n_pairs"),
+            col("slope").as("ts_slope"))
+      },
+      Some("""WITH pts AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS x, count(*) AS y
+                FROM events GROUP BY 1, 2),
+              pr AS (SELECT a.event_type, a.x AS xi, b.x AS xj,
+                  CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                    AS slope
+                FROM pts a JOIN pts b
+                  ON a.event_type = b.event_type AND b.x > a.x),
+              cnt AS (SELECT event_type, count(*) AS n_days
+                FROM pts GROUP BY 1),
+              m AS (SELECT event_type, count(*) AS n_pairs
+                FROM pr GROUP BY 1),
+              rk AS (SELECT event_type, slope,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY slope, xi, xj) AS rn
+                FROM pr)
+              SELECT rk.event_type, CAST(n_days AS BIGINT) AS n_days,
+                CAST(n_pairs AS BIGINT) AS n_pairs, slope AS ts_slope
+              FROM rk
+                JOIN m ON rk.event_type = m.event_type
+                JOIN cnt ON rk.event_type = cnt.event_type
+              WHERE rn = (n_pairs + 1) // 2""")
+    ),
+
+    // ── DAILY TAIL LATENCY (exact p50/p95/p99 per day) ────────────────────
+    QueryDef(
+      "q270_daily_p95",
+      // The SLO dashboard query: per-day exact p50/p95/p99 of event
+      // value. Each percentile is an exact order statistic — the
+      // smallest cents value whose running count covers the quantile
+      // (ci·100 ≥ ntot·q) — picked with a conditional min off ONE
+      // day-partitioned running-count table, so all three tail points
+      // come from a single window pass with zero floating point.
+      //
+      // Shape, and why it scales: the q267 distinct-value discipline —
+      // group to (day, cents), domain-bounded per day; the window
+      // partitions by day (thousands of independent partitions, never
+      // global); the day-total table re-attaches by day key. Output is
+      // day-bounded.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val ev = Tables.events(s, d).select(
+          expr(s"ts div ${dayNs}L").as("day"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("c"))
+        val byv = ev.groupBy("day", "c").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("day").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = ev.groupBy("day").agg(count(lit(1)).as("ntot"))
+        byv.withColumn("ci", sum(col("n")).over(w))
+          .join(tot, "day")
+          .groupBy("day", "ntot")
+          .agg(
+            min(when(col("ci") * 100 >= col("ntot") * 50, col("c")))
+              .as("p50_cents"),
+            min(when(col("ci") * 100 >= col("ntot") * 95, col("c")))
+              .as("p95_cents"),
+            min(when(col("ci") * 100 >= col("ntot") * 99, col("c")))
+              .as("p99_cents"))
+          .select(col("day"), col("ntot").as("n_events"),
+            col("p50_cents"), col("p95_cents"), col("p99_cents"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                FROM events),
+              byv AS (SELECT day, c, count(*) AS n FROM ev GROUP BY 1, 2),
+              cum AS (SELECT day, c,
+                  sum(n) OVER (PARTITION BY day ORDER BY c
+                    ROWS UNBOUNDED PRECEDING) AS ci
+                FROM byv),
+              tot AS (SELECT day, count(*) AS ntot FROM ev GROUP BY 1)
+              SELECT cum.day, CAST(ntot AS BIGINT) AS n_events,
+                min(CASE WHEN ci * 100 >= ntot * 50 THEN c END) AS p50_cents,
+                min(CASE WHEN ci * 100 >= ntot * 95 THEN c END) AS p95_cents,
+                min(CASE WHEN ci * 100 >= ntot * 99 THEN c END) AS p99_cents
+              FROM cum JOIN tot ON cum.day = tot.day
+              GROUP BY cum.day, ntot""")
     )
   )
 }

@@ -4352,6 +4352,68 @@ object TextQueries {
                   FROM docs) AS mean_chars,
                 lo AS ci_lo, hi AS ci_hi
               FROM nn CROSS JOIN lo CROSS JOIN hi""")
+    ),
+
+    // ── TOKENIZER FERTILITY BY LANGUAGE (multilingual tokenizer audit) ────
+    QueryDef(
+      "q271_fertility",
+      // The tokenizer-equity metric from the multilingual-NLP
+      // literature: FERTILITY = subword tokens per word, per language,
+      // under the q171-learned BPE model. A tokenizer trained on a
+      // skewed mix quietly taxes under-represented languages with more
+      // tokens per word — this is the audit that catches it, plus the
+      // compression view (chars per token). The learned merge list
+      // ([[bpeLearnMerges]], memoized model parameters) replays over
+      // the per-(lang, word) vocabulary as the same chained-replace
+      // projection q175 uses; counts are exact BIGINTs, the two ratios
+      // pinned double divisions.
+      //
+      // Shape, and why it scales: one corpus scan to (lang, word)
+      // counts (vocabulary-bounded, not corpus-bounded); the 50-merge
+      // replay is a stateless codegen'd projection over that grain; one
+      // lang-keyed aggregation. The oracle re-derives each word from
+      // the merged symbol string (sym0 wraps every char, so stripping
+      // parens inverts it) and replays the identical merge table.
+      (s, d) => {
+        val merged = bpeMergedSymsCol(bpeLearnMerges(s, d))
+        val lw = Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("word"))
+          .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("wcnt"))
+          .select(col("lang"), col("wcnt"),
+            length(col("word")).as("wlen"),
+            regexp_replace(col("word"), "(.)", "($1)").as("sym0"))
+        lw.select(col("lang"), col("wcnt"), col("wlen"),
+            size(merged).as("ntok"))
+          .groupBy("lang").agg(
+            sum(col("wcnt")).cast("long").as("n_words"),
+            sum(col("wcnt") * col("wlen")).cast("long").as("n_chars"),
+            sum(col("wcnt") * col("ntok")).cast("long").as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"))
+      },
+      Some(s"""${bpeRoundsSql(BpeMerges)},
+              wtok AS (SELECT replace(replace(sym, '(', ''), ')', '')
+                    AS word,
+                  len(str_split(sym[2:length(sym)-1], ')(')) AS ntok
+                FROM w$BpeMerges),
+              tokk AS (SELECT lang, $SQL_TOKENS AS t FROM documents),
+              lw AS (SELECT lang, word, count(*) AS wcnt
+                FROM (SELECT lang, unnest(t) AS word FROM tokk)
+                WHERE regexp_full_match(word, '[A-Za-z0-9]+')
+                GROUP BY 1, 2)
+              SELECT lang,
+                CAST(sum(wcnt) AS BIGINT) AS n_words,
+                CAST(sum(wcnt * ntok) AS BIGINT) AS n_tokens,
+                CAST(sum(wcnt * ntok) AS DOUBLE) / CAST(sum(wcnt) AS DOUBLE)
+                  AS fertility,
+                CAST(sum(wcnt * length(word)) AS DOUBLE) /
+                  CAST(sum(wcnt * ntok) AS DOUBLE) AS chars_per_token
+              FROM lw JOIN wtok USING (word)
+              GROUP BY lang""")
     )
   )
 
