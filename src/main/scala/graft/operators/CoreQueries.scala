@@ -1328,6 +1328,149 @@ object CoreQueries {
               FROM obs JOIN benford ON obs.digit = benford.digit
                 CROSS JOIN n
               ORDER BY 1""")
+    ),
+
+    // ── EQUI-DEPTH HISTOGRAM BOUNDARIES (optimizer-statistics shape) ──────
+    QueryDef(
+      "q272_equidepth_hist",
+      // The statistic every cost-based optimizer keeps per column
+      // (ANALYZE's equi-height histogram): 10 bucket boundaries of
+      // l_extendedprice such that each bucket holds ~10% of rows.
+      // Boundary q = the smallest cents value whose running count
+      // covers q/10 of the total (ci·10 ≥ n·q) — an exact order
+      // statistic, all integer. All ten boundaries come from ONE
+      // conditional-min aggregation over the running-count table, then
+      // unpivot to rows via an array explode (the q259 long-form idiom).
+      //
+      // Shape, and why it scales: distinct-cents grain (domain-bounded)
+      // + [[graft.operators.Shared.distributedPrefixSum]] — bucketed
+      // parallel windows, never a global sort; N attaches as a
+      // driver-probed literal; output is exactly 10 rows at any scale.
+      (s, d) => {
+        val cents = Tables.lineitem(s, d).select(
+          (col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("c"))
+        val n = cents.count()
+        val byv = cents.groupBy("c").agg(count(lit(1)).as("nv"))
+        val cum = Shared.distributedPrefixSum(byv, "c", "nv",
+            bucket = 1L << 16)
+          .withColumn("ci", col("cum") + col("nv"))
+        val aggs = (1 to 10).map(q =>
+          min(when(col("ci") * 10 >= lit(n) * q, col("c"))).as(s"b$q"))
+        val one = cum.agg(aggs.head, aggs.tail: _*)
+        one.select(explode(array((1 to 10).map(q =>
+            struct(lit(q.toLong).as("decile"),
+              col(s"b$q").as("boundary_cents"))): _*)).as("e"))
+          .select(col("e.decile").as("decile"),
+            col("e.boundary_cents").as("boundary_cents"))
+      },
+      Some("""WITH cents AS (SELECT
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS c
+                FROM lineitem),
+              n AS (SELECT count(*) AS n FROM cents),
+              byv AS (SELECT c, count(*) AS nv FROM cents GROUP BY 1),
+              cum AS (SELECT c,
+                  sum(nv) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ci
+                FROM byv),
+              b AS (SELECT
+                  min(CASE WHEN ci * 10 >= n * 1 THEN c END) AS b1,
+                  min(CASE WHEN ci * 10 >= n * 2 THEN c END) AS b2,
+                  min(CASE WHEN ci * 10 >= n * 3 THEN c END) AS b3,
+                  min(CASE WHEN ci * 10 >= n * 4 THEN c END) AS b4,
+                  min(CASE WHEN ci * 10 >= n * 5 THEN c END) AS b5,
+                  min(CASE WHEN ci * 10 >= n * 6 THEN c END) AS b6,
+                  min(CASE WHEN ci * 10 >= n * 7 THEN c END) AS b7,
+                  min(CASE WHEN ci * 10 >= n * 8 THEN c END) AS b8,
+                  min(CASE WHEN ci * 10 >= n * 9 THEN c END) AS b9,
+                  min(CASE WHEN ci * 10 >= n * 10 THEN c END) AS b10
+                FROM cum CROSS JOIN n)
+              SELECT CAST(1 AS BIGINT) AS decile, b1 AS boundary_cents FROM b
+              UNION ALL SELECT 2, b2 FROM b
+              UNION ALL SELECT 3, b3 FROM b
+              UNION ALL SELECT 4, b4 FROM b
+              UNION ALL SELECT 5, b5 FROM b
+              UNION ALL SELECT 6, b6 FROM b
+              UNION ALL SELECT 7, b7 FROM b
+              UNION ALL SELECT 8, b8 FROM b
+              UNION ALL SELECT 9, b9 FROM b
+              UNION ALL SELECT 10, b10 FROM b""")
+    ),
+
+    // ── GDPR ERASURE AUDIT (referential cascade delete verification) ──────
+    QueryDef(
+      "q273_erasure_audit",
+      // The compliance op every data platform must demonstrate: erase a
+      // deterministic subject set (customers with c_custkey ≡ 0 mod 37
+      // — standing in for a deletion-request list) and PROVE the
+      // cascade: their orders and those orders' lineitems go too, and
+      // nothing orphaned remains. Reported per table: rows before, rows
+      // erased, rows after, plus the post-condition orphan count
+      // (lineitems whose order survived erasure but whose customer
+      // didn't — must be 0). Exact BIGINT counts only.
+      //
+      // Shape, and why it scales: the erase set derives from a
+      // predicate (no materialized list to ship); cascades are keyed
+      // LEFT SEMI joins (orders→customer, lineitem→orders) — the same
+      // broadcast/shuffle machinery as any fact join; the audit output
+      // is a fixed 3-row table + scalar orphan check.
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val gone = cust.filter(col("c_custkey") % 37 === 0)
+          .select(col("c_custkey"))
+        val ordGone = ord.join(gone,
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        val ordGoneKeys = ordGone.select(col("o_orderkey"))
+        val liGone = li.join(ordGoneKeys,
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val liAfter = li.join(ordGoneKeys,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        val ordAfter = ord.join(gone,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_custkey"))
+        // post-condition: no surviving lineitem may reference an erased
+        // customer through its (surviving) order — count must be 0
+        val orphans = liAfter.select(col("l_orderkey"))
+          .join(ordAfter, col("l_orderkey") === col("o_orderkey"))
+          .join(gone, col("o_custkey") === col("c_custkey"), "left_semi")
+          .count()
+        val rows = Seq(
+          ("customer", cust.count(), gone.count()),
+          ("orders", ord.count(), ordGone.count()),
+          ("lineitem", li.count(), liGone.count()))
+        import s.implicits._
+        rows.toDF("tbl", "n_before", "n_erased")
+          .select(col("tbl"), col("n_before"), col("n_erased"),
+            (col("n_before") - col("n_erased")).as("n_after"),
+            lit(orphans).as("n_orphans"))
+      },
+      Some("""WITH gone AS (SELECT c_custkey FROM customer
+                WHERE c_custkey % 37 = 0),
+              og AS (SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM gone)),
+              lg AS (SELECT l_orderkey FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM og))
+              SELECT 'customer' AS tbl,
+                (SELECT count(*) FROM customer) AS n_before,
+                (SELECT count(*) FROM gone) AS n_erased,
+                (SELECT count(*) FROM customer) - (SELECT count(*) FROM gone)
+                  AS n_after,
+                CAST(0 AS BIGINT) AS n_orphans
+              UNION ALL
+              SELECT 'orders',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM og),
+                (SELECT count(*) FROM orders) - (SELECT count(*) FROM og),
+                0
+              UNION ALL
+              SELECT 'lineitem',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lg),
+                (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM lg),
+                0""")
     )
   )
 }
