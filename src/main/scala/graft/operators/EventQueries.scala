@@ -2214,6 +2214,73 @@ object EventQueries {
                 min(CASE WHEN ci * 100 >= ntot * 99 THEN c END) AS p99_cents
               FROM cum JOIN tot ON cum.day = tot.day
               GROUP BY cum.day, ntot""")
+    ),
+
+    // ── STREAMING → RTCDB EXACTLY-ONCE SINK (ledger-fenced foreachBatch) ──
+    QueryDef(
+      "q274_stream_rtcdb_sink",
+      // The integration a production deployment actually runs: the live
+      // event stream lands in the rtcdb byte format via foreachBatch,
+      // surviving the restart semantics Structured Streaming really has
+      // (the last micro-batch is REDELIVERED after every recovery — the
+      // sink must make that a no-op). [[graft.streaming.RtcdbSink]]
+      // fences each batch with a pending/done ledger whose pending
+      // record holds pre-append file lengths; append-only rtcdb files
+      // make truncation a complete undo, so any crash point replays to
+      // the exactly-once table (RtcdbSinkSpec proves the replay and the
+      // mid-append-crash rollback). After the stream drains, this query
+      // REPLAYS a full batch through the same commit path — the oracle
+      // match proves the redelivery changed nothing — then audits the
+      // sunk table through the rtcdb V2 read path.
+      //
+      // Shape, and why it scales: the sink append is the DSv2
+      // distributed writer (range-sorted per the format contract, never
+      // a driver collect); the ledger is O(batches) tiny files; the
+      // audit is one pruned rtcdb scan + a 5-group aggregation.
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = Shared.scratchRoot("q274", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val dbRoot = s"$root/db"
+        val ledger = root.resolve("ledger")
+        def proj(df: DataFrame): DataFrame = df.select(
+          col("event_id"), col("event_type"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        val q = EventStream.readEventStream(s, d).writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) => {
+            graft.streaming.RtcdbSink.commitBatch(dbRoot, "events_sink",
+              ledger, id, proj(b.toDF()))
+            ()
+          })
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // at-least-once redelivery, simulated at full-batch strength:
+        // push batch 0's entire payload through the commit path again —
+        // the done mark must make it a no-op or the sums below double
+        graft.streaming.RtcdbSink.commitBatch(dbRoot, "events_sink",
+          ledger, 0L, proj(Tables.events(s, d)))
+        s.read.format("rtcdb").option("path", dbRoot)
+          .option("table", "events_sink").load()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+                min(event_id) AS min_id, max(event_id) AS max_id
+              FROM events GROUP BY 1""")
     )
   )
 }

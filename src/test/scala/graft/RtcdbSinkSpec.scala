@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.RtcdbSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exactly-once foreachBatch sink ([[graft.streaming.RtcdbSink]]):
+  * replay no-ops, mid-append crash rollback, and multi-batch commits. The
+  * crash cases are driven through the ledger protocol directly — the spec
+  * plays the role of a restarting driver.
+  */
+class RtcdbSinkSpec extends AnyFunSuite with SparkFixture {
+
+  private def batchDf(from: Long, until: Long): DataFrame = {
+    import spark.implicits._
+    (from until until).map(i => (i, s"t${i % 3}", i * 100L))
+      .toDF("event_id", "event_type", "cents")
+  }
+
+  private def fresh(tag: String) = {
+    val dir = Files.createTempDirectory(s"rtcdbsink_$tag")
+    (s"$dir/db", dir.resolve("ledger"))
+  }
+
+  private def readBack(dbRoot: String): DataFrame =
+    spark.read.format("rtcdb").option("path", dbRoot)
+      .option("table", "t").load()
+
+  test("replayed batch is a no-op (done mark wins)") {
+    val (db, ledger) = fresh("replay")
+    assert(RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10)))
+    // Structured Streaming redelivers the last batch after restart
+    assert(!RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10)))
+    assert(!RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10)))
+    assert(readBack(db).count() == 10L)
+    assert(readBack(db).agg(sum("cents")).head.getLong(0) == 4500L)
+  }
+
+  test("crash AFTER append but BEFORE done mark rolls back, then re-commits exactly once") {
+    val (db, ledger) = fresh("crash")
+    assert(RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10)))
+    // simulate the crashed attempt of batch 1: the ledger got the pending
+    // record and the data append COMPLETED, but the done mark never
+    // landed — the worst case (full duplicate bytes on disk)
+    val pending = ledger.resolve("batch-000001.pending")
+    val rootP = java.nio.file.Paths.get(db)
+    def len(p: java.nio.file.Path) =
+      if (Files.exists(p)) Files.size(p) else -1L
+    val rec = Seq("event_id", "event_type", "cents").map { c =>
+      s"$c,${len(graft.sources.rtcdb.RtcdbFormat.dataPath(rootP, "t", c))}," +
+        s"${len(graft.sources.rtcdb.RtcdbFormat.indexPath(rootP, "t", c))}," +
+        s"${len(graft.sources.rtcdb.RtcdbFormat.bloomPath(rootP, "t", c))}"
+    }.mkString("\n")
+    Files.write(pending, rec.getBytes("UTF-8"))
+    batchDf(10, 20).write.format("rtcdb").option("path", db)
+      .option("table", "t").mode("append").save()
+    assert(readBack(db).count() == 20L) // torn state: bytes present, no mark
+    // the restarted driver redelivers batch 1 through the normal path:
+    // rollback must truncate the orphaned bytes, then append ONCE
+    assert(RtcdbSink.commitBatch(db, "t", ledger, 1L, batchDf(10, 20)))
+    assert(readBack(db).count() == 20L)
+    assert(readBack(db).agg(sum("cents")).head.getLong(0) == (0 until 20).map(_ * 100L).sum)
+    assert(Files.exists(ledger.resolve("batch-000001.done")))
+    assert(!Files.exists(pending))
+  }
+
+  test("crash BEFORE any append (pending only) rolls back to the prior table") {
+    val (db, ledger) = fresh("early")
+    assert(RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 5)))
+    // pending written, crash before the DSv2 append started
+    val pending = ledger.resolve("batch-000001.pending")
+    val rootP = java.nio.file.Paths.get(db)
+    def len(p: java.nio.file.Path) =
+      if (Files.exists(p)) Files.size(p) else -1L
+    val rec = Seq("event_id", "event_type", "cents").map { c =>
+      s"$c,${len(graft.sources.rtcdb.RtcdbFormat.dataPath(rootP, "t", c))}," +
+        s"${len(graft.sources.rtcdb.RtcdbFormat.indexPath(rootP, "t", c))}," +
+        s"${len(graft.sources.rtcdb.RtcdbFormat.bloomPath(rootP, "t", c))}"
+    }.mkString("\n")
+    Files.write(pending, rec.getBytes("UTF-8"))
+    assert(RtcdbSink.commitBatch(db, "t", ledger, 1L, batchDf(5, 9)))
+    assert(readBack(db).count() == 9L)
+  }
+
+  test("multi-batch commit accumulates in order and each batch is fenced independently") {
+    val (db, ledger) = fresh("multi")
+    (0 until 4).foreach { b =>
+      assert(RtcdbSink.commitBatch(db, "t", ledger, b.toLong,
+        batchDf(b * 10L, b * 10L + 10L)))
+    }
+    // replay an OLD batch (not just the last): still fenced
+    assert(!RtcdbSink.commitBatch(db, "t", ledger, 2L, batchDf(20, 30)))
+    assert(readBack(db).count() == 40L)
+    assert(readBack(db).agg(min("event_id"), max("event_id")).head ==
+      org.apache.spark.sql.Row(0L, 39L))
+  }
+}
