@@ -1346,13 +1346,16 @@ object CoreQueries {
       // + [[graft.operators.Shared.distributedPrefixSum]] — bucketed
       // parallel windows, never a global sort; N attaches as a
       // driver-probed literal; output is exactly 10 rows at any scale.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val cents = Tables.lineitem(s, d).select(
           (col("l_extendedprice")
             .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
             .cast("long").as("c"))
         val n = cents.count()
+        // checkpoint the distinct-cents grain: the prefix sum's
+        // local/offset split would otherwise re-run the fact aggregation
         val byv = cents.groupBy("c").agg(count(lit(1)).as("nv"))
+          .checkpoint()
         val cum = Shared.distributedPrefixSum(byv, "c", "nv",
             bucket = 1L << 16)
           .withColumn("ci", col("cum") + col("nv"))

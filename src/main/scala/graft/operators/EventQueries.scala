@@ -1893,15 +1893,18 @@ object EventQueries {
       // window anywhere). 2·midrank(v) = 2·cum_before + n_t + 1 stays
       // integral, so the rank-sum Σ n_a·(2·cum+n_t+1) is an exact
       // BIGINT reduction.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val ev = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .select(
             (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
               * 100).cast("long").as("c"),
             when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
+        // checkpoint the distinct-cents grain: the prefix sum's
+        // local/offset split would otherwise re-run the fact aggregation
         val byv = ev.groupBy("c").agg(
-          sum(col("isa")).as("na"), count(lit(1)).as("nt"))
+            sum(col("isa")).as("na"), count(lit(1)).as("nt"))
+          .checkpoint()
         val pre = Shared.distributedPrefixSum(byv, "c", "nt")
         val agg = pre.agg(
           sum(col("na")).as("n_a"),
@@ -1963,16 +1966,20 @@ object EventQueries {
       // bucketed prefix sums over the distinct-cents table (domain-
       // bounded, not event-bounded), the 1-row totals and 1-row max
       // attach as broadcasts, no global window, no row-level ranking.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val ev = Tables.events(s, d)
           .filter(col("event_type").isin("view", "error"))
           .select(
             (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
               * 100).cast("long").as("c"),
             when(col("event_type") === "view", 1L).otherwise(0L).as("isa"))
+        // the distinct-cents table feeds two prefix-sum rounds, the
+        // totals, AND the gap/argmax pair — checkpoint it (domain-
+        // bounded) so the fact scan runs once, not once per consumer
         val byv = ev.groupBy("c").agg(
-          sum(col("isa")).as("na"),
-          sum(lit(1L) - col("isa")).as("nb"))
+            sum(col("isa")).as("na"),
+            sum(lit(1L) - col("isa")).as("nb"))
+          .checkpoint()
         val p1 = Shared.distributedPrefixSum(byv, "c", "na")
           .withColumnRenamed("cum", "cax")
         val p2 = Shared.distributedPrefixSum(p1, "c", "nb")
@@ -1982,6 +1989,7 @@ object EventQueries {
           .select(col("c"), col("n_a"), col("n_b"),
             abs((col("cax") + col("na")) * col("n_b") -
                 (col("cbx") + col("nb")) * col("n_a")).as("gap"))
+          .checkpoint()
         val mx = gaps.agg(max(col("gap")).as("mgap"))
         gaps.join(broadcast(mx), gaps("gap") === mx("mgap"))
           .groupBy("n_a", "n_b", "mgap")
@@ -2025,38 +2033,39 @@ object EventQueries {
       // comparison, so every count matches the oracle exactly with zero
       // floating point anywhere.
       //
-      // Shape, and why it scales: two rounds of the distinct-value
-      // pattern, both with windows PARTITIONED by event_type (never a
-      // global window): group to (type, cents) — domain-bounded, not
-      // event-bounded — take the partitioned running count, pick the
-      // median by filter+min; repeat on |c − med|; 5-row med/mad tables
-      // re-attach as broadcasts.
-      (s, d) => {
-        val ev = Tables.events(s, d).select(col("event_type"),
-          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
-            * 100).cast("long").as("c"))
-        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("ntot"))
-        def lowerMedian(vals: DataFrame, vc: String, out: String): DataFrame = {
-          val byv = vals.groupBy(col("event_type"), col(vc))
-            .agg(count(lit(1)).as("n"))
+      // Shape, and why it scales: ONE fact scan builds the (type, cents)
+      // distinct-value table — domain-bounded, not event-bounded — and
+      // every later step (both median rounds, the deviation re-grain,
+      // the fence counts) runs on that checkpointed grain with windows
+      // PARTITIONED by event_type (never a global window); 5-row
+      // med/mad tables re-attach as broadcasts.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val byc = Tables.events(s, d).select(col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("c"))
+          .groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+          .checkpoint()
+        val tot = byc.groupBy("event_type").agg(sum(col("n")).as("ntot"))
+        def lowerMedian(grain: DataFrame, vc: String, out: String): DataFrame = {
           val w = Window.partitionBy("event_type").orderBy(vc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          byv.withColumn("ci", sum(col("n")).over(w))
+          grain.withColumn("ci", sum(col("n")).over(w))
             .join(broadcast(tot), "event_type")
             .filter(col("ci") * 2 >= col("ntot"))
             .groupBy("event_type").agg(min(col(vc)).as(out))
         }
-        val med = lowerMedian(ev, "c", "median_cents")
-        val ad = ev.join(broadcast(med), "event_type")
-          .select(col("event_type"),
+        val med = lowerMedian(byc, "c", "median_cents")
+        val byad = byc.join(broadcast(med), "event_type")
+          .groupBy(col("event_type"),
             abs(col("c") - col("median_cents")).as("ad"))
-        val mad = lowerMedian(ad, "ad", "mad_cents")
-        ev.join(broadcast(med), "event_type")
+          .agg(sum(col("n")).as("n"))
+        val mad = lowerMedian(byad, "ad", "mad_cents")
+        byc.join(broadcast(med), "event_type")
           .join(broadcast(mad), "event_type")
           .groupBy("event_type", "median_cents", "mad_cents")
-          .agg(count(lit(1)).as("n_events"),
+          .agg(sum(col("n")).as("n_events"),
             sum(when(abs(col("c") - col("median_cents")) >
-              col("mad_cents") * 3, 1L).otherwise(0L)).as("n_outliers"))
+              col("mad_cents") * 3, col("n")).otherwise(0L)).as("n_outliers"))
           .select("event_type", "n_events", "median_cents", "mad_cents",
             "n_outliers")
       },
@@ -2112,11 +2121,15 @@ object EventQueries {
       // self-join is model-sized at any corpus scale (the only
       // fact-sized work is the day aggregation); the ranking window is
       // partitioned by event_type over that bounded pair set.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val dayNs = 86400L * 1000L * 1000L * 1000L
+        // the day-grain table feeds both pair sides and the day count —
+        // checkpoint it (time-bounded, model-sized) so the fact
+        // aggregation runs once, not once per consumer
         val pts = Tables.events(s, d)
           .select(col("event_type"), expr(s"ts div ${dayNs}L").as("x"))
           .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+          .checkpoint()
         val a = pts.select(col("event_type"), col("x").as("xi"),
           col("y").as("yi"))
         val b = pts.select(col("event_type"), col("x").as("xj"),
