@@ -2294,6 +2294,68 @@ object EventQueries {
                   AS BIGINT) AS sum_cents,
                 min(event_id) AS min_id, max(event_id) AS max_id
               FROM events GROUP BY 1""")
+    ),
+
+    // ── RTCDB TAIL SOURCE (stream the byte format back out) ───────────────
+    QueryDef(
+      "q275_rtcdb_tail",
+      // The source half completing q274's sink half: rtcdb as a
+      // STREAMING source. The table's committed-block counter is the
+      // stream offset (the same lockstep shortest-column rule the batch
+      // scan reads by), so `readStream.format("rtcdb")` tails exactly
+      // the blocks committed since the last checkpoint — the
+      // change-data feed a downstream consumer attaches to the ingest
+      // table (RtcdbSinkSpec proves the restart reads ONLY the delta).
+      // Here: land the events in two ledger-fenced sink batches, tail
+      // the table through a real AvailableNow streaming query into
+      // parquet, and audit the streamed copy — which must equal the
+      // original facts (the oracle).
+      //
+      // Shape, and why it scales: micro-batch partitions are contiguous
+      // block ranges fanned to the default parallelism; the executor
+      // reader is the SAME zone-map/column-pruning path as the batch
+      // scan (per-block checks, no global sort assumption — appends are
+      // only batch-sorted); offsets are two BIGINTs per micro-batch.
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = Shared.scratchRoot("q275", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val dbRoot = s"$root/db"
+        val ledger = root.resolve("ledger")
+        val facts = Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        // two ledger-fenced appends (id parity = two ingest batches)
+        graft.streaming.RtcdbSink.commitBatch(dbRoot, "ev", ledger, 0L,
+          facts.filter(col("event_id") % 2 === 0))
+        graft.streaming.RtcdbSink.commitBatch(dbRoot, "ev", ledger, 1L,
+          facts.filter(col("event_id") % 2 === 1))
+        val out = s"$root/out"
+        val q = s.readStream.format("rtcdb")
+          .option("path", dbRoot).option("table", "ev").load()
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("sum_cents"),
+            countDistinct(col("event_id")).as("n_distinct_ids"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+                count(DISTINCT event_id) AS n_distinct_ids
+              FROM events GROUP BY 1""")
     )
   )
 }

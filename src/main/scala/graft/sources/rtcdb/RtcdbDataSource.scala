@@ -89,7 +89,8 @@ class RtcdbTable(root: String, table: String, declared: StructType)
     StructType(declared.fields.map(_.copy(nullable = true)))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RtcdbScanBuilder(root, table, declared)
   override def newWriteBuilder(
@@ -657,11 +658,98 @@ class RtcdbScan(root: String, table: String, declared: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RtcdbReaderFactory(required.fieldNames.isEmpty)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RtcdbMicroBatchStream(root, table, declared, required, pushed)
 }
 
 class RtcdbReaderFactory(countOnly: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RtcdbPartitionReader(partition.asInstanceOf[RtcdbInputPartition], countOnly)
+}
+
+/** Stream offset = count of committed row blocks (the lockstep MIN over
+  * every column's index entry count — the same shortest-column rule the
+  * batch scan reads by, so a torn multi-column append is simply "not yet
+  * visible"). Blocks are immutable once their index entries land, making
+  * the block counter a valid monotone offset.
+  */
+final case class RtcdbStreamOffset(blocks: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = blocks.toString
+}
+
+/** Tail-the-table streaming read of an rtcdb table — the source half of
+  * the streaming story ([[graft.streaming.RtcdbSink]] is the sink half):
+  * each micro-batch covers the row blocks committed since the last
+  * offset, read by the SAME executor-side partition reader as the batch
+  * scan (zone maps, column pruning, pushed filters all apply per block).
+  * No binary-search planning here: append batches are each range-sorted
+  * internally but the leading column is not globally sorted across
+  * appends, so the executors' per-block zone-map checks do all pruning —
+  * the conservative path that is always sound.
+  */
+class RtcdbMicroBatchStream(root: String, table: String,
+    declared: StructType, required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def committedBlocks: Int =
+    declared.fieldNames.map { c =>
+      val p = indexPath(Paths.get(root), table, c)
+      if (Files.exists(p)) (Files.size(p) / IndexEntryBytes).toInt else 0
+    }.minOption.getOrElse(0)
+
+  override def initialOffset(): Offset = RtcdbStreamOffset(0)
+  override def latestOffset(): Offset = RtcdbStreamOffset(committedBlocks)
+  override def deserializeOffset(json: String): Offset =
+    RtcdbStreamOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def colSpec(c: String): RtcdbColSpec = {
+    val ip = indexPath(Paths.get(root), table, c)
+    val bp = bloomPath(Paths.get(root), table, c)
+    val bloomValid = Files.exists(bp) && Files.exists(ip) &&
+      Files.size(bp) % BloomBytesPerBlock == 0 &&
+      Files.size(bp) / BloomBytesPerBlock == Files.size(ip) / IndexEntryBytes
+    RtcdbColSpec(c, declared(c).dataType == LongType,
+      dataPath(Paths.get(root), table, c).toString, ip.toString,
+      if (bloomValid) bp.toString else null)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[RtcdbStreamOffset].blocks
+    val hi = end.asInstanceOf[RtcdbStreamOffset].blocks
+    if (lo >= hi) return Array.empty
+    val outNames =
+      if (required.fieldNames.isEmpty) Array(declared.fieldNames.head)
+      else required.fieldNames
+    val filterCols = pushed.flatMap {
+      case EqualTo(a, _) => Some(a)
+      case GreaterThan(a, _) => Some(a)
+      case GreaterThanOrEqual(a, _) => Some(a)
+      case LessThan(a, _) => Some(a)
+      case LessThanOrEqual(a, _) => Some(a)
+      case _ => None
+    }.distinct.filterNot(outNames.contains)
+    val outputCols = outNames.map(colSpec)
+    val filterOnly = filterCols.map(colSpec)
+    val total = hi - lo
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val slices = math.max(1, math.min(total, parallelism))
+    val per = math.ceil(total.toDouble / slices).toInt
+    (lo until hi by per).map(s =>
+      RtcdbInputPartition(outputCols, filterOnly, s, math.min(s + per, hi),
+        pushed, Map.empty): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RtcdbReaderFactory(required.fieldNames.isEmpty)
 }
 
 /** Executor-side reader: bulk-reads its slice of index entries (one seek +

@@ -97,4 +97,57 @@ class RtcdbSinkSpec extends AnyFunSuite with SparkFixture {
     assert(readBack(db).agg(min("event_id"), max("event_id")).head ==
       org.apache.spark.sql.Row(0L, 39L))
   }
+
+  // ── the source half: tail-the-table micro-batch reads ──────────────────
+
+  private def runTail(db: String, ckpt: String, out: String): Unit = {
+    val q = spark.readStream.format("rtcdb")
+      .option("path", db).option("table", "t").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming source reads committed blocks, then ONLY the delta after restart") {
+    val (db, ledger) = fresh("tail")
+    val dir = Files.createTempDirectory("rtcdbtail_io")
+    val (ckpt, out) = (s"$dir/ckpt", s"$dir/out")
+    RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10))
+    RtcdbSink.commitBatch(db, "t", ledger, 1L, batchDf(10, 30))
+    runTail(db, ckpt, out)
+    val first = spark.read.parquet(out)
+    assert(first.count() == 30L)
+    assert(first.agg(sum("cents")).head.getLong(0) ==
+      (0 until 30).map(_ * 100L).sum)
+    // new append lands; the SAME checkpoint must resume past the old
+    // offset and emit only the new blocks (incremental, not a rescan)
+    RtcdbSink.commitBatch(db, "t", ledger, 2L, batchDf(30, 35))
+    runTail(db, ckpt, out)
+    val second = spark.read.parquet(out)
+    assert(second.count() == 35L)
+    assert(second.agg(sum("cents")).head.getLong(0) ==
+      (0 until 35).map(_ * 100L).sum)
+    // restart with nothing new: zero additional rows
+    runTail(db, ckpt, out)
+    assert(spark.read.parquet(out).count() == 35L)
+  }
+
+  test("streaming source column pruning flows through the micro-batch reader") {
+    val (db, ledger) = fresh("tailprune")
+    val dir = Files.createTempDirectory("rtcdbtailp_io")
+    RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10))
+    val q = spark.readStream.format("rtcdb")
+      .option("path", db).option("table", "t").load()
+      .select("event_type")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.schema.fieldNames.toSeq == Seq("event_type"))
+    assert(out.count() == 10L)
+  }
 }
