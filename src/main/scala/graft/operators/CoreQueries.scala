@@ -1474,6 +1474,155 @@ object CoreQueries {
                 (SELECT count(*) FROM lg),
                 (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM lg),
                 0""")
+    ),
+
+    // ── DICTIONARY-ENCODING ADVISOR (columnar layout planning) ────────────
+    QueryDef(
+      "q277_dict_advisor",
+      // The storage-layout question behind every columnar writer's
+      // encoding pick (and the reference format's natural next step
+      // beyond plain LZ4): which string columns repay dictionary
+      // encoding, and by how much? Per candidate column: exact raw
+      // bytes, the dictionary's own bytes, code width from cardinality
+      // (1 B ≤ 256 distinct, 2 B ≤ 65536, else 4 B), and the resulting
+      // exact encoded size + pinned compression ratio — the advisor
+      // table a table-format maintenance job materializes.
+      //
+      // Shape, and why it scales: ONE projected fact scan explodes the
+      // candidate columns to (column, value) rows; totals and the
+      // dictionary grain are two hash aggregations (the dict grain is
+      // cardinality-bounded); output is one row per candidate column.
+      (s, d) => {
+        val cols = Seq("l_returnflag", "l_linestatus", "l_shipmode",
+          "l_shipinstruct").filter(
+          Tables.lineitem(s, d).columns.contains(_))
+        val kv = Tables.lineitem(s, d)
+          .select(explode(array(cols.map(c =>
+            struct(lit(c).as("cname"), col(c).as("v"))): _*)).as("e"))
+          .select(col("e.cname").as("cname"), col("e.v").as("v"))
+        val tot = kv.groupBy("cname").agg(
+          count(lit(1)).as("n_rows"),
+          sum(length(col("v"))).cast("long").as("raw_bytes"))
+        val dict = kv.groupBy("cname", "v")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("cname").agg(
+            count(lit(1)).as("n_distinct"),
+            sum(length(col("v"))).cast("long").as("dict_bytes"))
+        tot.join(dict, "cname")
+          .withColumn("code_bytes",
+            when(col("n_distinct") <= 256, 1L)
+              .when(col("n_distinct") <= 65536, 2L).otherwise(4L))
+          .withColumn("encoded_bytes",
+            col("dict_bytes") + col("n_rows") * col("code_bytes"))
+          .select(col("cname"), col("n_rows"), col("n_distinct"),
+            col("raw_bytes"), col("encoded_bytes"),
+            (col("raw_bytes").cast("double") /
+              col("encoded_bytes").cast("double")).as("ratio"))
+      },
+      Some("""WITH kv AS (
+                SELECT 'l_returnflag' AS cname, l_returnflag AS v
+                  FROM lineitem
+                UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+              tot AS (SELECT cname, count(*) AS n_rows,
+                  sum(length(v)) AS raw_bytes
+                FROM kv GROUP BY 1),
+              dv AS (SELECT cname, v, count(*) AS cnt FROM kv GROUP BY 1, 2),
+              dict AS (SELECT cname, count(*) AS n_distinct,
+                  sum(length(v)) AS dict_bytes
+                FROM dv GROUP BY 1),
+              j AS (SELECT tot.cname, n_rows, n_distinct, raw_bytes,
+                  dict_bytes,
+                  CASE WHEN n_distinct <= 256 THEN 1
+                    WHEN n_distinct <= 65536 THEN 2 ELSE 4 END AS code_bytes
+                FROM tot JOIN dict ON tot.cname = dict.cname)
+              SELECT cname, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                CAST(raw_bytes AS BIGINT) AS raw_bytes,
+                CAST(dict_bytes + n_rows * code_bytes AS BIGINT)
+                  AS encoded_bytes,
+                CAST(raw_bytes AS DOUBLE) /
+                  CAST(dict_bytes + n_rows * code_bytes AS DOUBLE) AS ratio
+              FROM j""")
+    ),
+
+    // ── MIGRATION CHECKSUMS (order-independent multiset fingerprints) ─────
+    QueryDef(
+      "q278_table_checksum",
+      // The cross-system validation run after every replication /
+      // migration / engine swap (including adopting THIS engine): an
+      // order-independent multiset fingerprint per table — Σ h32(canonical
+      // row string) — that two engines can compute independently and
+      // compare. Canonicalization is the whole contract: keys and codes
+      // verbatim, money as exact cents, dates as ISO strings, '|' joins
+      // — pinned here and mirrored in the oracle, so the hash-match IS
+      // the migration proof. (Digest sums of 32-bit values stay below
+      // 2^63 up to ~2×10⁹ rows; beyond that the same sum runs per shard
+      // and the comparison happens shard-wise.)
+      //
+      // Shape, and why it scales: one projected scan + one scalar sum
+      // per table, no joins, no windows; output is 3 rows.
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(
+          Shared.h32(concat_ws("|", col("c_custkey"), col("c_name"),
+            col("c_nationkey"),
+            (col("c_acctbal").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long"),
+            col("c_mktsegment"))).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+          .select(lit("customer").as("tbl"), col("n_rows"), col("checksum"))
+        val ord = Tables.orders(s, d).select(
+          Shared.h32(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            (col("o_totalprice").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            col("o_orderpriority"))).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+          .select(lit("orders").as("tbl"), col("n_rows"), col("checksum"))
+        val li = Tables.lineitem(s, d).select(
+          Shared.h32(concat_ws("|", col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey"), col("l_linenumber"),
+            (col("l_quantity").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long"),
+            (col("l_extendedprice").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long"),
+            col("l_returnflag"), col("l_linestatus"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd"))).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+          .select(lit("lineitem").as("tbl"), col("n_rows"), col("checksum"))
+        cust.unionAll(ord).unionAll(li)
+      },
+      Some(s"""SELECT 'customer' AS tbl, count(*) AS n_rows,
+                CAST(sum(${Shared.SQL_H32(
+                  "c_custkey || '|' || c_name || '|' || c_nationkey || '|' " +
+                  "|| CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+                  " || '|' || c_mktsegment")}) AS BIGINT) AS checksum
+              FROM customer
+              UNION ALL
+              SELECT 'orders', count(*),
+                CAST(sum(${Shared.SQL_H32(
+                  "o_orderkey || '|' || o_custkey || '|' || o_orderstatus " +
+                  "|| '|' || " +
+                  "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+                  " || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' || " +
+                  "o_orderpriority")}) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'lineitem', count(*),
+                CAST(sum(${Shared.SQL_H32(
+                  "l_orderkey || '|' || l_partkey || '|' || l_suppkey || " +
+                  "'|' || l_linenumber || '|' || " +
+                  "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+                  " || '|' || " +
+                  "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+                  "AS BIGINT) || '|' || l_returnflag || '|' || " +
+                  "l_linestatus || '|' || strftime(l_shipdate, '%Y-%m-%d')"
+                )}) AS BIGINT)
+              FROM lineitem""")
     )
   )
 }

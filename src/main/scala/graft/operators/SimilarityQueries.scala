@@ -1299,6 +1299,98 @@ object SimilarityQueries {
                 CAST(max(nbn) AS BIGINT) AS n_second,
                 list_aggregate(list(t ORDER BY dim), 'sum') AS drift2
               FROM j GROUP BY 1""")
+    ),
+
+    // ── ANN RECALL EVAL (index quality against exact ground truth) ────────
+    QueryDef(
+      "q276_ann_recall",
+      // The number every vector-index deployment publishes: recall@k of
+      // the approximate index against exact search. Ground truth =
+      // brute-force cosine top-3 per probe (the q41 shape — affordable
+      // on an eval SAMPLE, which is how production recall is measured);
+      // candidate = the q44 single-probe IVF top-3 over the same
+      // corpus/query split. Recall per probe = |IVF ∩ exact| / 3. Ranks
+      // tie-break on (cos desc, cid) in both engines; cosines are the
+      // pinned dot/norm folds, so both top-3 sets and the recall
+      // fractions are engine-identical.
+      //
+      // Shape, and why it scales: the probe set is eval-sample-sized and
+      // broadcasts to both pipelines; the IVF side scans ~1/K of the
+      // corpus per probe; the intersection is a (qid, cid)-keyed semi
+      // join of two k-row-per-probe tables; the probe spine left-join
+      // keeps zero-hit probes visible (recall 0, not a dropped row).
+      (s, d) => {
+        val K = 8
+        val e = embeddings(s, d)
+        val cent = e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        def assign(df: DataFrame, idc: String, vc: String): DataFrame = {
+          val w = Window.partitionBy(idc)
+            .orderBy(col("__d").desc, col("cent_id").asc)
+          df.crossJoin(broadcast(cent))
+            .withColumn("__d", dot(col(vc), col("centv")))
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") === 1)
+            .drop("__d", "__rk", "centv")
+        }
+        val corpus0 = e.filter(col("vec_id") >= 13)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val qs0 = e.filter(col("vec_id").between(8, 12))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        val exact = broadcast(qs0).crossJoin(corpus0)
+          .withColumn("cos", dot(col("qv"), col("cv")) /
+            (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 3).select("qid", "cid")
+        val ivf = broadcast(assign(qs0, "qid", "qv"))
+          .join(assign(corpus0, "cid", "cv"), "cent_id")
+          .withColumn("cos", dot(col("qv"), col("cv")) /
+            (norm(col("qv")) * norm(col("cv"))))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 3).select("qid", "cid")
+        val hits = ivf.join(exact, Seq("qid", "cid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n"))
+        qs0.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n"), lit(0L)).as("n_hits"),
+            (coalesce(col("n"), lit(0L)).cast("double") / 3.0).as("recall"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                FROM embeddings WHERE vec_id < 8),
+              corpus AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id >= 13),
+              qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id BETWEEN 8 AND 12),
+              exact AS (SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "cv")} /
+                      (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) DESC, cid)
+                  AS rk
+                FROM qs CROSS JOIN corpus) WHERE rk <= 3),
+              corpus_a AS (SELECT cid, cv, cent_id FROM (
+                SELECT cid, cv, cent_id,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY ${SQL_DOT("cv", "centv")} DESC, cent_id) AS rk
+                FROM corpus, cent) WHERE rk = 1),
+              q_a AS (SELECT qid, qv, cent_id FROM (
+                SELECT qid, qv, cent_id,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "centv")} DESC, cent_id) AS rk
+                FROM qs, cent) WHERE rk = 1),
+              ivf AS (SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                    ORDER BY ${SQL_DOT("qv", "cv")} /
+                      (${SQL_NORM("qv")} * ${SQL_NORM("cv")}) DESC, cid)
+                  AS rk
+                FROM q_a JOIN corpus_a USING (cent_id)) WHERE rk <= 3),
+              hits AS (SELECT i.qid, count(*) AS n FROM ivf i
+                JOIN exact x ON i.qid = x.qid AND i.cid = x.cid
+                GROUP BY 1)
+              SELECT qs.qid, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+                CAST(coalesce(n, 0) AS DOUBLE) / 3.0 AS recall
+              FROM qs LEFT JOIN hits ON qs.qid = hits.qid""")
     )
   )
 
