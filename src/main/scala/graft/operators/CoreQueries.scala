@@ -1623,6 +1623,120 @@ object CoreQueries {
                   "l_linestatus || '|' || strftime(l_shipdate, '%Y-%m-%d')"
                 )}) AS BIGINT)
               FROM lineitem""")
+    ),
+
+    // ── JOIN-KEY SKEW ADVISOR (shuffle-planning statistics) ───────────────
+    QueryDef(
+      "q279_skew_advisor",
+      // The diagnostic behind every AQE skew-join / salting decision:
+      // for each candidate join key of the fact table, how concentrated
+      // is the key distribution? Reported per key: row count, distinct
+      // keys, the heaviest key's share and the top-10 keys' share (exact
+      // ppm via integer division — the q188 convention). A planner reads
+      // this to pick broadcast vs shuffle vs salted shapes; the suite's
+      // own salting operators (q138, q161) exist precisely for the
+      // distributions this query measures.
+      //
+      // Shape, and why it scales: one key-grain hash aggregation per
+      // candidate column (map-side combined; grain is key-domain-
+      // bounded), folded to 1-row moments + a distributed TakeOrdered
+      // top-10 — the scalar-probe idiom (q218); output is 3 rows.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def skew(c: String): (String, Long, Long, Long, Long) = {
+          val kc = li.groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+          val r = kc.agg(sum(col("cnt")).as("n"),
+            count(lit(1)).as("nk"), max(col("cnt")).as("mx")).head
+          val t10 = kc.orderBy(col("cnt").desc, col("k").asc).limit(10)
+            .agg(sum(col("cnt"))).head.getLong(0)
+          (c, r.getLong(0), r.getLong(1), r.getLong(2), t10)
+        }
+        val rows = Seq("l_orderkey", "l_partkey", "l_suppkey").map(skew)
+        import s.implicits._
+        rows.toDF("key_col", "n_rows", "n_keys", "max_cnt", "top10_cnt")
+          .select(col("key_col"), col("n_rows"), col("n_keys"),
+            expr("max_cnt * 1000000L div n_rows").as("max_share_ppm"),
+            expr("top10_cnt * 1000000L div n_rows").as("top10_share_ppm"))
+      },
+      Some("""WITH ko AS (SELECT l_orderkey AS k, count(*) AS cnt
+                FROM lineitem GROUP BY 1),
+              kp AS (SELECT l_partkey AS k, count(*) AS cnt
+                FROM lineitem GROUP BY 1),
+              ks AS (SELECT l_suppkey AS k, count(*) AS cnt
+                FROM lineitem GROUP BY 1)
+              SELECT 'l_orderkey' AS key_col,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT)
+                  AS max_share_ppm,
+                CAST((SELECT sum(cnt) FROM
+                    (SELECT cnt FROM ko ORDER BY cnt DESC, k LIMIT 10))
+                  * 1000000 // sum(cnt) AS BIGINT) AS top10_share_ppm
+              FROM ko
+              UNION ALL
+              SELECT 'l_partkey', CAST(sum(cnt) AS BIGINT),
+                CAST(count(*) AS BIGINT),
+                CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT),
+                CAST((SELECT sum(cnt) FROM
+                    (SELECT cnt FROM kp ORDER BY cnt DESC, k LIMIT 10))
+                  * 1000000 // sum(cnt) AS BIGINT)
+              FROM kp
+              UNION ALL
+              SELECT 'l_suppkey', CAST(sum(cnt) AS BIGINT),
+                CAST(count(*) AS BIGINT),
+                CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT),
+                CAST((SELECT sum(cnt) FROM
+                    (SELECT cnt FROM ks ORDER BY cnt DESC, k LIMIT 10))
+                  * 1000000 // sum(cnt) AS BIGINT)
+              FROM ks""")
+    ),
+
+    // ── L-DIVERSITY AUDIT (the k-anonymity follow-up) ─────────────────────
+    QueryDef(
+      "q280_l_diversity",
+      // k-anonymity (q237) counts group SIZES; l-diversity audits what
+      // k-anonymity misses — a large QI group whose SENSITIVE attribute
+      // is uniform still leaks (everyone in the group shares the
+      // secret). QI = (nation, segment); sensitive = the $2000 balance
+      // bucket. A release is l-diverse iff every QI group carries ≥ l
+      // distinct sensitive values; reported: group count, worst-case l,
+      // groups below l = 3, and the rows exposed in them.
+      //
+      // Shape, and why it scales: one aggregation to the (QI, sensitive)
+      // grain, one to QI grain (both domain-bounded), one 1-row fold —
+      // never a row-level window; output is 1 row.
+      (s, d) => {
+        val c = Tables.customer(s, d).select(
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 200000L").as("sens"))
+        c.groupBy("nat", "seg", "sens").agg(count(lit(1)).as("n"))
+          .groupBy("nat", "seg")
+          .agg(countDistinct(col("sens")).as("l"), sum(col("n")).as("rows"))
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("l")).as("min_l"),
+            sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_below_l3"),
+            sum(when(col("l") < 3, col("rows")).otherwise(0L))
+              .as("rows_exposed"))
+      },
+      Some("""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                  c_mktsegment AS seg,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 200000 AS sens
+                FROM customer),
+              gs AS (SELECT nat, seg, sens, count(*) AS n
+                FROM c GROUP BY 1, 2, 3),
+              g AS (SELECT nat, seg, count(DISTINCT sens) AS l,
+                  sum(n) AS rows
+                FROM gs GROUP BY 1, 2)
+              SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(min(l) AS BIGINT) AS min_l,
+                CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_below_l3,
+                CAST(sum(CASE WHEN l < 3 THEN rows ELSE 0 END) AS BIGINT)
+                  AS rows_exposed
+              FROM g""")
     )
   )
 }
