@@ -92,14 +92,18 @@ class RtcdbTable(root: String, table: String, declared: StructType)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RtcdbScanBuilder(root, table, declared)
+    new RtcdbScanBuilder(root, table, declared,
+      // admission control for the streaming read path (backfill pacing):
+      // cap each micro-batch at N committed row blocks
+      Option(options.get("maxBlocksPerTrigger")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new RtcdbWriteBuilder(root, table, info.schema())
 }
 
-class RtcdbScanBuilder(root: String, table: String, declared: StructType)
+class RtcdbScanBuilder(root: String, table: String, declared: StructType,
+    maxBlocksPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -178,7 +182,8 @@ class RtcdbScanBuilder(root: String, table: String, declared: StructType)
 
   override def build(): Scan = pushedAgg match {
     case Some(specs) => new RtcdbAggScan(root, table, declared, specs)
-    case None => new RtcdbScan(root, table, declared, required, pushed)
+    case None => new RtcdbScan(root, table, declared, required, pushed,
+      maxBlocksPerTrigger)
   }
 }
 
@@ -410,7 +415,8 @@ final case class RtcdbInputPartition(
     runtimeInSets: Map[String, Array[Long]]) extends InputPartition
 
 class RtcdbScan(root: String, table: String, declared: StructType,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    required: StructType, pushed: Array[Filter],
+    maxBlocksPerTrigger: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
@@ -661,7 +667,8 @@ class RtcdbScan(root: String, table: String, declared: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RtcdbMicroBatchStream(root, table, declared, required, pushed)
+    new RtcdbMicroBatchStream(root, table, declared, required, pushed,
+      maxBlocksPerTrigger)
 }
 
 class RtcdbReaderFactory(countOnly: Boolean) extends PartitionReaderFactory {
@@ -691,10 +698,13 @@ final case class RtcdbStreamOffset(blocks: Int)
   * the conservative path that is always sound.
   */
 class RtcdbMicroBatchStream(root: String, table: String,
-    declared: StructType, required: StructType, pushed: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    declared: StructType, required: StructType, pushed: Array[Filter],
+    maxBlocksPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def committedBlocks: Int =
     declared.fieldNames.map { c =>
@@ -702,8 +712,30 @@ class RtcdbMicroBatchStream(root: String, table: String,
       if (Files.exists(p)) (Files.size(p) / IndexEntryBytes).toInt else 0
     }.minOption.getOrElse(0)
 
+  // AvailableNow pins its catch-up target ONCE at query start: blocks
+  // appended while the drain runs belong to the next run, and the drain
+  // still paces itself through maxBlocksPerTrigger
+  private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(committedBlocks)
+
   override def initialOffset(): Offset = RtcdbStreamOffset(0)
-  override def latestOffset(): Offset = RtcdbStreamOffset(committedBlocks)
+  override def latestOffset(): Offset = RtcdbStreamOffset(
+    availableNowTarget.getOrElse(committedBlocks))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(committedBlocks)
+    val start = startOffset.asInstanceOf[RtcdbStreamOffset].blocks
+    // backfill pacing: cap each micro-batch at N committed row blocks so
+    // a long-idle consumer catches up in bounded-memory steps instead of
+    // one giant batch
+    RtcdbStreamOffset(maxBlocksPerTrigger match {
+      case Some(m) => math.min(target, start + m)
+      case None => target
+    })
+  }
+  override def reportLatestOffset(): Offset =
+    RtcdbStreamOffset(committedBlocks)
   override def deserializeOffset(json: String): Offset =
     RtcdbStreamOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()

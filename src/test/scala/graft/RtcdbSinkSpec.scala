@@ -134,6 +134,38 @@ class RtcdbSinkSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(out).count() == 35L)
   }
 
+  test("maxBlocksPerTrigger paces the catch-up into multiple bounded micro-batches") {
+    val (db, ledger) = fresh("paced")
+    val dir = Files.createTempDirectory("rtcdbpaced_io")
+    // 5 sink batches → ≥5 committed row blocks
+    (0 until 5).foreach { b =>
+      RtcdbSink.commitBatch(db, "t", ledger, b.toLong,
+        batchDf(b * 10L, b * 10L + 10L))
+    }
+    var batches = 0
+    var maxRowsInBatch = 0L
+    val q = spark.readStream.format("rtcdb")
+      .option("path", db).option("table", "t")
+      .option("maxBlocksPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) => {
+        val n = b.count()
+        if (n > 0) { batches += 1; maxRowsInBatch = math.max(maxRowsInBatch, n) }
+        ()
+      })
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // each block holds ≤ RowsPerBlock rows and each DSv2 sink batch here
+    // lands one block per writer task — pacing must split the 50-row
+    // backlog into multiple micro-batches, each ≤ one block
+    assert(batches >= 2, s"expected paced catch-up, got $batches batch(es)")
+    assert(maxRowsInBatch <= graft.sources.rtcdb.RtcdbFormat.RowsPerBlock,
+      s"a paced batch exceeded one block: $maxRowsInBatch rows")
+  }
+
   test("streaming source column pruning flows through the micro-batch reader") {
     val (db, ledger) = fresh("tailprune")
     val dir = Files.createTempDirectory("rtcdbtailp_io")
