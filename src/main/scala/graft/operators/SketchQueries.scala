@@ -274,6 +274,73 @@ object SketchQueries {
               FROM lineitem
               WHERE l_partkey < 200
               GROUP BY 1""")
+    ),
+
+    // ── CSV QUARANTINE (malformed-record ingestion robustness) ────────────
+    QueryDef(
+      "q281_csv_quarantine",
+      // q239 proves the clean CSV path; this proves the DIRTY one — the
+      // path real crawl/vendor feeds actually exercise. A CSV with a
+      // deterministic corruption pattern (every 37th record drops its
+      // numeric columns) is read under an explicit schema in PERMISSIVE
+      // mode with a `_corrupt` capture column: bad records must land in
+      // quarantine (not abort the job, not silently zero-fill), and the
+      // clean aggregate must be untouched by their presence. The oracle
+      // computes the expected split arithmetically from the source
+      // facts — the quarantine counts are predictions the parser must
+      // hit exactly.
+      //
+      // Shape, and why it scales: the dirty file is written once to
+      // scratch (distributed text write); the read is one pass in the
+      // CSV reader's per-record error path — no driver involvement,
+      // no second inference scan; output is 1 row.
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val dir = Shared.scratchRoot("csv-q", d).toString + "/events_dirty"
+        Tables.events(s, d)
+          .select(when(col("event_id") % 37 === 0,
+              concat(lit("CORRUPT-"), col("event_type")))
+            .otherwise(concat_ws(",", col("event_id"), col("event_type"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+            .as("value"))
+          .write.mode("overwrite").text(dir)
+        val parsed = s.read
+          .schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("cents", LongType),
+            StructField("_corrupt", StringType))))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir)
+        // NOTE the max(event_id) below is load-bearing: the CSV parser
+        // prunes unreferenced columns, and a pruned-away leading column
+        // would never hit the type-conversion failure that flags the
+        // short rows as corrupt — quarantine detection is only as wide
+        // as the columns the query actually parses
+        parsed.agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("_corrupt").isNull, col("cents")).otherwise(0L))
+            .as("sum_cents_clean"),
+          max(col("event_id")).as("max_clean_id"),
+          min(when(col("_corrupt").isNotNull, col("_corrupt")))
+            .as("sample_corrupt"))
+      },
+      Some("""SELECT
+                CAST(sum(CASE WHEN event_id % 37 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clean,
+                CAST(sum(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quarantined,
+                CAST(sum(CASE WHEN event_id % 37 <> 0 THEN
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sum_cents_clean,
+                max(CASE WHEN event_id % 37 <> 0 THEN event_id END)
+                  AS max_clean_id,
+                min(CASE WHEN event_id % 37 = 0 THEN
+                  'CORRUPT-' || event_type END) AS sample_corrupt
+              FROM events""")
     )
   )
 }
