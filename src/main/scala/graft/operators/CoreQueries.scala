@@ -1737,6 +1737,55 @@ object CoreQueries {
                 CAST(sum(CASE WHEN l < 3 THEN rows ELSE 0 END) AS BIGINT)
                   AS rows_exposed
               FROM g""")
+    ),
+
+    // ── JOIN-EXPLOSION GUARD (exact self-join cardinality prediction) ─────
+    QueryDef(
+      "q282_join_guard",
+      // The q279 skew advisor's companion for JOINs: before running a
+      // key self-join, predict its EXACT output size — Σ n_k² over the
+      // key-count table — and the single worst key's contribution. This
+      // is the number that justified rebuilding q218 (the lineitem
+      // orderkey self-join this table prices is the stage its basket
+      // redesign deleted), and the guard a pipeline scheduler consults
+      // before admitting a join. Amplification is reported as exact
+      // output-rows-per-input-row ppm.
+      //
+      // Shape, and why it scales: one key-grain hash aggregation per
+      // candidate key (map-side combined, key-domain-bounded), folded
+      // to a 1-row summary each; no join is ever executed — the
+      // prediction is closed-form; output is 2 rows.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def guard(c: String) =
+          li.groupBy(col(c).as("k")).agg(count(lit(1)).as("n"))
+            .agg(lit(c).as("key_col"),
+              sum(col("n")).as("fact_rows"),
+              count(lit(1)).as("n_keys"),
+              sum(col("n") * col("n")).as("predicted_out_rows"),
+              max(col("n") * col("n")).as("max_key_out"))
+            .withColumn("amplification_ppm",
+              expr("predicted_out_rows * 1000000L div fact_rows"))
+        guard("l_orderkey").unionAll(guard("l_partkey"))
+      },
+      Some("""WITH ko AS (SELECT l_orderkey AS k, count(*) AS n
+                FROM lineitem GROUP BY 1),
+              kp AS (SELECT l_partkey AS k, count(*) AS n
+                FROM lineitem GROUP BY 1)
+              SELECT 'l_orderkey' AS key_col,
+                CAST(sum(n) AS BIGINT) AS fact_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(n * n) AS BIGINT) AS predicted_out_rows,
+                CAST(max(n * n) AS BIGINT) AS max_key_out,
+                CAST(sum(n * n) * 1000000 // sum(n) AS BIGINT)
+                  AS amplification_ppm
+              FROM ko
+              UNION ALL
+              SELECT 'l_partkey', CAST(sum(n) AS BIGINT),
+                CAST(count(*) AS BIGINT), CAST(sum(n * n) AS BIGINT),
+                CAST(max(n * n) AS BIGINT),
+                CAST(sum(n * n) * 1000000 // sum(n) AS BIGINT)
+              FROM kp""")
     )
   )
 }

@@ -2356,6 +2356,146 @@ object EventQueries {
                   AS BIGINT) AS sum_cents,
                 count(DISTINCT event_id) AS n_distinct_ids
               FROM events GROUP BY 1""")
+    ),
+
+    // ── BOT / ABUSE FILTER (rate-based traffic hygiene) ───────────────────
+    QueryDef(
+      "q283_bot_filter",
+      // The hygiene pass every engagement metric silently depends on:
+      // flag users whose burst rate is inhuman (≥ 5 events inside one
+      // minute, the classic scraper signature) and report the metric
+      // damage they would have done — events excluded, and the purchase
+      // count with and without them. All integer comparisons on exact
+      // minute buckets; no rates as floats anywhere.
+      //
+      // Shape, and why it scales: one fact pass to (user, minute)
+      // grain, one user-grain max, the bot set re-attaches as a keyed
+      // semi/anti join (user-domain-bounded, broadcastable when small);
+      // output is 1 row.
+      (s, d) => {
+        val minNs = 60L * 1000L * 1000L * 1000L
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), expr(s"ts div ${minNs}L").as("m"))
+        val burst = ev.groupBy("user_id", "m").agg(count(lit(1)).as("c"))
+          .groupBy("user_id").agg(max(col("c")).as("peak"))
+        val bots = burst.filter(col("peak") >= 5).select("user_id")
+        val botEv = ev.join(bots, Seq("user_id"), "left_semi")
+        val cleanEv = ev.join(bots, Seq("user_id"), "left_anti")
+        val a = burst.agg(count(lit(1)).as("n_users")).head.getLong(0)
+        val b = bots.count()
+        val be = botEv.count()
+        val cp = cleanEv.filter(col("event_type") === "purchase").count()
+        val ap = ev.filter(col("event_type") === "purchase").count()
+        import s.implicits._
+        Seq((a, b, be, ap, cp)).toDF("n_users", "n_bots",
+          "n_bot_events", "purchases_raw", "purchases_clean")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+                  epoch_us(ts) // 60000000 AS m
+                FROM events),
+              burst AS (SELECT user_id, max(c) AS peak FROM
+                  (SELECT user_id, m, count(*) AS c FROM ev GROUP BY 1, 2)
+                GROUP BY 1),
+              bots AS (SELECT user_id FROM burst WHERE peak >= 5)
+              SELECT
+                (SELECT count(*) FROM burst) AS n_users,
+                (SELECT count(*) FROM bots) AS n_bots,
+                (SELECT count(*) FROM ev
+                  WHERE user_id IN (SELECT user_id FROM bots))
+                  AS n_bot_events,
+                (SELECT count(*) FROM ev WHERE event_type = 'purchase')
+                  AS purchases_raw,
+                (SELECT count(*) FROM ev WHERE event_type = 'purchase'
+                  AND user_id NOT IN (SELECT user_id FROM bots))
+                  AS purchases_clean""")
+    ),
+
+    // ── BACKFILL BATCH PLANNER (budgeted replay scheduling) ───────────────
+    QueryDef(
+      "q284_backfill_planner",
+      // The ops tool in front of every historical replay: cut the
+      // day-grain backlog into contiguous batches of ≈ B rows each
+      // (B = total/5 here), so each backfill run fits its budget and
+      // the plan is reproducible. A day's batch = floor(exclusive row
+      // prefix / B) — the q265 systematic-walk arithmetic repurposed —
+      // so batch boundaries are exact integers both engines agree on.
+      //
+      // Shape, and why it scales: the day-grain table is time-bounded;
+      // its prefix sums go through [[Shared.distributedPrefixSum]]
+      // (bucketed windows, no global sort); the total is one
+      // driver-probed scalar; output is ≤ 6 batch rows.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val days = Tables.events(s, d)
+          .select(expr(s"ts div ${dayNs}L").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+          .checkpoint()
+        val total = days.agg(sum(col("n"))).head.getLong(0)
+        val b = math.max(total / 5L, 1L)
+        Shared.distributedPrefixSum(days, "day", "n")
+          .withColumn("batch_id", expr(s"cum div ${b}L"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_rows"),
+            min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      },
+      Some("""WITH days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1),
+              tot AS (SELECT greatest(sum(n) // 5, 1) AS b FROM days),
+              pre AS (SELECT day, n,
+                  coalesce(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM days)
+              SELECT CAST(cum // b AS BIGINT) AS batch_id,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                min(day) AS first_day, max(day) AS last_day
+              FROM pre CROSS JOIN tot
+              GROUP BY 1""")
+    ),
+
+    // ── SAMPLE-RATIO-MISMATCH GUARDRAIL (experiment integrity) ────────────
+    QueryDef(
+      "q285_srm_check",
+      // The first check every experimentation platform runs before
+      // reading ANY metric: did the 50/50 assignment actually deliver
+      // 50/50 exposure? A sample-ratio mismatch means the experiment is
+      // corrupted (bot filtering, logging loss, or redirect bugs biased
+      // one arm) and all downstream p-values are garbage. Assignment is
+      // the deterministic shared digest h32(user_id) mod 2 at USER
+      // grain; the test is the exact 1-df chi-square (n_a−n_b)²/(n_a+
+      // n_b) against the 3.84 (95%) critical value — counts exact, one
+      // pinned division, the flag an exact double comparison.
+      //
+      // Shape, and why it scales: distinct-users aggregation (user-
+      // domain-bounded) + one scalar fold; output is 1 row.
+      (s, d) => {
+        val users = Tables.events(s, d).select(col("user_id")).distinct()
+          .select((Shared.h32(col("user_id").cast("string")) % 2)
+            .as("arm"))
+        users.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+          .withColumn("chi2",
+            ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+              .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+          .withColumn("srm_detected", (col("chi2") > 3.84).cast("long"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+              arms AS (SELECT
+                  ${Shared.SQL_H32("CAST(user_id AS VARCHAR)")} % 2 AS arm
+                FROM u),
+              c AS (SELECT
+                  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+                FROM arms)
+              SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+                  CAST(n_a + n_b AS DOUBLE) AS chi2,
+                CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+                  CAST(n_a + n_b AS DOUBLE) > 3.84 THEN 1 ELSE 0 END
+                  AS BIGINT) AS srm_detected
+              FROM c""")
     )
   )
 }
