@@ -2496,6 +2496,79 @@ object EventQueries {
                   CAST(n_a + n_b AS DOUBLE) > 3.84 THEN 1 ELSE 0 END
                   AS BIGINT) AS srm_detected
               FROM c""")
+    ),
+
+    // ── FORECAST BACKTEST (holdout sMAPE for the trend models) ────────────
+    QueryDef(
+      "q287_forecast_backtest",
+      // q205 fits and forecasts; this is the EVALUATION a forecast
+      // deserves before anyone trusts it: hold out the final week, fit
+      // the same closed-form OLS on everything before it, predict the
+      // held-out week, and report per-type absolute error and sMAPE
+      // (200·|f−y|/(|f|+y), the scale-free backtest metric). Training
+      // sums are exact BIGINTs; the forecast and both error metrics are
+      // pinned double expressions on identical operands in both
+      // engines.
+      //
+      // Shape, and why it scales: one fact pass to week grain
+      // (time-bounded); the train fit is one aggregation per type; the
+      // holdout attaches by type key — no window, no iteration; output
+      // is one row per event type.
+      (s, d) => {
+        val weekNs = 604800L * 1000L * 1000L * 1000L
+        val wk = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts div ${weekNs}L").as("x"))
+          .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+        val xmax = wk.agg(max(col("x"))).head.getLong(0)
+        val fit = wk.filter(col("x") < xmax)
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .withColumn("intercept",
+            (col("sy").cast("double") -
+              col("slope") * col("sx").cast("double")) /
+              col("n").cast("double"))
+          .withColumn("forecast",
+            col("intercept") + col("slope") * lit(xmax).cast("double"))
+        val actual = wk.filter(col("x") === xmax)
+          .select(col("event_type"), col("y").as("actual"))
+        fit.join(actual, "event_type")
+          .select(col("event_type"), col("n").as("n_train_weeks"),
+            col("actual"), col("forecast"),
+            (lit(200.0) * abs(col("forecast") - col("actual").cast("double")) /
+              (abs(col("forecast")) + col("actual").cast("double")))
+              .as("smape_pct"))
+      },
+      Some("""WITH wk AS (SELECT event_type,
+                  epoch_us(ts) // 604800000000 AS x, count(*) AS y
+                FROM events GROUP BY 1, 2),
+              mx AS (SELECT max(x) AS xmax FROM wk),
+              st AS (SELECT event_type, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                  sum(x*x) AS sxx
+                FROM wk CROSS JOIN mx WHERE x < xmax GROUP BY 1),
+              fit AS (SELECT event_type, n,
+                  CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                  (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS intercept
+                FROM st),
+              fc AS (SELECT event_type, n,
+                  intercept + slope * CAST(xmax AS DOUBLE) AS forecast
+                FROM fit CROSS JOIN mx),
+              act AS (SELECT event_type, y AS actual FROM wk CROSS JOIN mx
+                WHERE x = xmax)
+              SELECT fc.event_type, CAST(n AS BIGINT) AS n_train_weeks,
+                CAST(actual AS BIGINT) AS actual, forecast,
+                200.0 * abs(forecast - CAST(actual AS DOUBLE)) /
+                  (abs(forecast) + CAST(actual AS DOUBLE)) AS smape_pct
+              FROM fc JOIN act ON fc.event_type = act.event_type""")
     )
   )
 }

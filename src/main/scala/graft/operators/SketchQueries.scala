@@ -341,6 +341,65 @@ object SketchQueries {
                 min(CASE WHEN event_id % 37 = 0 THEN
                   'CORRUPT-' || event_type END) AS sample_corrupt
               FROM events""")
+    ),
+
+    // ── SCHEMA EVOLUTION READ (mergeSchema across file generations) ───────
+    QueryDef(
+      "q288_schema_evolution",
+      // The data-lake reality every long-lived table hits: files written
+      // before a column existed sit next to files written after.
+      // Generation 1 (even event_ids) has (event_id, cents); generation
+      // 2 (odd) added event_type. The union read uses Spark's
+      // mergeSchema — the evolved column must surface on every row, as
+      // NULL for pre-evolution files, with no rewrite of old data — and
+      // the audit proves exactly that: null/typed splits and per-
+      // generation sums the oracle predicts arithmetically from the
+      // source facts (the q281 prediction pattern).
+      //
+      // Shape, and why it scales: schema merge is driver-side footer
+      // reconciliation (per-file, no data read); the audit is one scan
+      // of both generations with normal pruning; old files are never
+      // rewritten — that's the point of evolution-on-read; output is
+      // 1 row.
+      (s, d) => {
+        val root = Shared.scratchRoot("schevo", d).toString
+        val facts = Tables.events(s, d).select(col("event_id"),
+          col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        facts.filter(col("event_id") % 2 === 0)
+          .select("event_id", "cents")
+          .write.mode("overwrite").parquet(s"$root/gen1")
+        facts.filter(col("event_id") % 2 === 1)
+          .select("event_id", "cents", "event_type")
+          .write.mode("overwrite").parquet(s"$root/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$root/gen1", s"$root/gen2")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("event_type").isNull, 1L).otherwise(0L))
+              .as("n_pre_evolution"),
+            sum(when(col("event_type").isNotNull, 1L).otherwise(0L))
+              .as("n_post_evolution"),
+            sum(when(col("event_type").isNull, col("cents")).otherwise(0L))
+              .as("cents_pre"),
+            sum(when(col("event_type").isNotNull, col("cents"))
+              .otherwise(0L)).as("cents_post"),
+            countDistinct(col("event_type")).as("n_types_post"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pre_evolution,
+                CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_post_evolution,
+                CAST(sum(CASE WHEN event_id % 2 = 0 THEN
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents_pre,
+                CAST(sum(CASE WHEN event_id % 2 = 1 THEN
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents_post,
+                count(DISTINCT CASE WHEN event_id % 2 = 1 THEN event_type
+                  END) AS n_types_post
+              FROM events""")
     )
   )
 }

@@ -4414,6 +4414,80 @@ object TextQueries {
                   CAST(sum(wcnt * ntok) AS DOUBLE) AS chars_per_token
               FROM lw JOIN wtok USING (word)
               GROUP BY lang""")
+    ),
+
+    // ── RAKE KEYWORD EXTRACTION (stopword-delimited phrase mining) ────────
+    QueryDef(
+      "q286_rake_keywords",
+      // The classic unsupervised keyword extractor (Rose et al. 2010):
+      // candidate phrases are maximal stopword-free token runs (found
+      // with the gaps-and-islands trick — run id = position minus the
+      // non-stop row number, a doc-partitioned window), capped at 3
+      // tokens per RAKE practice; each word scores degree/frequency
+      // (degree = Σ lengths of the runs it appears in) as an exact ppm
+      // integer division, and a phrase scores the SUM of its word
+      // scores — pure BIGINT end to end, so the top-10 ranking ties out
+      // exactly. Stop list: the corpus's function words ('the', 'a').
+      //
+      // Shape, and why it scales: one corpus scan to positioned tokens;
+      // islands via doc-partitioned windows (never global); word scores
+      // are a vocabulary-bounded aggregation re-attached by broadcast;
+      // output is 10 rows.
+      (s, d) => {
+        val stop = Seq("the", "a")
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .select(col("doc_id"), col("pos").as("p"), col("col").as("w"))
+        val runs = tok.filter(!col("w").isInCollection(stop))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("p")))
+          .withColumn("grp", col("p") - col("rn"))
+        val runLen = runs.groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .filter(col("len") <= 3)
+        val members = runs.join(runLen, Seq("doc_id", "grp"))
+        val wscore = members.groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+          .withColumn("wscore", expr("deg * 1000000L div freq"))
+        val phrases = members
+          .groupBy("doc_id", "grp")
+          .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("p"), col("w")))),
+            e => e.getField("w"))).as("phrase"))
+        val scored = members.join(broadcast(wscore.select("w", "wscore")), "w")
+          .groupBy("doc_id", "grp")
+          .agg(sum(col("wscore")).as("score"))
+        phrases.join(scored, Seq("doc_id", "grp"))
+          .groupBy("phrase", "score")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("score").desc, col("phrase").asc)
+          .limit(10)
+          .select("phrase", "n_occurrences", "score")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($SQL_TOKENS) AS w,
+                  generate_subscripts($SQL_TOKENS, 1) AS p
+                FROM documents),
+              runs AS (SELECT doc_id, p, w,
+                  p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                    AS grp
+                FROM tok WHERE w NOT IN ('the', 'a')),
+              runlen AS (SELECT doc_id, grp, count(*) AS len
+                FROM runs GROUP BY 1, 2 HAVING count(*) <= 3),
+              members AS (SELECT r.doc_id, r.grp, r.p, r.w, len
+                FROM runs r JOIN runlen USING (doc_id, grp)),
+              wscore AS (SELECT w,
+                  sum(len) * 1000000 // count(*) AS wscore
+                FROM members GROUP BY 1),
+              phrases AS (SELECT doc_id, grp,
+                  string_agg(w, ' ' ORDER BY p) AS phrase
+                FROM members GROUP BY 1, 2),
+              scored AS (SELECT doc_id, grp,
+                  CAST(sum(wscore) AS BIGINT) AS score
+                FROM members JOIN wscore USING (w) GROUP BY 1, 2)
+              SELECT phrase, count(*) AS n_occurrences, score
+              FROM phrases JOIN scored USING (doc_id, grp)
+              GROUP BY 1, 3
+              ORDER BY score DESC, phrase LIMIT 10""")
     )
   )
 
