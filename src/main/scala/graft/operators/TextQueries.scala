@@ -4433,7 +4433,7 @@ object TextQueries {
       // islands via doc-partitioned windows (never global); word scores
       // are a vocabulary-bounded aggregation re-attached by broadcast;
       // output is 10 rows.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val stop = Seq("the", "a")
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), posexplode(tokens(col("text"))))
@@ -4445,7 +4445,10 @@ object TextQueries {
         val runLen = runs.groupBy("doc_id", "grp")
           .agg(count(lit(1)).as("len"))
           .filter(col("len") <= 3)
-        val members = runs.join(runLen, Seq("doc_id", "grp"))
+        // three consumers (word scores, phrase strings, phrase scores) —
+        // checkpoint the capped-run membership so the corpus
+        // tokenize+window pipeline runs once, not once per consumer
+        val members = runs.join(runLen, Seq("doc_id", "grp")).checkpoint()
         val wscore = members.groupBy("w")
           .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
           .withColumn("wscore", expr("deg * 1000000L div freq"))
