@@ -4491,6 +4491,142 @@ object TextQueries {
               FROM phrases JOIN scored USING (doc_id, grp)
               GROUP BY 1, 3
               ORDER BY score DESC, phrase LIMIT 10""")
+    ),
+
+    // ── DPO PAIR MINING (preference-pair construction accounting) ─────────
+    QueryDef(
+      "q289_dpo_pairs",
+      // The RLHF-era data op: build (chosen, rejected) preference pairs
+      // from a scored corpus under MAX-MARGIN pairing — i-th best
+      // positive with i-th worst negative — and account for the margin
+      // budget that pairing yields. The trick that keeps it 100 TB-
+      // shaped: the pair LIST is never materialized. Both sides reduce
+      // to score-grain step functions (distinct score → count), and the
+      // top-P/bottom-P sums come from exclusive prefix sums with a
+      // clamped partial take at the boundary grain — so the exact
+      // total and mean margin of all P pairs emerge from two
+      // domain-bounded prefix-sum passes. Scores/labels are the
+      // memoized [[nbScores]] table (zero new corpus scans).
+      //
+      // Shape, and why it scales: grain tables bounded by the ppm score
+      // domain; [[Shared.distributedPrefixSum]] twice (bucketed
+      // windows); P and the totals are driver-probed scalars; output is
+      // 1 row.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val g = nbScores(s, d)
+          .groupBy(col("score_ppm").as("sv"))
+          .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+          .withColumn("sk",
+            when(abs(col("sv")) >= lit(1L << 30),
+              raise_error(concat(lit("q289: |score| breaks the shift " +
+                "bound: "), col("sv"))))
+              .otherwise(col("sv") + lit(1L << 31)))
+          .checkpoint()
+        val tot = g.agg(sum(col("n1")), sum(col("n0"))).head
+        val (t1, t0) = (tot.getLong(0), tot.getLong(1))
+        val p = math.min(t1, t0)
+        // chosen side: top-P by score desc → rank by DESCENDING key
+        val ch = Shared.distributedPrefixSum(
+            g.filter(col("n1") > 0)
+              .select((lit(2L * (1L << 31)) - col("sk")).as("dk"),
+                col("sv"), col("n1")),
+            "dk", "n1", bucket = 1L << 16)
+          .select(col("sv"), col("n1"), col("cum"))
+          .agg(sum(col("sv") *
+            greatest(lit(0L), least(col("n1"), lit(p) - col("cum"))))
+            .as("sum_chosen"))
+        // rejected side: bottom-P by score asc → rank by ASCENDING key
+        val rj = Shared.distributedPrefixSum(
+            g.filter(col("n0") > 0).select(col("sk"), col("sv"), col("n0")),
+            "sk", "n0", bucket = 1L << 16)
+          .agg(sum(col("sv") *
+            greatest(lit(0L), least(col("n0"), lit(p) - col("cum"))))
+            .as("sum_rejected"))
+        ch.crossJoin(broadcast(rj))
+          .select(lit(t1).as("n_chosen"), lit(t0).as("n_rejected"),
+            lit(p).as("n_pairs"),
+            (col("sum_chosen") - col("sum_rejected")).as("sum_margin_ppm"),
+            expr(s"CAST(sum_chosen - sum_rejected AS DOUBLE) / " +
+              s"nullif(CAST(${p}L AS DOUBLE), 0.0D)").as("mean_margin_ppm"))
+      },
+      Some(s"""WITH base AS ($nbScoreSql),
+              g AS (SELECT score_ppm AS sv,
+                  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
+                FROM base GROUP BY 1),
+              tot AS (SELECT sum(n1) AS t1, sum(n0) AS t0,
+                  least(sum(n1), sum(n0)) AS p
+                FROM g),
+              ch AS (SELECT coalesce(sum(sv * greatest(0,
+                    least(n1, p - cum))), 0) AS sum_chosen
+                FROM (SELECT sv, n1,
+                    coalesce(sum(n1) OVER (ORDER BY sv DESC ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                  FROM g WHERE n1 > 0) CROSS JOIN tot),
+              rj AS (SELECT coalesce(sum(sv * greatest(0,
+                    least(n0, p - cum))), 0) AS sum_rejected
+                FROM (SELECT sv, n0,
+                    coalesce(sum(n0) OVER (ORDER BY sv ASC ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                  FROM g WHERE n0 > 0) CROSS JOIN tot)
+              SELECT CAST(t1 AS BIGINT) AS n_chosen,
+                CAST(t0 AS BIGINT) AS n_rejected,
+                CAST(p AS BIGINT) AS n_pairs,
+                CAST(sum_chosen - sum_rejected AS BIGINT) AS sum_margin_ppm,
+                CAST(sum_chosen - sum_rejected AS DOUBLE) /
+                  nullif(CAST(p AS DOUBLE), 0.0) AS mean_margin_ppm
+              FROM ch CROSS JOIN rj CROSS JOIN tot""")
+    ),
+
+    // ── SFT LOSS-MASK ACCOUNTING (chat-template token budgeting) ──────────
+    QueryDef(
+      "q290_sft_mask_accounting",
+      // The supervised-fine-tuning counterpart to q181's pretraining
+      // packing: conversations are templated (role tag + content + end
+      // tag per turn, 3 overhead tokens each) and the loss applies ONLY
+      // to assistant turns — so the numbers a trainer budgets with are
+      // loss tokens vs masked tokens, not raw tokens. Conversations
+      // here are the deterministic grouping doc_id div 4 within source
+      // (≤4 turns), roles alternating by doc_id parity — which makes
+      // role assignment a pure PROJECTION, no window, no ordering
+      // anywhere. Reported per source: conversations, turns, total
+      // templated tokens, loss tokens, and the loss fraction every SFT
+      // run multiplies its step budget by.
+      //
+      // Shape, and why it scales: one corpus scan, stateless role/cost
+      // projection, one source-grain aggregation; output is
+      // source-bounded.
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("source"),
+          expr("doc_id div 4").as("conv"),
+          (size(tokens(col("text"))).cast("long") + 3L).as("turn_tokens"),
+          (col("doc_id") % 2 === 1).as("is_assistant"))
+        t.groupBy("source").agg(
+            countDistinct(col("conv")).as("n_conversations"),
+            count(lit(1)).as("n_turns"),
+            sum(col("turn_tokens")).as("total_tokens"),
+            sum(when(col("is_assistant"), col("turn_tokens")).otherwise(0L))
+              .as("loss_tokens"))
+          .select(col("source"), col("n_conversations"), col("n_turns"),
+            col("total_tokens"), col("loss_tokens"),
+            (col("loss_tokens").cast("double") /
+              col("total_tokens").cast("double")).as("loss_fraction"))
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id // 4 AS conv,
+                  len($SQL_TOKENS) + 3 AS turn_tokens,
+                  doc_id % 2 = 1 AS is_assistant
+                FROM documents)
+              SELECT source,
+                count(DISTINCT conv) AS n_conversations,
+                count(*) AS n_turns,
+                CAST(sum(turn_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(CASE WHEN is_assistant THEN turn_tokens ELSE 0 END)
+                  AS BIGINT) AS loss_tokens,
+                CAST(sum(CASE WHEN is_assistant THEN turn_tokens ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(turn_tokens) AS DOUBLE)
+                  AS loss_fraction
+              FROM t GROUP BY 1""")
     )
   )
 
