@@ -4627,6 +4627,201 @@ object TextQueries {
                   AS DOUBLE) / CAST(sum(turn_tokens) AS DOUBLE)
                   AS loss_fraction
               FROM t GROUP BY 1""")
+    ),
+
+    // ── DSIR IMPORTANCE RESAMPLING (target-domain data selection) ─────────
+    QueryDef(
+      "q291_dsir_resample",
+      // The data-selection method behind several modern pretraining
+      // mixes (hashed n-gram importance resampling, Xie et al.): weight
+      // every document by how much more likely its features are under a
+      // TARGET domain model than under the general source model, then
+      // keep the top of the distribution. Both models are
+      // hashed-bigram count tables (the q188 fastText trick — bucket
+      // count fixed at NbBuckets, broadcastable at any corpus size);
+      // the log-ratio is the q188 additive ppm proxy (exact integer
+      // division, engine-identical); selection is exact top-1000 by
+      // (weight desc, doc_id). Target = src0; output = where the
+      // selected mass comes from — the composition shift the method
+      // exists to produce.
+      //
+      // Shape, and why it scales: bigrams come from the memoized
+      // [[bigramTable]] (no new corpus scan); the two models are
+      // bucket-grain aggregations attached back as broadcasts; doc
+      // weights are one keyed aggregation; top-k is a distributed
+      // TakeOrdered, never a global window.
+      (s, d) => {
+        val (bg0, _) = bigramTable(s, d)
+        val bg = bg0.filter(col("w1").isNotNull)
+          .select(col("doc_id"), col("source"),
+            (h32(concat(col("w1"), lit(" "), col("w2"))) % NbBuckets)
+              .as("b"))
+        val tgt = bg.filter(col("source") === "src0")
+        val src = bg.filter(col("source") =!= "src0")
+        val tTot = tgt.count()
+        val sTot = src.count()
+        val tm = tgt.groupBy("b").agg(count(lit(1)).as("ct"))
+        val sm = src.groupBy("b").agg(count(lit(1)).as("cs"))
+        val w = bg
+          .join(broadcast(tm), Seq("b"), "left")
+          .join(broadcast(sm), Seq("b"), "left")
+          .withColumn("wt", expr(
+            s"""(1000000 * (coalesce(ct, CAST(0 AS BIGINT)) + 1))
+                div (${tTot}L + $NbBuckets)
+              - (1000000 * (coalesce(cs, CAST(0 AS BIGINT)) + 1))
+                div (${sTot}L + $NbBuckets)"""))
+          .groupBy("doc_id", "source")
+          .agg(sum(col("wt")).as("wppm"))
+        w.orderBy(col("wppm").desc, col("doc_id").asc).limit(1000)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("wppm")).as("sum_weight_ppm"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t
+                FROM documents),
+              bg AS (SELECT doc_id, source,
+                  ${SQL_H32("t[p] || ' ' || t[p+1]")} % $NbBuckets AS b
+                FROM (SELECT doc_id, source, t,
+                    unnest(generate_series(1, len(t) - 1)) AS p
+                  FROM tok WHERE len(t) >= 2)),
+              tt AS (SELECT count(*) AS t_tot FROM bg WHERE source = 'src0'),
+              ts AS (SELECT count(*) AS s_tot FROM bg WHERE source <> 'src0'),
+              tm AS (SELECT b, count(*) AS ct FROM bg WHERE source = 'src0'
+                GROUP BY 1),
+              sm AS (SELECT b, count(*) AS cs FROM bg WHERE source <> 'src0'
+                GROUP BY 1),
+              w AS (SELECT bg.doc_id, bg.source,
+                  CAST(sum((1000000 * (coalesce(ct, 0) + 1))
+                      // (t_tot + $NbBuckets)
+                    - (1000000 * (coalesce(cs, 0) + 1))
+                      // (s_tot + $NbBuckets)) AS BIGINT) AS wppm
+                FROM bg LEFT JOIN tm USING (b) LEFT JOIN sm USING (b)
+                  CROSS JOIN tt CROSS JOIN ts
+                GROUP BY 1, 2),
+              sel AS (SELECT doc_id, source, wppm FROM w
+                ORDER BY wppm DESC, doc_id LIMIT 1000)
+              SELECT source, count(*) AS n_selected,
+                CAST(sum(wppm) AS BIGINT) AS sum_weight_ppm
+              FROM sel GROUP BY 1""")
+    ),
+
+    // ── SHARD BALANCE AUDIT (hash vs size-aware sharding) ─────────────────
+    QueryDef(
+      "q293_shard_balance",
+      // The layout decision behind every materialized corpus: 8 output
+      // shards by HASH (placement-free, but byte-blind) vs by the
+      // SIZE-AWARE systematic walk (q265's arithmetic: shard = floor(
+      // 8·prefix/W) — contiguous AND byte-balanced by construction).
+      // Reported per strategy: exact max/min shard bytes and the spread
+      // as ppm of total — the number that decides whether stragglers
+      // eat the write stage.
+      //
+      // Shape, and why it scales: hash side is one 8-group aggregation;
+      // size-aware side rides [[Shared.distributedPrefixSum]] over the
+      // doc-grain byte line; both fold to 1-row summaries; output is
+      // 2 rows.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars").cast("long").as("nb"))
+        val wTot = docs.agg(sum(col("nb"))).head.getLong(0)
+        def summarize(tag: String, byShard: DataFrame) =
+          byShard.groupBy("shard").agg(sum(col("nb")).as("bytes"))
+            .agg(lit(tag).as("strategy"), count(lit(1)).as("n_shards"),
+              max(col("bytes")).as("max_bytes"),
+              min(col("bytes")).as("min_bytes"))
+            .withColumn("spread_ppm",
+              expr(s"(max_bytes - min_bytes) * 1000000L div ${wTot}L"))
+        val hash = docs.withColumn("shard",
+          h32(col("doc_id").cast("string")) % 8)
+        val sized = Shared.distributedPrefixSum(docs, "doc_id", "nb")
+          .withColumn("shard", expr(s"(8L * cum) div ${wTot}L"))
+        summarize("hash", hash).unionAll(summarize("size_aware", sized))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nb
+                FROM documents),
+              w AS (SELECT sum(nb) AS wt FROM docs),
+              h AS (SELECT ${SQL_H32("CAST(doc_id AS VARCHAR)")} % 8
+                    AS shard, nb
+                FROM docs),
+              hs AS (SELECT shard, sum(nb) AS bytes FROM h GROUP BY 1),
+              pre AS (SELECT doc_id, nb,
+                  coalesce(sum(nb) OVER (ORDER BY doc_id ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM docs),
+              sz AS (SELECT CAST(8 * cum AS BIGINT) // wt AS shard, nb
+                FROM pre CROSS JOIN w),
+              ss AS (SELECT shard, sum(nb) AS bytes FROM sz GROUP BY 1)
+              SELECT 'hash' AS strategy,
+                CAST(count(*) AS BIGINT) AS n_shards,
+                CAST(max(bytes) AS BIGINT) AS max_bytes,
+                CAST(min(bytes) AS BIGINT) AS min_bytes,
+                CAST((max(bytes) - min(bytes)) * 1000000
+                  // (SELECT wt FROM w) AS BIGINT) AS spread_ppm
+              FROM hs
+              UNION ALL
+              SELECT 'size_aware', CAST(count(*) AS BIGINT),
+                CAST(max(bytes) AS BIGINT), CAST(min(bytes) AS BIGINT),
+                CAST((max(bytes) - min(bytes)) * 1000000
+                  // (SELECT wt FROM w) AS BIGINT)
+              FROM ss""")
+    ),
+
+    // ── OOV CURVE (vocabulary-size sweep) ─────────────────────────────────
+    QueryDef(
+      "q294_oov_curve",
+      // The tokenizer-sizing input next to q211's vocabulary-growth
+      // curve: at vocabulary budget V (top-V tokens by frequency), what
+      // fraction of token OCCURRENCES falls out-of-vocabulary? Ranks
+      // come from a vocabulary-bounded COUNT self-join (rank = 1 +
+      // tokens strictly ahead in the (count desc, token asc) total
+      // order) — no window at all, and the join is vocab², not
+      // corpus-sized. OOV rates are exact ppm integer divisions.
+      //
+      // Shape, and why it scales: one corpus scan to token counts
+      // (vocab-bounded), a vocab² broadcast self-join for ranks, a
+      // 3-budget conditional fold; output is 3 rows.
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val ahead = cnt.select(col("w").as("w2"), col("c").as("c2"))
+        val ranked = cnt.join(broadcast(ahead),
+            col("c2") > col("c") ||
+              (col("c2") === col("c") && col("w2") < col("w")), "left")
+          .groupBy("w", "c")
+          .agg((count(col("w2")) + 1L).as("rank"))
+        val tot = cnt.agg(sum(col("c"))).head.getLong(0)
+        val budgets = Seq(8, 16, 24)
+        val aggs = budgets.map(v =>
+          sum(when(col("rank") <= v, col("c")).otherwise(0L))
+            .as(s"cov$v"))
+        ranked.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(budgets.map(v =>
+            struct(lit(v.toLong).as("vocab_budget"),
+              expr(s"(${tot}L - cov$v) * 1000000L div ${tot}L")
+                .as("oov_ppm"))): _*)).as("e"))
+          .select(col("e.vocab_budget").as("vocab_budget"),
+            col("e.oov_ppm").as("oov_ppm"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($SQL_TOKENS) AS w FROM documents),
+              cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+              tot AS (SELECT sum(c) AS t FROM cnt),
+              ranked AS (SELECT a.w, a.c, 1 + count(b.w) AS rank
+                FROM cnt a LEFT JOIN cnt b
+                  ON b.c > a.c OR (b.c = a.c AND b.w < a.w)
+                GROUP BY 1, 2),
+              cov AS (SELECT
+                  sum(CASE WHEN rank <= 8 THEN c ELSE 0 END) AS cov8,
+                  sum(CASE WHEN rank <= 16 THEN c ELSE 0 END) AS cov16,
+                  sum(CASE WHEN rank <= 24 THEN c ELSE 0 END) AS cov24
+                FROM ranked)
+              SELECT CAST(8 AS BIGINT) AS vocab_budget,
+                CAST((t - cov8) * 1000000 // t AS BIGINT) AS oov_ppm
+              FROM cov CROSS JOIN tot
+              UNION ALL SELECT 16, CAST((t - cov16) * 1000000 // t AS BIGINT)
+              FROM cov CROSS JOIN tot
+              UNION ALL SELECT 24, CAST((t - cov24) * 1000000 // t AS BIGINT)
+              FROM cov CROSS JOIN tot""")
     )
   )
 
