@@ -4822,6 +4822,95 @@ object TextQueries {
               FROM cov CROSS JOIN tot
               UNION ALL SELECT 24, CAST((t - cov24) * 1000000 // t AS BIGINT)
               FROM cov CROSS JOIN tot""")
+    ),
+
+    // ── IN-BATCH FALSE-NEGATIVE HYGIENE (contrastive training batches) ────
+    QueryDef(
+      "q292_inbatch_negatives",
+      // The contrastive-training trap q217 guards splits against, at
+      // BATCH granularity: in-batch negatives are only valid if the
+      // batch holds no near-duplicates of the anchor — a near-dup in
+      // the same batch is a FALSE negative that actively teaches the
+      // model to separate the same content. Audited here: naive hash
+      // batching (batch = h32(doc) mod B, size ≈ 32) vs dedup-first
+      // batching (only each near-dup cluster's canonical min-doc
+      // representative is batched). Collision counts come from the
+      // memoized near-dup pair list; the dedup-first count is PROVED 0
+      // by the oracle compare, not assumed.
+      //
+      // Shape, and why it scales: pairs and components ride the
+      // existing memo/fixpoint machinery (pair-graph-sized, not
+      // corpus-sized); batch assignment is a stateless projection; the
+      // audits are keyed joins on the pair list; output is 2 rows.
+      (s, d) => {
+        val jp = jaccardPrefixPairs(s, d).select("d1", "d2")
+        val docs = Tables.documents(s, d).select("doc_id")
+        val n = docs.count()
+        val nb = math.max(n / 32L, 1L)
+        val comps = Shared.minLabelComponents(s,
+          docs.select(col("doc_id").as("id")),
+          jp.select(col("d1").as("a"), col("d2").as("b")))
+        val reps = docs
+          .join(comps.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .withColumn("cl", coalesce(col("comp"), col("doc_id")))
+          .filter(col("doc_id") === col("cl"))
+          .select("doc_id")
+        def audit(tag: String, pop: DataFrame) = {
+          val asg = pop.withColumn("batch",
+            h32(col("doc_id").cast("string")) % nb)
+          val coll = jp
+            .join(asg.select(col("doc_id").as("d1"), col("batch").as("b1")),
+              "d1")
+            .join(asg.select(col("doc_id").as("d2"), col("batch").as("b2")),
+              "d2")
+            .filter(col("b1") === col("b2"))
+          val cc = coll.agg(count(lit(1)).as("n_pair_collisions"),
+            countDistinct(col("b1")).as("n_contaminated_batches")).head
+          (tag, asg.count(), cc.getLong(0), cc.getLong(1))
+        }
+        val rows = Seq(audit("naive", docs), audit("dedup_first", reps))
+        import s.implicits._
+        rows.toDF("strategy", "n_docs_batched", "n_pair_collisions",
+          "n_contaminated_batches")
+      },
+      Some(s"""WITH RECURSIVE ${SQL_JPAIR_CTES.stripPrefix("WITH ")},
+              docs AS (SELECT doc_id FROM documents),
+              nb AS (SELECT greatest(count(*) // 32, 1) AS nb FROM docs),
+              wedges AS (SELECT d1 AS a, d2 AS b FROM jp
+                         UNION ALL SELECT d2, d1 FROM jp),
+              reach AS (SELECT doc_id AS id, doc_id AS r FROM docs
+                        UNION
+                        SELECT e.b, reach.r FROM reach
+                          JOIN wedges e ON e.a = reach.id),
+              comp AS (SELECT id AS doc_id, min(r) AS cl
+                       FROM reach GROUP BY 1),
+              reps AS (SELECT doc_id FROM comp WHERE doc_id = cl),
+              na AS (SELECT doc_id,
+                  ${SQL_H32("CAST(doc_id AS VARCHAR)")} % nb AS batch
+                FROM docs CROSS JOIN nb),
+              nc AS (SELECT count(*) AS pc,
+                  count(DISTINCT a1.batch) AS cb
+                FROM jp JOIN na a1 ON jp.d1 = a1.doc_id
+                  JOIN na a2 ON jp.d2 = a2.doc_id
+                WHERE a1.batch = a2.batch),
+              da AS (SELECT doc_id,
+                  ${SQL_H32("CAST(doc_id AS VARCHAR)")} % nb AS batch
+                FROM reps CROSS JOIN nb),
+              dc AS (SELECT count(*) AS pc,
+                  count(DISTINCT a1.batch) AS cb
+                FROM jp JOIN da a1 ON jp.d1 = a1.doc_id
+                  JOIN da a2 ON jp.d2 = a2.doc_id
+                WHERE a1.batch = a2.batch)
+              SELECT 'naive' AS strategy,
+                (SELECT count(*) FROM docs) AS n_docs_batched,
+                CAST(pc AS BIGINT) AS n_pair_collisions,
+                CAST(cb AS BIGINT) AS n_contaminated_batches
+              FROM nc
+              UNION ALL
+              SELECT 'dedup_first', (SELECT count(*) FROM reps),
+                CAST(pc AS BIGINT), CAST(cb AS BIGINT)
+              FROM dc""")
     )
   )
 
