@@ -2569,6 +2569,174 @@ object EventQueries {
                 200.0 * abs(forecast - CAST(actual AS DOUBLE)) /
                   (abs(forecast) + CAST(actual AS DOUBLE)) AS smape_pct
               FROM fc JOIN act ON fc.event_type = act.event_type""")
+    ),
+
+    // ── KAPLAN-MEIER SURVIVAL CURVE (right-censored retention) ────────────
+    QueryDef(
+      "q295_kaplan_meier",
+      // The survival-analysis estimator behind every honest retention
+      // curve: users whose last activity touches the observation
+      // horizon are CENSORED (still alive — counting them as churned is
+      // the classic retention-dashboard bias), and S(t) multiplies
+      // exact per-time hazards (1 − d_t/n_t) over the event times up to
+      // t. Lifetimes and risk sets are exact integers on the day grain;
+      // the product folds LEFT-TO-RIGHT over ascending lifetimes in
+      // both engines (the fsum discipline, multiplicative), so the
+      // curve is bit-deterministic.
+      //
+      // Shape, and why it scales: one fact pass to user grain, one to
+      // the lifetime grain (time-bounded, model-sized); risk sets via
+      // [[Shared.distributedPrefixSum]]; the grain collects once as a
+      // 1-row broadcast model array for the fold. Output is one row
+      // per distinct lifetime.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val life = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+          .groupBy("user_id")
+          .agg(min(col("day")).as("first"), max(col("day")).as("last"))
+        val hmax = life.agg(max(col("last"))).head.getLong(0)
+        val grain = life
+          .select((col("last") - col("first")).as("t"),
+            (col("last") === hmax).cast("long").as("cens"))
+          .groupBy("t").agg(
+            sum(lit(1L) - col("cens")).as("d"),
+            sum(col("cens")).as("c"))
+          .withColumn("tot", col("d") + col("c"))
+          .checkpoint()
+        val n = grain.agg(sum(col("tot"))).head.getLong(0)
+        val pre = Shared.distributedPrefixSum(grain, "t", "tot")
+          .withColumn("n_at_risk", lit(n) - col("cum"))
+        val model = pre.agg(sort_array(collect_list(
+            struct(col("t"), col("d"), col("n_at_risk").as("n"))))
+          .as("arr"))
+        pre.crossJoin(broadcast(model))
+          .select(col("t"), col("n_at_risk"), col("d").as("n_events"),
+            col("c").as("n_censored"),
+            expr("""aggregate(
+                filter(arr, e -> e.t <= t AND e.d > 0),
+                CAST(1.0 AS DOUBLE),
+                (acc, e) -> acc * (CAST(1.0 AS DOUBLE)
+                  - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)))""")
+              .as("survival"))
+      },
+      Some("""WITH life AS (SELECT user_id,
+                  min(epoch_us(ts) // 86400000000) AS f,
+                  max(epoch_us(ts) // 86400000000) AS l
+                FROM events GROUP BY 1),
+              hm AS (SELECT max(l) AS hmax FROM life),
+              grain AS (SELECT l - f AS t,
+                  sum(CASE WHEN l = hmax THEN 0 ELSE 1 END) AS d,
+                  sum(CASE WHEN l = hmax THEN 1 ELSE 0 END) AS c
+                FROM life CROSS JOIN hm GROUP BY 1),
+              tot AS (SELECT sum(d + c) AS n FROM grain),
+              pre AS (SELECT t, d, c,
+                  n - coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+                FROM grain CROSS JOIN tot)
+              SELECT g.t, CAST(g.n_at_risk AS BIGINT) AS n_at_risk,
+                CAST(g.d AS BIGINT) AS n_events,
+                CAST(g.c AS BIGINT) AS n_censored,
+                coalesce((SELECT list_aggregate(
+                    list(1.0 - CAST(g2.d AS DOUBLE) / CAST(g2.n_at_risk
+                      AS DOUBLE) ORDER BY g2.t),
+                    'product')
+                  FROM pre g2 WHERE g2.t <= g.t AND g2.d > 0),
+                  1.0) AS survival
+              FROM pre g""")
+    ),
+
+    // ── STICKINESS (DAU/MAU without a range join) ─────────────────────────
+    QueryDef(
+      "q297_stickiness",
+      // The product-health ratio on every growth dashboard: daily
+      // actives over trailing-30-day actives. The naive plan is a
+      // day×user range join (every day probing a 30-day window); here
+      // each (day, user) activity row instead EXPLODES to the ≤30
+      // observation days it contributes to — a stateless bounded-
+      // fan-out projection — and MAU becomes a plain distinct count
+      // per observation day. Exact integers; the ratio is an exact
+      // ppm division.
+      //
+      // Shape, and why it scales: one fact pass to (day, user) grain,
+      // one bounded explode (×30 on the DAY-grain activity table, not
+      // the raw facts), two hash distinct-aggregations; no range join,
+      // no window; output is day-bounded.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val du = Tables.events(s, d)
+          .select(expr(s"ts div ${dayNs}L").as("day"), col("user_id"))
+          .distinct()
+        val hmax = du.agg(max(col("day"))).head.getLong(0)
+        val dau = du.groupBy("day")
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val mau = du
+          .select(explode(sequence(col("day"),
+            least(col("day") + 29, lit(hmax)))).as("obs_day"),
+            col("user_id"))
+          .groupBy("obs_day")
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, dau("day") === mau("obs_day"))
+          .select(col("day"), col("dau"), col("mau"),
+            expr("dau * 1000000L div mau").as("stickiness_ppm"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT
+                  epoch_us(ts) // 86400000000 AS day, user_id
+                FROM events),
+              hm AS (SELECT max(day) AS hmax FROM du),
+              dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                FROM du GROUP BY 1),
+              mau AS (SELECT obs_day, count(DISTINCT user_id) AS mau
+                FROM (SELECT unnest(generate_series(day,
+                      least(day + 29, hmax))) AS obs_day, user_id
+                  FROM du CROSS JOIN hm)
+                GROUP BY 1)
+              SELECT day, CAST(dau AS BIGINT) AS dau,
+                CAST(mau AS BIGINT) AS mau,
+                CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+              FROM dau JOIN mau ON dau.day = mau.obs_day""")
+    ),
+
+    // ── ERROR-BUDGET BURN (SLO accounting) ────────────────────────────────
+    QueryDef(
+      "q298_error_budget",
+      // The SRE ledger over the event stream: against a 1% error-rate
+      // SLO, how much budget does each day burn, and what is the
+      // cumulative position? Exact integer bookkeeping in hundredths
+      // of an event (excess×100 = errors·100 − total — positive means
+      // over budget that day), so the running ledger never touches
+      // floating point; the daily rate reports as exact ppm.
+      //
+      // Shape, and why it scales: one fact pass to day grain; the
+      // running ledger is [[Shared.distributedPrefixSum]] over the
+      // time-bounded day table; output is day-bounded.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val days = Tables.events(s, d)
+          .select(expr(s"ts div ${dayNs}L").as("day"),
+            (col("event_type") === "error").cast("long").as("isErr"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"), sum(col("isErr")).as("n_err"))
+          .withColumn("excess_x100", col("n_err") * 100 - col("n"))
+          .checkpoint()
+        Shared.distributedPrefixSum(days, "day", "excess_x100")
+          .select(col("day"), col("n"), col("n_err"),
+            expr("n_err * 1000000L div n").as("err_ppm"),
+            col("excess_x100"),
+            (col("cum") + col("excess_x100")).as("cum_excess_x100"))
+      },
+      Some("""WITH days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS n,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS n_err
+                FROM events GROUP BY 1)
+              SELECT day, CAST(n AS BIGINT) AS n,
+                CAST(n_err AS BIGINT) AS n_err,
+                CAST(n_err * 1000000 // n AS BIGINT) AS err_ppm,
+                CAST(n_err * 100 - n AS BIGINT) AS excess_x100,
+                CAST(sum(n_err * 100 - n) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_excess_x100
+              FROM days""")
     )
   )
 }

@@ -4911,6 +4911,57 @@ object TextQueries {
               SELECT 'dedup_first', (SELECT count(*) FROM reps),
                 CAST(pc AS BIGINT), CAST(cb AS BIGINT)
               FROM dc""")
+    ),
+
+    // ── DUP-CLUSTER SIZE HISTOGRAM (the dedup power-law readout) ──────────
+    QueryDef(
+      "q296_cluster_size_histogram",
+      // The one-glance answer to "how duplicated is this corpus":
+      // near-dup cluster sizes log₂-binned (1, 2, 3-4, 5-8, 9-16, 17+)
+      // with cluster and document mass per bin — the heavy-tail
+      // readout that decides whether dedup is worth a pipeline stage
+      // and how much it will remove. Clusters are the q217/q73
+      // transitive closure over the memoized pair graph; singletons
+      // count as size-1 clusters.
+      //
+      // Shape, and why it scales: the component fixpoint runs on the
+      // pair graph (orders of magnitude smaller than the corpus);
+      // sizes are one label-grain aggregation; binning is a stateless
+      // CASE; output is ≤ 6 rows.
+      (s, d) => {
+        val jp = jaccardPrefixPairs(s, d).select("d1", "d2")
+        val docs = Tables.documents(s, d).select("doc_id")
+        val comps = Shared.minLabelComponents(s,
+          docs.select(col("doc_id").as("id")),
+          jp.select(col("d1").as("a"), col("d2").as("b")))
+        val sizes = docs
+          .join(comps.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .withColumn("cl", coalesce(col("comp"), col("doc_id")))
+          .groupBy("cl").agg(count(lit(1)).as("sz"))
+        sizes.withColumn("bin",
+            when(col("sz") === 1, "1").when(col("sz") === 2, "2")
+              .when(col("sz") <= 4, "3-4").when(col("sz") <= 8, "5-8")
+              .when(col("sz") <= 16, "9-16").otherwise("17+"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      },
+      Some(s"""WITH RECURSIVE ${SQL_JPAIR_CTES.stripPrefix("WITH ")},
+              docs AS (SELECT doc_id FROM documents),
+              wedges AS (SELECT d1 AS a, d2 AS b FROM jp
+                         UNION ALL SELECT d2, d1 FROM jp),
+              reach AS (SELECT doc_id AS id, doc_id AS r FROM docs
+                        UNION
+                        SELECT e.b, reach.r FROM reach
+                          JOIN wedges e ON e.a = reach.id),
+              comp AS (SELECT id, min(r) AS cl FROM reach GROUP BY 1),
+              sizes AS (SELECT cl, count(*) AS sz FROM comp GROUP BY 1)
+              SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+                  WHEN sz <= 4 THEN '3-4' WHEN sz <= 8 THEN '5-8'
+                  WHEN sz <= 16 THEN '9-16' ELSE '17+' END AS bin,
+                count(*) AS n_clusters,
+                CAST(sum(sz) AS BIGINT) AS n_docs
+              FROM sizes GROUP BY 1""")
     )
   )
 
