@@ -2737,6 +2737,55 @@ object EventQueries {
                 CAST(sum(n_err * 100 - n) OVER (ORDER BY day
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_excess_x100
               FROM days""")
+    ),
+
+    // ── WILSON SCORE INTERVALS (honest small-n proportions) ───────────────
+    QueryDef(
+      "q299_wilson_ci",
+      // The proportion interval a metrics platform should ship instead
+      // of the Wald ±z√(p(1−p)/n) taught in intro stats — Wald
+      // collapses to zero width at p̂∈{0,1} and undercovers badly at
+      // small n; Wilson (1927) stays calibrated. Computed per event
+      // type on its share of traffic, z = 1.96. Counts are exact
+      // BIGINTs; the interval is ONE pinned expression whose text is
+      // shared verbatim between the Spark `expr` and the oracle SQL,
+      // so every IEEE operation sequence is identical by construction.
+      //
+      // Shape, and why it scales: one 5-group aggregation + a 1-row
+      // total broadcast; output is type-bounded.
+      (s, d) => {
+        val byType = Tables.events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("x"))
+        val tot = byType.agg(sum(col("x")).as("n"))
+        byType.crossJoin(broadcast(tot))
+          .withColumn("p_hat", expr(WilsonSql.pHat))
+          .withColumn("ci_lo", expr(WilsonSql.lo))
+          .withColumn("ci_hi", expr(WilsonSql.hi))
+          .select("event_type", "x", "n", "p_hat", "ci_lo", "ci_hi")
+      },
+      Some(s"""WITH bt AS (SELECT event_type, count(*) AS x
+                FROM events GROUP BY 1),
+              tot AS (SELECT CAST(sum(x) AS BIGINT) AS n FROM bt)
+              SELECT event_type, CAST(x AS BIGINT) AS x, n,
+                ${WilsonSql.pHat} AS p_hat,
+                ${WilsonSql.lo} AS ci_lo,
+                ${WilsonSql.hi} AS ci_hi
+              FROM bt CROSS JOIN tot""")
     )
   )
+
+  /** Wilson interval expression TEXT, shared verbatim between the Spark
+    * `expr(...)` and the DuckDB oracle so the IEEE operation sequence is
+    * identical by construction (z = 1.96, z² = 3.8416 as literals).
+    */
+  private object WilsonSql {
+    val pHat = "CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+    private def center(sign: String) =
+      s"""((($pHat + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+          $sign 1.96 * sqrt($pHat * (1.0 - $pHat) / CAST(n AS DOUBLE)
+            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+          / (1.0 + 3.8416 / CAST(n AS DOUBLE)))"""
+    val lo = center("-")
+    val hi = center("+")
+  }
 }

@@ -4962,6 +4962,112 @@ object TextQueries {
                 count(*) AS n_clusters,
                 CAST(sum(sz) AS BIGINT) AS n_docs
               FROM sizes GROUP BY 1""")
+    ),
+
+    // ── RELEASE FUNNEL (the corpus-release capstone) ──────────────────────
+    QueryDef(
+      "q300_release_funnel",
+      // The number-300 capstone: the five-stage funnel a corpus release
+      // actually walks — raw → quality gate (q33's rule) → exact dedup
+      // (q30's normalized-md5, keep min doc) → near-dedup (cluster
+      // canonical reps over the q212 pair graph, minimum among the
+      // stage's survivors) → decontamination (drop the benchmark source
+      // and every doc sharing ANY 3-shingle with it, q89/q259's rule) —
+      // with doc and char mass at every stage. Every rule is shared
+      // VERBATIM with its standalone operator, so the funnel can never
+      // drift from the audits it summarizes (the q259 dataset-card
+      // contract, extended to the apply path).
+      //
+      // Shape, and why it scales: each stage is a keyed join/filter on
+      // the previous survivors (semi/anti + min-per-group — no windows);
+      // pairs and shingles ride the existing memos; the five stage
+      // summaries are model-sized scalar probes; output is 5 rows.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+        val qual = docs.filter(length(col("text")).between(100, 400) &&
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * 4 >
+            length(col("text")) * 3)
+        val qh = qual.withColumn("h",
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+        val exact = qh
+          .join(qh.groupBy("h").agg(min(col("doc_id")).as("mn")), "h")
+          .filter(col("doc_id") === col("mn"))
+          .select("doc_id", "source", "n_chars", "text")
+        val jp = jaccardPrefixPairs(s, d).select("d1", "d2")
+        val comps = Shared.minLabelComponents(s,
+          docs.select(col("doc_id").as("id")),
+          jp.select(col("d1").as("a"), col("d2").as("b")))
+        val wcl = exact
+          .join(comps.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .withColumn("cl", coalesce(col("comp"), col("doc_id")))
+        val near = wcl
+          .join(wcl.groupBy("cl").agg(min(col("doc_id")).as("mnc")), "cl")
+          .filter(col("doc_id") === col("mnc"))
+          .select("doc_id", "source", "n_chars")
+        val sh = withShingles(s, d, nonEmpty = true)
+          .select(col("doc_id"), col("source"), explode(col("sh")).as("s3"))
+        val benchSh = sh.filter(col("source") === "src0")
+          .select("s3").distinct()
+        val overlap = sh.join(broadcast(benchSh), Seq("s3"), "left_semi")
+          .select("doc_id").distinct()
+        val decon = near.filter(col("source") =!= "src0")
+          .join(overlap, Seq("doc_id"), "left_anti")
+        def st(tag: String, df: DataFrame) = {
+          val r = df.agg(count(lit(1)),
+            coalesce(sum(col("n_chars")), lit(0L))).head
+          (tag, r.getLong(0), r.getLong(1))
+        }
+        val rows = Seq(st("1_raw", docs), st("2_quality", qual),
+          st("3_exact_dedup", exact), st("4_near_dedup", near),
+          st("5_decontaminated", decon))
+        import s.implicits._
+        rows.toDF("stage", "n_docs", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE ${SQL_JPAIR_CTES.stripPrefix("WITH ")},
+              docs AS (SELECT doc_id, source, n_chars, text FROM documents),
+              qual AS (SELECT * FROM docs
+                WHERE length(text) BETWEEN 100 AND 400
+                  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 4
+                    > length(text) * 3),
+              qh AS (SELECT *,
+                  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+                FROM qual),
+              exact AS (SELECT qh.* FROM qh
+                JOIN (SELECT h, min(doc_id) AS mn FROM qh GROUP BY 1) m
+                  ON qh.h = m.h AND qh.doc_id = m.mn),
+              wedges AS (SELECT d1 AS a, d2 AS b FROM jp
+                         UNION ALL SELECT d2, d1 FROM jp),
+              reach AS (SELECT doc_id AS id, doc_id AS r FROM docs
+                        UNION
+                        SELECT e2.b, reach.r FROM reach
+                          JOIN wedges e2 ON e2.a = reach.id),
+              comp AS (SELECT id, min(r) AS cl FROM reach GROUP BY 1),
+              wcl AS (SELECT exact.*, comp.cl FROM exact
+                JOIN comp ON exact.doc_id = comp.id),
+              near AS (SELECT wcl.* FROM wcl
+                JOIN (SELECT cl, min(doc_id) AS mnc FROM wcl GROUP BY 1) m
+                  ON wcl.cl = m.cl AND wcl.doc_id = m.mnc),
+              shx AS (SELECT s.doc_id, d2.source, unnest(s.sh) AS s3
+                FROM shingled s JOIN docs d2 ON s.doc_id = d2.doc_id
+                WHERE len(s.sh) > 0),
+              bsh AS (SELECT DISTINCT s3 FROM shx WHERE source = 'src0'),
+              ovl AS (SELECT DISTINCT doc_id FROM shx
+                WHERE s3 IN (SELECT s3 FROM bsh)),
+              decon AS (SELECT * FROM near WHERE source <> 'src0'
+                AND doc_id NOT IN (SELECT doc_id FROM ovl))
+              SELECT '1_raw' AS stage, count(*) AS n_docs,
+                CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars
+              FROM docs
+              UNION ALL SELECT '2_quality', count(*),
+                CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM qual
+              UNION ALL SELECT '3_exact_dedup', count(*),
+                CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM exact
+              UNION ALL SELECT '4_near_dedup', count(*),
+                CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM near
+              UNION ALL SELECT '5_decontaminated', count(*),
+                CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM decon""")
     )
   )
 
