@@ -2771,8 +2771,271 @@ object EventQueries {
                 ${WilsonSql.lo} AS ci_lo,
                 ${WilsonSql.hi} AS ci_hi
               FROM bt CROSS JOIN tot""")
+    ),
+
+    // ── POST-STRATIFICATION ATE (observational effect estimation) ─────────
+    QueryDef(
+      "q301_post_stratification",
+      // The first causal-inference correction every observational
+      // comparison needs: the naive treated-vs-control difference
+      // confounds with activity level, so standardize — estimate the
+      // effect within activity strata and recombine under the
+      // POPULATION stratum weights (direct standardization, the
+      // closed-form cousin of inverse-propensity weighting).
+      // Assignment is the q285 h32 arm; outcome is per-user purchase
+      // cents; strata are event-count buckets. All sums exact BIGINTs;
+      // each stratum mean and the two estimates are pinned double
+      // arithmetic.
+      //
+      // Shape, and why it scales: one fact pass to user grain, one
+      // stratum-grain aggregation (bounded buckets), a 1-row fold;
+      // output is 1 row.
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"),
+            sum(when(col("event_type") === "purchase",
+              (col("value").cast(org.apache.spark.sql.types
+                .DecimalType(18, 2)) * 100).cast("long")).otherwise(0L))
+              .as("y"))
+          .select(
+            (Shared.h32(col("user_id").cast("string")) % 2).as("arm"),
+            when(col("n_ev") < 30, 0).when(col("n_ev") < 60, 1)
+              .otherwise(2).as("stratum"),
+            col("y"))
+        val st = u.groupBy("stratum").agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("y1"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("y0"))
+        st.agg(
+            sum(col("n1")).as("n_treated"), sum(col("n0")).as("n_control"),
+            sum(col("y1")).as("sy1"), sum(col("y0")).as("sy0"),
+            sum(expr("""(CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                * CAST(n1 + n0 AS DOUBLE)""")).as("wsum"),
+            sum(col("n1") + col("n0")).as("ntot"))
+          .select(col("n_treated"), col("n_control"),
+            expr("""CAST(sy1 AS DOUBLE) / CAST(n_treated AS DOUBLE)
+              - CAST(sy0 AS DOUBLE) / CAST(n_control AS DOUBLE)""")
+              .as("naive_diff_cents"),
+            expr("wsum / CAST(ntot AS DOUBLE)").as("post_strat_ate_cents"))
+      },
+      Some("""WITH u AS (SELECT
+                  CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 2 AS arm,
+                  CASE WHEN count(*) < 30 THEN 0
+                    WHEN count(*) < 60 THEN 1 ELSE 2 END AS stratum,
+                  sum(CASE WHEN event_type = 'purchase' THEN
+                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS y
+                FROM events GROUP BY user_id),
+              st AS (SELECT stratum,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                  sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS y1,
+                  sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS y0
+                FROM u GROUP BY 1),
+              f AS (SELECT sum(n1) AS n_treated, sum(n0) AS n_control,
+                  sum(y1) AS sy1, sum(y0) AS sy0,
+                  sum((CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                    * CAST(n1 + n0 AS DOUBLE)) AS wsum,
+                  sum(n1 + n0) AS ntot
+                FROM st)
+              SELECT CAST(n_treated AS BIGINT) AS n_treated,
+                CAST(n_control AS BIGINT) AS n_control,
+                CAST(sy1 AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                  - CAST(sy0 AS DOUBLE) / CAST(n_control AS DOUBLE)
+                  AS naive_diff_cents,
+                wsum / CAST(ntot AS DOUBLE) AS post_strat_ate_cents
+              FROM f""")
+    ),
+
+    // ── CONSISTENT-HASHING REBALANCE AUDIT (ring vs mod-N) ────────────────
+    QueryDef(
+      "q302_consistent_hashing",
+      // The systems argument for hash rings, MEASURED: when the shard
+      // count grows 8 → 9, mod-N remaps ~8/9 of all keys (every
+      // residue shifts) while a consistent-hash ring with 16 vnodes
+      // per shard remaps ~1/9 (only keys whose clockwise successor
+      // changed). Ring assignment = the lexicographic minimum of
+      // (no-vnode-≥-key flag, vnode hash, shard) over the broadcast
+      // vnode table — the wraparound rule as a pure integer struct
+      // min, no ordering, no window. Output: per scheme, exact keys
+      // remapped and the ppm rate.
+      //
+      // Shape, and why it scales: keys are the distinct-user grain; the
+      // ring is a (shards×vnodes)-row broadcast; assignment is one
+      // keyed aggregation per ring size; the mod scheme is a stateless
+      // projection. Output is 2 rows.
+      (s, d) => {
+        val keys = Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id"),
+            Shared.h32(col("user_id").cast("string")).as("kh"))
+        def ring(n: Int): DataFrame = {
+          import s.implicits._
+          (0 until n).flatMap(sh => (0 until 16).map(v => (sh.toLong,
+            s"$sh:$v"))).toDF("shard", "vn")
+            .select(col("shard"), Shared.h32(col("vn")).as("vh"))
+        }
+        def assign(n: Int, out: String): DataFrame =
+          keys.crossJoin(broadcast(ring(n)))
+            .groupBy("user_id")
+            .agg(min(struct(
+              when(col("vh") >= col("kh"), 0).otherwise(1).as("wrap"),
+              col("vh"), col("shard"))).getField("shard").as(out))
+        val ringMoved = assign(8, "s8").join(assign(9, "s9"), "user_id")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+              .as("n_remapped"))
+        val modMoved = keys
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("kh") % 8 =!= col("kh") % 9, 1L).otherwise(0L))
+              .as("n_remapped"))
+        import s.implicits._
+        modMoved.select(lit("mod_n").as("scheme"), col("n_keys"),
+            col("n_remapped"))
+          .unionAll(ringMoved.select(lit("ring_16vn").as("scheme"),
+            col("n_keys"), col("n_remapped")))
+          .withColumn("remap_ppm",
+            expr("n_remapped * 1000000L div n_keys"))
+      },
+      Some(s"""WITH keys AS (SELECT user_id,
+                  ${Shared.SQL_H32("CAST(user_id AS VARCHAR)")} AS kh
+                FROM (SELECT DISTINCT user_id FROM events)),
+              ring8 AS (SELECT sh AS shard,
+                  ${Shared.SQL_H32("sh || ':' || v")} AS vh
+                FROM range(0, 8) r(sh), range(0, 16) q(v)),
+              ring9 AS (SELECT sh AS shard,
+                  ${Shared.SQL_H32("sh || ':' || v")} AS vh
+                FROM range(0, 9) r(sh), range(0, 16) q(v)),
+              a8 AS (SELECT user_id,
+                  (min(struct_pack(wrap := CASE WHEN vh >= kh THEN 0
+                    ELSE 1 END, vh := vh, shard := shard))).shard AS s8
+                FROM keys CROSS JOIN ring8 GROUP BY 1),
+              a9 AS (SELECT user_id,
+                  (min(struct_pack(wrap := CASE WHEN vh >= kh THEN 0
+                    ELSE 1 END, vh := vh, shard := shard))).shard AS s9
+                FROM keys CROSS JOIN ring9 GROUP BY 1),
+              rng AS (SELECT count(*) AS n_keys,
+                  sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS n_remapped
+                FROM a8 JOIN a9 USING (user_id)),
+              md AS (SELECT count(*) AS n_keys,
+                  sum(CASE WHEN kh % 8 <> kh % 9 THEN 1 ELSE 0 END)
+                    AS n_remapped
+                FROM keys)
+              SELECT 'mod_n' AS scheme, CAST(n_keys AS BIGINT) AS n_keys,
+                CAST(n_remapped AS BIGINT) AS n_remapped,
+                CAST(n_remapped * 1000000 // n_keys AS BIGINT) AS remap_ppm
+              FROM md
+              UNION ALL
+              SELECT 'ring_16vn', CAST(n_keys AS BIGINT),
+                CAST(n_remapped AS BIGINT),
+                CAST(n_remapped * 1000000 // n_keys AS BIGINT)
+              FROM rng""")
+    ),
+
+    // ── CUPED VARIANCE REDUCTION (pre-period covariate adjustment) ────────
+    QueryDef(
+      "q303_cuped",
+      // The experimentation-platform technique that cut A/B runtimes
+      // industry-wide (Deng et al. 2013): adjust each user's outcome by
+      // their PRE-period behavior, y* = y − θ(x − x̄), θ = cov(x,y)/
+      // var(x) — same expectation, variance shrunk by ρ². The algebra
+      // collapses to exact moment sums (Σx, Σy, Σxy, Σx² as BIGINTs —
+      // the q59 discipline), so θ, both arm contrasts, and the
+      // variance-reduction factor are pinned doubles; no per-user
+      // double pass exists at all.
+      //
+      // Shape, and why it scales: one fact pass to user grain (pre/post
+      // split on the day midpoint), one scalar moment fold + one 2-arm
+      // fold; output is 1 row.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val u = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"),
+            when(col("event_type") === "purchase",
+              (col("value").cast(org.apache.spark.sql.types
+                .DecimalType(18, 2)) * 100).cast("long")).otherwise(0L)
+              .as("c"))
+          .groupBy("user_id")
+          .agg(sum(when(col("day") - 19723L < 15, col("c")).otherwise(0L))
+              .as("x"),
+            sum(when(col("day") - 19723L >= 15, col("c")).otherwise(0L))
+              .as("y"))
+          .withColumn("arm", Shared.h32(col("user_id").cast("string")) % 2)
+        val m = u.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("y1"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("y0"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("x1"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("x0"))
+        m.select(col("n"),
+          expr(CupedSql.theta).as("theta"),
+          expr(CupedSql.naive).as("diff_naive_cents"),
+          expr(CupedSql.adjusted).as("diff_cuped_cents"),
+          expr(CupedSql.rho2).as("rho2"))
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+                  sum(CASE WHEN epoch_us(ts) // 86400000000 - 19723 < 15
+                    THEN CASE WHEN event_type = 'purchase' THEN
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ELSE 0 END ELSE 0 END) AS x,
+                  sum(CASE WHEN epoch_us(ts) // 86400000000 - 19723 >= 15
+                    THEN CASE WHEN event_type = 'purchase' THEN
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ELSE 0 END ELSE 0 END) AS y,
+                  ${Shared.SQL_H32("CAST(user_id AS VARCHAR)")} % 2 AS arm
+                FROM events GROUP BY user_id),
+              m AS (SELECT count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                  sum(x*x) AS sxx, sum(y*y) AS syy,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                  sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS y1,
+                  sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS y0,
+                  sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS x1,
+                  sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS x0
+                FROM u)
+              SELECT CAST(n AS BIGINT) AS n,
+                ${CupedSql.theta} AS theta,
+                ${CupedSql.naive} AS diff_naive_cents,
+                ${CupedSql.adjusted} AS diff_cuped_cents,
+                ${CupedSql.rho2} AS rho2
+              FROM m""")
     )
   )
+
+  /** CUPED expression TEXT shared verbatim between Spark and the oracle
+    * (the q299 WilsonSql pattern): θ, both contrasts, and ρ² from exact
+    * moment sums, identical IEEE sequences by construction.
+    */
+  private object CupedSql {
+    private val covxy =
+      """(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE))"""
+    private val varx =
+      """(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          / CAST(n AS DOUBLE))"""
+    private val vary =
+      """(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE))"""
+    val theta = s"$covxy / $varx"
+    val naive =
+      """(CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE))"""
+    val adjusted =
+      s"""($naive - $theta *
+          (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"""
+    val rho2 = s"($covxy * $covxy) / ($varx * $vary)"
+  }
 
   /** Wilson interval expression TEXT, shared verbatim between the Spark
     * `expr(...)` and the DuckDB oracle so the IEEE operation sequence is

@@ -5068,6 +5068,72 @@ object TextQueries {
                 CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM near
               UNION ALL SELECT '5_decontaminated', count(*),
                 CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM decon""")
+    ),
+
+    // ── RAKING / IPF (marginal-matched corpus reweighting) ────────────────
+    QueryDef(
+      "q304_raking",
+      // The survey-statistics reweighting (iterative proportional
+      // fitting, Deming-Stephan 1940) a corpus builder uses to hit TWO
+      // marginal targets at once — here: equal mass per source AND
+      // equal mass per language — without destroying the joint
+      // structure. Three unrolled scaling rounds (rows → cols → rows,
+      // the q254 unrolled-state-machine discipline) in EXACT integer
+      // milli-weights: every scale step is (w · target) div marginal —
+      // deterministic truncation both engines compute identically, and
+      // integer SUMS are order-free where double sums would not be.
+      //
+      // Shape, and why it scales: the joint table is (sources ×
+      // languages)-bounded — a model-sized grain at any corpus scale —
+      // and each round is one grain aggregation + one broadcast-back
+      // join; weights stay < 2^63 up to ~10⁹-doc corpora (then the
+      // same ladder runs in coarser units).
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        val t = g.agg(sum(col("n")).cast("long"),
+          countDistinct(col("source")), countDistinct(col("lang"))).head
+        val (nTot, nSrc, nLang) = (t.getLong(0), t.getLong(1), t.getLong(2))
+        val ts = nTot * 1000L / nSrc
+        val cl = nTot * 1000L / nLang
+        def scaleBy(df: DataFrame, w: String, key: String, target: Long,
+            out: String): DataFrame = {
+          val m = df.groupBy(key).agg(sum(col(w)).as("__m"))
+          df.join(broadcast(m), key)
+            .withColumn(out, expr(s"($w * ${target}L) div __m"))
+            .drop("__m")
+        }
+        val w0 = g.withColumn("w0", col("n") * 1000L)
+        val w1 = scaleBy(w0, "w0", "source", ts, "w1")
+        val w2 = scaleBy(w1, "w1", "lang", cl, "w2")
+        val w3 = scaleBy(w2, "w2", "source", ts, "w3")
+        w3.select(col("source"), col("lang"), col("n"),
+          col("w3").as("w_milli"))
+      },
+      Some("""WITH g AS (SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY 1, 2),
+              t AS (SELECT sum(n) AS ntot,
+                  count(DISTINCT source) AS ns,
+                  count(DISTINCT lang) AS nl
+                FROM g),
+              tg AS (SELECT ntot * 1000 // ns AS ts,
+                  ntot * 1000 // nl AS cl FROM t),
+              w0 AS (SELECT source, lang, n, n * 1000 AS w FROM g),
+              r0 AS (SELECT source, sum(w) AS m FROM w0 GROUP BY 1),
+              w1 AS (SELECT w0.source, lang, n,
+                  (w * ts) // m AS w
+                FROM w0 JOIN r0 ON w0.source = r0.source CROSS JOIN tg),
+              c1 AS (SELECT lang, sum(w) AS m FROM w1 GROUP BY 1),
+              w2 AS (SELECT source, w1.lang, n,
+                  (w * cl) // m AS w
+                FROM w1 JOIN c1 ON w1.lang = c1.lang CROSS JOIN tg),
+              r2 AS (SELECT source, sum(w) AS m FROM w2 GROUP BY 1),
+              w3 AS (SELECT w2.source, lang, n,
+                  (w * ts) // m AS w
+                FROM w2 JOIN r2 ON w2.source = r2.source CROSS JOIN tg)
+              SELECT source, lang, CAST(n AS BIGINT) AS n,
+                CAST(w AS BIGINT) AS w_milli
+              FROM w3""")
     )
   )
 
