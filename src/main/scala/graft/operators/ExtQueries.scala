@@ -1098,6 +1098,209 @@ object ExtQueries {
               FROM g a JOIN g b
                 ON a.article = b.article AND a.lang < b.lang
               GROUP BY 1, 2""")
+    ),
+
+    // ── HYBRID RETRIEVAL (BM25 recall stage → dense rerank stage) ─────────
+    QueryDef(
+      "q305_hybrid_retrieval",
+      // The two-stage architecture every production search/RAG stack
+      // converged on: a cheap lexical recall stage (q95's BM25, log-free
+      // rational idf) proposes top-50 candidates, then a dense rerank
+      // scores ONLY those 50 by embedding cosine (q41's pinned
+      // dot/norm folds) — full-corpus lexical, candidate-only dense.
+      // Per-doc BM25 totals avoid double-sum reordering by pivoting the
+      // 4 query terms to conditional single-element sums added in one
+      // FIXED written order. Query = terms ('join','scan','filter',
+      // 'window') + the vec_id-0 embedding; docs align to vectors by
+      // doc_id = vec_id.
+      //
+      // Shape, and why it scales: stage 1 touches the corpus once
+      // (tf explode over 4 terms, tiny df/total broadcasts, TakeOrdered
+      // 50); stage 2 is a 50-row broadcast join against the vector
+      // table + a 1-row query-vector broadcast; output is 10 rows.
+      (s, d) => {
+        val cand = bm25Top50(s, d)
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        broadcast(cand)
+          .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+            col("embedding").as("dv")), "doc_id")
+          .crossJoin(broadcast(qv))
+          .withColumn("cosine", graft.functions.vec.dot(col("qv"), col("dv")) /
+            (graft.functions.vec.norm(col("qv")) *
+              graft.functions.vec.norm(col("dv"))))
+          .orderBy(col("cosine").desc, col("doc_id").asc)
+          .limit(10)
+          .select("doc_id", "bm25", "cosine")
+      },
+      Some(s"""WITH $SQL_BM25_CAND,
+              emb AS (SELECT vec_id AS doc_id, embedding AS dv
+                FROM embeddings),
+              qv AS (SELECT embedding AS qv FROM embeddings
+                WHERE vec_id = 0)
+              SELECT doc_id, bm25,
+                ${SQL_DOT_EXT("qv", "dv")} /
+                  (${SQL_NORM_EXT("qv")} * ${SQL_NORM_EXT("dv")}) AS cosine
+              FROM cand JOIN emb USING (doc_id) CROSS JOIN qv
+              ORDER BY cosine DESC, doc_id LIMIT 10""")
+    ),
+
+    // ── RECIPROCAL RANK FUSION (lexical ⊕ dense without score scales) ─────
+    QueryDef(
+      "q306_rrf_fusion",
+      // The other standard way to combine q305's two stages: fuse at
+      // RANK level with RRF = Σ 1/(60+rank) — immune to the incomparable
+      // score scales that break naive score averaging (the q258 Borda
+      // argument, retrieval-shaped). Ranks over the 50-candidate set
+      // come from a candidates²-bounded count-of-better self-join (no
+      // window); the fused score is a TWO-term pinned double sum in
+      // fixed written order. Top-10 by (rrf desc, doc_id).
+      //
+      // Shape, and why it scales: both rankings live on the bounded
+      // candidate set — the self-joins are 50×50 regardless of corpus
+      // size; everything upstream is q305's machinery.
+      (s, d) => {
+        val cand = bm25Top50(s, d)
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val scored = broadcast(cand)
+          .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+            col("embedding").as("dv")), "doc_id")
+          .crossJoin(broadcast(qv))
+          .withColumn("cosine", graft.functions.vec.dot(col("qv"), col("dv")) /
+            (graft.functions.vec.norm(col("qv")) *
+              graft.functions.vec.norm(col("dv"))))
+          .select("doc_id", "bm25", "cosine")
+        val o = scored.select(col("doc_id").as("d2"),
+          col("bm25").as("b2"), col("cosine").as("c2"))
+        val o2 = scored.select(col("doc_id").as("d3"),
+          col("cosine").as("c3"))
+        val ranked = scored.join(broadcast(o),
+            col("b2") > col("bm25") ||
+              (col("b2") === col("bm25") && col("d2") < col("doc_id")),
+            "left")
+          .groupBy("doc_id", "bm25", "cosine")
+          .agg((count(col("d2")) + 1L).as("r_bm25"))
+          .join(broadcast(o2), col("c3") > col("cosine") ||
+              (col("c3") === col("cosine") && col("d3") < col("doc_id")),
+            "left")
+          .groupBy("doc_id", "bm25", "cosine", "r_bm25")
+          .agg((count(col("d3")) + 1L).as("r_dense"))
+        ranked
+          .withColumn("rrf", expr("""1.0 / (60.0 + CAST(r_bm25 AS DOUBLE))
+            + 1.0 / (60.0 + CAST(r_dense AS DOUBLE))"""))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+          .limit(10)
+          .select("doc_id", "r_bm25", "r_dense", "rrf")
+      },
+      Some(s"""WITH $SQL_BM25_CAND,
+              emb AS (SELECT vec_id AS doc_id, embedding AS dv
+                FROM embeddings),
+              qv AS (SELECT embedding AS qv FROM embeddings
+                WHERE vec_id = 0),
+              scored AS (SELECT doc_id, bm25,
+                  ${SQL_DOT_EXT("qv", "dv")} /
+                    (${SQL_NORM_EXT("qv")} * ${SQL_NORM_EXT("dv")})
+                    AS cosine
+                FROM cand JOIN emb USING (doc_id) CROSS JOIN qv),
+              rb AS (SELECT a.doc_id, a.bm25, a.cosine,
+                  1 + count(b.doc_id) AS r_bm25
+                FROM scored a LEFT JOIN scored b
+                  ON b.bm25 > a.bm25
+                    OR (b.bm25 = a.bm25 AND b.doc_id < a.doc_id)
+                GROUP BY 1, 2, 3),
+              rd AS (SELECT a.doc_id, a.r_bm25,
+                  1 + count(b.doc_id) AS r_dense
+                FROM rb a LEFT JOIN scored b
+                  ON b.cosine > a.cosine
+                    OR (b.cosine = a.cosine AND b.doc_id < a.doc_id)
+                GROUP BY 1, 2)
+              SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25,
+                CAST(r_dense AS BIGINT) AS r_dense,
+                1.0 / (60.0 + CAST(r_bm25 AS DOUBLE))
+                  + 1.0 / (60.0 + CAST(r_dense AS DOUBLE)) AS rrf
+              FROM rd
+              ORDER BY rrf DESC, doc_id LIMIT 10""")
     )
   )
+
+  /** Stage-1 lexical candidates shared by q305/q306: per-doc BM25 totals
+    * (q95's per-term scores pivoted to conditional single-element sums,
+    * added in ONE fixed written order so no double-sum reordering
+    * exists), exact top-50 by (bm25 desc, doc_id).
+    */
+  private def bm25Top50(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select("doc_id", "toks", "dl")
+    val totals = toks.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
+    val terms = Seq("join", "scan", "filter", "window")
+    val tf = toks
+      .select(col("doc_id"), col("dl"), col("toks"),
+        explode(array(terms.map(lit): _*)).as("term"))
+      .withColumn("tf",
+        size(filter(col("toks"), t => t === col("term"))).cast("long"))
+      .drop("toks")
+      .filter(col("tf") > 0)
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double"); val dlD = col("dl").cast("double")
+    val dfD = col("df").cast("double"); val nD = col("n").cast("double")
+    val sdlD = col("sdl").cast("double")
+    val perTerm = tf.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        (tfD * lit(2.2) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dlD / (sdlD / nD))))
+          * ((nD - dfD + lit(0.5)) / (dfD + lit(0.5))))
+    perTerm.groupBy("doc_id")
+      .agg(
+        sum(when(col("term") === "join", col("score"))).as("s1"),
+        sum(when(col("term") === "scan", col("score"))).as("s2"),
+        sum(when(col("term") === "filter", col("score"))).as("s3"),
+        sum(when(col("term") === "window", col("score"))).as("s4"))
+      .withColumn("bm25", expr("""coalesce(s1, 0.0) + coalesce(s2, 0.0)
+        + coalesce(s3, 0.0) + coalesce(s4, 0.0)"""))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(50)
+      .select("doc_id", "bm25")
+  }
+
+  /** q305/q306's oracle stage-1 CTEs (ends with `cand(doc_id, bm25)`). */
+  private def SQL_BM25_CAND: String =
+    s"""tok AS (SELECT doc_id, $SQL_TOKENS AS toks,
+          CAST(len($SQL_TOKENS) AS BIGINT) AS dl FROM documents),
+        tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n
+          FROM tok),
+        tf AS (SELECT doc_id, dl, term,
+            CAST(len(list_filter(toks, t -> t = term)) AS BIGINT) AS tf
+          FROM tok, unnest(['join','scan','filter','window']) AS u(term)),
+        tfp AS (SELECT * FROM tf WHERE tf > 0),
+        dfc AS (SELECT term, count(*) AS df FROM tfp GROUP BY term),
+        pt AS (SELECT doc_id, tfp.term,
+            (CAST(tf AS DOUBLE) * 2.2 /
+              (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+            * ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5)) AS score
+          FROM tfp JOIN dfc ON tfp.term = dfc.term, tot),
+        pv AS (SELECT doc_id,
+            sum(CASE WHEN term = 'join' THEN score END) AS s1,
+            sum(CASE WHEN term = 'scan' THEN score END) AS s2,
+            sum(CASE WHEN term = 'filter' THEN score END) AS s3,
+            sum(CASE WHEN term = 'window' THEN score END) AS s4
+          FROM pt GROUP BY 1),
+        cand AS (SELECT doc_id,
+            coalesce(s1, 0.0) + coalesce(s2, 0.0)
+              + coalesce(s3, 0.0) + coalesce(s4, 0.0) AS bm25
+          FROM pv
+          ORDER BY bm25 DESC, doc_id LIMIT 50)"""
+
+  /** pinned float-array folds for the q305/q306 oracles (the
+    * SimilarityQueries SQL_DOT/SQL_NORM shapes, local to this module). */
+  private def SQL_DOT_EXT(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+  private def SQL_NORM_EXT(a: String): String =
+    s"sqrt(${SQL_DOT_EXT(a, a)})"
 }
