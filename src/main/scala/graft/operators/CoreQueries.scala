@@ -1691,6 +1691,64 @@ object CoreQueries {
               FROM ks""")
     ),
 
+    // ── MERKLE TABLE DIGEST (hierarchical replication diff) ───────────────
+    QueryDef(
+      "q310_merkle_digest",
+      // q278's flat checksum says WHETHER two replicas differ; a Merkle
+      // tree says WHERE, in O(log) round trips: leaf = md5 of the
+      // canonical row, 256-key buckets digest their key-ordered leaf
+      // concatenation, the root digests the bucket-ordered digests. Two
+      // engines comparing roots, then only the differing bucket's
+      // subtree, is how anti-entropy repair (Dynamo/Cassandra) scales.
+      // Bucket arrays are 256-bounded and the bucket-digest table is
+      // keyspace/256-bounded, so every concat is bounded; digests are
+      // lowercase-hex md5 in both engines.
+      //
+      // Shape, and why it scales: one projected scan → bucket-keyed
+      // aggregation (bounded sort_array per bucket) → one model-sized
+      // root fold; output is 1 row.
+      (s, d) => {
+        val leaf = Tables.orders(s, d).select(
+          col("o_orderkey").as("k"),
+          expr("o_orderkey div 256L").as("bkt"),
+          md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            (col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            col("o_orderpriority"))).as("leaf"))
+        val buckets = leaf.groupBy("bkt")
+          .agg(count(lit(1)).as("n"),
+            md5(concat_ws("", transform(
+              sort_array(collect_list(struct(col("k"), col("leaf")))),
+              e => e.getField("leaf")))).as("bdig"))
+        buckets.agg(sum(col("n")).as("n_rows"),
+            count(lit(1)).as("n_buckets"),
+            md5(concat_ws("", transform(
+              sort_array(collect_list(struct(col("bkt"), col("bdig")))),
+              e => e.getField("bdig")))).as("root_digest"),
+            min(when(col("bkt") === 0, col("bdig"))).as("bucket0_digest"))
+      },
+      Some("""WITH leaf AS (SELECT o_orderkey AS k,
+                  o_orderkey // 256 AS bkt,
+                  md5(o_orderkey || '|' || o_custkey || '|' ||
+                    o_orderstatus || '|' ||
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) || '|' ||
+                    strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+                    o_orderpriority) AS leaf
+                FROM orders),
+              b AS (SELECT bkt, count(*) AS n,
+                  md5(string_agg(leaf, '' ORDER BY k)) AS bdig
+                FROM leaf GROUP BY 1)
+              SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                count(*) AS n_buckets,
+                md5(string_agg(bdig, '' ORDER BY bkt)) AS root_digest,
+                min(CASE WHEN bkt = 0 THEN bdig END) AS bucket0_digest
+              FROM b""")
+    ),
+
     // ── L-DIVERSITY AUDIT (the k-anonymity follow-up) ─────────────────────
     QueryDef(
       "q280_l_diversity",

@@ -1221,8 +1221,138 @@ object ExtQueries {
                   + 1.0 / (60.0 + CAST(r_dense AS DOUBLE)) AS rrf
               FROM rd
               ORDER BY rrf DESC, doc_id LIMIT 10""")
+    ),
+
+    // ── NDCG@10 (graded ranking quality of the hybrid retriever) ──────────
+    QueryDef(
+      "q307_ndcg_eval",
+      // The graded ranking metric that closes the retrieval-eval family
+      // (q276 recall, q305/q306 rankers): NDCG@10 of the hybrid
+      // ranking against deterministic graded relevance (2 = shares the
+      // query doc's source, 1 = shares its language, 0 otherwise). The
+      // log2 discounts are TEN SHARED LITERALS (1/log₂(r+1) — never a
+      // runtime log, the q95 rational-idf argument); positions and
+      // ideal positions come from count-of-better self-joins on the
+      // 10-row set; DCG/IDCG accumulate via per-position conditional
+      // sums added in ONE fixed written order (the q305 pivot trick) —
+      // every double op identical across engines.
+      //
+      // Shape, and why it scales: everything after stage 1 lives on the
+      // 10-row result set; output is 1 row.
+      (s, d) => {
+        val qdoc = Tables.documents(s, d).filter(col("doc_id") === 0)
+          .select("source", "lang").head
+        val (s0, l0) = (qdoc.getString(0), qdoc.getString(1))
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val top = broadcast(bm25Top50(s, d))
+          .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+            col("embedding").as("dv")), "doc_id")
+          .crossJoin(broadcast(qv))
+          .withColumn("cosine", graft.functions.vec.dot(col("qv"), col("dv")) /
+            (graft.functions.vec.norm(col("qv")) *
+              graft.functions.vec.norm(col("dv"))))
+          .orderBy(col("cosine").desc, col("doc_id").asc).limit(10)
+          .select("doc_id", "cosine")
+        val t = top.join(Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("cosine"),
+            when(col("source") === s0, 2L)
+              .when(col("lang") === l0, 1L).otherwise(0L).as("rel"))
+        val o = t.select(col("doc_id").as("d2"), col("cosine").as("c2"),
+          col("rel").as("r2"))
+        val pos = t.join(broadcast(o),
+            col("c2") > col("cosine") ||
+              (col("c2") === col("cosine") && col("d2") < col("doc_id")),
+            "left")
+          .groupBy("doc_id", "rel").agg((count(col("d2")) + 1L).as("pos"))
+        val o2 = t.select(col("doc_id").as("d3"), col("rel").as("r3"))
+        val ipos = t.join(broadcast(o2),
+            col("r3") > col("rel") ||
+              (col("r3") === col("rel") && col("d3") < col("doc_id")),
+            "left")
+          .groupBy(col("doc_id").as("doc_id_i"))
+          .agg((count(col("d3")) + 1L).as("ipos"))
+        val both = pos.join(ipos, pos("doc_id") === ipos("doc_id_i"))
+        val aggs = NdcgSql.discs.zipWithIndex.flatMap { case (disc, i) =>
+          Seq(
+            sum(when(col("pos") === i + 1,
+              col("rel").cast("double") * disc)).as(s"dc${i + 1}"),
+            sum(when(col("ipos") === i + 1,
+              col("rel").cast("double") * disc)).as(s"ic${i + 1}"))
+        }
+        both.agg(aggs.head, (aggs.tail :+
+            sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel")): _*)
+          .select(col("n_rel"),
+            expr(NdcgSql.sumCols("dc")).as("dcg"),
+            expr(NdcgSql.sumCols("ic")).as("idcg"),
+            expr(s"(${NdcgSql.sumCols("dc")}) / " +
+              s"nullif((${NdcgSql.sumCols("ic")}), 0.0)").as("ndcg"))
+      },
+      Some(s"""WITH $SQL_BM25_CAND,
+              emb AS (SELECT vec_id AS doc_id, embedding AS dv
+                FROM embeddings),
+              qv AS (SELECT embedding AS qv FROM embeddings
+                WHERE vec_id = 0),
+              q0 AS (SELECT source AS s0, lang AS l0 FROM documents
+                WHERE doc_id = 0),
+              top AS (SELECT doc_id,
+                  ${SQL_DOT_EXT("qv", "dv")} /
+                    (${SQL_NORM_EXT("qv")} * ${SQL_NORM_EXT("dv")})
+                    AS cosine
+                FROM cand JOIN emb USING (doc_id) CROSS JOIN qv
+                ORDER BY cosine DESC, doc_id LIMIT 10),
+              t AS (SELECT top.doc_id, cosine,
+                  CASE WHEN source = s0 THEN 2
+                    WHEN lang = l0 THEN 1 ELSE 0 END AS rel
+                FROM top JOIN documents d2 ON top.doc_id = d2.doc_id
+                  CROSS JOIN q0),
+              pos AS (SELECT a.doc_id, a.rel, 1 + count(b.doc_id) AS pos
+                FROM t a LEFT JOIN t b
+                  ON b.cosine > a.cosine
+                    OR (b.cosine = a.cosine AND b.doc_id < a.doc_id)
+                GROUP BY 1, 2),
+              ipos AS (SELECT a.doc_id, 1 + count(b.doc_id) AS ipos
+                FROM t a LEFT JOIN t b
+                  ON b.rel > a.rel
+                    OR (b.rel = a.rel AND b.doc_id < a.doc_id)
+                GROUP BY 1),
+              jm AS (SELECT pos.doc_id, rel, pos, ipos
+                FROM pos JOIN ipos ON pos.doc_id = ipos.doc_id),
+              f AS (SELECT
+                  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_rel,
+                  ${NdcgSql.sqlConds("pos", "dc")},
+                  ${NdcgSql.sqlConds("ipos", "ic")}
+                FROM jm)
+              SELECT n_rel,
+                ${NdcgSql.sumCols("dc")} AS dcg,
+                ${NdcgSql.sumCols("ic")} AS idcg,
+                (${NdcgSql.sumCols("dc")}) /
+                  nullif((${NdcgSql.sumCols("ic")}), 0.0) AS ndcg
+              FROM f""")
     )
   )
+
+  /** NDCG@10 shared pieces: the ten 1/log₂(r+1) discount LITERALS and
+    * the fixed-order accumulation text (q299 WilsonSql pattern — the
+    * arithmetic text is shared, so the IEEE sequence is identical).
+    */
+  private object NdcgSql {
+    val discs: Seq[Double] = Seq(1.0, 0.6309297535714575, 0.5,
+      0.43067655807339306, 0.38685280723454163, 0.3562071871080222,
+      0.3333333333333333, 0.31546487678572877, 0.3010299956639812,
+      0.2890648263178879)
+    /** the per-position conditional sums, SQL side */
+    def sqlConds(posCol: String, pfx: String): String =
+      discs.zipWithIndex.map { case (v, i) =>
+        s"sum(CASE WHEN $posCol = ${i + 1} THEN CAST(rel AS DOUBLE) * " +
+          s"CAST($v AS DOUBLE) END) AS $pfx${i + 1}"
+      }.mkString(",\n                  ")
+    /** fixed-order left-to-right addition of the ten position terms */
+    def sumCols(pfx: String): String =
+      (1 to 10).map(i => s"coalesce($pfx$i, 0.0)").mkString(" + ")
+  }
 
   /** Stage-1 lexical candidates shared by q305/q306: per-doc BM25 totals
     * (q95's per-term scores pivoted to conditional single-element sums,

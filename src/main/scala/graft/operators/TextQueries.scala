@@ -5134,6 +5134,119 @@ object TextQueries {
               SELECT source, lang, CAST(n AS BIGINT) AS n,
                 CAST(w AS BIGINT) AS w_milli
               FROM w3""")
+    ),
+
+    // ── SCORE-BIN RELIABILITY (classifier calibration table) ──────────────
+    QueryDef(
+      "q308_reliability_bins",
+      // The calibration diagnostic between q249's AUC (ranking) and
+      // q257's threshold (operating point): binned score vs observed
+      // positive rate — a well-calibrated margin should show the
+      // positive rate rising monotonically across bins, and the gap
+      // between bin score and bin outcome is what Platt/isotonic
+      // post-calibration would fix. Bins are clamped fixed-width score
+      // bands; every statistic is exact integer arithmetic (rates and
+      // means as exact ppm integer divisions — no doubles anywhere).
+      //
+      // Shape, and why it scales: reads the memoized [[nbScores]] doc
+      // grain; one bounded-bin aggregation; output ≤ 10 rows.
+      (s, d) => {
+        nbScores(s, d)
+          .select(col("y"),
+            greatest(lit(-5L), least(lit(4L),
+              expr("score_ppm div 2000L"))).as("bin"),
+            col("score_ppm"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).as("n_pos"),
+            sum(col("score_ppm")).as("ssum"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            expr("n_pos * 1000000L div n").as("pos_rate_ppm"),
+            expr("ssum div n").as("mean_score_ppm"))
+      },
+      Some(s"""WITH base AS ($nbScoreSql),
+              b AS (SELECT y,
+                  greatest(-5, least(4, score_ppm // 2000)) AS bin,
+                  score_ppm
+                FROM base)
+              SELECT bin, count(*) AS n,
+                CAST(sum(y) AS BIGINT) AS n_pos,
+                CAST(sum(y) * 1000000 // count(*) AS BIGINT)
+                  AS pos_rate_ppm,
+                CAST(sum(score_ppm) // count(*) AS BIGINT)
+                  AS mean_score_ppm
+              FROM b GROUP BY 1""")
+    ),
+
+    // ── CONTENT-DEFINED CHUNKING (storage-dedup boundary detection) ───────
+    QueryDef(
+      "q309_cdc_chunking",
+      // The chunking strategy behind dedup storage (restic/borgbackup/
+      // LBFS): cut where the CONTENT says so — at tokens whose rolling
+      // 3-gram hash ≡ 0 mod 16 — so an insertion near a document's head
+      // shifts only the chunks it touches, where fixed-width chunking
+      // would shift every later boundary (the resync property that
+      // makes CDC the storage-dedup default). Chunk ids are per-token
+      // prefix sums of the cut flags computed ARRAY-NATIVELY inside
+      // each document row (bounded by doc length — no window, no
+      // shuffle); chunk identity is the md5 of the space-joined tokens.
+      //
+      // Shape, and why it scales: cut detection + chunk assignment are
+      // one codegen'd projection per doc; the only shuffle is the
+      // (doc, chunk) regroup and the distinct-hash count; output is
+      // 1 row.
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 1)
+          .withColumn("cuts", expr("""transform(sequence(1, size(t)),
+            q -> CASE WHEN q <= size(t) - 2 AND
+              CAST(conv(substring(md5(element_at(t, q) || ' ' ||
+                element_at(t, q + 1) || ' ' || element_at(t, q + 2)),
+                1, 8), 16, 10) AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END)"""))
+          .withColumn("e", expr("""explode(transform(sequence(1, size(t)),
+            p -> struct(p AS p, element_at(t, p) AS w,
+              aggregate(slice(cuts, 1, p), 0, (a, x) -> a + x) AS c)))"""))
+          .select(col("doc_id"), col("e.p").as("p"), col("e.w").as("w"),
+            col("e.c").as("c"))
+        val chunks = base.groupBy("doc_id", "c")
+          .agg(count(lit(1)).as("len"),
+            md5(concat_ws(" ", transform(
+              sort_array(collect_list(struct(col("p"), col("w")))),
+              e => e.getField("w")))).as("h"))
+        chunks.agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("h")).as("n_distinct_chunks"),
+            sum(col("len")).as("n_tokens"),
+            max(col("len")).as("max_chunk_tokens"))
+          .select(col("n_chunks"), col("n_distinct_chunks"),
+            expr("""(n_chunks - n_distinct_chunks) * 1000000L
+              div n_chunks""").as("dup_chunk_ppm"),
+            expr("n_tokens div n_chunks").as("mean_chunk_tokens"),
+            col("max_chunk_tokens"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $SQL_TOKENS AS t FROM documents
+                WHERE len($SQL_TOKENS) >= 1),
+              cu AS (SELECT doc_id, t,
+                  list_transform(range(1, len(t) + 1),
+                    q -> CASE WHEN q <= len(t) - 2 AND
+                      ${SQL_H32("t[q] || ' ' || t[q+1] || ' ' || t[q+2]")}
+                        % 16 = 0
+                    THEN 1 ELSE 0 END) AS cuts
+                FROM tk),
+              px AS (SELECT doc_id, p, t[p] AS w,
+                  list_aggregate(cuts[1:p], 'sum') AS c
+                FROM cu, unnest(range(1, len(t) + 1)) AS u(p)),
+              chunks AS (SELECT doc_id, c, count(*) AS len,
+                  md5(string_agg(w, ' ' ORDER BY p)) AS h
+                FROM px GROUP BY 1, 2)
+              SELECT count(*) AS n_chunks,
+                count(DISTINCT h) AS n_distinct_chunks,
+                CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*)
+                  AS BIGINT) AS dup_chunk_ppm,
+                CAST(sum(len) // count(*) AS BIGINT) AS mean_chunk_tokens,
+                CAST(max(len) AS BIGINT) AS max_chunk_tokens
+              FROM chunks""")
     )
   )
 

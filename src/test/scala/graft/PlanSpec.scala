@@ -240,6 +240,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q302_consistent_hashing" /* 128/144-row vnode-ring broadcasts */,
       "q305_hybrid_retrieval" /* 1-row query-vector broadcast, like q41 */,
       "q306_rrf_fusion" /* 50-candidate rank self-joins + 1-row query vector */,
+      "q307_ndcg_eval" /* 10-row rank/ideal self-joins + 1-row query vector */,
       "q259_dataset_card" /* cross join of three single-row aggregates, like q201 */,
       "q252_embedding_outliers" /* K=8 centroid broadcast, like q44/q76 */,
       "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
