@@ -3009,6 +3009,78 @@ object EventQueries {
                 ${CupedSql.adjusted} AS diff_cuped_cents,
                 ${CupedSql.rho2} AS rho2
               FROM m""")
+    ),
+
+    // ── STREAMING MV OFF THE RTCDB TAIL (the full integration loop) ───────
+    QueryDef(
+      "q311_rtcdb_stream_mv",
+      // The round's streaming/storage pieces composed into the loop a
+      // real deployment runs: events land in the rtcdb byte format
+      // through the exactly-once sink (q274), a Structured Streaming
+      // query TAILS the table through the micro-batch source (q275,
+      // maxBlocksPerTrigger=4 so the drain is genuinely multi-batch
+      // paced), and each micro-batch maintains a per-type materialized
+      // view through the catalog's additive upsert (the q150 merge
+      // rule: MV ⊎ delta re-aggregated). The maintained MV must equal
+      // the one-shot aggregate over the raw facts — the oracle —
+      // proving sink, tail, pacing, and merge compose without losing
+      // or duplicating a row.
+      //
+      // Shape, and why it scales: every stage is the already-proven
+      // machinery; per-batch merge cost is MV-sized, not fact-sized;
+      // the tail reads each committed block exactly once across the
+      // paced micro-batches.
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.catalog.DB
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val root = Shared.scratchRoot("q311", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root)
+        val dbRoot = s"$root/db"
+        val ledger = root.resolve("ledger")
+        val facts = Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        graft.streaming.RtcdbSink.commitBatch(dbRoot, "ev", ledger, 0L,
+          facts.filter(col("event_id") % 2 === 0))
+        graft.streaming.RtcdbSink.commitBatch(dbRoot, "ev", ledger, 1L,
+          facts.filter(col("event_id") % 2 === 1))
+        val mvSchema = StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("n", LongType, nullable = false),
+          StructField("sum_cents", LongType, nullable = false)))
+        val mvDb = DB.init(s"$root/mv", Seq("mv" -> mvSchema))(s)
+        val q = s.readStream.format("rtcdb")
+          .option("path", dbRoot).option("table", "ev")
+          .option("maxBlocksPerTrigger", "4").load()
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) => {
+            val delta = b.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+            val merged = mvDb.table("mv").unionByName(delta)
+              .groupBy("event_type")
+              .agg(sum(col("n")).as("n"),
+                sum(col("sum_cents")).as("sum_cents"))
+            mvDb.upsert("mv", merged, Seq("event_type"))
+            ()
+          })
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        mvDb.table("mv")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_cents
+              FROM events GROUP BY 1""")
     )
   )
 
