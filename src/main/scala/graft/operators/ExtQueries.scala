@@ -1171,6 +1171,7 @@ object ExtQueries {
             (graft.functions.vec.norm(col("qv")) *
               graft.functions.vec.norm(col("dv"))))
           .select("doc_id", "bm25", "cosine")
+          .checkpoint()
         val o = scored.select(col("doc_id").as("d2"),
           col("bm25").as("b2"), col("cosine").as("c2"))
         val o2 = scored.select(col("doc_id").as("d3"),
@@ -1259,6 +1260,7 @@ object ExtQueries {
           .select(col("doc_id"), col("cosine"),
             when(col("source") === s0, 2L)
               .when(col("lang") === l0, 1L).otherwise(0L).as("rel"))
+          .checkpoint()
         val o = t.select(col("doc_id").as("d2"), col("cosine").as("c2"),
           col("rel").as("r2"))
         val pos = t.join(broadcast(o),
@@ -1359,7 +1361,8 @@ object ExtQueries {
     * added in ONE fixed written order so no double-sum reordering
     * exists), exact top-50 by (bm25 desc, doc_id).
     */
-  private def bm25Top50(s: SparkSession, d: String): DataFrame = {
+  private def bm25Top50(s: SparkSession, d: String): DataFrame =
+    Shared.withCheckpointDir(s) {
     val toks = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -1394,6 +1397,9 @@ object ExtQueries {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(50)
       .select("doc_id", "bm25")
+      // 50-row candidate set, consumed repeatedly by q305/q306/q307's
+      // rank self-joins — checkpoint so stage 1 runs once per query
+      .checkpoint()
   }
 
   /** q305/q306's oracle stage-1 CTEs (ends with `cand(doc_id, bm25)`). */

@@ -5088,9 +5088,14 @@ object TextQueries {
       // and each round is one grain aggregation + one broadcast-back
       // join; weights stay < 2^63 up to ~10⁹-doc corpora (then the
       // same ladder runs in coarser units).
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
+        // the joint grain feeds the totals probe + three scaling rounds,
+        // and each round's output feeds a marginal agg AND the next
+        // round — checkpoint each (model-sized) stage so the corpus
+        // aggregation runs once
         val g = Tables.documents(s, d)
           .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+          .checkpoint()
         val t = g.agg(sum(col("n")).cast("long"),
           countDistinct(col("source")), countDistinct(col("lang"))).head
         val (nTot, nSrc, nLang) = (t.getLong(0), t.getLong(1), t.getLong(2))
@@ -5102,6 +5107,7 @@ object TextQueries {
           df.join(broadcast(m), key)
             .withColumn(out, expr(s"($w * ${target}L) div __m"))
             .drop("__m")
+            .checkpoint()
         }
         val w0 = g.withColumn("w0", col("n") * 1000L)
         val w1 = scaleBy(w0, "w0", "source", ts, "w1")
