@@ -3018,8 +3018,8 @@ object EventQueries {
       // real deployment runs: events land in the rtcdb byte format
       // through the exactly-once sink (q274), a Structured Streaming
       // query TAILS the table through the micro-batch source (q275,
-      // maxBlocksPerTrigger=4 so the drain is genuinely multi-batch
-      // paced), and each micro-batch maintains a per-type materialized
+      // maxBlocksPerTrigger=64 so larger corpora drain in several paced
+      // batches while the per-batch MV merge stays amortized), and each micro-batch maintains a per-type materialized
       // view through the catalog's additive upsert (the q150 merge
       // rule: MV ⊎ delta re-aggregated). The maintained MV must equal
       // the one-shot aggregate over the raw facts — the oracle —
@@ -3058,7 +3058,7 @@ object EventQueries {
         val mvDb = DB.init(s"$root/mv", Seq("mv" -> mvSchema))(s)
         val q = s.readStream.format("rtcdb")
           .option("path", dbRoot).option("table", "ev")
-          .option("maxBlocksPerTrigger", "4").load()
+          .option("maxBlocksPerTrigger", "64").load()
           .writeStream
           .foreachBatch((b: org.apache.spark.sql.Dataset[
               org.apache.spark.sql.Row], _: Long) => {
