@@ -136,6 +136,66 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       s"lang marginal off: $w vs $cl"))
   }
 
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = Files.createTempDirectory("evfix").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("KS on planted disjoint supports reads D = 1 at the crossing point (q262 known answer)") {
+    // every 'view' value strictly below every 'error' value
+    val dir = writeEvents(
+      (1L to 20L).map(i => (i, i * 1000L, i, "view", 1.0 + i * 0.01)) ++
+        (21L to 40L).map(i => (i, i * 1000L, i, "error", 10.0 + i * 0.01)))
+    val r = SparkEntry.queries("q262_ks_test")(spark, dir).head
+    assert(r.getAs[Double]("d_stat") == 1.0, r.toString)
+    // the gap peaks at the largest 'view' value: 1.20 → 120 cents
+    assert(r.getAs[Long]("ks_at_cents") == 120L, r.toString)
+  }
+
+  test("Mann-Whitney on a planted total shift reads U = n1*n2 (q261 known answer)") {
+    // every 'click' value strictly above every 'purchase' value → every
+    // pairwise comparison favors click: U hits its maximum exactly
+    val dir = writeEvents(
+      (1L to 15L).map(i => (i, i * 1000L, i, "click", 100.0 + i)) ++
+        (16L to 27L).map(i => (i, i * 1000L, i, "purchase", 1.0 + i * 0.1)))
+    val r = SparkEntry.queries("q261_mann_whitney")(spark, dir).head
+    assert(r.getAs[Long]("n_a") == 15L && r.getAs[Long]("n_b") == 12L)
+    assert(r.getAs[Double]("u_a") == 15.0 * 12.0, r.toString)
+    assert(r.getAs[Double]("z_score") > 4.0, r.toString)
+  }
+
+  test("PPS sampling gives an oversized doc multiplicity >= 2 (q265's size-proportionality)") {
+    val df = SparkEntry.queries("q265_pps_sample")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+    val w = docs.agg(sum("nc")).head.getLong(0)
+    // k=50 ticks: any doc with n_chars > 2·W/50 MUST be hit ≥ 2 times;
+    // conversely no doc may exceed ceil(k·size/W)+1
+    val big = docs.filter(col("nc") > lit(2L * w / 50L))
+      .join(df, Seq("doc_id"), "left")
+      .select(coalesce(col("multiplicity"), lit(0L))).collect()
+    big.foreach(r => assert(r.getLong(0) >= 2L))
+    df.join(docs, "doc_id").collect().foreach { r =>
+      val m = r.getAs[Long]("multiplicity")
+      val bound = (50L * r.getAs[Long]("nc")) / w + 2L
+      assert(m <= bound, s"multiplicity $m exceeds PPS bound $bound")
+    }
+  }
+
+  test("hash bootstrap is bit-deterministic across runs (q268's auditability claim)") {
+    val a = SparkEntry.queries("q268_bootstrap_ci")(spark, sf).head
+    val b = SparkEntry.queries("q268_bootstrap_ci")(spark, sf).head
+    assert(a == b, s"$a vs $b")
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("mean_chars") &&
+      a.getAs[Double]("mean_chars") <= a.getAs[Double]("ci_hi"))
+  }
+
   test("NDCG stays in [0,1] and IDCG dominates DCG (q307's contract)") {
     val r = SparkEntry.queries("q307_ndcg_eval")(spark, sf).head
     val (dcg, idcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"))
