@@ -3081,6 +3081,159 @@ object EventQueries {
                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
                   AS BIGINT) AS sum_cents
               FROM events GROUP BY 1""")
+    ),
+
+    // ── SEASONAL RESIDUAL OUTLIERS (deseasonalized anomaly detection) ─────
+    QueryDef(
+      "q312_seasonal_outliers",
+      // The fix for the false alarms every weekday-seasonal metric
+      // triggers under plain thresholds (q206/q222 treat the series as
+      // stationary): remove the day-of-week component FIRST — residual
+      // = daily count minus its weekday mean — then apply the robust
+      // q267 fence (median ± 3·MAD) to the residuals. To keep residuals
+      // EXACT integers, everything scales by 7·n_w: r = 7·n_w·c −
+      // 7·Σ_w, so means never become doubles and the fence comparison
+      // is pure BIGINT.
+      //
+      // Shape, and why it scales: day grain (time-bounded) throughout;
+      // weekday means are a 7-row broadcast; the residual median/MAD
+      // reuse the distinct-value discipline on the day table; output is
+      // 1 row + the worst offender.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val days = Tables.events(s, d)
+          .select(expr(s"ts div ${dayNs}L").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("c"))
+          .withColumn("dow", expr("day % 7"))
+          .checkpoint()
+        val wk = days.groupBy("dow")
+          .agg(sum(col("c")).as("sw"), count(lit(1)).as("nw"))
+        val res = days.join(broadcast(wk), "dow")
+          .select(col("day"), col("c"),
+            (col("c") * 7 * col("nw") - lit(7) * col("sw")).as("r"))
+          .checkpoint()
+        val tot = res.count()
+        def lowerMedian(df: DataFrame, vc: String): Long = {
+          val byv = df.groupBy(col(vc)).agg(count(lit(1)).as("n"))
+          Shared.distributedPrefixSum(byv, vc, "n")
+            .filter((col("cum") + col("n")) * 2 >= tot)
+            .agg(min(col(vc))).head.getLong(0)
+        }
+        val med = lowerMedian(res, "r")
+        val mad = lowerMedian(
+          res.select(abs(col("r") - med).as("ad")), "ad")
+        res.agg(count(lit(1)).as("n_days"),
+            lit(med).as("median_residual"), lit(mad).as("mad_residual"),
+            sum(when(abs(col("r") - med) > mad * 3, 1L).otherwise(0L))
+              .as("n_outlier_days"),
+            min(when(abs(col("r") - med) > mad * 3, col("day")))
+              .as("first_outlier_day"))
+      },
+      Some("""WITH days AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS c
+                FROM events GROUP BY 1),
+              dd AS (SELECT day, c, day % 7 AS dow FROM days),
+              wk AS (SELECT dow, sum(c) AS sw, count(*) AS nw
+                FROM dd GROUP BY 1),
+              res AS (SELECT day, c, c * 7 * nw - 7 * sw AS r
+                FROM dd JOIN wk ON dd.dow = wk.dow),
+              tot AS (SELECT count(*) AS n FROM res),
+              medt AS (SELECT min(r) AS med FROM (
+                  SELECT r, sum(cnt) OVER (ORDER BY r
+                    ROWS UNBOUNDED PRECEDING) AS ci
+                  FROM (SELECT r, count(*) AS cnt FROM res GROUP BY 1))
+                CROSS JOIN tot WHERE ci * 2 >= n),
+              madt AS (SELECT min(ad) AS mad FROM (
+                  SELECT ad, sum(cnt) OVER (ORDER BY ad
+                    ROWS UNBOUNDED PRECEDING) AS ci
+                  FROM (SELECT abs(r - med) AS ad, count(*) AS cnt
+                    FROM res CROSS JOIN medt GROUP BY 1))
+                CROSS JOIN tot WHERE ci * 2 >= n)
+              SELECT count(*) AS n_days,
+                CAST(med AS BIGINT) AS median_residual,
+                CAST(mad AS BIGINT) AS mad_residual,
+                CAST(sum(CASE WHEN abs(r - med) > mad * 3 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_outlier_days,
+                min(CASE WHEN abs(r - med) > mad * 3 THEN day END)
+                  AS first_outlier_day
+              FROM res CROSS JOIN medt CROSS JOIN madt
+              GROUP BY med, mad""")
+    ),
+
+    // ── GROWTH ACCOUNTING (new / retained / resurrected / churned) ────────
+    QueryDef(
+      "q313_growth_accounting",
+      // The growth-accounting identity every subscription dashboard
+      // decomposes WAU with: this week's actives = NEW (first-ever
+      // week) + RETAINED (also active last week) + RESURRECTED (active
+      // before, idle last week); CHURNED = last week's actives missing
+      // now. The identity actives(w) = new + retained + resurrected
+      // and actives(w−1) = retained(w) + churned(w) holds exactly —
+      // both engines must agree on every cell for the oracle to match.
+      //
+      // Shape, and why it scales: one fact pass to the (user, week)
+      // grain; first-weeks are a user-grain min; the week-over-week
+      // link is a keyed self-join on (user, week−1) — never a window;
+      // output is week-bounded.
+      (s, d) => {
+        val weekNs = 604800L * 1000L * 1000L * 1000L
+        val uw = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div ${weekNs}L").as("w"))
+          .distinct()
+        val first = uw.groupBy("user_id").agg(min(col("w")).as("fw"))
+        val prev = uw.select(col("user_id"), (col("w") + 1).as("w"),
+          lit(1).as("wasActive"))
+        val cur = uw.join(first, "user_id")
+          .join(prev, Seq("user_id", "w"), "left")
+          .select(col("w"),
+            when(col("fw") === col("w"), 1L).otherwise(0L).as("isNew"),
+            when(col("wasActive").isNotNull && col("fw") =!= col("w"), 1L)
+              .otherwise(0L).as("isRet"),
+            when(col("wasActive").isNull && col("fw") =!= col("w"), 1L)
+              .otherwise(0L).as("isRes"))
+          .groupBy("w").agg(count(lit(1)).as("actives"),
+            sum(col("isNew")).as("new_users"),
+            sum(col("isRet")).as("retained"),
+            sum(col("isRes")).as("resurrected"))
+        val churn = uw.select(col("user_id"), (col("w") + 1).as("w"))
+          .join(uw.select(col("user_id"), col("w"),
+            lit(1).as("stillHere")), Seq("user_id", "w"), "left")
+          .groupBy("w")
+          .agg(sum(when(col("stillHere").isNull, 1L).otherwise(0L))
+            .as("churned"))
+        cur.join(churn, Seq("w"), "left")
+          .select(col("w"), col("actives"), col("new_users"),
+            col("retained"), col("resurrected"),
+            coalesce(col("churned"), lit(0L)).as("churned"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS w
+                FROM events),
+              first_w AS (SELECT user_id, min(w) AS fw FROM uw GROUP BY 1),
+              cur AS (SELECT uw.w,
+                  count(*) AS actives,
+                  sum(CASE WHEN fw = uw.w THEN 1 ELSE 0 END) AS new_users,
+                  sum(CASE WHEN p.user_id IS NOT NULL AND fw <> uw.w
+                    THEN 1 ELSE 0 END) AS retained,
+                  sum(CASE WHEN p.user_id IS NULL AND fw <> uw.w
+                    THEN 1 ELSE 0 END) AS resurrected
+                FROM uw
+                  JOIN first_w ON uw.user_id = first_w.user_id
+                  LEFT JOIN uw p ON p.user_id = uw.user_id
+                    AND p.w = uw.w - 1
+                GROUP BY 1),
+              churn AS (SELECT a.w + 1 AS w,
+                  sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                    AS churned
+                FROM uw a LEFT JOIN uw b ON b.user_id = a.user_id
+                  AND b.w = a.w + 1
+                GROUP BY 1)
+              SELECT cur.w, CAST(actives AS BIGINT) AS actives,
+                CAST(new_users AS BIGINT) AS new_users,
+                CAST(retained AS BIGINT) AS retained,
+                CAST(resurrected AS BIGINT) AS resurrected,
+                CAST(coalesce(churned, 0) AS BIGINT) AS churned
+              FROM cur LEFT JOIN churn ON cur.w = churn.w""")
     )
   )
 
