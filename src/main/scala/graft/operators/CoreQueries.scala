@@ -1749,6 +1749,64 @@ object CoreQueries {
               FROM b""")
     ),
 
+    // ── PARTIAL CORRELATION (confounder-adjusted association) ─────────────
+    QueryDef(
+      "q315_partial_correlation",
+      // The step after q103's exact correlation that separates
+      // association from confounding: r_xy·z — the quantity↔discount
+      // correlation with the tax column's influence removed — via the
+      // closed-form r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+      // All three pairwise correlations come from exact BIGINT moment
+      // sums (cents/hundredths, the q59/q103 discipline — columns
+      // chosen so every Σab stays far inside Long even at 10⁹ rows);
+      // the formula is ONE shared expression text (q299's pattern), so
+      // both engines execute the identical IEEE sequence.
+      //
+      // Shape, and why it scales: one projected fact scan folding to a
+      // single 10-sum row; output is 1 row.
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("x"),
+          expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("y"),
+          expr("CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("z"))
+        li.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("z")).as("sz"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("z")).as("sxz"),
+            sum(col("y") * col("z")).as("syz"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("z") * col("z")).as("szz"))
+          .select(col("n"),
+            expr(PartialCorrSql.rxy).as("r_xy"),
+            expr(PartialCorrSql.rxz).as("r_xz"),
+            expr(PartialCorrSql.ryz).as("r_yz"),
+            expr(PartialCorrSql.partial).as("r_xy_given_z"))
+      },
+      Some(s"""WITH m AS (SELECT count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+                  sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz,
+                  sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz
+                FROM (SELECT
+                    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS x,
+                    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS y,
+                    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS z
+                  FROM lineitem))
+              SELECT CAST(n AS BIGINT) AS n,
+                ${PartialCorrSql.rxy} AS r_xy,
+                ${PartialCorrSql.rxz} AS r_xz,
+                ${PartialCorrSql.ryz} AS r_yz,
+                ${PartialCorrSql.partial} AS r_xy_given_z
+              FROM m""")
+    ),
+
     // ── L-DIVERSITY AUDIT (the k-anonymity follow-up) ─────────────────────
     QueryDef(
       "q280_l_diversity",
@@ -1846,4 +1904,25 @@ object CoreQueries {
               FROM kp""")
     )
   )
+  /** Partial-correlation expression TEXT shared verbatim between the
+    * Spark `expr(...)` calls and the DuckDB oracle (the q299 WilsonSql
+    * pattern) — identical IEEE sequences by construction.
+    */
+  private object PartialCorrSql {
+    private def r(sab: String, sa: String, sb: String,
+        saa: String, sbb: String): String =
+      s"""((CAST(n AS DOUBLE) * CAST($sab AS DOUBLE)
+          - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST($saa AS DOUBLE)
+            - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST($sbb AS DOUBLE)
+            - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE))))"""
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val partial =
+      s"""(($rxy - $rxz * $ryz)
+        / sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)))"""
+  }
+
 }

@@ -3234,6 +3234,88 @@ object EventQueries {
                 CAST(resurrected AS BIGINT) AS resurrected,
                 CAST(coalesce(churned, 0) AS BIGINT) AS churned
               FROM cur LEFT JOIN churn ON cur.w = churn.w""")
+    ),
+
+    // ── PEAK CONCURRENCY (distributed sweep line over sessions) ───────────
+    QueryDef(
+      "q314_peak_concurrency",
+      // The capacity question behind connection pools and autoscaling:
+      // how many sessions were ever open AT ONCE? The textbook sweep
+      // line — +1 at each session start, −1 one microsecond after its
+      // end, running sum, take the max — distributed: the running sum
+      // is [[Shared.distributedPrefixSum]] over a packed (micros, side)
+      // key (ends sort before starts at the same instant via the side
+      // bit, so back-to-back sessions never double-count), and the peak
+      // is one scalar max over the inclusive prefix. Sessions are the
+      // q28/q250 5-minute-gap rule (user-partitioned windows).
+      //
+      // Shape, and why it scales: sessionization is the standard
+      // user-keyed window; the sweep table is 2 rows per session; the
+      // prefix sum is bucketed (never a global window); output is 1
+      // row with the peak and its first instant.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val gapNs = 300L * 1000L * 1000L * 1000L
+        val wOrd = Window.partitionBy("user_id").orderBy("ts")
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val sess = Tables.events(s, d)
+          .select(col("user_id"), col("ts"))
+          .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(wCum))
+          .groupBy("user_id", "sid")
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+          .checkpoint()
+        val nSessions = sess.count()
+        // packed key: micros·2 + side (side 0 = END, 1 = START) — an
+        // end at instant T orders BEFORE a start at T, so touching
+        // sessions don't overlap; fits well under 2^63
+        val deltas = sess.select(
+            expr("(t0 div 1000L) * 2L + 1L").as("k"), lit(1L).as("dlt"))
+          .unionAll(sess.select(
+            expr("((t1 div 1000L) + 1L) * 2L").as("k"),
+            lit(-1L).as("dlt")))
+          .groupBy("k").agg(sum(col("dlt")).as("dlt"))
+        val run = Shared.distributedPrefixSum(deltas, "k", "dlt",
+            bucket = 1L << 29)
+          .withColumn("conc", col("cum") + col("dlt"))
+          .checkpoint()
+        val peak = run.agg(max(col("conc"))).head.getLong(0)
+        run.filter(col("conc") === peak)
+          .agg(lit(nSessions).as("n_sessions"),
+            lit(peak).as("peak_concurrency"),
+            expr("CAST(min(k) div 2 AS BIGINT)").as("peak_at_micros"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+              lagged AS (SELECT user_id, tu,
+                  lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS prev
+                FROM ev),
+              marked AS (SELECT user_id, tu,
+                  CASE WHEN prev IS NULL OR tu - prev > 300000000
+                    THEN 1 ELSE 0 END AS new_s
+                FROM lagged),
+              sid AS (SELECT user_id, tu,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked),
+              sess AS (SELECT user_id, sid, min(tu) AS t0, max(tu) AS t1
+                FROM sid GROUP BY 1, 2),
+              deltas AS (SELECT k, sum(dlt) AS dlt FROM (
+                  SELECT t0 * 2 + 1 AS k, 1 AS dlt FROM sess
+                  UNION ALL SELECT (t1 + 1) * 2, -1 FROM sess)
+                GROUP BY 1),
+              run AS (SELECT k,
+                  sum(dlt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                    AS conc
+                FROM deltas),
+              pk AS (SELECT max(conc) AS peak FROM run)
+              SELECT (SELECT count(*) FROM sess) AS n_sessions,
+                CAST(peak AS BIGINT) AS peak_concurrency,
+                CAST(min(k) // 2 AS BIGINT) AS peak_at_micros
+              FROM run CROSS JOIN pk WHERE conc = peak
+              GROUP BY peak""")
     )
   )
 
