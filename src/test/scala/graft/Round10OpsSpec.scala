@@ -196,6 +196,63 @@ class Round10OpsSpec extends AnyFunSuite with SparkFixture {
       a.getAs[Double]("mean_chars") <= a.getAs[Double]("ci_hi"))
   }
 
+  test("deseasonalized fence flags a planted spike that a weekday-blind fence would mask (q312)") {
+    // 28 days, strong weekday pattern (weekend ~5x weekday), plus ONE
+    // planted spike on day 17: after removing the day-of-week component
+    // the spike is the only large residual
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    var id = 0L
+    val rows = (0 until 28).flatMap { day =>
+      val base = if (day % 7 >= 5) 50 else 10
+      val n = base + (if (day == 17) 60 else 0)
+      (0 until n).map { i => id += 1
+        (id, day * dayNs + i * 1000L, id % 7, "view", 1.0) }
+    }
+    val dir = writeEvents(rows)
+    val r = SparkEntry.queries("q312_seasonal_outliers")(spark, dir).head
+    // the spike day is flagged along with its 3 weekday siblings (the
+    // spike contaminates its own weekday mean — the documented property
+    // of mean-based deseasonalization; a weekday-blind fence on this
+    // series would instead flag all 8 weekend days): 4 flagged, the
+    // earliest being the first dow-3 sibling
+    assert(r.getAs[Long]("n_outlier_days") == 4L, r.toString)
+    assert(r.getAs[Long]("first_outlier_day") == 3L, r.toString)
+  }
+
+  test("growth accounting identity holds cell-for-cell (q313: actives = new + retained + resurrected)") {
+    val out = SparkEntry.queries("q313_growth_accounting")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("actives") == r.getAs[Long]("new_users") +
+        r.getAs[Long]("retained") + r.getAs[Long]("resurrected"), r.toString)
+    }
+  }
+
+  test("peak concurrency counts overlap but not touching sessions (q314's end-before-start rule)") {
+    val dayNs = 86400L * 1000L * 1000L * 1000L
+    val h = 3600L * 1000L * 1000L * 1000L
+    // u1 and u2 OVERLAP (both active 10:00-11:00); u3 starts a new
+    // session the exact micro u2's ends at a far later day — touching,
+    // never concurrent (ends sort before starts at the same instant)
+    val rows = Seq(
+      (1L, 10L * h, 1L, "view", 1.0), (2L, 11L * h, 1L, "view", 1.0),
+      (3L, 10L * h + 1L, 2L, "view", 1.0), (4L, 11L * h - 1L, 2L, "view", 1.0),
+      (5L, 5L * dayNs, 3L, "view", 1.0),
+      (6L, 5L * dayNs, 4L, "view", 1.0))
+    // u3/u4 both single-event sessions at the SAME instant → that
+    // instant has concurrency 2 as well; earlier pair also 2 → peak 2
+    val dir = writeEvents(rows)
+    val r = SparkEntry.queries("q314_peak_concurrency")(spark, dir).head
+    // the 1h intra-user gaps exceed the 5-min rule → u1/u2 each
+    // contribute TWO point sessions
+    assert(r.getAs[Long]("n_sessions") == 6L, r.toString)
+    assert(r.getAs[Long]("peak_concurrency") == 2L, r.toString)
+    // the FIRST peak instant is the early overlap, not the later tie
+    assert(r.getAs[Long]("peak_at_micros") == (10L * h + 1L) / 1000L,
+      r.toString)
+  }
+
   test("NDCG stays in [0,1] and IDCG dominates DCG (q307's contract)") {
     val r = SparkEntry.queries("q307_ndcg_eval")(spark, sf).head
     val (dcg, idcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"))
