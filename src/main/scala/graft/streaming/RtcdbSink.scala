@@ -46,13 +46,20 @@ object RtcdbSink {
     if (Files.exists(done)) return false
     if (Files.exists(pending)) rollback(dbRoot, table, pending)
     val rootP = Paths.get(dbRoot)
-    // bootstrap: first batch of a fresh sink declares the DB + table (the
-    // V2 provider resolves its schema from metadata.json at planning)
+    // bootstrap: declare the DB and/or THIS table if absent (the V2
+    // provider resolves the table's schema from metadata.json at
+    // planning, BEFORE the write's own commit could register it — so a
+    // second table joining an existing DB must be declared here too)
     Files.createDirectories(rootP)
+    val declared = org.apache.spark.sql.types.StructType(
+      batch.schema.fields.map(_.copy(nullable = false)))
     if (!Files.exists(rootP.resolve("metadata.json")))
-      RtcdbFormat.writeMetadata(rootP, Seq(table ->
-        org.apache.spark.sql.types.StructType(
-          batch.schema.fields.map(_.copy(nullable = false)))))
+      RtcdbFormat.writeMetadata(rootP, Seq(table -> declared))
+    else {
+      val existing = RtcdbFormat.readMetadata(rootP)
+      if (!existing.exists(_._1 == table))
+        RtcdbFormat.writeMetadata(rootP, existing :+ (table -> declared))
+    }
     def len(p: Path) = if (Files.exists(p)) Files.size(p) else -1L
     val rec = batch.schema.fieldNames.map { c =>
       s"$c,${len(RtcdbFormat.dataPath(rootP, table, c))}," +

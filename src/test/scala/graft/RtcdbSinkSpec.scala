@@ -166,6 +166,40 @@ class RtcdbSinkSpec extends AnyFunSuite with SparkFixture {
       s"a paced batch exceeded one block: $maxRowsInBatch rows")
   }
 
+  test("filters push through the streaming tail (zone maps prune per block, results exact)") {
+    val (db, ledger) = fresh("tailfilter")
+    val dir = Files.createTempDirectory("rtcdbtailf_io")
+    RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 40))
+    val q = spark.readStream.format("rtcdb")
+      .option("path", db).option("table", "t").load()
+      .filter(col("event_id") >= 30L)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 10L)
+    assert(out.agg(min("event_id"), max("event_id")).head ==
+      org.apache.spark.sql.Row(30L, 39L))
+  }
+
+  test("two tables under one DB root sink and tail independently") {
+    val (db, ledger) = fresh("twotables")
+    val l2 = ledger.resolveSibling("ledger2")
+    RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10))
+    RtcdbSink.commitBatch(db, "u", l2, 0L, batchDf(100, 130))
+    // the per-table ledgers and block counters must not interfere
+    assert(readBack(db).count() == 10L)
+    assert(spark.read.format("rtcdb").option("path", db)
+      .option("table", "u").load().count() == 30L)
+    // replay of table t must not block a fresh batch on table u
+    assert(!RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 10)))
+    assert(RtcdbSink.commitBatch(db, "u", l2, 1L, batchDf(130, 140)))
+    assert(spark.read.format("rtcdb").option("path", db)
+      .option("table", "u").load().count() == 40L)
+  }
+
   test("streaming source column pruning flows through the micro-batch reader") {
     val (db, ledger) = fresh("tailprune")
     val dir = Files.createTempDirectory("rtcdbtailp_io")
