@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, CoalescedHashPartitioning, Distribution, HashPartitioning, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** The custom-operator ladder's last rung (SURVEY.md §2: custom
@@ -88,6 +88,30 @@ case class AsOfJoinExec(
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       s"as-of join children lost co-partitioning: ${lRdd.getNumPartitions}" +
         s" vs ${rRdd.getNumPartitions} partitions")
+    // A partition-COUNT match is necessary but not sufficient: AQE could
+    // in principle coalesce both exchanges to the same count with
+    // DIFFERENT bucket boundaries, which would zip mis-aligned key
+    // ranges and silently drop matches to NULL. Assert the shape: both
+    // children hash-partitioned on exactly their join key, and if
+    // coalesced, with identical boundary specs.
+    def hashShape(p: Partitioning, key: Attribute, side: String)
+        : (Int, Seq[Any]) = p match {
+      case HashPartitioning(exprs, n)
+          if exprs.length == 1 && exprs.head.semanticEquals(key) => (n, Nil)
+      case CoalescedHashPartitioning(HashPartitioning(exprs, _), specs)
+          if exprs.length == 1 && exprs.head.semanticEquals(key) =>
+        (specs.length, specs)
+      case other => throw new IllegalStateException(
+        s"as-of join: $side child is not hash-partitioned on its key " +
+          s"(${key.name}) — got $other")
+    }
+    if (lRdd.getNumPartitions > 1) { // 1 partition is trivially aligned
+      val (ln, lSpecs) = hashShape(left.outputPartitioning, leftKey, "left")
+      val (rn, rSpecs) = hashShape(right.outputPartitioning, rightKey, "right")
+      require(ln == rn && lSpecs == rSpecs,
+        s"as-of join children coalesced to mismatched bucket boundaries: " +
+          s"left=($ln, $lSpecs) right=($rn, $rSpecs)")
+    }
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(nRight)

@@ -840,6 +840,12 @@ class RtcdbPartitionReader(part: RtcdbInputPartition, countOnly: Boolean)
   /** zone-map + runtime-set + bloom evaluation for block `b`
     * (range-relative) */
   private def blockSurvives(b: Int): Boolean = {
+    // an EMPTY runtime IN-set proves no row can match: prune up front,
+    // before zone/bloom evaluation, so bloomPrunedBlocks only counts
+    // blocks an actual bloom probe refused (the spec-asserted stat) —
+    // previously keys.exists(...)==false fell through the bloom branch
+    // and inflated that counter without a probe
+    if (part.runtimeInSets.exists(_._2.isEmpty)) return false
     def colEntry(name: String): Option[(RtcdbColSpec, IndexEntry)] = {
       val oi = part.outputCols.indexWhere(_.name == name)
       if (oi >= 0) Some((part.outputCols(oi), outputEntries(oi)(b)))

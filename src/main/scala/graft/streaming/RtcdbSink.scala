@@ -61,13 +61,26 @@ object RtcdbSink {
         RtcdbFormat.writeMetadata(rootP, existing :+ (table -> declared))
     }
     def len(p: Path) = if (Files.exists(p)) Files.size(p) else -1L
+    // the record's ','/'\n' separators must not occur in column names —
+    // a name containing one would corrupt the rollback parse
+    batch.schema.fieldNames.foreach { c =>
+      require(!c.exists(ch => ch == ',' || ch == '\n' || ch == '\r'),
+        s"rtcdb sink: column name '$c' contains a ledger separator " +
+          "character (',' or newline) — rename the column")
+    }
     val rec = batch.schema.fieldNames.map { c =>
       s"$c,${len(RtcdbFormat.dataPath(rootP, table, c))}," +
         s"${len(RtcdbFormat.indexPath(rootP, table, c))}," +
         s"${len(RtcdbFormat.bloomPath(rootP, table, c))}"
     }.mkString("\n")
     Files.createDirectories(ledger)
-    Files.write(pending, rec.getBytes("UTF-8"))
+    // write-then-ATOMIC_MOVE: the pending mark either exists complete or
+    // not at all — a crash mid-write can never leave a torn record that
+    // would wedge every subsequent restart's rollback parse
+    val tmp = ledger.resolve(pending.getFileName.toString + ".tmp")
+    Files.write(tmp, rec.getBytes("UTF-8"))
+    Files.move(tmp, pending,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     batch.write.format("rtcdb").option("path", dbRoot)
       .option("table", table).mode("append").save()
     Files.write(done, Array.emptyByteArray)
@@ -78,6 +91,16 @@ object RtcdbSink {
   /** Restore every column file to its pending-recorded pre-append length
     * (append-only files make truncation the complete undo), then retire
     * the pending mark.
+    *
+    * Concurrency contract: rollback runs under the stream driver's
+    * single-writer lock (a Structured Streaming query has exactly one
+    * driver, and foreachBatch is serial), but it also assumes READERS
+    * are quiesced OR tolerate a shrinking tail. To minimize the window
+    * where a concurrent rtcdb reader could plan blocks it then cannot
+    * read, INDEX files are truncated first: planning derives the block
+    * count from the shortest column's index, so once every index is back
+    * to its pre-append length no new scan will plan into the region
+    * still being rolled back in the data/bloom files.
     */
   private[graft] def rollback(dbRoot: String, table: String,
       pending: Path): Unit = {
@@ -89,13 +112,36 @@ object RtcdbSink {
         try ch.truncate(l) finally ch.close()
         ()
       }
-    new String(Files.readAllBytes(pending), "UTF-8").split("\n")
-      .filter(_.nonEmpty).foreach { line =>
-        val Array(c, dl, il, bl) = line.split(",", 4)
-        restore(RtcdbFormat.dataPath(rootP, table, c), dl.toLong)
-        restore(RtcdbFormat.indexPath(rootP, table, c), il.toLong)
-        restore(RtcdbFormat.bloomPath(rootP, table, c), bl.toLong)
+    val lines = new String(Files.readAllBytes(pending), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    // parse the WHOLE record before touching any file: a malformed
+    // record (possible only from a pre-atomic-move ledger, or outside
+    // tampering) must fail loudly with an actionable message, not
+    // half-truncate and then MatchError on every restart
+    val parsed = lines.map { line =>
+      line.split(",", 4) match {
+        case Array(c, dl, il, bl) =>
+          try (c, dl.toLong, il.toLong, bl.toLong)
+          catch { case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"rtcdb sink: unparsable pending record line '$line' in " +
+                s"$pending — the ledger is corrupt; inspect the table " +
+                "files manually, then delete the pending mark to resume")
+          }
+        case _ => throw new IllegalStateException(
+          s"rtcdb sink: malformed pending record line '$line' in " +
+            s"$pending — the ledger is corrupt; inspect the table " +
+            "files manually, then delete the pending mark to resume")
       }
+    }
+    // pass 1: index files (the planning visibility gate), then the rest
+    parsed.foreach { case (c, _, il, _) =>
+      restore(RtcdbFormat.indexPath(rootP, table, c), il)
+    }
+    parsed.foreach { case (c, dl, _, bl) =>
+      restore(RtcdbFormat.dataPath(rootP, table, c), dl)
+      restore(RtcdbFormat.bloomPath(rootP, table, c), bl)
+    }
     Files.delete(pending)
   }
 }

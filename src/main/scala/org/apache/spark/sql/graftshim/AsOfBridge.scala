@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.types.LongType
 
@@ -19,6 +20,16 @@ import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
   * Contract: all four key/ts columns are LongType (pack wider keys
   * first); output = left columns ++ right columns (right nullable,
   * LEFT-asof semantics) — alias collisions are the caller's to avoid.
+  *
+  * NULL semantics: a NULL key or timestamp never matches (vendor ASOF
+  * convention), and rows carrying one are EXCLUDED from the output on
+  * both sides — an IsNotNull filter is inserted under the join whenever
+  * a key/ts attribute is nullable. The merge in AsOfJoinExec reads keys
+  * with `getLong` (NULL would read as 0) and relies on a non-decreasing
+  * key order that SortOrder's nulls-first placement would break for
+  * negative keys, so NULLs must not reach it. Callers who want
+  * unmatched-left-row retention for NULL keys should pre-split NULLs
+  * and union them back with null right columns.
   */
 object AsOfBridge {
   def sortedAsOf(left: DataFrame, leftKey: String, leftTs: String,
@@ -38,7 +49,13 @@ object AsOfBridge {
       if (a.dataType != LongType) throw new IllegalArgumentException(
         s"as-of join: column '${a.name}' must be LongType, got ${a.dataType}")
     }
+    // NULL guard (see scaladoc): the exec's getLong/merge invariants
+    // require non-NULL keys/ts — filter them out under the join when the
+    // schema admits them (no-op filter skipped for non-nullable attrs)
+    def nonNull(p: LogicalPlan, k: org.apache.spark.sql.catalyst.expressions.Attribute,
+        t: org.apache.spark.sql.catalyst.expressions.Attribute): LogicalPlan =
+      if (k.nullable || t.nullable) Filter(And(IsNotNull(k), IsNotNull(t)), p) else p
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      AsOfJoinNode(lp, rp, lk, lt, rk, rt))
+      AsOfJoinNode(nonNull(lp, lk, lt), nonNull(rp, rk, rt), lk, lt, rk, rt))
   }
 }

@@ -110,6 +110,47 @@ class RtcdbSinkSpec extends AnyFunSuite with SparkFixture {
     q.awaitTermination()
   }
 
+  test("malformed pending record fails loudly BEFORE touching any table file") {
+    val (db, ledger) = fresh("torn")
+    assert(RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 5)))
+    val rootP = java.nio.file.Paths.get(db)
+    val dataP = graft.sources.rtcdb.RtcdbFormat.dataPath(rootP, "t", "event_id")
+    val lenBefore = Files.size(dataP)
+    // a torn record (crash mid-write on a pre-atomic-move ledger)
+    Files.createDirectories(ledger)
+    val pending = ledger.resolve("batch-000001.pending")
+    Files.write(pending, "event_id,123".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      RtcdbSink.commitBatch(db, "t", ledger, 1L, batchDf(5, 10))
+    }
+    assert(ex.getMessage.contains("pending"))
+    // parse-before-touch: nothing was truncated by the failed rollback
+    assert(Files.size(dataP) == lenBefore)
+    assert(Files.exists(pending)) // mark retained for manual inspection
+    // non-numeric lengths fail the same way
+    Files.write(pending, "event_id,abc,def,ghi".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      RtcdbSink.commitBatch(db, "t", ledger, 1L, batchDf(5, 10))
+    }
+    ()
+  }
+
+  test("pending mark is atomic (no .tmp residue) and separator column names are rejected") {
+    val (db, ledger) = fresh("atomic")
+    assert(RtcdbSink.commitBatch(db, "t", ledger, 0L, batchDf(0, 5)))
+    import scala.jdk.CollectionConverters._
+    val residue = Files.list(ledger).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".tmp")).toSeq
+    assert(residue.isEmpty, s"tmp residue: $residue")
+    val bad = batchDf(0, 3).withColumnRenamed("cents", "a,b")
+    val ex = intercept[IllegalArgumentException] {
+      // batch id 1: id 0's done mark (from the commit above) would
+      // short-circuit the replay before the name validation runs
+      RtcdbSink.commitBatch(db, "t2", ledger, 1L, bad)
+    }
+    assert(ex.getMessage.contains("separator"))
+  }
+
   test("streaming source reads committed blocks, then ONLY the delta after restart") {
     val (db, ledger) = fresh("tail")
     val dir = Files.createTempDirectory("rtcdbtail_io")

@@ -173,6 +173,40 @@ class RtcdbSourceSpec extends AnyFunSuite with SparkFixture {
         s"pruned=${RtcdbScanStats.prunedBlocks.get()}")
   }
 
+  test("EMPTY runtime IN-set prunes every block without inflating the bloom stat") {
+    // a dim whose filter survives planning but matches zero rows delivers
+    // an empty runtime key set: every block must be pruned up front, and
+    // bloomPrunedBlocks (spec-asserted as 'a bloom probe refused this
+    // block') must stay untouched — no probe ever ran
+    val root = freshDb("runtime_empty")
+    val rows = (0L until 4096L).map(i => Row(s"ev${i % 5}", 1700000000L + i, i))
+    RtcdbFormat.write(root, "events", eventsSchema, rows)
+    val s = spark
+    import s.implicits._
+    val dimPath = Files.createTempDirectory("rtcdb_dpp_empty").toString
+    (0L until 2000L).map(i => (i, s"u$i")).toDF("user_id", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("name") === "no_such_user")
+    RtcdbScanStats.reset()
+    withConf(
+      // AQE would fold the empty broadcast side into an empty relation
+      // and never execute the scan at all — turn it off so the EMPTY
+      // IN-set actually reaches the partition reader
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000") {
+      val q = readEvents(root).join(broadcast(dim), col("id") === col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      assert(q.collect().head.getLong(0) == 0L)
+    }
+    assert(RtcdbScanStats.runtimeFilteredScans.get() >= 1,
+      "runtime filter was never delivered to the scan")
+    assert(RtcdbScanStats.plannedBlocks.get() == 0,
+      s"no block should decode, planned=${RtcdbScanStats.plannedBlocks.get()}")
+    assert(RtcdbScanStats.bloomPrunedBlocks.get() == 0,
+      s"bloom stat inflated by empty IN-set: ${RtcdbScanStats.bloomPrunedBlocks.get()}")
+  }
+
   test("zone-map pruning is conservative on string prefixes") {
     val root = freshDb("prune_str")
     // sorted by event string: aaa... < mmm... < zzz...
