@@ -21,7 +21,8 @@ object SparkEntry {
       operators.ShapeQueries.all ++
       operators.PartsuppQueries.all ++
       operators.SketchQueries.all ++
-      operators.GraphQueries.all
+      operators.GraphQueries.all ++
+      operators.R11Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash
