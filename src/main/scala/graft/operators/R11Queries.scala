@@ -344,6 +344,427 @@ object R11Queries {
                     * (abs(b_only_a - c_only_b) - 1))
                   // nullif(b_only_a + c_only_b, 0) AS BIGINT) AS chi2_milli
               FROM c""")
+    ),
+
+    // ── EWMA SMOOTHING / CONTROL LINE ─────────────────────────────────────
+    QueryDef(
+      "q319_ewma_control",
+      // The exponentially-weighted moving average over daily event
+      // volume — the control-chart smoother between q206's z-score and
+      // q222's CUSUM. The recursion z_t = α·x_t + (1−α)·z_{t-1}, z_0 =
+      // x_0 (α = 0.25 — exact in binary) runs as a SEQUENTIAL left fold
+      // over the day-ordered prefix in BOTH engines (Spark `aggregate`
+      // seeded with the first element ≡ DuckDB `list_reduce`, which
+      // seeds from the head), so every IEEE step is identical.
+      //
+      // Shape, and why it scales: the fact folds to DAY grain (one hash
+      // agg — model-sized at any corpus size); the per-day prefix folds
+      // run over a broadcast copy of that tiny grain (the q295
+      // Kaplan-Meier pattern). No global windows.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val daily = Tables.events(s, d)
+          .groupBy(expr(s"ts div ${dayNs}L").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val model = daily.agg(sort_array(collect_list(
+          struct(col("day"), col("cnt")))).as("arr"))
+        daily.crossJoin(broadcast(model))
+          .withColumn("pfx", expr(
+            "transform(filter(arr, e -> e.day <= day), e -> CAST(e.cnt AS DOUBLE))"))
+          .select(col("day"), col("cnt"),
+            expr("""aggregate(slice(pfx, 2, size(pfx) - 1),
+                element_at(pfx, 1),
+                (acc, x) -> CAST(0.75 AS DOUBLE) * acc
+                  + CAST(0.25 AS DOUBLE) * x)""").as("ewma"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS cnt FROM events GROUP BY 1)
+              SELECT d.day, CAST(d.cnt AS BIGINT) AS cnt,
+                (SELECT list_reduce(
+                    list(CAST(d2.cnt AS DOUBLE) ORDER BY d2.day),
+                    (acc, x) -> CAST(0.75 AS DOUBLE) * acc
+                      + CAST(0.25 AS DOUBLE) * x)
+                  FROM daily d2 WHERE d2.day <= d.day) AS ewma
+              FROM daily d ORDER BY d.day""")
+    ),
+
+    // ── AVERAGE PRECISION (retrieval ranking quality) ─────────────────────
+    QueryDef(
+      "q323_average_precision",
+      // The ranking-eval statistic between q276's recall@k and q307's
+      // NDCG: AP@20 per probe — precision accumulated at each relevant
+      // hit, normalized by the number of relevant items retrieved.
+      // Relevance = label match against the probe. EVERY step is exact
+      // integer arithmetic: per-hit precision terms floor to micro-units
+      // ((10⁶·hits) div k), so no double ever rides an aggregation.
+      //
+      // Shape, and why it scales: 5 broadcast probes × streamed corpus
+      // (the q41 discipline), one probe-partitioned window for ranks +
+      // running hits, one hash agg; candidate set per probe is
+      // k-bounded before the window aggregate.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel"))
+        val c = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            col("label").as("clabel"))
+        val vec = graft.functions.vec
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        val wh = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        broadcast(q).crossJoin(c)
+          .withColumn("cos", vec.dot(col("qv"), col("cv")) /
+            (vec.norm(col("qv")) * vec.norm(col("cv"))))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .withColumn("rel", (col("qlabel") === col("clabel"))
+            .cast("long"))
+          .withColumn("hits", sum(col("rel")).over(wh))
+          .groupBy("qid").agg(
+            sum(col("rel")).as("hits20"),
+            sum(when(col("rel") === 1L,
+              expr("(1000000 * hits) div rk")).otherwise(0L))
+              .as("ap_sum_micro"))
+          .withColumn("ap_micro",
+            expr("ap_sum_micro div nullif(hits20, 0)"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                  label AS qlabel FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS cv,
+                  label AS clabel FROM embeddings WHERE vec_id >= 5),
+              scored AS (SELECT qid, cid, qlabel, clabel,
+                  ${SqlDot("qv", "cv")} / (${SqlNorm("qv")} * ${SqlNorm("cv")})
+                    AS cos
+                FROM q CROSS JOIN c),
+              rk AS (SELECT qid, clabel, qlabel,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid) AS rk
+                FROM scored QUALIFY rk <= 20),
+              h AS (SELECT qid, rk,
+                  CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS rel,
+                  sum(CASE WHEN qlabel = clabel THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY qid ORDER BY rk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS hits
+                FROM rk)
+              SELECT qid, CAST(sum(rel) AS BIGINT) AS hits20,
+                CAST(sum(CASE WHEN rel = 1
+                    THEN (1000000 * hits) // rk ELSE 0 END) AS BIGINT)
+                  AS ap_sum_micro,
+                CAST(sum(CASE WHEN rel = 1
+                    THEN (1000000 * hits) // rk ELSE 0 END)
+                  // nullif(sum(rel), 0) AS BIGINT) AS ap_micro
+              FROM h GROUP BY qid ORDER BY qid""")
+    ),
+
+    // ── t-CLOSENESS (distribution-distance privacy audit) ─────────────────
+    QueryDef(
+      "q324_t_closeness",
+      // The third rung of the privacy-audit ladder (k-anonymity q237,
+      // l-diversity q280): per quasi-identifier group, the ordered-
+      // distance Earth Mover's Distance between the group's sensitive-
+      // attribute distribution and the global one — t = (1/(m−1)) ·
+      // Σᵢ |Σ_{j≤i}(p_j − q_j)| over m ordered value buckets (Li et
+      // al.'s numeric-attribute form). Account balances bucket to a
+      // 20-bin equi-width grid; the inner sums stay EXACT integers by
+      // cross-multiplying (cum_g·N − cum·n_g); only the final t is one
+      // pinned double division.
+      //
+      // Shape, and why it scales: one customer scan to the QI×bucket
+      // matrix (cardinality-bounded: |QI| × 20 — model-sized at any row
+      // count), dense-grid completion via a generated bucket spine,
+      // per-group windows over ≤20 rows. No row-scale windows or joins.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val c = Tables.apply(s, d, "customer")
+          .select(col("c_nationkey").cast("long").as("nat"),
+            col("c_mktsegment").as("seg"),
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val mm = c.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        val bucketed = c.crossJoin(broadcast(mm))
+          .select(col("nat"), col("seg"),
+            expr("CAST(((cents - lo) * 20) div (hi - lo + 1) AS BIGINT)")
+              .as("bkt"))
+          .groupBy("nat", "seg", "bkt").agg(count(lit(1)).as("cg"))
+          .checkpoint()
+        val spine = bucketed.select("nat", "seg").distinct()
+          .crossJoin(spark_sequence_0_19(s))
+        val grid = spine.join(bucketed, Seq("nat", "seg", "bkt"), "left")
+          .withColumn("cg", coalesce(col("cg"), lit(0L)))
+        val wg = Window.partitionBy("nat", "seg").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gcum = grid.withColumn("cumg", sum(col("cg")).over(wg))
+        val glob = bucketed.groupBy("bkt").agg(sum(col("cg")).as("cb"))
+        val globCum = distributedPrefixSum(glob, "bkt", "cb")
+          .select(col("bkt"), (col("cum") + col("cb")).as("cumb"))
+        val ng = bucketed.groupBy("nat", "seg").agg(sum(col("cg")).as("n_g"))
+        val n = c.count()
+        gcum.join(broadcast(globCum), "bkt")
+          .join(broadcast(ng), Seq("nat", "seg"))
+          .groupBy("nat", "seg")
+          .agg(max(col("n_g")).as("n_g"),
+            sum(abs(col("cumg") * lit(n) - col("cumb") * col("n_g")))
+              .as("ssum"))
+          .select(col("nat"), col("seg"), col("n_g"),
+            expr(s"""(CAST(ssum AS DOUBLE)
+              / (CAST(n_g AS DOUBLE) * CAST(${n}L AS DOUBLE)
+                * CAST(19 AS DOUBLE)))""").as("t_emd"))
+          .orderBy("nat", "seg")
+      },
+      Some("""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                  c_mktsegment AS seg,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents
+                FROM customer),
+              mm AS (SELECT min(cents) AS lo, max(cents) AS hi,
+                  count(*) AS n FROM c),
+              b AS (SELECT nat, seg,
+                  CAST(((cents - lo) * 20) // (hi - lo + 1) AS BIGINT)
+                    AS bkt,
+                  count(*) AS cg
+                FROM c CROSS JOIN mm GROUP BY 1, 2, 3),
+              spine AS (SELECT nat, seg, r.bkt
+                FROM (SELECT DISTINCT nat, seg FROM b)
+                CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bkt) r),
+              grid AS (SELECT s.nat, s.seg, s.bkt, coalesce(b.cg, 0) AS cg
+                FROM spine s LEFT JOIN b
+                ON s.nat = b.nat AND s.seg = b.seg AND s.bkt = b.bkt),
+              gcum AS (SELECT nat, seg, bkt, cg,
+                  sum(cg) OVER (PARTITION BY nat, seg ORDER BY bkt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cumg
+                FROM grid),
+              gtot AS (SELECT bkt, sum(cg) AS cb FROM b GROUP BY 1),
+              globcum AS (SELECT bkt,
+                  sum(cb) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cumb
+                FROM gtot),
+              ng AS (SELECT nat, seg, sum(cg) AS n_g FROM b GROUP BY 1, 2)
+              SELECT g.nat, g.seg, CAST(ng.n_g AS BIGINT) AS n_g,
+                (CAST(sum(abs(g.cumg * mm.n - gc.cumb * ng.n_g)) AS DOUBLE)
+                  / (CAST(ng.n_g AS DOUBLE) * CAST(mm.n AS DOUBLE)
+                    * CAST(19 AS DOUBLE))) AS t_emd
+              FROM gcum g JOIN globcum gc ON g.bkt = gc.bkt
+              JOIN ng ON g.nat = ng.nat AND g.seg = ng.seg
+              CROSS JOIN mm
+              GROUP BY g.nat, g.seg, ng.n_g, mm.n
+              ORDER BY g.nat, g.seg""")
+    ),
+
+    // ── AS-OF JOIN WITH TOLERANCE (max-staleness matching) ────────────────
+    QueryDef(
+      "q325_asof_tolerance",
+      // The q29 as-of with the production knob every feature-store and
+      // tick-data join carries: a MAX STALENESS — a click only matches a
+      // view at most 60 s older; staler matches count as unmatched.
+      // Reports the match rate (exact ppm) and the matched-staleness
+      // mass, with the mean as the one pinned division.
+      //
+      // Shape, and why it scales: identical to q29 — tagged union + ONE
+      // user-keyed window pass (never a range join); the tolerance is a
+      // row-local post-filter on the matched timestamp delta.
+      (s, d) => {
+        val TolUs = 60L * 1000 * 1000
+        val e = Tables.events(s, d).withColumn("tsu", expr("ts div 1000"))
+        val u = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tsu"), lit(0).as("tag"),
+            col("event_id").as("id"))
+          .unionByName(e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("tsu"), lit(1).as("tag"),
+              col("event_id").as("id")))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu").asc, col("tag").asc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("vts",
+            last(when(col("tag") === 0, col("tsu")), ignoreNulls = true)
+              .over(w))
+          .filter(col("tag") === 1)
+          .withColumn("ok", (col("vts").isNotNull &&
+            (col("tsu") - col("vts") <= TolUs)).cast("long"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(col("ok")).as("n_matched"),
+            sum(when(col("ok") === 1L,
+              expr("(tsu - vts) div 1000")).otherwise(0L))
+              .as("sum_staleness_ms"))
+          .select(col("n_clicks"), col("n_matched"),
+            expr("(1000000 * n_matched) div n_clicks").as("match_ppm"),
+            col("sum_staleness_ms"),
+            expr("""(CAST(sum_staleness_ms AS DOUBLE)
+              / CAST(nullif(n_matched, 0) AS DOUBLE))""")
+              .as("avg_staleness_ms"))
+      },
+      Some("""WITH v AS (SELECT user_id AS vuser, epoch_us(ts) AS vts
+                FROM events WHERE event_type = 'view'),
+              c AS (SELECT user_id, epoch_us(ts) AS tsu
+                FROM events WHERE event_type = 'click'),
+              j AS (SELECT c.tsu, v.vts
+                FROM c ASOF LEFT JOIN v
+                ON c.user_id = v.vuser AND v.vts <= c.tsu),
+              m AS (SELECT count(*) AS n_clicks,
+                  sum(CASE WHEN vts IS NOT NULL
+                      AND tsu - vts <= 60000000 THEN 1 ELSE 0 END)
+                    AS n_matched,
+                  sum(CASE WHEN vts IS NOT NULL
+                      AND tsu - vts <= 60000000
+                      THEN (tsu - vts) // 1000 ELSE 0 END)
+                    AS sum_staleness_ms
+                FROM j)
+              SELECT CAST(n_clicks AS BIGINT) AS n_clicks,
+                CAST(n_matched AS BIGINT) AS n_matched,
+                CAST((1000000 * n_matched) // n_clicks AS BIGINT)
+                  AS match_ppm,
+                CAST(sum_staleness_ms AS BIGINT) AS sum_staleness_ms,
+                (CAST(sum_staleness_ms AS DOUBLE)
+                  / CAST(nullif(n_matched, 0) AS DOUBLE))
+                  AS avg_staleness_ms
+              FROM m""")
+    ),
+
+    // ── DIFFERENCE-IN-DIFFERENCES (quasi-experimental readout) ────────────
+    QueryDef(
+      "q326_diff_in_diff",
+      // The quasi-experimental estimator the A/B suite (q244/q285/q303)
+      // can't cover when assignment isn't randomized at exposure time:
+      // treatment = a deterministic user split, periods = the corpus
+      // midpoint, outcome = events per active user per cell, DiD =
+      // (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre). Cell counts are
+      // exact integers; the four means and the estimate are pinned
+      // double expressions over identical operands in both engines.
+      //
+      // Shape, and why it scales: one fact pass folding to a single
+      // 8-count row (conditional aggregation — no per-cell subqueries);
+      // output is 1 row.
+      (s, d) => {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val base = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+        val mm = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val cells = base.crossJoin(broadcast(mm))
+          .select(col("user_id"),
+            (col("user_id") % 2 === 1).cast("long").as("treat"),
+            (col("day") >= expr("lo + (hi - lo + 1) div 2"))
+              .cast("long").as("post"))
+        cells.agg(
+            count(when(col("treat") === 1 && col("post") === 1, 1)).as("e11"),
+            count(when(col("treat") === 1 && col("post") === 0, 1)).as("e10"),
+            count(when(col("treat") === 0 && col("post") === 1, 1)).as("e01"),
+            count(when(col("treat") === 0 && col("post") === 0, 1)).as("e00"),
+            countDistinct(when(col("treat") === 1 && col("post") === 1,
+              col("user_id"))).as("u11"),
+            countDistinct(when(col("treat") === 1 && col("post") === 0,
+              col("user_id"))).as("u10"),
+            countDistinct(when(col("treat") === 0 && col("post") === 1,
+              col("user_id"))).as("u01"),
+            countDistinct(when(col("treat") === 0 && col("post") === 0,
+              col("user_id"))).as("u00"))
+          .select(col("e11"), col("e10"), col("e01"), col("e00"),
+            col("u11"), col("u10"), col("u01"), col("u00"),
+            expr(DidSql.did).as("did"))
+      },
+      Some(s"""WITH base AS (SELECT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+              mm AS (SELECT min(day) AS lo, max(day) AS hi FROM base),
+              cells AS (SELECT user_id,
+                  CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+                  CASE WHEN day >= lo + (hi - lo + 1) // 2
+                    THEN 1 ELSE 0 END AS post
+                FROM base CROSS JOIN mm),
+              m AS (SELECT
+                  count(CASE WHEN treat = 1 AND post = 1 THEN 1 END) AS e11,
+                  count(CASE WHEN treat = 1 AND post = 0 THEN 1 END) AS e10,
+                  count(CASE WHEN treat = 0 AND post = 1 THEN 1 END) AS e01,
+                  count(CASE WHEN treat = 0 AND post = 0 THEN 1 END) AS e00,
+                  count(DISTINCT CASE WHEN treat = 1 AND post = 1
+                    THEN user_id END) AS u11,
+                  count(DISTINCT CASE WHEN treat = 1 AND post = 0
+                    THEN user_id END) AS u10,
+                  count(DISTINCT CASE WHEN treat = 0 AND post = 1
+                    THEN user_id END) AS u01,
+                  count(DISTINCT CASE WHEN treat = 0 AND post = 0
+                    THEN user_id END) AS u00
+                FROM cells)
+              SELECT e11, e10, e01, e00,
+                CAST(u11 AS BIGINT) AS u11, CAST(u10 AS BIGINT) AS u10,
+                CAST(u01 AS BIGINT) AS u01, CAST(u00 AS BIGINT) AS u00,
+                ${DidSql.did} AS did
+              FROM m""")
+    ),
+
+    // ── DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE ──────────────────────────
+    QueryDef(
+      "q328_dp_histogram",
+      // The privacy ladder's RELEASE step (audits: q237/q280/q324; this
+      // one actually perturbs): per-category counts plus Laplace(1/ε)
+      // noise, ε = 1. The noise is SEEDED — uniform u ∈ (−½,½) derives
+      // from the shared 32-bit md5 family over the category value, then
+      // the inverse-CDF transform −b·sgn(u)·ln(1−2|u|) — so the release
+      // is reproducible in both engines and the abs-error audit rides
+      // along exactly.
+      //
+      // Shape, and why it scales: one hash aggregation to category
+      // grain (model-sized), then row-local noise; output is
+      // category-bounded.
+      // Noise surfaces in exact MICRO-UNITS (floor): the raw double
+      // differs between engines by 1 ulp (JVM Math.log vs DuckDB libm —
+      // neither is correctly rounded), so the release quantizes before
+      // comparison; the 5 category noise values are fixed at every
+      // scale, none near a floor boundary.
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .withColumn("h", h32(concat(lit("dp1-"), col("event_type"))))
+          .withColumn("noise_micro",
+            expr(s"CAST(floor(${DidSql.lap} * 1000000.0) AS BIGINT)"))
+          .select(col("event_type"), col("n"),
+            (col("n") * 1000000L + col("noise_micro")).as("noisy_n_micro"),
+            abs(col("noise_micro")).as("abs_err_micro"),
+            lit(1000000L).as("epsilon_micro"))
+          .orderBy("event_type"),
+      Some(s"""WITH g AS (SELECT event_type, count(*) AS n
+                FROM events GROUP BY 1),
+              h AS (SELECT event_type, n,
+                  ${SQL_H32("concat('dp1-', event_type)")} AS h
+                FROM g),
+              z AS (SELECT event_type, n,
+                  CAST(floor(${DidSql.lap} * 1000000.0) AS BIGINT)
+                    AS noise_micro
+                FROM h)
+              SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST(n * 1000000 + noise_micro AS BIGINT) AS noisy_n_micro,
+                CAST(abs(noise_micro) AS BIGINT) AS abs_err_micro,
+                CAST(1000000 AS BIGINT) AS epsilon_micro
+              FROM z ORDER BY event_type""")
     )
   )
+
+  /** 0..19 bucket spine for the t-closeness dense grid */
+  private def spark_sequence_0_19(s: SparkSession): DataFrame =
+    s.range(0, 20).select(col("id").as("bkt"))
+
+  /** shared pinned-double texts for q326/q328 */
+  private object DidSql {
+    private def y(e: String, u: String) =
+      s"(CAST($e AS DOUBLE) / CAST($u AS DOUBLE))"
+    val did: String =
+      s"((${y("e11", "u11")} - ${y("e10", "u10")})" +
+        s" - (${y("e01", "u01")} - ${y("e00", "u00")}))"
+    /** Laplace(b=1) inverse-CDF from the 32-bit hash column `h` */
+    val lap: String =
+      """(-(CAST(sign((CAST(h AS DOUBLE) + 0.5) / 4294967296.0 - 0.5)
+          AS DOUBLE))
+        * ln(1.0 - 2.0 * abs((CAST(h AS DOUBLE) + 0.5) / 4294967296.0
+          - 0.5)))"""
+  }
+
+  /** DuckDB vector mirrors (dim 64, the SimilarityQueries convention) */
+  private def SqlDot(a: String, b: String) =
+    s"list_aggregate(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+  private def SqlNorm(a: String) =
+    s"sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))"
 }
