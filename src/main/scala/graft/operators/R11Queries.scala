@@ -740,6 +740,318 @@ object R11Queries {
                 CAST(abs(noise_micro) AS BIGINT) AS abs_err_micro,
                 CAST(1000000 AS BIGINT) AS epsilon_micro
               FROM z ORDER BY event_type""")
+    ),
+
+    // ── EPOCH-SHUFFLE QUALITY AUDIT (training-order autocorrelation) ──────
+    QueryDef(
+      "q327_shuffle_audit",
+      // Training-data ORDERING is a data-quality surface: a bad epoch
+      // shuffle leaves same-source documents adjacent, and models see
+      // correlated batches. This audits the deterministic hash shuffle
+      // (order by h32(seed‖doc_id), the same family q72's shard split
+      // uses) for two seeds: the fraction of ADJACENT pairs sharing a
+      // source, against the exact expected collision rate under a
+      // uniform random permutation, Σ nₛ(nₛ−1)/(N(N−1)) — both in exact
+      // ppm.
+      //
+      // Shape, and why it scales: adjacency in hash order is computed
+      // WITHOUT a global window — 256 hash-range buckets get per-bucket
+      // lag windows in parallel, and the ≤255 cross-bucket boundary
+      // pairs come from a bucket-grain first/last table stitched with
+      // one tiny window (the distributedPrefixSum offsets discipline).
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source")
+        val perSeed = Seq("ep1", "ep2").map { seed =>
+          val keyed = docs
+            .withColumn("k", h32(concat(lit(seed + "-"), col("doc_id"))))
+            .withColumn("bkt", expr("k div 16777216"))
+          val wB = Window.partitionBy("bkt").orderBy(col("k"), col("doc_id"))
+          val inB = keyed
+            .withColumn("prev_src", lag(col("source"), 1).over(wB))
+            .filter(col("prev_src").isNotNull)
+            .agg(count(lit(1)).as("np"),
+              sum((col("prev_src") === col("source")).cast("long"))
+                .as("same"))
+          // bucket-grain stitch: the FIRST and LAST doc of each non-empty
+          // bucket, paired with the neighboring bucket via one tiny window
+          val edges = keyed
+            .groupBy("bkt").agg(
+              min(struct(col("k"), col("doc_id"), col("source")))
+                .as("first"),
+              max(struct(col("k"), col("doc_id"), col("source")))
+                .as("last"))
+          val wE = Window.orderBy("bkt")
+          val cross = edges
+            .withColumn("prev_last_src", lag(col("last.source"), 1).over(wE))
+            .filter(col("prev_last_src").isNotNull)
+            .agg(count(lit(1)).as("np"),
+              sum((col("prev_last_src") === col("first.source"))
+                .cast("long")).as("same"))
+          val exp = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+            .agg(sum(col("ns") * (col("ns") - 1)).as("coll"),
+              sum(col("ns")).as("n"))
+          inB.unionAll(cross)
+            .agg(sum(col("np")).as("n_pairs"), sum(col("same")).as("same_src"))
+            .crossJoin(broadcast(exp))
+            .select(lit(seed).as("seed"), col("n_pairs"), col("same_src"),
+              expr("(1000000 * same_src) div n_pairs").as("same_ppm"),
+              expr("(1000000 * coll) div (n * (n - 1))").as("expected_ppm"))
+        }
+        perSeed.reduce(_ unionAll _).orderBy("seed")
+      },
+      Some(s"""WITH seeds AS (SELECT 'ep1' AS seed UNION ALL SELECT 'ep2'),
+              keyed AS (SELECT seed, doc_id, source,
+                  ${SQL_H32("concat(seed, '-', doc_id)")} AS k
+                FROM documents CROSS JOIN seeds),
+              adj AS (SELECT seed, source,
+                  lag(source) OVER (PARTITION BY seed
+                    ORDER BY k, doc_id) AS prev_src
+                FROM keyed),
+              pairs AS (SELECT seed, count(*) AS n_pairs,
+                  sum(CASE WHEN source = prev_src THEN 1 ELSE 0 END)
+                    AS same_src
+                FROM adj WHERE prev_src IS NOT NULL GROUP BY 1),
+              exp AS (SELECT sum(ns * (ns - 1)) AS coll, sum(ns) AS n
+                FROM (SELECT source, count(*) AS ns
+                  FROM documents GROUP BY 1))
+              SELECT seed, CAST(n_pairs AS BIGINT) AS n_pairs,
+                CAST(same_src AS BIGINT) AS same_src,
+                CAST((1000000 * same_src) // n_pairs AS BIGINT) AS same_ppm,
+                CAST((1000000 * coll) // (n * (n - 1)) AS BIGINT)
+                  AS expected_ppm
+              FROM pairs CROSS JOIN exp ORDER BY seed""")
+    ),
+
+    // ── GREEDY k-CENTER CORESET (coverage-first data selection) ───────────
+    QueryDef(
+      "q330_kcenter_coreset",
+      // Diversity selection by COVERAGE, the complement of q195's MMR
+      // (relevance-diversity reranking) and q126's SemDeDup (redundancy
+      // removal): the classic 2-approximation greedy k-center — seed
+      // with the lowest vec_id, then repeatedly take the point FARTHEST
+      // from its nearest selected center. 4 unrolled rounds (the q145/
+      // q236 discipline; the oracle unrolls identically). Distances are
+      // cosine, floored to exact micro-units BEFORE any comparison, so
+      // every argmax is integer-deterministic (ties → lowest vec_id).
+      //
+      // Shape, and why it scales: each round is one broadcast of ≤k
+      // centers against the streamed corpus + a top-1 TakeOrdered (no
+      // global sort materializes); k driver-side scalar probes total.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val vec = graft.functions.vec
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding")).checkpoint()
+        val seedId = e.agg(min(col("vec_id"))).head.getLong(0)
+        var centers = Seq(seedId)
+        val rows = Seq.newBuilder[(Long, Long, Long)]
+        rows += ((1L, seedId, -1L))
+        (2 to 4).foreach { step =>
+          val c = e.filter(col("vec_id").isin(centers: _*))
+            .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+          val far = e.filter(!col("vec_id").isin(centers: _*))
+            .crossJoin(broadcast(c))
+            .withColumn("cos", vec.dot(col("embedding"), col("cv")) /
+              (vec.norm(col("embedding")) * vec.norm(col("cv"))))
+            .withColumn("dist_micro",
+              floor(lit(1000000.0) * (lit(1.0) - col("cos"))).cast("long"))
+            .groupBy("vec_id").agg(min(col("dist_micro")).as("dmin"))
+            .orderBy(col("dmin").desc, col("vec_id").asc)
+            .limit(1).head()
+          centers = centers :+ far.getLong(0)
+          rows += ((step.toLong, far.getLong(0), far.getLong(1)))
+        }
+        val s2 = s
+        import s2.implicits._
+        rows.result().toDF("step", "center_id", "radius_micro")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              c1 AS (SELECT min(vec_id) AS cid FROM e),
+              d1 AS (SELECT e.vec_id,
+                  CAST(floor(1000000.0 * (1.0 - ${SqlCos("e.embedding", "c.embedding")}))
+                    AS BIGINT) AS dmin
+                FROM e JOIN e c ON c.vec_id = (SELECT cid FROM c1)
+                WHERE e.vec_id <> (SELECT cid FROM c1)),
+              c2 AS (SELECT vec_id AS cid, dmin FROM d1
+                ORDER BY dmin DESC, vec_id LIMIT 1),
+              d2 AS (SELECT d1.vec_id,
+                  least(d1.dmin, CAST(floor(1000000.0 * (1.0 -
+                    ${SqlCos("e.embedding", "c.embedding")})) AS BIGINT))
+                    AS dmin
+                FROM d1 JOIN e ON d1.vec_id = e.vec_id
+                JOIN e c ON c.vec_id = (SELECT cid FROM c2)
+                WHERE d1.vec_id <> (SELECT cid FROM c2)),
+              c3 AS (SELECT vec_id AS cid, dmin FROM d2
+                ORDER BY dmin DESC, vec_id LIMIT 1),
+              d3 AS (SELECT d2.vec_id,
+                  least(d2.dmin, CAST(floor(1000000.0 * (1.0 -
+                    ${SqlCos("e.embedding", "c.embedding")})) AS BIGINT))
+                    AS dmin
+                FROM d2 JOIN e ON d2.vec_id = e.vec_id
+                JOIN e c ON c.vec_id = (SELECT cid FROM c3)
+                WHERE d2.vec_id <> (SELECT cid FROM c3)),
+              c4 AS (SELECT vec_id AS cid, dmin FROM d3
+                ORDER BY dmin DESC, vec_id LIMIT 1)
+              SELECT CAST(1 AS BIGINT) AS step,
+                CAST((SELECT cid FROM c1) AS BIGINT) AS center_id,
+                CAST(-1 AS BIGINT) AS radius_micro
+              UNION ALL SELECT 2, (SELECT cid FROM c2),
+                (SELECT dmin FROM c2)
+              UNION ALL SELECT 3, (SELECT cid FROM c3),
+                (SELECT dmin FROM c3)
+              UNION ALL SELECT 4, (SELECT cid FROM c4),
+                (SELECT dmin FROM c4)""")
+    ),
+
+    // ── WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-Spirakis) ───────
+    QueryDef(
+      "q332_weighted_sample",
+      // The one-pass distributed weighted sample every corpus-mixing
+      // job needs (q265's PPS is systematic/with-replacement; this is
+      // WITHOUT replacement): the A-ES key k = −ln(u)/w with u hash-
+      // seeded per doc and w = n_chars — the 32 SMALLEST keys are an
+      // exact weighted sample. Keys floor to pico-units so selection
+      // and ordering are integer-deterministic (tie → doc_id).
+      //
+      // Shape, and why it scales: row-local key computation + a top-32
+      // TakeOrdered — no sort, no shuffle beyond the k-item heap merge.
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("h", h32(concat(lit("ws1-"), col("doc_id"))))
+          .withColumn("key_pico", expr(
+            """CAST(floor(1000000000000.0
+              * (-ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0))
+              / CAST(n_chars AS DOUBLE)) AS BIGINT)"""))
+          .orderBy(col("key_pico").asc, col("doc_id").asc)
+          .limit(32)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").as("w"), col("key_pico")),
+      Some(s"""WITH k AS (SELECT doc_id, source, n_chars,
+                  ${SQL_H32("concat('ws1-', doc_id)")} AS h
+                FROM documents)
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+                CAST(floor(1000000000000.0
+                  * (-ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0))
+                  / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_pico
+              FROM k ORDER BY key_pico, doc_id LIMIT 32""")
+    ),
+
+    // ── SIMPSON'S-PARADOX REVERSAL AUDIT ──────────────────────────────────
+    QueryDef(
+      "q334_simpson_reversal",
+      // The aggregation-safety audit behind every pooled metric: does
+      // the pooled trend's SIGN survive disaggregation? Pooled and
+      // per-group regression-slope signs for price-vs-discount, where
+      // sign(slope) = sign(n·Σxy − Σx·Σy) — an EXACT integer (DECIMAL
+      // accumulation; no division, no doubles anywhere). Reversal =
+      // every group trend opposes the pooled trend.
+      //
+      // Shape, and why it scales: one fact pass folding to per-group
+      // moment sums (group-bounded), signs and the flag in plain
+      // integer arithmetic; output is 1 row + group rows.
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("grp"),
+          expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("x"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("y"))
+        def moments(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+          count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+          sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"))
+        val sign = expr("""CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)""")
+        val perGrp = moments(base.groupBy("grp"))
+          .select(col("grp"), col("n").cast("long").as("n"),
+            sign.as("slope_sign"))
+        val pooled = moments(base.groupBy())
+          .select(lit("ALL").as("grp"), col("n").cast("long").as("n"),
+            sign.as("slope_sign"))
+        perGrp.unionAll(pooled).orderBy("grp")
+      },
+      Some("""WITH base AS (SELECT l_returnflag AS grp,
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS x,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y
+                FROM lineitem),
+              g AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy
+                FROM base GROUP BY 1
+                UNION ALL
+                SELECT 'ALL', count(*), sum(x), sum(y), sum(x * y)
+                FROM base)
+              SELECT grp, CAST(n AS BIGINT) AS n,
+                CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+                  AS slope_sign
+              FROM g ORDER BY grp""")
+    ),
+
+    // ── POPULATION STABILITY INDEX (categorical drift) ────────────────────
+    QueryDef(
+      "q335_psi_drift",
+      // The ML-monitoring drift metric between q262's KS (continuous,
+      // two-sample) and q232's embedding drift: PSI over the event-type
+      // distribution, pre- vs post-midpoint — Σ (p−q)·ln(p/q). Each
+      // category's term quantizes to micro-units (floor) BEFORE the
+      // total, so the 1-ulp ln divergence between engines (the q328
+      // finding) can't surface; categories empty on either side yield
+      // NULL terms and are excluded by both engines' sum semantics.
+      //
+      // Shape, and why it scales: one fact pass to (category, period)
+      // grain (model-sized), row-local terms, one tiny rollup.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val dayNs = 86400L * 1000L * 1000L * 1000L
+        val base = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts div ${dayNs}L").as("day"))
+        val mm = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val cells = base.crossJoin(broadcast(mm))
+          .groupBy(col("event_type"))
+          .agg(
+            sum((col("day") < expr("lo + (hi - lo + 1) div 2"))
+              .cast("long")).as("n_pre"),
+            sum((col("day") >= expr("lo + (hi - lo + 1) div 2"))
+              .cast("long")).as("n_post"))
+          .checkpoint()
+        val tot = cells.agg(sum(col("n_pre")).as("tp"),
+          sum(col("n_post")).as("tq"))
+        val terms = cells.crossJoin(broadcast(tot))
+          .withColumn("term_micro", expr(PsiSql.term))
+        terms.select(col("event_type"), col("n_pre"), col("n_post"),
+            col("term_micro"))
+          .unionAll(terms.agg(sum(col("n_pre")).as("n_pre"),
+              sum(col("n_post")).as("n_post"),
+              sum(col("term_micro")).as("term_micro"))
+            .select(lit("TOTAL").as("event_type"), col("n_pre"),
+              col("n_post"), col("term_micro")))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH base AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+              mm AS (SELECT min(day) AS lo, max(day) AS hi FROM base),
+              cells AS (SELECT event_type,
+                  sum(CASE WHEN day < lo + (hi - lo + 1) // 2
+                    THEN 1 ELSE 0 END) AS n_pre,
+                  sum(CASE WHEN day >= lo + (hi - lo + 1) // 2
+                    THEN 1 ELSE 0 END) AS n_post
+                FROM base CROSS JOIN mm GROUP BY 1),
+              tot AS (SELECT sum(n_pre) AS tp, sum(n_post) AS tq
+                FROM cells),
+              terms AS (SELECT event_type, n_pre, n_post,
+                  ${PsiSql.term} AS term_micro
+                FROM cells CROSS JOIN tot)
+              SELECT event_type, CAST(n_pre AS BIGINT) AS n_pre,
+                CAST(n_post AS BIGINT) AS n_post,
+                CAST(term_micro AS BIGINT) AS term_micro
+              FROM terms
+              UNION ALL
+              SELECT 'TOTAL', CAST(sum(n_pre) AS BIGINT),
+                CAST(sum(n_post) AS BIGINT),
+                CAST(sum(term_micro) AS BIGINT)
+              FROM terms
+              ORDER BY event_type""")
     )
   )
 
@@ -767,4 +1079,17 @@ object R11Queries {
     s"list_aggregate(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
   private def SqlNorm(a: String) =
     s"sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))"
+  private def SqlCos(a: String, b: String) =
+    s"(${SqlDot(a, b)} / (${SqlNorm(a)} * ${SqlNorm(b)}))"
+
+  /** PSI term in exact micro-units; a zero count on either side yields
+    * NULL (excluded from both engines' sums identically)
+    */
+  private object PsiSql {
+    private val p = "(CAST(nullif(n_pre, 0) AS DOUBLE) / CAST(tp AS DOUBLE))"
+    private val q =
+      "(CAST(nullif(n_post, 0) AS DOUBLE) / CAST(tq AS DOUBLE))"
+    val term: String =
+      s"CAST(floor(1000000.0 * (($p - $q) * ln($p / $q))) AS BIGINT)"
+  }
 }
