@@ -361,11 +361,15 @@ object R11Queries {
       // agg — model-sized at any corpus size); the per-day prefix folds
       // run over a broadcast copy of that tiny grain (the q295
       // Kaplan-Meier pattern). No global windows.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val dayNs = 86400L * 1000L * 1000L * 1000L
+        // day grain checkpoints (model-sized): consumed by both the row
+        // stream and the broadcast model — without it the fact scan runs
+        // twice (the lineage-bifurcation trap)
         val daily = Tables.events(s, d)
           .groupBy(expr(s"ts div ${dayNs}L").as("day"))
           .agg(count(lit(1)).as("cnt"))
+          .checkpoint()
         val model = daily.agg(sort_array(collect_list(
           struct(col("day"), col("cnt")))).as("arr"))
         daily.crossJoin(broadcast(model))
@@ -761,37 +765,37 @@ object R11Queries {
       // one tiny window (the distributedPrefixSum offsets discipline).
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "source")
+        val exp = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+          .agg(sum(col("ns") * (col("ns") - 1)).as("coll"),
+            sum(col("ns")).as("n"))
         val perSeed = Seq("ep1", "ep2").map { seed =>
           val keyed = docs
             .withColumn("k", h32(concat(lit(seed + "-"), col("doc_id"))))
             .withColumn("bkt", expr("k div 16777216"))
           val wB = Window.partitionBy("bkt").orderBy(col("k"), col("doc_id"))
-          val inB = keyed
+          // ONE window pass + ONE aggregation per seed: in-bucket pair
+          // counts AND the bucket's first/last doc fold out of the same
+          // shuffle (a second pass for the edges would re-scan the fact)
+          val perBkt = keyed
             .withColumn("prev_src", lag(col("source"), 1).over(wB))
-            .filter(col("prev_src").isNotNull)
-            .agg(count(lit(1)).as("np"),
-              sum((col("prev_src") === col("source")).cast("long"))
-                .as("same"))
-          // bucket-grain stitch: the FIRST and LAST doc of each non-empty
-          // bucket, paired with the neighboring bucket via one tiny window
-          val edges = keyed
             .groupBy("bkt").agg(
+              sum(col("prev_src").isNotNull.cast("long")).as("np"),
+              sum((col("prev_src") === col("source")).cast("long"))
+                .as("same"),
               min(struct(col("k"), col("doc_id"), col("source")))
                 .as("first"),
               max(struct(col("k"), col("doc_id"), col("source")))
                 .as("last"))
+          // bucket-grain stitch (≤256 rows): cross-bucket boundary pairs
+          // via one tiny window
           val wE = Window.orderBy("bkt")
-          val cross = edges
+          perBkt
             .withColumn("prev_last_src", lag(col("last.source"), 1).over(wE))
-            .filter(col("prev_last_src").isNotNull)
-            .agg(count(lit(1)).as("np"),
-              sum((col("prev_last_src") === col("first.source"))
-                .cast("long")).as("same"))
-          val exp = docs.groupBy("source").agg(count(lit(1)).as("ns"))
-            .agg(sum(col("ns") * (col("ns") - 1)).as("coll"),
-              sum(col("ns")).as("n"))
-          inB.unionAll(cross)
-            .agg(sum(col("np")).as("n_pairs"), sum(col("same")).as("same_src"))
+            .agg(
+              (sum(col("np")) + sum(col("prev_last_src").isNotNull
+                .cast("long"))).as("n_pairs"),
+              (sum(col("same")) + sum((col("prev_last_src") ===
+                col("first.source")).cast("long"))).as("same_src"))
             .crossJoin(broadcast(exp))
             .select(lit(seed).as("seed"), col("n_pairs"), col("same_src"),
               expr("(1000000 * same_src) div n_pairs").as("same_ppm"),
