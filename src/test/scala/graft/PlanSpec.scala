@@ -246,7 +246,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q132_tpch_q2_mincost" /* 1-row |supplier| broadcast (partsupp synth) */,
       "q133_tpch_q11_value" /* 1-row broadcasts: |supplier| + the Q11 total */,
       "q134_tpch_q16_suppcnt" /* 1-row |supplier| broadcast (partsupp synth) */,
-      "q135_tpch_q20_excess" /* 1-row |supplier| broadcast (partsupp synth) */)
+      "q135_tpch_q20_excess" /* 1-row |supplier| broadcast (partsupp synth) */,
+      "q319_ewma_control" /* 1-row fold-model array broadcast, like q295 */,
+      "q323_average_precision" /* broadcast-brute probe fan-out, like q41 */,
+      "q324_t_closeness" /* 1-row min/max broadcast + 20-row bucket spine */,
+      "q326_diff_in_diff" /* 1-row corpus-midpoint broadcast, like q89 */,
+      "q327_shuffle_audit" /* 1-row collision-expectation broadcast, like q89 */,
+      "q335_psi_drift" /* 1-row min/max + 1-row totals broadcasts, like q262 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
