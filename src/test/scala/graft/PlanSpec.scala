@@ -252,7 +252,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q324_t_closeness" /* 1-row min/max broadcast + 20-row bucket spine */,
       "q326_diff_in_diff" /* 1-row corpus-midpoint broadcast, like q89 */,
       "q327_shuffle_audit" /* 1-row collision-expectation broadcast, like q89 */,
-      "q335_psi_drift" /* 1-row min/max + 1-row totals broadcasts, like q262 */)
+      "q335_psi_drift" /* 1-row min/max + 1-row totals broadcasts, like q262 */,
+      "q336_kendall_tau" /* cells²-bounded grid self-join + 1-row folds, like q294 */,
+      "q343_target_encoding" /* 1-row prior broadcast, like q89 */,
+      "q344_mann_kendall" /* calendar-bounded day² self-join + 1-row folds */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
