@@ -491,12 +491,15 @@ object R11bQueries {
       // Shape, and why it scales: fact → distinct-name grain (one hash
       // agg); the pair join is keyed ON THE BLOCK (equi), quadratic only
       // within a block of a value-bounded grain. Top-20 via TakeOrdered.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
+        // name grain checkpoints (value-bounded): consumed by both join
+        // sides — without it the part scan runs twice
         val names = Tables.part(s, d)
           .groupBy(col("p_name").as("n1"))
           .agg(count(lit(1)).as("cnt1"))
           .withColumn("l", length(col("n1")))
           .withColumn("f", expr("split_part(n1, ' ', 1)"))
+          .checkpoint()
         val right = names.select(col("n1").as("n2"), col("cnt1").as("cnt2"),
           col("l"), col("f"))
         names.join(right, Seq("l", "f"))
@@ -535,14 +538,17 @@ object R11bQueries {
       //
       // Shape, and why it scales: one fact pass to the category grain,
       // 1-row prior broadcast — no windows, no fact joins.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val base = Tables.orders(s, d)
           .select(col("o_orderpriority").as("pri"),
             year(col("o_orderdate")).cast("long").as("yr"),
             (col("o_orderstatus") === "F").cast("long").as("y"))
         val g = base.groupBy("pri", "yr")
           .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
-        val prior = base.agg(count(lit(1)).as("gn"), sum(col("y")).as("gs"))
+          .checkpoint()
+        // the prior folds from the CATEGORY grain (sums are associative),
+        // so the fact scans exactly once
+        val prior = g.agg(sum(col("n")).as("gn"), sum(col("sy")).as("gs"))
         g.crossJoin(broadcast(prior))
           .select(col("pri"), col("yr"), col("n"), col("sy"),
             expr(EncSql).as("enc_ppm"),
@@ -576,11 +582,14 @@ object R11bQueries {
       // Shape, and why it scales: one fact pass to the calendar-bounded
       // day grain; the i<j comparison is a broadcast day² join on a
       // model-sized frame (≈365 rows/year at ANY corpus size).
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val dayNs = 86400L * 1000L * 1000L * 1000L
+        // day grain checkpoints (calendar-bounded): 4 consumers — the
+        // fact would otherwise scan once per subtree
         val daily = Tables.events(s, d)
           .groupBy(expr(s"ts div ${dayNs}L").as("day"))
           .agg(count(lit(1)).as("x"))
+          .checkpoint()
         val j = daily.select(col("day").as("dayj"), col("x").as("xj"))
         val sS = daily.join(broadcast(j), col("day") < col("dayj"))
           .agg((sum((col("xj") > col("x")).cast("long"))
@@ -629,14 +638,17 @@ object R11bQueries {
       // Shape, and why it scales: one fact pass to the calendar-bounded
       // day grain, cumulative LLR via the distributedPrefixSum backbone
       // (never a single-partition fact window), one TakeOrdered(1).
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val dayNs = 86400L * 1000L * 1000L * 1000L
+        // day grain checkpoints: distributedPrefixSum reads it twice
+        // (local cumsums + bucket offsets)
         val daily = Tables.events(s, d)
           .groupBy(expr(s"ts div ${dayNs}L").as("day"))
           .agg(count(lit(1)).as("nt"),
             sum((col("value") >= 50.0).cast("long")).as("ct"))
           .withColumn("term",
             col("ct") * 133531L + (col("nt") - col("ct")) * lit(-80043L))
+          .checkpoint()
         val cum = distributedPrefixSum(daily, "day", "term", 256L)
           .withColumn("llr_micro", col("cum") + col("term"))
           .withColumn("decision",
