@@ -77,7 +77,7 @@ object R11bQueries {
     * text. NULL when any denominator factor is zero (empty arm, all/none
     * converted) — no significance is claimable there.
     */
-  private val Z2Sql =
+  private[operators] val Z2Sql =
     """CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 OR na + nb - ca - cb = 0
        THEN NULL ELSE
        CAST(floor(1000000.0

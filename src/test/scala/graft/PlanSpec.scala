@@ -255,7 +255,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q335_psi_drift" /* 1-row min/max + 1-row totals broadcasts, like q262 */,
       "q336_kendall_tau" /* cells²-bounded grid self-join + 1-row folds, like q294 */,
       "q343_target_encoding" /* 1-row prior broadcast, like q89 */,
-      "q344_mann_kendall" /* calendar-bounded day² self-join + 1-row folds */)
+      "q344_mann_kendall" /* calendar-bounded day² self-join + 1-row folds */,
+      "q346_kruskal_wallis" /* 1-row totals + 1-row tie-sum broadcasts, like q130 */,
+      "q347_logrank" /* 1-row cohort-size broadcasts onto the day grid */,
+      "q348_cramers_v" /* 25×5 marginal×marginal grid + 1-row n broadcast */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
