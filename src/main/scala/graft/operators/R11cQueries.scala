@@ -31,12 +31,15 @@ object R11cQueries {
          / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0) END"""
 
   /** Kruskal-Wallis H with tie correction (q346), from the exact
-    * integer operands: term_sum = Σ_j floor(10⁶·R2j²/(nj·n·(n+1)))
-    * (R2j = per-group sum of DOUBLED average ranks, so Σ Rj²/nj =
-    * term_sum/(4·10⁶)·n(n+1)), tsum = Σ(t³−t) over value ties.
+    * integer operands: term_sum = Σ_j floor(10⁶·R2j²/(4·nj·n·(n+1)))
+    * with R2j = per-group sum of DOUBLED average ranks, so
+    * term_sum/10⁶ = Σ_j Rj²/(nj·n·(n+1)) and
+    * H = 12·term_sum/10⁶ − 3(n+1); tsum = Σ(t³−t) over value ties.
+    * (The planted closed-form test in Round11cOpsSpec pins the 12 —
+    * the oracle alone cannot, since both engines share this text.)
     */
   private val KwSql =
-    """((3.0 * CAST(term_sum AS DOUBLE) / 1000000.0
+    """((12.0 * CAST(term_sum AS DOUBLE) / 1000000.0
         - 3.0 * (CAST(n AS DOUBLE) + 1.0))
        / (1.0 - CAST(tsum AS DOUBLE)
           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
