@@ -59,23 +59,28 @@ object R11Queries {
     // ── ADAMIC-ADAR LINK PREDICTION (hub-capped) ──────────────────────────
     QueryDef(
       "q316_adamic_adar",
-      // The classic common-neighbor link-prediction score over the part
-      // co-purchase graph: for non-adjacent pairs (a,b), score =
-      // Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z). Weights are exact micro-units
+      // PROBE-DRIVEN common-neighbor link prediction over the part
+      // co-purchase graph: for a deterministic 1-in-32 probe catalog
+      // (the query-driven shape link prediction ships as — q41's probe
+      // KNN discipline), score every non-adjacent candidate b by
+      // Σ_{z ∈ Γ(p)∩Γ(b)} 1/ln(deg z). Weights are exact micro-units
       // (floor(1e6/ln(deg)) — floor, not cast: DuckDB's double→BIGINT
-      // cast ROUNDS where Spark's truncates), so the sum is an exact
-      // BIGINT and the top-20 ordering is integer-deterministic.
+      // cast ROUNDS where Spark's truncates), so scores are exact
+      // BIGINTs and the top-20 ordering is integer-deterministic.
+      // Wedge centers above degree 256 are EXCLUDED by spec (hub
+      // mitigation), mirrored exactly by the oracle.
       //
-      // Shape, and why it scales: wedges are generated from per-center
-      // sorted neighbor baskets (ONE aggregation + an array-HOF ordered-
-      // pair explode — the q218 discipline, never a fact×fact join),
-      // with centers above degree 256 EXCLUDED by spec: a hub's wedge
-      // fan-out is quadratic while its per-wedge weight 1/ln(deg) is the
-      // graph's minimum, so the cap bounds work per center at ≤ 256²/2
-      // pairs with negligible score distortion — the standard production
-      // mitigation, mirrored exactly by the oracle. Candidate pairs then
-      // aggregate by (a,b) and anti-join the existing edge set.
-      (s, d) => {
+      // Shape, and why it scales: the co-purchase graph's degrees are
+      // corpus-INVARIANT (≈120 median at every sf — they depend on
+      // basket size and catalog density, not row count), so the global
+      // all-pairs wedge explosion is quadratic-per-center with a huge
+      // constant (298M wedges at sf0.1, measured). The probe shape cuts
+      // it to |probes|·deg² ≈ catalog/32 · 26k wedges — LINEAR in the
+      // catalog with a tiny constant — via three keyed equi-joins
+      // (probe→neighbors, neighbors→adj, anti-join on the edge set).
+      // Per-center neighbor baskets come from ONE aggregation; never a
+      // fact×fact join.
+      (s, d) => Shared.withCheckpointDir(s) {
         val e = GraphQueries.coPurchaseEdges(s, d)
         val sym = e.select(col("a").as("z"), col("b").as("n"))
           .unionAll(e.select(col("b").as("z"), col("a").as("n")))
@@ -85,17 +90,22 @@ object R11Queries {
           .filter(col("dg").between(2, 256))
           .withColumn("wz",
             expr("CAST(floor(1000000.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT)"))
-        val cand = adj
-          .select(col("wz"), explode(flatten(transform(col("ns"), (x, i) =>
-            transform(slice(col("ns"), i + lit(2), size(col("ns"))),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("wz")).as("score_micro"))
-        cand.join(e, Seq("a", "b"), "left_anti")
-          .orderBy(col("score_micro").desc, col("a"), col("b"))
+          .checkpoint() // part-grain, consumed by probes AND the z-join
+        val probes = adj
+          .filter(h32(col("z").cast("string")) % 32 === 0)
+          .select(col("z").as("p"), explode(col("ns")).as("zc"))
+        val cand = probes
+          .join(adj.select(col("z").as("zc"), col("wz"), col("ns")), "zc")
+          .select(col("p"), col("wz"), explode(col("ns")).as("b"))
+          .filter(col("b") =!= col("p"))
+          .groupBy("p", "b").agg(sum(col("wz")).as("score_micro"))
+        cand
+          .join(sym.select(col("z").as("p"), col("n").as("b")),
+            Seq("p", "b"), "left_anti")
+          .orderBy(col("score_micro").desc, col("p"), col("b"))
           .limit(20)
       },
-      Some("""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      Some(s"""WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
                 FROM lineitem x JOIN lineitem y
                 ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
               sym AS (SELECT a AS z, b AS n FROM e0
@@ -105,15 +115,20 @@ object R11Queries {
                   CAST(floor(1000000.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT)
                     AS wz
                 FROM deg WHERE dg BETWEEN 2 AND 256),
-              wedge AS (SELECT s1.n AS a, s2.n AS b, s1.z
-                FROM sym s1 JOIN sym s2 ON s1.z = s2.z AND s1.n < s2.n
-                JOIN w ON s1.z = w.z),
-              sc AS (SELECT wg.a, wg.b, sum(w.wz) AS score_micro
-                FROM wedge wg JOIN w ON wg.z = w.z
-                LEFT JOIN e0 ON wg.a = e0.a AND wg.b = e0.b
-                WHERE e0.a IS NULL GROUP BY 1, 2)
-              SELECT a, b, CAST(score_micro AS BIGINT) AS score_micro
-              FROM sc ORDER BY score_micro DESC, a, b LIMIT 20"""),
+              probes AS (SELECT z AS p FROM w
+                WHERE ${SQL_H32("CAST(z AS VARCHAR)")} % 32 = 0),
+              pn AS (SELECT p, s.n AS zc FROM probes
+                JOIN sym s ON s.z = p),
+              wedge AS (SELECT pn.p, w.wz, s2.n AS b
+                FROM pn JOIN w ON pn.zc = w.z
+                JOIN sym s2 ON s2.z = pn.zc),
+              sc AS (SELECT p, b, sum(wz) AS score_micro FROM wedge
+                WHERE b <> p GROUP BY 1, 2),
+              nonadj AS (SELECT sc.p, sc.b, sc.score_micro FROM sc
+                LEFT JOIN sym ON sym.z = sc.p AND sym.n = sc.b
+                WHERE sym.z IS NULL)
+              SELECT p, b, CAST(score_micro AS BIGINT) AS score_micro
+              FROM nonadj ORDER BY score_micro DESC, p, b LIMIT 20"""),
       headline = true
     ),
 

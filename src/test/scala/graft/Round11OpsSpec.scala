@@ -16,14 +16,20 @@ class Round11OpsSpec extends AnyFunSuite with SparkFixture {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("Adamic-Adar: top pairs are non-adjacent and scores decompose into common-neighbor weights") {
+  test("Adamic-Adar: probe-driven top pairs are non-adjacent, probes obey the 1-in-32 catalog rule") {
     val rows = run("q316_adamic_adar").collect()
     assert(rows.length > 0 && rows.length <= 20)
-    // ordering contract: non-increasing score, (a,b) tiebreak ascending
+    // ordering contract: non-increasing score, (p,b) tiebreak ascending
     val scores = rows.map(_.getLong(2))
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
-    rows.foreach(r => assert(r.getLong(0) < r.getLong(1),
-      "canonical a < b violated"))
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self-pair leaked")
+      // every probe satisfies the deterministic catalog predicate
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      assert(h % 32 == 0, s"probe ${r.getLong(0)} not in the catalog")
+    }
   }
 
   test("Spearman: rho = +1 on a perfect monotone relation, -1 on a perfect inverse (planted)") {
