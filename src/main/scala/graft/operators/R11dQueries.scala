@@ -204,12 +204,15 @@ object R11dQueries {
       // Shape, and why it scales: one fact pass to the 32-row bucket
       // grain (map-side combine does the work); 1-row totals broadcast;
       // the moment fold runs on 32 rows.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
+        // 32-row bucket grain checkpoints: consumed by the totals AND
+        // the leave-one-out join — one fact scan
         val bkt = Tables.events(s, d)
           .select((h32(concat(lit("jk-"), col("user_id"))) % 32).as("b"),
             expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
               .as("vc"))
           .groupBy("b").agg(sum(col("vc")).as("v"), count(lit(1)).as("n"))
+          .checkpoint()
         val tot = bkt.agg(sum(col("v")).as("vt"), sum(col("n")).as("nt"),
           count(lit(1)).as("nb"))
         bkt.crossJoin(broadcast(tot))
