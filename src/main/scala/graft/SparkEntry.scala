@@ -25,7 +25,8 @@ object SparkEntry {
       operators.R11Queries.all ++
       operators.R11bQueries.all ++
       operators.R11cQueries.all ++
-      operators.R11dQueries.all
+      operators.R11dQueries.all ++
+      operators.R11eQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

@@ -5460,7 +5460,7 @@ object TextQueries {
 
   /** q188's oracle (the full per-doc score SELECT) — shared so the
     * q202 calibration CTE wraps the identical definition. */
-  private lazy val nbScoreSql: String =
+  private[operators] lazy val nbScoreSql: String =
     s"""WITH tok AS (SELECT doc_id, source, $SQL_TOKENS AS t FROM documents),
               bg AS (SELECT doc_id, source,
                        ${SQL_H32("t[p] || ' ' || t[p+1]")} % $NbBuckets AS bucket

@@ -259,7 +259,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q346_kruskal_wallis" /* 1-row totals + 1-row tie-sum broadcasts, like q130 */,
       "q347_logrank" /* 1-row cohort-size broadcasts onto the day grid */,
       "q348_cramers_v" /* 25×5 marginal×marginal grid + 1-row n broadcast */,
-      "q355_jackknife_ratio" /* 1-row totals broadcast onto the 32-bucket grain, like q89 */)
+      "q355_jackknife_ratio" /* 1-row totals broadcast onto the 32-bucket grain, like q89 */,
+      "q358_acf" /* 1-row (n, Σx) + 1-row denominator broadcasts onto the day grain */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
