@@ -260,7 +260,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q347_logrank" /* 1-row cohort-size broadcasts onto the day grid */,
       "q348_cramers_v" /* 25×5 marginal×marginal grid + 1-row n broadcast */,
       "q355_jackknife_ratio" /* 1-row totals broadcast onto the 32-bucket grain, like q89 */,
-      "q358_acf" /* 1-row (n, Σx) + 1-row denominator broadcasts onto the day grain */)
+      "q358_acf" /* 1-row (n, Σx) + 1-row denominator broadcasts onto the day grain */,
+      "q361_brier" /* 1-row (n, ybar) totals broadcast onto the type grain, like q358 */,
+      "q365_perm_test" /* 1-row observed-split broadcast onto the 64-row null-draw table */,
+      "q368_ccf" /* 1-row moment + denominator broadcasts onto the day grain, like q358 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
