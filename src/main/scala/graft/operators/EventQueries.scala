@@ -2808,6 +2808,10 @@ object EventQueries {
           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
           sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("y1"),
           sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("y0"))
+          // a stratum with an empty arm carries no effect estimate —
+          // standardize over the represented strata only (and never
+          // divide by zero; surfaced by the sf0.001 bench smoke)
+          .filter(col("n1") > 0L && col("n0") > 0L)
         st.agg(
             sum(col("n1")).as("n_treated"), sum(col("n0")).as("n_control"),
             sum(col("y1")).as("sy1"), sum(col("y0")).as("sy0"),
@@ -2835,7 +2839,9 @@ object EventQueries {
                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
                   sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS y1,
                   sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS y0
-                FROM u GROUP BY 1),
+                FROM u GROUP BY 1
+                HAVING sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+                  AND sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0),
               f AS (SELECT sum(n1) AS n_treated, sum(n0) AS n_control,
                   sum(y1) AS sy1, sum(y0) AS sy0,
                   sum((CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
