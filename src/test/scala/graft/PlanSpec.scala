@@ -263,7 +263,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q358_acf" /* 1-row (n, Σx) + 1-row denominator broadcasts onto the day grain */,
       "q361_brier" /* 1-row (n, ybar) totals broadcast onto the type grain, like q358 */,
       "q365_perm_test" /* 1-row observed-split broadcast onto the 64-row null-draw table */,
-      "q368_ccf" /* 1-row moment + denominator broadcasts onto the day grain, like q358 */)
+      "q368_ccf" /* 1-row moment + denominator broadcasts onto the day grain, like q358 */,
+      "q375_quantile_norm" /* 10-row decile-target broadcast interval probe into the pooled CDF */,
+      "q377_isotonic" /* 55-row interval grid on the 10-bin cumulative table, like q336 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
