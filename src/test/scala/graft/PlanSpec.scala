@@ -265,7 +265,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q365_perm_test" /* 1-row observed-split broadcast onto the 64-row null-draw table */,
       "q368_ccf" /* 1-row moment + denominator broadcasts onto the day grain, like q358 */,
       "q375_quantile_norm" /* 10-row decile-target broadcast interval probe into the pooled CDF */,
-      "q377_isotonic" /* 55-row interval grid on the 10-bin cumulative table, like q336 */)
+      "q377_isotonic" /* 55-row interval grid on the 10-bin cumulative table, like q336 */,
+      "q379_ljung_box" /* 1-row (n, Σx) + 1-row denominator broadcasts onto the day grain, like q358 */,
+      "q380_durbin_watson" /* 1-row moment broadcasts onto the day grain, like q358 */,
+      "q381_hits" /* 1-row normalization-total broadcast per half-round, like q130 */,
+      "q382_modularity" /* cross join of three single-row aggregates, like q259 */,
+      "q384_mrr" /* 10-row query-panel broadcast onto the embedding table, like q41 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
