@@ -270,7 +270,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q380_durbin_watson" /* 1-row moment broadcasts onto the day grain, like q358 */,
       "q381_hits" /* 1-row normalization-total broadcast per half-round, like q130 */,
       "q382_modularity" /* cross join of three single-row aggregates, like q259 */,
-      "q384_mrr" /* 10-row query-panel broadcast onto the embedding table, like q41 */)
+      "q384_mrr" /* 10-row query-panel broadcast onto the embedding table, like q41 */,
+      "q386_meta_analysis" /* 1-row pooled-effect broadcast onto the ≤25-row stratum table */,
+      "q390_anderson_darling" /* 1-row totals broadcast onto the pooled-rank stream, like q262 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
