@@ -272,7 +272,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q382_modularity" /* cross join of three single-row aggregates, like q259 */,
       "q384_mrr" /* 10-row query-panel broadcast onto the embedding table, like q41 */,
       "q386_meta_analysis" /* 1-row pooled-effect broadcast onto the ≤25-row stratum table */,
-      "q390_anderson_darling" /* 1-row totals broadcast onto the pooled-rank stream, like q262 */)
+      "q390_anderson_darling" /* 1-row totals broadcast onto the pooled-rank stream, like q262 */,
+      "q392_cliffs_delta" /* 1-row totals broadcast onto the value grain, like q262 */,
+      "q395_theil_atkinson" /* 1-row totals broadcast onto the customer grain, like q89 */,
+      "q396_ancova" /* 1-row sums broadcast onto the fact for the moment pass, like q358 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
