@@ -472,7 +472,7 @@ object TextQueries {
           GROUP BY 1, 2
           HAVING count(*) >= 2)"""
 
-  private lazy val SQL_WINNOW_PAIR_CTES: String = sqlWinnowPairCtes(64)
+  private[graft] lazy val SQL_WINNOW_PAIR_CTES: String = sqlWinnowPairCtes(64)
 
   val all: Seq[QueryDef] = Seq(
 

@@ -275,7 +275,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q390_anderson_darling" /* 1-row totals broadcast onto the pooled-rank stream, like q262 */,
       "q392_cliffs_delta" /* 1-row totals broadcast onto the value grain, like q262 */,
       "q395_theil_atkinson" /* 1-row totals broadcast onto the customer grain, like q89 */,
-      "q396_ancova" /* 1-row sums broadcast onto the fact for the moment pass, like q358 */)
+      "q396_ancova" /* 1-row sums broadcast onto the fact for the moment pass, like q358 */,
+      "q397_pacf" /* 1-row (n, Σx) + denominator broadcasts onto the day grain, like q358 */,
+      "q398_energy_distance" /* 1-row totals broadcast onto the value grain, like q392 */,
+      "q401_qte_deciles" /* 10-row decile spine onto the 2-row arm table, like q375 */,
+      "q402_cluster_split" /* cross join of two single-row aggregates, like q89 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
