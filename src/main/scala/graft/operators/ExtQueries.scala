@@ -1361,7 +1361,7 @@ object ExtQueries {
     * added in ONE fixed written order so no double-sum reordering
     * exists), exact top-50 by (bm25 desc, doc_id).
     */
-  private def bm25Top50(s: SparkSession, d: String): DataFrame =
+  private[graft] def bm25Top50(s: SparkSession, d: String): DataFrame =
     Shared.withCheckpointDir(s) {
     val toks = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
@@ -1403,7 +1403,7 @@ object ExtQueries {
   }
 
   /** q305/q306's oracle stage-1 CTEs (ends with `cand(doc_id, bm25)`). */
-  private def SQL_BM25_CAND: String =
+  private[graft] def SQL_BM25_CAND: String =
     s"""tok AS (SELECT doc_id, $SQL_TOKENS AS toks,
           CAST(len($SQL_TOKENS) AS BIGINT) AS dl FROM documents),
         tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n
@@ -1434,9 +1434,9 @@ object ExtQueries {
 
   /** pinned float-array folds for the q305/q306 oracles (the
     * SimilarityQueries SQL_DOT/SQL_NORM shapes, local to this module). */
-  private def SQL_DOT_EXT(a: String, b: String): String =
+  private[graft] def SQL_DOT_EXT(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, 65), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
-  private def SQL_NORM_EXT(a: String): String =
+  private[graft] def SQL_NORM_EXT(a: String): String =
     s"sqrt(${SQL_DOT_EXT(a, a)})"
 }

@@ -279,7 +279,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q397_pacf" /* 1-row (n, Σx) + denominator broadcasts onto the day grain, like q358 */,
       "q398_energy_distance" /* 1-row totals broadcast onto the value grain, like q392 */,
       "q401_qte_deciles" /* 10-row decile spine onto the 2-row arm table, like q375 */,
-      "q402_cluster_split" /* cross join of two single-row aggregates, like q89 */)
+      "q402_cluster_split" /* cross join of two single-row aggregates, like q89 */,
+      "q403_runs_test" /* 1-row run-boundary count broadcast, like q89 */,
+      "q406_rbo" /* 1-row query-vector broadcast, like q305 */,
+      "q408_exposure_share" /* 10-row query-panel broadcast + 1-row totals, like q384 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
