@@ -282,7 +282,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q402_cluster_split" /* cross join of two single-row aggregates, like q89 */,
       "q403_runs_test" /* 1-row run-boundary count broadcast, like q89 */,
       "q406_rbo" /* 1-row query-vector broadcast, like q305 */,
-      "q408_exposure_share" /* 10-row query-panel broadcast + 1-row totals, like q384 */)
+      "q408_exposure_share" /* 10-row query-panel broadcast + 1-row totals, like q384 */,
+      "q409_chow_test" /* 1-row sums + two 1-row half-total broadcasts onto the day grain */,
+      "q410_mutual_information" /* 1-row total broadcast onto the bounded grid, like q348 */,
+      "q411_component_census" /* cross join of two single-row aggregates, like q89 */,
+      "q413_weekday_anova" /* 1-row Σx² broadcast onto the 1-row weekday fold, like q89 */,
+      "q414_vocab_coverage" /* 1-row totals broadcast onto the 3-row coverage table */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
