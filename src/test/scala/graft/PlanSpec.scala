@@ -287,7 +287,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q410_mutual_information" /* 1-row total broadcast onto the bounded grid, like q348 */,
       "q411_component_census" /* cross join of two single-row aggregates, like q89 */,
       "q413_weekday_anova" /* 1-row Σx² broadcast onto the 1-row weekday fold, like q89 */,
-      "q414_vocab_coverage" /* 1-row totals broadcast onto the 3-row coverage table */)
+      "q414_vocab_coverage" /* 1-row totals broadcast onto the 3-row coverage table */,
+      "q416_rmst" /* 1-row model-array broadcast for the KM fold, like q295 */,
+      "q417_mase" /* cross join of two single-row MAE aggregates, like q89 */,
+      "q419_isotropy" /* 1-row top-dim broadcast onto the 1-row variance fold */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
