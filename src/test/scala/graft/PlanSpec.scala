@@ -290,7 +290,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q414_vocab_coverage" /* 1-row totals broadcast onto the 3-row coverage table */,
       "q416_rmst" /* 1-row model-array broadcast for the KM fold, like q295 */,
       "q417_mase" /* cross join of two single-row MAE aggregates, like q89 */,
-      "q419_isotropy" /* 1-row top-dim broadcast onto the 1-row variance fold */)
+      "q419_isotropy" /* 1-row top-dim broadcast onto the 1-row variance fold */,
+      "q424_decision_stump" /* 1-row totals broadcast onto the 64-row histogram, like q389 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
