@@ -291,7 +291,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q416_rmst" /* 1-row model-array broadcast for the KM fold, like q295 */,
       "q417_mase" /* cross join of two single-row MAE aggregates, like q89 */,
       "q419_isotropy" /* 1-row top-dim broadcast onto the 1-row variance fold */,
-      "q424_decision_stump" /* 1-row totals broadcast onto the 64-row histogram, like q389 */)
+      "q424_decision_stump" /* 1-row totals broadcast onto the 64-row histogram, like q389 */,
+      "q427_sax_motifs" /* 1-row moments + motif-total broadcasts onto the day grain, like q358 */,
+      "q429_diversity_indices" /* 1-row corpus-total broadcast onto the source grain, like q89 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
