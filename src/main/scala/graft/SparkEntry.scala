@@ -38,7 +38,8 @@ object SparkEntry {
       operators.R11nQueries.all ++
       operators.R11oQueries.all ++
       operators.R11pQueries.all ++
-      operators.R11qQueries.all
+      operators.R11qQueries.all ++
+      operators.R11rQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

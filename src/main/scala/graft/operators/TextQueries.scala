@@ -5718,7 +5718,7 @@ object TextQueries {
     * union_sz) — shared verbatim by q212 and q217 (the
     * sqlWinnowPairCtes precedent: one definition, zero drift).
     */
-  private def SQL_JPAIR_CTES: String =
+  private[graft] def SQL_JPAIR_CTES: String =
     s"""$SQL_WITH_SHINGLES,
         e AS (SELECT DISTINCT doc_id, ${Shared.SQL_H32("w")} AS g
               FROM (SELECT doc_id, unnest(sh) AS w FROM shingled)),

@@ -293,7 +293,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q419_isotropy" /* 1-row top-dim broadcast onto the 1-row variance fold */,
       "q424_decision_stump" /* 1-row totals broadcast onto the 64-row histogram, like q389 */,
       "q427_sax_motifs" /* 1-row moments + motif-total broadcasts onto the day grain, like q358 */,
-      "q429_diversity_indices" /* 1-row corpus-total broadcast onto the source grain, like q89 */)
+      "q429_diversity_indices" /* 1-row corpus-total broadcast onto the source grain, like q89 */,
+      "q434_emd_1d" /* 1-row totals broadcast onto the value grain, like q392 */,
+      "q435_keyness" /* 1-row row-totals broadcast onto the token grain, like q89 */,
+      "q436_leakage_screen" /* 1-row sums broadcast onto the fact moment pass, like q396 */,
+      "q437_james_stein" /* 1-row fold broadcasts onto the ≤25-row stratum table, like q386 */,
+      "q438_dedup_capture_recapture" /* cross join of three single-row pair counts, like q259 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
