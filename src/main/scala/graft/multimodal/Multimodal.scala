@@ -906,6 +906,111 @@ object Multimodal {
     })
   }
 
+  // ── MJPEG path: JPEG frames in the AVI container (lossy video by
+  //    composition — AviCodec walk × JpegCodec frames) ────────────────────
+
+  /** per-block value formula shared with the DuckDB oracle:
+    * v(ck, f, b) = ((ck + 3) · (f·17 + b² + 1) · 7) mod 256 — constant
+    * per 8×8 block, so the lossy DCT recovers it EXACTLY under the flat
+    * quant (q179's exact-recovery regime); the QUADRATIC block-index
+    * term keeps every key's fingerprint distinct (the jpegMediaKeyed
+    * lesson — verified exhaustively over all 97 keys at the 16-block
+    * frame geometry before pinning the oracle), the f·17 term keeps
+    * frames distinct within a video.
+    */
+  def mjpegBlockValue(ck: Long, f: Int, b: Int): Int =
+    (((ck + 3) * (f.toLong * 17 + b.toLong * b + 1) * 7) % 256).toInt
+
+  /** Keyed MJPEG media: video content depends only on doc_id % keyMod
+    * (deliberate byte-identical dups — the q177 fixture, transform-domain
+    * lossy flavor). Each video: nf = ck%3+2 grayscale 32×32 frames (4×4
+    * blocks of 8×8, block-constant — 16 aHash bits per frame, enough to
+    * separate every key), every frame through the REAL baseline JPEG
+    * encoder, the stream through the REAL AVI container encoder as
+    * '00dc' chunks.
+    */
+  def mjpegMediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ck = id % keyMod
+      val nf = (ck % 3 + 2).toInt
+      val frames = (0 until nf).map { f =>
+        val px = new Array[Byte](32 * 32)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val b = (y / 8) * 4 + x / 8
+            px(y * 32 + x) = mjpegBlockValue(ck, f, b).toByte
+            x += 1
+          }
+          y += 1
+        }
+        JpegCodec.Jpeg(32, 32, 1, px)
+      }
+      id -> AviCodec.encodeMjpeg(AviCodec.Mjpeg(40000, frames))
+    })
+  }
+
+  final case class MjpegStats(media_id: Long, n_frames: Long,
+      width: Long, height: Long, sum_px: Long)
+
+  /** REAL MJPEG decode → features: container walk, per-frame full
+    * baseline JPEG decode (marker parse, DHT/DQT, Huffman, dequant,
+    * IDCT), exact sum of every decoded byte across all frames.
+    * Undecodable rows are dropped (never crash, never fake).
+    */
+  def mjpegPixelStats(media: Dataset[(Long, Array[Byte])]): Dataset[MjpegStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      AviCodec.decodeMjpeg(bytes).filter(_.frames.nonEmpty).map { v =>
+        var tot = 0L
+        v.frames.foreach { img =>
+          var i = 0
+          while (i < img.pixels.length) { tot += img.pixels(i) & 0xff; i += 1 }
+        }
+        MjpegStats(id, v.frames.length.toLong, v.frames.head.width.toLong,
+          v.frames.head.height.toLong, tot)
+      }
+    })
+  }
+
+  final case class MjpegVHash(media_id: Long, vhash: String)
+
+  /** Video fingerprint from MJPEG-DECODED frames: per-frame aHash over
+    * the decoded grayscale plane (division-free mean test), frames
+    * joined in order with '|' — [[aviVHashes]]'s contract with the full
+    * JPEG pipeline under every bit, so any defect in the container walk
+    * OR the entropy/transform layers splits or merges dup groups.
+    */
+  def mjpegVHashes(media: Dataset[(Long, Array[Byte])]): Dataset[MjpegVHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      AviCodec.decodeMjpeg(bytes)
+        .filter(v => v.frames.nonEmpty && v.frames.forall(_.nComp == 1))
+        .map { v =>
+        val fbs = v.frames.map { img =>
+          val n = img.width * img.height
+          var tot = 0L
+          var i = 0
+          while (i < n) { tot += img.pixels(i) & 0xff; i += 1 }
+          val sb = new java.lang.StringBuilder(n)
+          i = 0
+          while (i < n) {
+            sb.append(if ((img.pixels(i) & 0xff).toLong * n >= tot) '1' else '0')
+            i += 1
+          }
+          sb.toString
+        }
+        MjpegVHash(id, fbs.mkString("|"))
+      }
+    })
+  }
+
   // ── REAL audio path: PCM WAV (see [[WavCodec]]) ────────────────────────
 
   final case class WavStats(media_id: Long, sample_rate: Long,

@@ -242,8 +242,7 @@ object GraphQueries {
         // the 9.9 s cost), shared with q236's k-core and read as a small
         // parquet by every consumer below
         val e = coPurchaseEdges(s, d)
-        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val deg = coPurchaseDegrees(s, d) // shared node-grain memo
         // orientation key is the TOTAL order (deg, id); carrying the
         // head's key in `ed` lets the wedge canonicalize its two ends in
         // that same order, so the closing edge is probed by ONE
@@ -480,5 +479,30 @@ object GraphQueries {
   }
 
   private val edgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Symmetrized degree table (v, deg) of the co-purchase graph,
+    * materialized ONCE per (process, dataset) beside [[coPurchaseEdges]]
+    * (same fingerprint-keyed scratch contract). Four of the suite's
+    * heaviest rows re-derived this aggregation every run (q218
+    * orientation, q363 wedge denominator + orientation, q364 edge-end
+    * degrees; r11 verdict finding 2) — the memo makes it one build and a
+    * node-grain parquet read per consumer.
+    */
+  private[graft] def coPurchaseDegrees(s: SparkSession, d: String): DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = degreeMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("copurchdeg") {
+        val r = Shared.scratchRoot("copurchdeg", key)
+        val e = coPurchaseEdges(s, d)
+        e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+          .write.mode("overwrite").parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+
+  private val degreeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

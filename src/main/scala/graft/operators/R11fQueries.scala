@@ -199,9 +199,7 @@ object R11fQueries {
       // both joins are keyed equi-joins on edge-list-sized tables.
       (s, d) => Shared.withCheckpointDir(s) {
         val e = GraphQueries.coPurchaseEdges(s, d)
-        val deg = e.select(col("a").as("v"))
-          .unionAll(e.select(col("b").as("v")))
-          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val deg = GraphQueries.coPurchaseDegrees(s, d) // shared memo
         val ed = e
           .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
           .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
@@ -273,9 +271,7 @@ object R11fQueries {
       // are one hash aggregation to 1 row.
       (s, d) => {
         val e = GraphQueries.coPurchaseEdges(s, d)
-        val deg = e.select(col("a").as("v"))
-          .unionAll(e.select(col("b").as("v")))
-          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val deg = GraphQueries.coPurchaseDegrees(s, d) // shared memo
         val dd = e
           .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
           .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")

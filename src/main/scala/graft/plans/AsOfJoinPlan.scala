@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, CoalescedHashPartitioning, Distribution, HashPartitioning, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, CoalescedHashPartitioning, Distribution, HashPartitioning, Partitioning, PartitioningCollection}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** The custom-operator ladder's last rung (SURVEY.md §2: custom
@@ -94,17 +94,27 @@ case class AsOfJoinExec(
     // ranges and silently drop matches to NULL. Assert the shape: both
     // children hash-partitioned on exactly their join key, and if
     // coalesced, with identical boundary specs.
+    def hashShapeOpt(p: Partitioning, key: Attribute): Option[(Int, Seq[Any])] =
+      p match {
+        case HashPartitioning(exprs, n)
+            if exprs.length == 1 && exprs.head.semanticEquals(key) =>
+          Some((n, Nil))
+        case CoalescedHashPartitioning(HashPartitioning(exprs, _), specs)
+            if exprs.length == 1 && exprs.head.semanticEquals(key) =>
+          Some((specs.length, specs))
+        // a PartitioningCollection satisfies ClusteredDistribution when ANY
+        // member does (e.g. the output of an upstream join carrying both
+        // sides' partitionings) — accept the first matching member instead
+        // of fail-louding on a valid plan
+        case PartitioningCollection(ps) =>
+          ps.iterator.flatMap(hashShapeOpt(_, key)).nextOption()
+        case _ => None
+      }
     def hashShape(p: Partitioning, key: Attribute, side: String)
-        : (Int, Seq[Any]) = p match {
-      case HashPartitioning(exprs, n)
-          if exprs.length == 1 && exprs.head.semanticEquals(key) => (n, Nil)
-      case CoalescedHashPartitioning(HashPartitioning(exprs, _), specs)
-          if exprs.length == 1 && exprs.head.semanticEquals(key) =>
-        (specs.length, specs)
-      case other => throw new IllegalStateException(
+        : (Int, Seq[Any]) =
+      hashShapeOpt(p, key).getOrElse(throw new IllegalStateException(
         s"as-of join: $side child is not hash-partitioned on its key " +
-          s"(${key.name}) — got $other")
-    }
+          s"(${key.name}) — got $p"))
     if (lRdd.getNumPartitions > 1) { // 1 partition is trivially aligned
       val (ln, lSpecs) = hashShape(left.outputPartitioning, leftKey, "left")
       val (rn, rSpecs) = hashShape(right.outputPartitioning, rightKey, "right")

@@ -79,8 +79,22 @@ object RtcdbSink {
     // would wedge every subsequent restart's rollback parse
     val tmp = ledger.resolve(pending.getFileName.toString + ".tmp")
     Files.write(tmp, rec.getBytes("UTF-8"))
-    Files.move(tmp, pending,
+    try Files.move(tmp, pending,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // some network/overlay mounts can't promise atomicity — degrade
+        // to a plain move (the torn-record window reopens: a crash
+        // exactly mid-rename could leave a partial mark) rather than
+        // wedging every commit on such filesystems. Loud, once per move:
+        // operators who need the full guarantee relocate the ledger to a
+        // local/POSIX path.
+        System.err.println(
+          s"[graft.RtcdbSink] WARN: filesystem at $ledger does not " +
+            "support atomic moves; pending mark written non-atomically")
+        Files.move(tmp, pending,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     batch.write.format("rtcdb").option("path", dbRoot)
       .option("table", table).mode("append").save()
     Files.write(done, Array.emptyByteArray)

@@ -22,14 +22,17 @@ import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
   * LEFT-asof semantics) — alias collisions are the caller's to avoid.
   *
   * NULL semantics: a NULL key or timestamp never matches (vendor ASOF
-  * convention), and rows carrying one are EXCLUDED from the output on
-  * both sides — an IsNotNull filter is inserted under the join whenever
-  * a key/ts attribute is nullable. The merge in AsOfJoinExec reads keys
-  * with `getLong` (NULL would read as 0) and relies on a non-decreasing
-  * key order that SortOrder's nulls-first placement would break for
-  * negative keys, so NULLs must not reach it. Callers who want
-  * unmatched-left-row retention for NULL keys should pre-split NULLs
-  * and union them back with null right columns.
+  * convention). RIGHT rows carrying one are excluded outright; LEFT rows
+  * carrying one are RETAINED with null right columns — exactly a vendor
+  * `ASOF LEFT JOIN`'s behavior, so cardinality is always |left|. The
+  * merge in AsOfJoinExec reads keys with `getLong` (NULL would read as
+  * 0) and relies on a non-decreasing key order that SortOrder's
+  * nulls-first placement would break for negative keys, so NULLs must
+  * not reach it: an IsNotNull filter is inserted under the join whenever
+  * a key/ts attribute is nullable, and the filtered-out LEFT rows are
+  * unioned back above the join with null right columns (both the filter
+  * and the union are no-ops — absent from the plan — for non-nullable
+  * schemas, the common case).
   */
 object AsOfBridge {
   def sortedAsOf(left: DataFrame, leftKey: String, leftTs: String,
@@ -55,7 +58,22 @@ object AsOfBridge {
     def nonNull(p: LogicalPlan, k: org.apache.spark.sql.catalyst.expressions.Attribute,
         t: org.apache.spark.sql.catalyst.expressions.Attribute): LogicalPlan =
       if (k.nullable || t.nullable) Filter(And(IsNotNull(k), IsNotNull(t)), p) else p
-    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val joined = Dataset.ofRows(cs,
       AsOfJoinNode(nonNull(lp, lk, lt), nonNull(rp, rk, rt), lk, lt, rk, rt))
+    // LEFT-cardinality restoration (see scaladoc): the rows the IsNotNull
+    // guard kept away from the merge rejoin the output as never-matched
+    // left rows. Position-based union — joined output is left ++ right
+    // columns by construction.
+    if (lk.nullable || lt.nullable) {
+      val nullLeft = left
+        .filter(org.apache.spark.sql.functions.col(leftKey).isNull ||
+          org.apache.spark.sql.functions.col(leftTs).isNull)
+        .select(left.columns.map(org.apache.spark.sql.functions.col) ++
+          right.schema.fields.map(f =>
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+              .as(f.name)): _*)
+      joined.union(nullLeft)
+    } else joined
   }
 }

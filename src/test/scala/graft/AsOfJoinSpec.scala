@@ -36,16 +36,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       (1L, 99L, 10L, 120L), (2L, 14L, 11L, -1L), (3L, 50L, 12L, -1L)))
   }
 
-  test("NULL keys/ts excluded on both sides; negative keys merge correctly") {
+  test("NULL left keys/ts retained unmatched, NULL right rows excluded; negative keys merge correctly") {
     val s = spark
     import s.implicits._
     // nullable schema (Option[Long]) + a negative key: the combination
     // that would break the merge's non-decreasing-key invariant if NULLs
-    // (read as 0 by getLong but sorted nulls-first) reached the exec
+    // (read as 0 by getLong but sorted nulls-first) reached the exec.
+    // LEFT rows with a NULL key/ts never match but keep their place in
+    // the output (vendor ASOF LEFT semantics — cardinality = |left|)
     val l = Seq(
       (Option(1L), Option(10L), 1L),   // matches px=100
-      (Option.empty[Long], Option(20L), 2L), // NULL key → dropped
-      (Option(1L), Option.empty[Long], 3L),  // NULL ts → dropped
+      (Option.empty[Long], Option(20L), 2L), // NULL key → retained, px NULL
+      (Option(1L), Option.empty[Long], 3L),  // NULL ts → retained, px NULL
       (Option(-5L), Option(10L), 4L))  // negative key, matches px=50
       .toDF("k", "ts", "id")
     val r = Seq(
@@ -57,7 +59,7 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       .select("id", "px").collect()
       .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
       .sorted.toSeq
-    assert(out == Seq((1L, 100L), (4L, 50L)))
+    assert(out == Seq((1L, 100L), (2L, -1L), (3L, -1L), (4L, 50L)))
   }
 
   test("plan: AsOfJoinExec node planned, exchanges/sorts inserted by the framework") {

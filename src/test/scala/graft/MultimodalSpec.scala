@@ -480,6 +480,42 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       "corrupt frame must fail the file, not silently drop")
   }
 
+  test("MJPEG-in-AVI: exact recovery round-trip, flavor isolation, strict rejection") {
+    import graft.multimodal.{AviCodec, BmpCodec, JpegCodec}
+    // block-constant frames → exact recovery through the LOSSY pipeline
+    // (flat quant: only DC survives — q179's regime)
+    val frames = (0 until 3).map { f =>
+      val px = Array.tabulate(16 * 16) { i =>
+        val y = i / 16; val x = i % 16
+        (((f * 37 + (y / 8) * 2 + x / 8) * 31 + 5) % 256).toByte
+      }
+      JpegCodec.Jpeg(16, 16, 1, px)
+    }
+    val bytes = AviCodec.encodeMjpeg(AviCodec.Mjpeg(40000, frames))
+    val back = AviCodec.decodeMjpeg(bytes)
+    assert(back.isDefined)
+    assert(back.get.microsPerFrame == 40000 && back.get.frames.length == 3)
+    for (f <- 0 until 3)
+      assert(back.get.frames(f).pixels.toSeq == frames(f).pixels.toSeq,
+        s"frame $f not exactly recovered")
+    // flavor isolation: the MJPEG file has no '00db' (DIB) frames and a
+    // DIB AVI has no '00dc' (JPEG) frames — each walk sees an empty
+    // stream, not the other flavor's bytes
+    assert(AviCodec.decode(bytes).exists(_.frames.isEmpty))
+    val dib = AviCodec.encode(AviCodec.Avi(40000,
+      Seq(BmpCodec.Bmp(2, 2, Array.fill(12)(3: Byte)))))
+    assert(AviCodec.decodeMjpeg(dib).exists(_.frames.isEmpty))
+    // strict rejection: garbage, truncation, corrupt frame
+    assert(AviCodec.decodeMjpeg("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(AviCodec.decodeMjpeg(bytes.take(bytes.length - 3)).isEmpty,
+      "torn container must fail, not shrink")
+    val moviAt = bytes.indexOfSlice("movi".getBytes)
+    val firstJpg = bytes.indexOfSlice("00dc".getBytes, moviAt) + 8
+    val corrupt = bytes.clone(); corrupt(firstJpg) = 0 // break SOI marker
+    assert(AviCodec.decodeMjpeg(corrupt).isEmpty,
+      "corrupt frame must fail the file, not silently drop")
+  }
+
   test("WAV frame energies: exact per-frame Σs² including the partial tail frame") {
     import graft.multimodal.{Multimodal, WavCodec}
     val s = spark

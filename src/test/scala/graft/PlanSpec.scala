@@ -298,7 +298,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q435_keyness" /* 1-row row-totals broadcast onto the token grain, like q89 */,
       "q436_leakage_screen" /* 1-row sums broadcast onto the fact moment pass, like q396 */,
       "q437_james_stein" /* 1-row fold broadcasts onto the ≤25-row stratum table, like q386 */,
-      "q438_dedup_capture_recapture" /* cross join of three single-row pair counts, like q259 */)
+      "q438_dedup_capture_recapture" /* cross join of three single-row pair counts, like q259 */,
+      "q439_ann_knn_graph" /* 5-row probe-panel broadcast for the brute recall denominator, like q41; the build/serve path itself is keyed (Round12OpsSpec pins it) */,
+      "q443_temperature_mix" /* 1-row totals broadcast onto the source panel, like q89 */,
+      "q445_doremi_lite" /* 1-row totals broadcast per MW round onto the source panel, like q304 */,
+      "q446_token_budget_allocation" /* 1-row totals + water-level broadcasts onto the source panel */,
+      "q448_mix_kl_drift" /* 1-row totals broadcast onto the source panel, like q443 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
@@ -363,6 +368,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // stage flags on one lineage — separate per-stage aggregates would
     // re-scan the corpus once per stage (5× reads at 100 TB)
     val p = plan("q166_curation_pipeline")
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"documents scanned $scans times:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q300 (release funnel): the whole funnel reads documents ONCE") {
+    // r11 verdict finding 1: the old form ran five driver actions, each
+    // re-executing the upstream funnel — stage flags + one conditional
+    // aggregation (q166's discipline) read the corpus exactly once
+    val p = plan("q300_release_funnel")
     val scans = "documents\\.parquet".r.findAllIn(p).size
     assert(scans == 1, s"documents scanned $scans times:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
