@@ -24,12 +24,12 @@ object R12Queries {
   // local mirrors of the SimilarityQueries vector conventions (one
   // definition per file is the batch-file norm; the SQL text is shared
   // verbatim with the q41 family so the folds can never drift)
-  private val SQL_DIM = 64
-  private def SQL_DOT(a: String, b: String) =
+  private[operators] val SQL_DIM = 64
+  private[operators] def SQL_DOT(a: String, b: String) =
     s"list_aggregate(list_transform(range(1, ${SQL_DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
-  private def SQL_NORM(a: String) =
+  private[operators] def SQL_NORM(a: String) =
     s"sqrt(list_aggregate(list_transform(range(1, ${SQL_DIM + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))"
-  private def SQL_COS(a: String, b: String) =
+  private[operators] def SQL_COS(a: String, b: String) =
     s"${SQL_DOT(a, b)} / (${SQL_NORM(a)} * ${SQL_NORM(b)})"
 
   /** q42's deterministic hyperplane family (the fixed LCG — see the q42
@@ -39,40 +39,40 @@ object R12Queries {
     * (codegen'd dots); the oracle re-derives per row from the formula —
     * every step exact in double, so the sign bits agree bit-for-bit.
     */
-  private val NBands = 4
-  private val BandBits = 6
+  private[operators] val NBands = 4
+  private[operators] val BandBits = 6
   private def planes: Array[Array[Double]] =
     Array.tabulate(NBands * BandBits, 64) { (p, i) =>
       ((1103515245L * (p * 64L + i) + 12345L) % 2147483648L).toDouble /
         2147483648.0 - 0.5
     }
-  private def SQL_SIG_BIT(v: String, p: Int) =
+  private[operators] def SQL_SIG_BIT(v: String, p: Int) =
     s"""CASE WHEN list_aggregate(list_transform(range(1, 65),
        i -> CAST($v[i] AS DOUBLE) * ((CAST((1103515245 * (${p * 64} + (i-1)) + 12345) % 2147483648 AS DOUBLE)) / 2147483648 - 0.5)), 'sum') >= 0
        THEN '1' ELSE '0' END"""
-  private def SQL_BAND_KEY(v: String, b: Int) =
+  private[operators] def SQL_BAND_KEY(v: String, b: Int) =
     (b * BandBits until (b + 1) * BandBits)
       .map(p => SQL_SIG_BIT(v, p)).mkString(" || ")
 
   /** 6-bit band signature of a vector column (band b = sign bits of
     * planes b·6 .. b·6+5) — one codegen'd weighted dot per bit
     */
-  private def bandKeyCol(v: Column, b: Int): Column = {
+  private[operators] def bandKeyCol(v: Column, b: Int): Column = {
     val pl = planes
     concat_ws("", (b * BandBits until (b + 1) * BandBits).map { p =>
       when(vec.dot(v, typedlit(pl(p).toSeq)) >= 0, lit(1)).otherwise(lit(0))
     }: _*)
   }
 
-  private def embAll(s: SparkSession, d: String): DataFrame =
+  private[operators] def embAll(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
-  private def corpusVecs(s: SparkSession, d: String): DataFrame =
+  private[operators] def corpusVecs(s: SparkSession, d: String): DataFrame =
     embAll(s, d).filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-  private def probeVecs(s: SparkSession, d: String): DataFrame =
+  private[operators] def probeVecs(s: SparkSession, d: String): DataFrame =
     embAll(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-  private def cosCol(a: Column, b: Column): Column =
+  private[operators] def cosCol(a: Column, b: Column): Column =
     vec.dot(a, b) / (vec.norm(a) * vec.norm(b))
 
   /** q439's BUILD stage, exposed for the plan spec: the bounded-degree
@@ -81,20 +81,26 @@ object R12Queries {
     * never all-pairs), exact cosine on candidates, top-[[KnnM]] per
     * vector, symmetrized. Un-checkpointed: the caller decides.
     */
-  private final val KnnCap = 64
-  private final val KnnM = 6
+  private[operators] final val KnnCap = 64
+  private[operators] final val KnnM = 6
 
   /** capped (cid, band, bk) corpus bucket table — the build's candidate
     * source AND the serve path's entry-point router (a query probes its
     * own band buckets to seed the beam, the LSH-routing + graph-refine
     * composition production NSW systems run)
     */
-  private def bandedCorpusKeys(s: SparkSession, d: String): DataFrame =
+  /** UNCAPPED (cid, band, bk) rows — the router's raw bucket stream
+    * (q453 audits its balance; [[bandedCorpusKeys]] caps it)
+    */
+  private[graft] def bandedCorpusKeysRaw(s: SparkSession, d: String): DataFrame =
     corpusVecs(s, d).select(col("cid"),
         explode(array((0 until NBands).map(b =>
           struct(lit(b).as("band"), bandKeyCol(col("cv"), b).as("bk"))): _*))
           .as("s"))
       .select(col("cid"), col("s.band").as("band"), col("s.bk").as("bk"))
+
+  private[operators] def bandedCorpusKeys(s: SparkSession, d: String): DataFrame =
+    bandedCorpusKeysRaw(s, d)
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "bk").orderBy("cid")))
       .filter(col("rn") <= KnnCap)
@@ -125,6 +131,50 @@ object R12Queries {
     knn.unionAll(knn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
+
+  /** the graph-build CTE chain (q, c, keyed → capped buckets → candidate
+    * pairs → scored → top-M → symmetrized graph), shared VERBATIM by the
+    * q439 oracle and the batch-3 maintenance audits (q451/q452/q453) so
+    * the structure under audit can never drift from the one served
+    */
+  private[operators] def SQL_KNN_GRAPH_CTES: String =
+    s"""q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, embedding AS cv
+          FROM embeddings WHERE vec_id >= 5),
+        keyed AS (${(0 until NBands).map(b =>
+          s"SELECT cid, $b AS band, ${SQL_BAND_KEY("cv", b)} AS bk FROM c")
+          .mkString("\nUNION ALL ")}),
+        kcap AS (SELECT cid, band, bk FROM (
+            SELECT cid, band, bk, row_number() OVER (
+              PARTITION BY band, bk ORDER BY cid) AS rn FROM keyed)
+          WHERE rn <= $KnnCap),
+        cand AS (SELECT DISTINCT a.cid AS d1, b.cid AS d2
+          FROM kcap a JOIN kcap b
+            ON a.band = b.band AND a.bk = b.bk AND a.cid < b.cid),
+        scored AS (SELECT d1, d2, ${SQL_COS("c1.cv", "c2.cv")} AS cos
+          FROM cand JOIN c c1 ON d1 = c1.cid JOIN c c2 ON d2 = c2.cid),
+        symc AS (SELECT d1 AS src, d2 AS dst, cos FROM scored
+          UNION ALL SELECT d2, d1, cos FROM scored),
+        knn AS (SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst) AS rk FROM symc)
+          WHERE rk <= $KnnM),
+        graph AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn))"""
+
+  /** the LSH-routed entry-point CTEs (query band keys → seed pairs),
+    * shared by q439 and q452's incremental attach
+    */
+  private[operators] def SQL_QSEEDS_CTES: String =
+    s"""qkeys AS (${(0 until NBands).map(b =>
+          s"SELECT qid, $b AS band, ${SQL_BAND_KEY("qv", b)} AS bk FROM q")
+          .mkString("\nUNION ALL ")}),
+        seeds AS (SELECT DISTINCT qid, cid FROM (
+          SELECT qk.qid, k.cid FROM qkeys qk
+            JOIN kcap k ON qk.band = k.band AND qk.bk = k.bk
+          UNION ALL
+          SELECT q.qid, c.cid FROM q JOIN c ON c.cid IN (5, 6, 7, 8)))"""
 
   /** one unrolled beam round (shared Spark/SQL structure — the SQL is
     * generated from the same constants): candidates = beam ∪ scored
@@ -251,43 +301,13 @@ object R12Queries {
               lit(15L).as("n_possible"))
         recallRow(4).unionAll(recallRow(16))
       },
-      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
-                FROM embeddings WHERE vec_id < 5),
-              c AS (SELECT vec_id AS cid, embedding AS cv
-                FROM embeddings WHERE vec_id >= 5),
-              keyed AS (${(0 until NBands).map(b =>
-                s"SELECT cid, $b AS band, ${SQL_BAND_KEY("cv", b)} AS bk FROM c")
-                .mkString("\nUNION ALL ")}),
-              kcap AS (SELECT cid, band, bk FROM (
-                  SELECT cid, band, bk, row_number() OVER (
-                    PARTITION BY band, bk ORDER BY cid) AS rn FROM keyed)
-                WHERE rn <= 64),
-              cand AS (SELECT DISTINCT a.cid AS d1, b.cid AS d2
-                FROM kcap a JOIN kcap b
-                  ON a.band = b.band AND a.bk = b.bk AND a.cid < b.cid),
-              scored AS (SELECT d1, d2, ${SQL_COS("c1.cv", "c2.cv")} AS cos
-                FROM cand JOIN c c1 ON d1 = c1.cid JOIN c c2 ON d2 = c2.cid),
-              symc AS (SELECT d1 AS src, d2 AS dst, cos FROM scored
-                UNION ALL SELECT d2, d1, cos FROM scored),
-              knn AS (SELECT src, dst FROM (
-                  SELECT src, dst, row_number() OVER (PARTITION BY src
-                    ORDER BY cos DESC, dst) AS rk FROM symc)
-                WHERE rk <= 6),
-              graph AS (SELECT DISTINCT src, dst FROM (
-                SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)),
+      Some(s"""WITH $SQL_KNN_GRAPH_CTES,
               brute AS (SELECT qid, cid FROM (
                   SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
                     ORDER BY ${SQL_COS("qv", "cv")} DESC, c.cid) AS rk
                   FROM q CROSS JOIN c)
                 WHERE rk <= 3),
-              qkeys AS (${(0 until NBands).map(b =>
-                s"SELECT qid, $b AS band, ${SQL_BAND_KEY("qv", b)} AS bk FROM q")
-                .mkString("\nUNION ALL ")}),
-              seeds AS (SELECT DISTINCT qid, cid FROM (
-                SELECT qk.qid, k.cid FROM qkeys qk
-                  JOIN kcap k ON qk.band = k.band AND qk.bk = k.bk
-                UNION ALL
-                SELECT q.qid, c.cid FROM q JOIN c ON c.cid IN (5, 6, 7, 8))),
+              $SQL_QSEEDS_CTES,
               ${sqlBeam(4, 3)},
               ${sqlBeam(16, 3)}
               SELECT CAST(4 AS BIGINT) AS beam_w,

@@ -303,7 +303,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q443_temperature_mix" /* 1-row totals broadcast onto the source panel, like q89 */,
       "q445_doremi_lite" /* 1-row totals broadcast per MW round onto the source panel, like q304 */,
       "q446_token_budget_allocation" /* 1-row totals + water-level broadcasts onto the source panel */,
-      "q448_mix_kl_drift" /* 1-row totals broadcast onto the source panel, like q443 */)
+      "q448_mix_kl_drift" /* 1-row totals broadcast onto the source panel, like q443 */,
+      "q449_ivf_rebalance_audit" /* 1-row totals broadcast onto the <=K bucket table, like q89 */,
+      "q450_ann_probe_recall_curve" /* cross joins of single-row cost/hit aggregates per nprobe point, like q259 */,
+      "q451_knn_graph_audit" /* 1-row scalar-probe literal select (q145's pattern) */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
