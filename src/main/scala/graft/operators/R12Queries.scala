@@ -106,6 +106,27 @@ object R12Queries {
       .filter(col("rn") <= KnnCap)
       .select("cid", "band", "bk")
 
+  /** the kNN graph, materialized ONCE per (process, dataset) to scratch
+    * parquet (the coPurchaseEdges memo contract): three queries sit on
+    * it (q439 serve, q451 audit, q452 attach via the same bucket table)
+    * and the LSH + scoring build is the expensive stage of each. The
+    * un-memoized [[knnGraphEdges]] stays the spec's plan-audit surface.
+    */
+  private[operators] def knnGraphMemoized(s: SparkSession, d: String): DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = knnGraphMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("knngraph") {
+        val r = Shared.scratchRoot("knngraph", key)
+        knnGraphEdges(s, d)
+          .write.mode("overwrite").parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+
+  private val knnGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
     val c = corpusVecs(s, d)
     // (cid, band, key) — ids only through the band shuffle
@@ -250,8 +271,7 @@ object R12Queries {
         val Rounds = 3
         val c = corpusVecs(s, d)
         val q = probeVecs(s, d)
-        val graph = knnGraphEdges(s, d)
-          .checkpoint() // edge-list-sized; consumed by every beam round
+        val graph = knnGraphMemoized(s, d) // scratch-backed, shared 3 ways
         def scoreOf(pairs: DataFrame): DataFrame = pairs
           .join(broadcast(c), "cid")
           .join(broadcast(q), "qid")

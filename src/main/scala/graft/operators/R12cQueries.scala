@@ -156,7 +156,7 @@ object R12cQueries {
       // checkpointed once; each BFS round is one keyed join + distinct
       // on the (bounded) reached set.
       (s, d) => Shared.withCheckpointDir(s) {
-        val g = R12Queries.knnGraphEdges(s, d).checkpoint()
+        val g = R12Queries.knnGraphMemoized(s, d) // scratch-backed memo
         val nEdges = g.count()
         val nNodes = g.select("src").distinct().count()
         val maxDeg = g.groupBy("src").agg(count(lit(1)).as("dg"))

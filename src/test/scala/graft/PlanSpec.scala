@@ -306,7 +306,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q448_mix_kl_drift" /* 1-row totals broadcast onto the source panel, like q443 */,
       "q449_ivf_rebalance_audit" /* 1-row totals broadcast onto the <=K bucket table, like q89 */,
       "q450_ann_probe_recall_curve" /* cross joins of single-row cost/hit aggregates per nprobe point, like q259 */,
-      "q451_knn_graph_audit" /* 1-row scalar-probe literal select (q145's pattern) */)
+      "q451_knn_graph_audit" /* 1-row scalar-probe literal select (q145's pattern) */,
+      "q456_benford" /* 1-row total broadcast onto the 9-row digit grain, like q89 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
