@@ -198,26 +198,10 @@ object R11fQueries {
       // order size; orientation bounds wedge fan-out by sqrt-degeneracy;
       // both joins are keyed equi-joins on edge-list-sized tables.
       (s, d) => Shared.withCheckpointDir(s) {
-        val e = GraphQueries.coPurchaseEdges(s, d)
         val deg = GraphQueries.coPurchaseDegrees(s, d) // shared memo
-        val ed = e
-          .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
-          .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
-          .select(
-            when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
-              col("a")).otherwise(col("b")).as("u"),
-            when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
-              col("b")).otherwise(col("a")).as("v"),
-            when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
-              col("degb")).otherwise(col("dega")).as("dv"))
-          .checkpoint()
-        val x = ed.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
-        val y = ed.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
-        val wedges = x.join(y.hint("shuffle_hash"), "u")
-          .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
-        val tri = wedges.join(
-          ed.select(col("u").as("w1"), col("v").as("w2")).hint("shuffle_hash"),
-          Seq("w1", "w2"))
+        // the oriented triangle enumeration is the shared
+        // [[GraphQueries.coPurchaseTriangles]] scratch memo
+        val tri = GraphQueries.coPurchaseTriangles(s, d)
         val nW = deg.agg(sum(expr("deg * (deg - 1L) div 2L")).as("w"))
           .head.getLong(0)
         val nNodes = deg.count()

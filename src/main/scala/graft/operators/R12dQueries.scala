@@ -67,9 +67,11 @@ object R12dQueries {
         }
         var e = GraphQueries.coPurchaseEdges(s, d)
         val out = (1 to 2).map { r =>
-          val deg = if (r == 1) GraphQueries.coPurchaseDegrees(s, d)
-            else degOf(e)
-          val tri = triangles(e, deg).checkpoint()
+          // round 1's enumeration is the shared triangle memo (q218/q363
+          // consume the same artifact); later rounds re-derive on the
+          // (much smaller) surviving edge set
+          val tri = (if (r == 1) GraphQueries.coPurchaseTriangles(s, d)
+            else triangles(e, degOf(e))).checkpoint()
           val nE = e.count()
           val nT = tri.count()
           val support = tri.select(explode(array(
