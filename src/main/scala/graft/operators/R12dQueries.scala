@@ -21,20 +21,23 @@ object R12dQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // ── k-TRUSS DECOMPOSITION (2 unrolled peel rounds, k = 4) ─────────────
+    // ── k-TRUSS DECOMPOSITION (2 unrolled peel rounds, k = 18) ────────────
     QueryDef(
       "q454_ktruss",
-      // The edge-cohesion ladder above q236's vertex k-core: a 4-truss
-      // keeps only edges supported by ≥ 2 triangles, and peeling
+      // The edge-cohesion ladder above q236's vertex k-core: an
+      // 18-truss keeps only edges supported by ≥ 16 triangles (the
+      // co-purchase graph is dense — mean support ~10 — so k = 4 would
+      // peel nothing; 16 keeps ~10%, a real backbone), and peeling
       // re-counts because removing an edge removes its triangles. Two
       // unrolled rounds (q236's unroll discipline; a fixpoint variant
       // follows pageRankConverged): each round runs the q218 triangle
       // machinery — (deg, id) orientation over the CURRENT edge set,
       // shuffled-hash wedge + closing joins — then explodes each
       // triangle into its 3 canonical edges, aggregates per-edge
-      // support, and keeps support ≥ 2. Round 1 reuses the shared
-      // degree memo; later rounds re-derive degrees on the shrinking
-      // edge set (the honest peel).
+      // support, and keeps support ≥ 16. Round 1 rides the shared
+      // triangle memo; round 2 re-derives orientation and triangles on
+      // the ~10× smaller survivor set (the honest peel, at a fraction
+      // of round 1's cost).
       //
       // Shape, and why it scales: the memoized edge set bounds pair
       // generation; orientation bounds wedge fan-out by degeneracy;
@@ -84,7 +87,7 @@ object R12dQueries {
             .select(col("p.a").as("a"), col("p.b").as("b"))
             .groupBy("a", "b").agg(count(lit(1)).as("supp"))
           e = e.join(support, Seq("a", "b"), "left")
-            .filter(coalesce(col("supp"), lit(0L)) >= 2L)
+            .filter(coalesce(col("supp"), lit(0L)) >= 16L)
             .select("a", "b").checkpoint()
           (r.toLong, nE, nT, e.count())
         }
@@ -118,7 +121,7 @@ object R12dQueries {
               GROUP BY 1, 2),
             e$r AS MATERIALIZED (SELECT $e.a, $e.b FROM $e
               JOIN sup$r s ON $e.a = s.a AND $e.b = s.b
-              WHERE s.supp >= 2)"""
+              WHERE s.supp >= 16)"""
         }
         s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
               FROM lineitem x JOIN lineitem y

@@ -12,7 +12,7 @@ class Round12dOpsSpec extends AnyFunSuite with SparkFixture {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("q454: peel rounds chain; survivors exactly = edges with triangle support >= 2 (direct recompute)") {
+  test("q454: peel rounds chain; survivors exactly = edges with triangle support >= 16 (direct recompute)") {
     val out = run("q454_ktruss").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
@@ -41,8 +41,8 @@ class Round12dOpsSpec extends AnyFunSuite with SparkFixture {
       }
     }
     assert(out(0)._3 == nTri, "triangle count")
-    val survivors = edges.count { case (a, b) => support((a, b)) >= 2 }
-    assert(out(0)._4 == survivors.toLong, "4-truss survivors")
+    val survivors = edges.count { case (a, b) => support((a, b)) >= 16 }
+    assert(out(0)._4 == survivors.toLong, "18-truss survivors")
   }
 
   test("q455: flags recompute exactly from the raw customer rows") {
