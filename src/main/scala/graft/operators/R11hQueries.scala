@@ -374,18 +374,32 @@ object R11hQueries {
           .agg(sum(col("cnt")).as("n_t"),
             sum(col("cnt") * col("z")).as("sz"),
             sum(expr("CAST(cnt AS DECIMAL(38,0)) * z * z")).as("qz"))
+          // DECIMAL(38,0), not BIGINT: per-group b_micro reaches ~2.4e18
+          // at sf1 (measured), so the k-group SUM overflows a Long —
+          // the r12 sf1 full-suite pass caught exactly that. The floored
+          // double is identical in both engines either way; the decimal
+          // accumulator keeps the cross-group addition exact and
+          // order-free at any scale.
           .withColumn("b_micro", expr(
             """CAST(floor(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
-              / CAST(n_t AS DOUBLE) * 1000000.0) AS BIGINT)"""))
+              / CAST(n_t AS DOUBLE) * 1000000.0) AS DECIMAL(38,0))"""))
         g.agg(count(lit(1)).as("k"), sum(col("n_t")).as("n"),
             sum(col("sz")).as("szg"), sum(col("qz")).as("qzg"),
             sum(col("b_micro")).as("sb"))
+          // no floor() in the final block: the global szg²/n·1e6 term
+          // reaches 1.18e19 at sf1 — past Long.MaxValue, where Spark's
+          // floor(double)→long SATURATES (silently, outside the ANSI
+          // add path) while DuckDB's floor stays exact; the r12 sf1
+          // oracle run caught the 1000× F inflation. The F block is now
+          // pure double algebra on identical exact operands (sb micro-
+          // floored per group, szg/qzg/n/k exact integers) — identical
+          // IEEE results in both engines at any magnitude.
           .select(col("k"), col("n"),
             (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"),
-            expr("""((CAST(sb AS DOUBLE) - floor(CAST(szg AS DOUBLE)
-                  * CAST(szg AS DOUBLE) / CAST(n AS DOUBLE)
-                  * 1000000.0)) / CAST(k - 1L AS DOUBLE))
-              / ((CAST(qzg AS DOUBLE) * 1000000.0 - CAST(sb AS DOUBLE))
+            expr("""((CAST(sb AS DOUBLE) / 1000000.0 - CAST(szg AS DOUBLE)
+                  * CAST(szg AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(k - 1L AS DOUBLE))
+              / ((CAST(qzg AS DOUBLE) - CAST(sb AS DOUBLE) / 1000000.0)
                 / CAST(n - k AS DOUBLE))""").as("f_bf"))
       },
       Some("""WITH vg AS (SELECT event_type,
@@ -411,7 +425,7 @@ object R11hQueries {
                 GROUP BY 1),
               b AS (SELECT *,
                   CAST(floor(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
-                    / CAST(n_t AS DOUBLE) * 1000000.0) AS BIGINT)
+                    / CAST(n_t AS DOUBLE) * 1000000.0) AS DECIMAL(38,0))
                     AS b_micro
                 FROM g),
               f AS (SELECT count(*) AS k, sum(n_t) AS n,
@@ -420,10 +434,10 @@ object R11hQueries {
               SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
                 CAST(k - 1 AS BIGINT) AS df1,
                 CAST(n - k AS BIGINT) AS df2,
-                ((CAST(sb AS DOUBLE) - floor(CAST(szg AS DOUBLE)
-                    * CAST(szg AS DOUBLE) / CAST(n AS DOUBLE)
-                    * 1000000.0)) / CAST(k - 1 AS DOUBLE))
-                / ((CAST(qzg AS DOUBLE) * 1000000.0 - CAST(sb AS DOUBLE))
+                ((CAST(sb AS DOUBLE) / 1000000.0 - CAST(szg AS DOUBLE)
+                    * CAST(szg AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(k - 1 AS DOUBLE))
+                / ((CAST(qzg AS DOUBLE) - CAST(sb AS DOUBLE) / 1000000.0)
                   / CAST(n - k AS DOUBLE)) AS f_bf
               FROM f""")
     ),

@@ -126,9 +126,12 @@ class Round11hOpsSpec extends AnyFunSuite with SparkFixture {
     val szg = terms.map(_._2).sum
     val qzg = terms.map(_._3).sum
     val sb = terms.map(_._4).sum
-    val ssb = sb.toDouble -
-      math.floor(szg.toDouble * szg.toDouble / n.toDouble * 1000000.0)
-    val ssw = qzg.toDouble * 1000000.0 - sb.toDouble
+    // the r12 formula: no floor on the global term (it saturates Spark's
+    // floor->long past Long.MaxValue at sf1) — sb stays micro-floored
+    // per group, the F block is pure double algebra
+    val ssb = sb.toDouble / 1000000.0 -
+      szg.toDouble * szg.toDouble / n.toDouble
+    val ssw = qzg.toDouble - sb.toDouble / 1000000.0
     val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
     val out = run("q376_brown_forsythe").head
     assert((out.getLong(0), out.getLong(1)) == ((k, n)))
