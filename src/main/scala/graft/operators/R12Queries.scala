@@ -75,6 +75,39 @@ object R12Queries {
   private[operators] def cosCol(a: Column, b: Column): Column =
     vec.dot(a, b) / (vec.norm(a) * vec.norm(b))
 
+  /** the graph's 4 max-degree hubs — the DATA-DERIVED beam entry points
+    * (r12 verdict task 2, replacing the fixture-coupled vec_ids 5..8):
+    * high-degree nodes reach the most neighborhoods per hop, the rule
+    * (degree DESC, id ASC, LIMIT 4) is exact and deterministic, and it
+    * survives any vec_id domain because the ids come from the graph
+    * itself. Model-sized output (4 rows).
+    */
+  private[operators] def entryPoints(graph: DataFrame): DataFrame =
+    graph.groupBy("src").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src").asc).limit(4)
+      .select(col("src").as("cid"))
+
+  /** the oracle's mirror of [[entryPoints]] (expects a `graph` CTE) */
+  private[operators] val SQL_ENTRIES_CTE: String =
+    """entries AS (SELECT src AS cid FROM (
+         SELECT src, count(*) AS dg FROM graph GROUP BY src
+         ORDER BY dg DESC, src LIMIT 4))"""
+
+  /** exact scoring of model-sized (qid, cid) pair lists — the SERVE-path
+    * join discipline (r12 verdict task 1): the corpus scan streams past a
+    * BROADCAST of the pair list (beam/seed grain — bounded by
+    * probes × max(W·deg, bands·cap), never corpus-sized), so corpus
+    * floats neither broadcast nor shuffle; the probe panel broadcasts as
+    * in q41. PlanSpec pins "no corpus-side BroadcastExchange" on this
+    * exact builder.
+    */
+  private[graft] def beamScore(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame =
+    corpusVecs(s, d).join(broadcast(pairs), "cid")
+      .join(broadcast(probeVecs(s, d)), "qid")
+      .select(col("qid"), col("cid"),
+        cosCol(col("qv"), col("cv")).as("cos"))
+
   /** q439's BUILD stage, exposed for the plan spec: the bounded-degree
     * symmetrized k-NN graph (src, dst) over the corpus side — LSH-banded
     * candidate generation (keyed (band, key) equi-join, per-bucket cap,
@@ -136,11 +169,14 @@ object R12Queries {
         Seq("band", "bk"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+    // plain keyed equi-joins (r12 verdict task 1): corpus floats ride ONE
+    // hash shuffle per side, bounded by candidate volume — the q186/q189
+    // discipline. AQE still broadcasts while the corpus is actually small;
+    // a broadcast HINT here would pin corpus-sized floats into executor
+    // memory at 100× and kill the build.
     val scored = cand
-      .join(broadcast(c.select(col("cid").as("d1"), col("cv").as("v1"))),
-        "d1")
-      .join(broadcast(c.select(col("cid").as("d2"), col("cv").as("v2"))),
-        "d2")
+      .join(c.select(col("cid").as("d1"), col("cv").as("v1")), "d1")
+      .join(c.select(col("cid").as("d2"), col("cv").as("v2")), "d2")
       .select(col("d1"), col("d2"), cosCol(col("v1"), col("v2")).as("cos"))
     val symc = scored
       .select(col("d1").as("src"), col("d2").as("dst"), col("cos"))
@@ -188,14 +224,15 @@ object R12Queries {
     * shared by q439 and q452's incremental attach
     */
   private[operators] def SQL_QSEEDS_CTES: String =
-    s"""qkeys AS (${(0 until NBands).map(b =>
+    s"""$SQL_ENTRIES_CTE,
+        qkeys AS (${(0 until NBands).map(b =>
           s"SELECT qid, $b AS band, ${SQL_BAND_KEY("qv", b)} AS bk FROM q")
           .mkString("\nUNION ALL ")}),
         seeds AS (SELECT DISTINCT qid, cid FROM (
           SELECT qk.qid, k.cid FROM qkeys qk
             JOIN kcap k ON qk.band = k.band AND qk.bk = k.bk
           UNION ALL
-          SELECT q.qid, c.cid FROM q JOIN c ON c.cid IN (5, 6, 7, 8)))"""
+          SELECT q.qid, e.cid FROM q CROSS JOIN entries e))"""
 
   /** one unrolled beam round (shared Spark/SQL structure — the SQL is
     * generated from the same constants): candidates = beam ∪ scored
@@ -251,8 +288,9 @@ object R12Queries {
       // family — keyed (band, key) equi-join, per-bucket cap 64, NEVER
       // all-pairs), exact cosine on candidates, each vector keeps its
       // top-6 neighbors (bounded out-degree), edges symmetrized so
-      // search can traverse both ways. SEARCH: from 4 fixed entry
-      // points, 3 unrolled rounds of bounded beam expansion (the q263
+      // search can traverse both ways. SEARCH: from LSH-routed seeds
+      // plus the graph's 4 max-degree hubs (data-derived entry points),
+      // 3 unrolled rounds of bounded beam expansion (the q263
       // frontier shape): expand the beam along graph edges, score, keep
       // the top-W. EVAL: recall@3 of the q41 probe set vs the exact
       // brute top-3, at beam widths 4 and 16 — wider beams explore a
@@ -272,19 +310,18 @@ object R12Queries {
         val c = corpusVecs(s, d)
         val q = probeVecs(s, d)
         val graph = knnGraphMemoized(s, d) // scratch-backed, shared 3 ways
-        def scoreOf(pairs: DataFrame): DataFrame = pairs
-          .join(broadcast(c), "cid")
-          .join(broadcast(q), "qid")
-          .select(col("qid"), col("cid"),
-            cosCol(col("qv"), col("cv")).as("cos"))
+        // serve-side scoring: corpus scan streams past the broadcast
+        // beam-id list (see beamScore) — no corpus broadcast, no shuffle
+        def scoreOf(pairs: DataFrame): DataFrame = beamScore(s, d, pairs)
         def top(df: DataFrame, w: Int): DataFrame =
           df.withColumn("rk", row_number().over(Window.partitionBy("qid")
               .orderBy(col("cos").desc, col("cid").asc)))
             .filter(col("rk") <= w).select("qid", "cid", "cos")
         // entry points: LSH ROUTING — each query probes its own band
         // buckets (the q42 signature family, query side) and seeds the
-        // beam with their members; 4 fixed entries stay as a fallback
-        // for queries whose buckets are empty (connectivity floor)
+        // beam with their members; the graph's 4 max-degree hubs (DATA-
+        // derived, entryPoints) stay as a fallback for queries whose
+        // buckets are empty (connectivity floor)
         val qkeys = q.select(col("qid"),
             explode(array((0 until NBands).map(b =>
               struct(lit(b).as("band"), bandKeyCol(col("qv"), b).as("bk"))): _*))
@@ -293,8 +330,8 @@ object R12Queries {
         val seedPairs = qkeys
           .join(bandedCorpusKeys(s, d), Seq("band", "bk"))
           .select("qid", "cid")
-          .unionAll(q.select(col("qid"),
-            explode(typedlit(Seq(5L, 6L, 7L, 8L))).as("cid")))
+          .unionAll(q.select("qid")
+            .crossJoin(broadcast(entryPoints(graph)))) // 4-row hub panel
           .distinct()
           .checkpoint() // probe-bucket-sized; consumed by both widths
         def beamSearch(w: Int): DataFrame = {

@@ -148,9 +148,10 @@ object R12cQueries {
       // the max degree (symmetrization can concentrate in-edges on
       // hubs — the number that bounds per-hop serve cost), isolated
       // corpus vectors (unreachable by ANY graph walk — they need the
-      // router fallback), and the frontier growth from the fixed entry
-      // points over 3 BFS rounds (the reachability the beam search
-      // actually has). Counts are the q145/q263 scalar-probe pattern.
+      // router fallback), and the frontier growth from the DATA-derived
+      // entry points (the 4 max-degree hubs q439 actually seeds from)
+      // over 3 BFS rounds (the reachability the beam search actually
+      // has). Counts are the q145/q263 scalar-probe pattern.
       //
       // Shape, and why it scales: the graph is edge-list-sized and
       // checkpointed once; each BFS round is one keyed join + distinct
@@ -162,9 +163,12 @@ object R12cQueries {
         val maxDeg = g.groupBy("src").agg(count(lit(1)).as("dg"))
           .agg(max(col("dg"))).head.getLong(0)
         val nCorpus = R12Queries.corpusVecs(s, d).count()
-        var reach = R12Queries.corpusVecs(s, d)
-          .filter(col("cid").isin(5L, 6L, 7L, 8L))
-          .select(col("cid").as("n"))
+        // entry points derive from the graph itself (max-degree hubs) —
+        // they are graph nodes by construction, so the BFS starts exactly
+        // where q439's beam does; checkpointed to sever the self-join
+        // lineage against g
+        var reach = R12Queries.entryPoints(g)
+          .select(col("cid").as("n")).checkpoint()
         val sizes = scala.collection.mutable.ArrayBuffer(reach.count())
         for (_ <- 1 to 3) {
           reach = reach.unionAll(
@@ -180,7 +184,8 @@ object R12cQueries {
             "reach_0", "reach_1", "reach_2", "reach_3")
       },
       Some(s"""WITH $SQL_KNN_GRAPH_CTES,
-              r0 AS (SELECT cid AS n FROM c WHERE cid IN (5, 6, 7, 8)),
+              ${R12Queries.SQL_ENTRIES_CTE},
+              r0 AS (SELECT cid AS n FROM entries),
               ${(1 to 3).map(r =>
                 s"""r$r AS (SELECT DISTINCT n FROM (
                   SELECT n FROM r${r - 1}
@@ -228,9 +233,12 @@ object R12cQueries {
         val candIds = qkeys
           .join(R12Queries.bandedCorpusKeys(s, d), Seq("band", "bk"))
           .select("qid", "cid").distinct()
+        // plain keyed equi-joins (r12 verdict task 1): the corpus never
+        // broadcasts — candidate ids are arrival-batch-bounded and AQE
+        // broadcasts whichever side is actually small at runtime
         val ranked = candIds
-          .join(broadcast(c), "cid")
-          .join(broadcast(q), "qid")
+          .join(c, "cid")
+          .join(q, "qid")
           .select(col("qid"), col("cid"),
             R12Queries.cosCol(col("qv"), col("cv")).as("cos"))
           .withColumn("rk", row_number().over(Window.partitionBy("qid")

@@ -483,6 +483,47 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"q247 must not plan an all-pairs join:\n$p")
   }
 
+  test("q439 family: corpus vectors never sit under a BroadcastExchange — build keyed, serve broadcasts only the beam/probe side") {
+    // r12 verdict task 1 pin: with the auto-broadcast threshold disabled,
+    // the only BroadcastExchanges left are the ones the code HINTS — so a
+    // corpus-side (vec_id >= 5 embeddings scan) broadcast in any of these
+    // plans is a reintroduced scale-killer, not an AQE size decision. The
+    // probe panel (vec_id < 5) and the model-sized beam list MAY broadcast.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // executedPlan (exchanges inserted), with AQE off so the tree is the
+    // static plan the hints produce, not a runtime size decision
+    def corpusBroadcasts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec =>
+          b.collectLeaves().map(_.toString).filter(l =>
+            l.contains("embeddings") &&
+              l.contains("GreaterThanOrEqual(vec_id,5)"))
+      }.flatten
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val build = operators.R12Queries.knnGraphEdges(spark, sf)
+      assert(corpusBroadcasts(build).isEmpty,
+        s"graph BUILD must not broadcast the corpus:\n${build.queryExecution.sparkPlan}")
+      val serve = operators.R12Queries.beamScore(spark, sf,
+        Seq((0L, 5L)).toDF("qid", "cid"))
+      assert(corpusBroadcasts(serve).isEmpty,
+        s"SERVE scoring must not broadcast the corpus:\n${serve.queryExecution.sparkPlan}")
+      assert(serve.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b }.nonEmpty,
+        "serve should broadcast the model-sized beam/probe side")
+      val attach = SparkEntry.queries("q452_knn_graph_append")(spark, sf)
+      assert(corpusBroadcasts(attach).isEmpty,
+        s"incremental ATTACH must not broadcast the corpus:\n${attach.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("q173 (quality classifier): train is one reduction, model attaches broadcast") {
     // closed-form training: the stats subtree reduces to ONE row and the
     // corpus scoring pass receives it as a broadcast — never a shuffle

@@ -57,9 +57,12 @@ class Round12cOpsSpec extends AnyFunSuite with SparkFixture {
       case Seq(a, b) => assert(b >= a, "frontier never shrinks")
       case _ => ()
     }
-    // independent BFS recompute
+    // independent BFS recompute from independently re-derived entry
+    // points (the data-derived rule: top-4 out-degree, ties to min id)
     val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    var reach = Set(5L, 6L, 7L, 8L)
+    var reach = edges.groupBy(_._1).toSeq
+      .map { case (id, es) => (id, es.length) }
+      .sortBy { case (id, dg) => (-dg, id) }.take(4).map(_._1).toSet
     (1 to 3).foreach { i =>
       reach = reach ++ reach.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
       assert(r.getLong(4 + i) == reach.size.toLong, s"reach_$i")
