@@ -12,37 +12,46 @@ class Round12dOpsSpec extends AnyFunSuite with SparkFixture {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("q454: peel rounds chain; survivors exactly = edges with triangle support >= 16 (direct recompute)") {
-    val out = run("q454_ktruss").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._1)
-    assert(out.map(_._1).toSeq == Seq(1L, 2L))
-    assert(out(1)._2 == out(0)._4, "round 2 starts on round 1's survivors")
-    out.foreach { case (_, in, _, sur) => assert(sur <= in) }
-    // direct recompute of round 1 on the collected edge set
-    val edges = operators.GraphQueries.coPurchaseEdges(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(out(0)._2 == edges.length.toLong)
-    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
-      .withDefaultValue(Set.empty)
-    edges.foreach { case (a, b) =>
-      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+  test("q454: full fixpoint peel recomputes exactly; every surviving edge holds support >= k-2 at termination") {
+    val r = run("q454_ktruss").head
+    assert(r.getLong(0) == 18L, "k")
+    val (rounds, nFinal, tFinal) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    // independent LOCAL peel to fixpoint on the collected edge set
+    def measure(es: Set[(Long, Long)]): (Map[(Long, Long), Long], Long) = {
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      es.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+      var nTri = 0L
+      val supp = es.iterator.map { case (a, b) =>
+        val common = adj(a) intersect adj(b)
+        nTri += common.count(_ > b) // count each triangle at its max vertex
+        (a, b) -> common.size.toLong
+      }.toMap
+      (supp, nTri)
     }
-    var nTri = 0L
-    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
-      .withDefaultValue(0L)
-    edges.foreach { case (a, b) =>
-      val common = adj(a) intersect adj(b)
-      common.foreach { z =>
-        if (z > b) { // count each triangle once at its max vertex
-          nTri += 1
-        }
-        support((a, b)) += 1
-      }
+    var edges = operators.GraphQueries.coPurchaseEdges(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    var myRounds = 0
+    var lastTri = 0L
+    var done = false
+    while (!done && myRounds < 24) {
+      val (supp, nTri) = measure(edges)
+      lastTri = nTri
+      val next = edges.filter(e => supp(e) >= 16L)
+      done = next.size == edges.size
+      edges = next
+      myRounds += 1
     }
-    assert(out(0)._3 == nTri, "triangle count")
-    val survivors = edges.count { case (a, b) => support((a, b)) >= 16 }
-    assert(out(0)._4 == survivors.toLong, "18-truss survivors")
+    assert(done, "local peel must converge")
+    assert(rounds == myRounds.toLong, s"rounds: query $rounds vs local $myRounds")
+    assert(nFinal == edges.size.toLong, "final edge count")
+    assert(tFinal == lastTri, "final triangle count")
+    // the TERMINATION property, directly: every survivor has support
+    // ≥ k−2 = 16 within the surviving set (this is what fixpoint means)
+    val (fsupp, _) = measure(edges)
+    edges.foreach(e => assert(fsupp(e) >= 16L, s"edge $e under-supported"))
+    // and the oracle's 8-round unroll bound holds with margin
+    assert(myRounds <= 6, s"fixpoint took $myRounds rounds — oracle unroll at risk")
   }
 
   test("q455: flags recompute exactly from the raw customer rows") {
