@@ -181,6 +181,41 @@ object Multimodal {
       }
   }
 
+  /** The decoder-PARAMETERIZED batch extension point — the worked example
+    * of plugging a third-party lossy codec (MP3/AAC/H.264 class) into the
+    * engine (r12 verdict task 6). The contract a real decoder gets:
+    *
+    *   - `decode` is called once per ≤ `batchSize` group, PARTITION-LOCALLY
+    *     on the executor (never on the driver) — the unit a native library
+    *     would consume in one call;
+    *   - it must answer STRICTLY per row, in order: `Some(features)` for a
+    *     decodable row, `None` for one it cannot decode (corrupt bytes
+    *     yield ABSENCE, never garbage features — the q140 strict-decode
+    *     discipline); a wrong-length answer fails the task loudly;
+    *   - output schema/partitioning are fixed by the engine, so swapping
+    *     decoders changes no downstream code.
+    *
+    * MultimodalSpec drives a fake external decoder through this exact
+    * entry point and asserts each clause. [[decodeFeaturesPartitioned]]
+    * remains the zero-dependency stub instance of the same shape.
+    */
+  def decodeFeaturesWith(media: DataFrame, batchSize: Int = 64)(
+      decode: Seq[(Long, Array[Byte])] => Seq[Option[MediaFeatures]])
+      : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val out = decode(batch)
+          require(out.length == batch.length,
+            s"decoder answered ${out.length} results for a " +
+              s"${batch.length}-row batch — the contract is one per row")
+          out.iterator.flatten
+        }
+      }
+  }
+
   // ── REAL codec path: BMP end to end (no stub anywhere) ─────────────────
   // [[BmpCodec]] is a genuine 24-bit BMP implementation; these operators
   // run it through the batch (mapPartitions) extension point — the same

@@ -145,7 +145,7 @@ object R12Queries {
     * and the LSH + scoring build is the expensive stage of each. The
     * un-memoized [[knnGraphEdges]] stays the spec's plan-audit surface.
     */
-  private[operators] def knnGraphMemoized(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnGraphMemoized(s: SparkSession, d: String): DataFrame = {
     val key = Shared.datasetKey(d)
     val root = knnGraphMemo.computeIfAbsent(key, _ =>
       Shared.timedMemoBuild("knngraph") {

@@ -572,4 +572,42 @@ class DBSpec extends AnyFunSuite with SparkFixture {
         Seq("k"), version = 4L)
     }
   }
+
+  test("scratch memos rebuild when the dataset is regenerated in place (datasetKey folds the file listing)") {
+    // r12 verdict task 5: a long-lived session that appends data under a
+    // stable path must NOT be served stale scratch. The invalidation
+    // stamp is Shared.datasetKey's (name, size, mtime) listing digest —
+    // any parquet rewrite changes it, so the memo map misses and the
+    // derivation rebuilds. Proven end to end on the kNN-graph memo.
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_memo_inval")
+    val tbl = dir.resolve("embeddings.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 60).coalesce(1)
+      .write.mode("overwrite").parquet(tbl.toString)
+    val key1 = operators.Shared.datasetKey(dir.toString)
+    val n1 = operators.R12Queries.knnGraphMemoized(spark, dir.toString).count()
+    val built1 = operators.Shared.memoBuildLedger.getOrElse("knngraph", 0.0)
+    assert(built1 > 0.0, "first call must pay a build")
+    assert(n1 > 0L)
+    // unchanged dataset → same key → served from scratch, NO rebuild
+    operators.R12Queries.knnGraphMemoized(spark, dir.toString).count()
+    assert(operators.Shared.memoBuildLedger("knngraph") == built1,
+      "unchanged dataset must be served from the memo")
+    // APPEND in place: rewrite the table under the SAME path with one
+    // extra row (collected first — Spark can't overwrite its own input)
+    val cur = spark.read.parquet(tbl.toString)
+    val schema = cur.schema
+    val rows = cur.collect() ++ cur.limit(1).collect().map(r =>
+      Row.fromSeq(r.toSeq.updated(schema.fieldIndex("vec_id"),
+        r.getLong(schema.fieldIndex("vec_id")) + 10000L)))
+    val appended = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    appended.coalesce(1).write.mode("overwrite").parquet(tbl.toString)
+    val key2 = operators.Shared.datasetKey(dir.toString)
+    assert(key2 != key1, "the listing digest must change on append")
+    operators.R12Queries.knnGraphMemoized(spark, dir.toString).count()
+    assert(operators.Shared.memoBuildLedger("knngraph") > built1,
+      "a changed dataset must trigger a fresh memo build")
+  }
 }

@@ -24,6 +24,49 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches == 0, s"$mismatches media rows differ between decode paths")
   }
 
+  test("extension point: an EXTERNAL decoder plugs into decodeFeaturesWith; batch contract proven clause by clause") {
+    // r12 verdict task 6 — the worked example for the MP3/AAC/H.264 class:
+    // a third-party decoder (faked here) rides the batch extension point;
+    // the test pins (a) executor-side partition locality, (b) the
+    // ≤ batchSize grouping, (c) strict None-on-corrupt (absence, never
+    // garbage), (d) the fixed output schema, (e) loud failure on a
+    // decoder that violates one-answer-per-row.
+    val media = spark.range(0, 40).repartition(4)
+      .select(col("id").as("media_id"),
+        when(col("id") % 10 === 0, lit(Array.empty[Byte]))
+          .otherwise(col("id").cast("string").cast("binary")).as("content"),
+        spark_partition_id().as("pid"))
+    val expectPid = media.select("media_id", "pid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Multimodal.decodeFeaturesWith(media, batchSize = 8) { batch =>
+      require(batch.length <= 8, s"batch of ${batch.length} exceeds batchSize")
+      // an external decoder would hand `batch` to native code here; the
+      // fake records WHERE it ran and refuses corrupt (empty) payloads
+      val pid = org.apache.spark.TaskContext.get.partitionId().toDouble
+      batch.map { case (id, bytes) =>
+        if (bytes.isEmpty) None
+        else Some(Multimodal.MediaFeatures(id,
+          Array(pid, bytes.length.toDouble)))
+      }
+    }
+    assert(out.toDF().schema.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("media_id" -> "bigint", "features" -> "array<double>"),
+      "engine-fixed output schema")
+    val rows = out.collect()
+    assert(rows.map(_.media_id).sorted.toSeq ==
+      (0L until 40L).filterNot(_ % 10 == 0),
+      "corrupt rows are ABSENT; every decodable row survives exactly once")
+    rows.foreach { mf =>
+      assert(mf.features(0) == expectPid(mf.media_id).toDouble,
+        s"media ${mf.media_id} decoded off its own partition")
+    }
+    // wrong answer cardinality must fail the job, not silently drop rows
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeaturesWith(media, batchSize = 8)(_ => Seq.empty)
+        .collect()
+    }
+  }
+
   test("frame sampling covers the content without overlap") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, 4)

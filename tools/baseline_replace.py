@@ -11,6 +11,17 @@ import sys
 
 rnd = sys.argv[1]
 d = json.load(open("BENCH_SELF.json"))
+
+# r12 verdict task 7: the operative table must NEVER ingest a hot run.
+# graft.Bench labels builder runs via SPARK_GRAFT_PROVENANCE=builder-idle
+# (sf1: builder-idle-sf1); anything else (the driver's per-round gate, an
+# ad-hoc re-run) reports "unlabeled" — refuse it here so the label
+# discipline is enforced mechanically, not by convention.
+prov = str(d.get("provenance", ""))
+if not prov.startswith("builder-idle"):
+    sys.exit(f"refusing to regenerate BASELINE.md: BENCH_SELF.json "
+             f"provenance={prov!r} is not a builder-idle run")
+
 qs, sent, memo = d["queries"], d["sentinel"], d.get("memo_build", {})
 
 lines = []
