@@ -44,7 +44,8 @@ object SparkEntry {
       operators.R12bQueries.all ++
       operators.R12cQueries.all ++
       operators.R12dQueries.all ++
-      operators.R12eQueries.all
+      operators.R12eQueries.all ++
+      operators.R13Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

@@ -93,6 +93,17 @@ object R12Queries {
          SELECT src, count(*) AS dg FROM graph GROUP BY src
          ORDER BY dg DESC, src LIMIT 4))"""
 
+  /** (qid, band, bk) band keys of the probe side — the LSH router's query
+    * leg, shared by q439's seed routing, q452's attach and q463's
+    * tombstone serve so the routing under test is the one that serves
+    */
+  private[graft] def probeBandKeys(s: SparkSession, d: String): DataFrame =
+    probeVecs(s, d).select(col("qid"),
+        explode(array((0 until NBands).map(b =>
+          struct(lit(b).as("band"), bandKeyCol(col("qv"), b).as("bk"))): _*))
+          .as("s"))
+      .select(col("qid"), col("s.band").as("band"), col("s.bk").as("bk"))
+
   /** exact scoring of model-sized (qid, cid) pair lists — the SERVE-path
     * join discipline (r12 verdict task 1): the corpus scan streams past a
     * BROADCAST of the pair list (beam/seed grain — bounded by
@@ -132,7 +143,7 @@ object R12Queries {
           .as("s"))
       .select(col("cid"), col("s.band").as("band"), col("s.bk").as("bk"))
 
-  private[operators] def bandedCorpusKeys(s: SparkSession, d: String): DataFrame =
+  private[graft] def bandedCorpusKeys(s: SparkSession, d: String): DataFrame =
     bandedCorpusKeysRaw(s, d)
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "bk").orderBy("cid")))
@@ -322,11 +333,7 @@ object R12Queries {
         // beam with their members; the graph's 4 max-degree hubs (DATA-
         // derived, entryPoints) stay as a fallback for queries whose
         // buckets are empty (connectivity floor)
-        val qkeys = q.select(col("qid"),
-            explode(array((0 until NBands).map(b =>
-              struct(lit(b).as("band"), bandKeyCol(col("qv"), b).as("bk"))): _*))
-              .as("s"))
-          .select(col("qid"), col("s.band").as("band"), col("s.bk").as("bk"))
+        val qkeys = probeBandKeys(s, d)
         val seedPairs = qkeys
           .join(bandedCorpusKeys(s, d), Seq("band", "bk"))
           .select("qid", "cid")

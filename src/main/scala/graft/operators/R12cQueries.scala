@@ -225,11 +225,7 @@ object R12cQueries {
       (s, d) => {
         val c = R12Queries.corpusVecs(s, d)
         val q = R12Queries.probeVecs(s, d)
-        val qkeys = q.select(col("qid"),
-            explode(array((0 until R12Queries.NBands).map(b =>
-              struct(lit(b).as("band"),
-                R12Queries.bandKeyCol(col("qv"), b).as("bk"))): _*)).as("s"))
-          .select(col("qid"), col("s.band").as("band"), col("s.bk").as("bk"))
+        val qkeys = R12Queries.probeBandKeys(s, d)
         val candIds = qkeys
           .join(R12Queries.bandedCorpusKeys(s, d), Seq("band", "bk"))
           .select("qid", "cid").distinct()

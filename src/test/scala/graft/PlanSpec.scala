@@ -307,7 +307,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q449_ivf_rebalance_audit" /* 1-row totals broadcast onto the <=K bucket table, like q89 */,
       "q450_ann_probe_recall_curve" /* cross joins of single-row cost/hit aggregates per nprobe point, like q259 */,
       "q451_knn_graph_audit" /* 1-row scalar-probe literal select (q145's pattern) */,
-      "q456_benford" /* 1-row total broadcast onto the 9-row digit grain, like q89 */)
+      "q456_benford" /* 1-row total broadcast onto the 9-row digit grain, like q89 */,
+      "q462_hnsw_two_layer" /* 4-row hub panel + 5-row probe broadcast for seeds/brute, like q439 */,
+      "q463_ann_tombstone_serve" /* 4-row hub-panel fallback broadcast, like q439's seeds */,
+      "q464_embedding_qa" /* cross join of two single-row aggregates, like q89 */,
+      "q466_doc_length_drift" /* 1-row grand total broadcast onto the bounded source×bucket grid, like q410 */,
+      "q467_write_shard_plan" /* 1-row plan row broadcast onto the doc scan + shard grain, like q449 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
