@@ -312,7 +312,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q463_ann_tombstone_serve" /* 4-row hub-panel fallback broadcast, like q439's seeds */,
       "q464_embedding_qa" /* cross join of two single-row aggregates, like q89 */,
       "q466_doc_length_drift" /* 1-row grand total broadcast onto the bounded source×bucket grid, like q410 */,
-      "q467_write_shard_plan" /* 1-row plan row broadcast onto the doc scan + shard grain, like q449 */)
+      "q467_write_shard_plan" /* 1-row plan row broadcast onto the doc scan + shard grain, like q449 */,
+      "q468_knn_label_vote" /* 5-row probe-panel broadcast × streamed corpus, like q41 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
