@@ -20,7 +20,7 @@ import R12Queries.{SQL_COS, SQL_ENTRIES_CTE, SQL_KNN_GRAPH_CTES, SQL_QSEEDS_CTES
 object R13Queries {
 
   /** per-query top-w of a (qid, cid, cos) frame, cid tie-break */
-  private def top(df: DataFrame, w: Int): DataFrame =
+  private[operators] def top(df: DataFrame, w: Int): DataFrame =
     df.withColumn("rk", row_number().over(Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("cid").asc)))
       .filter(col("rk") <= w).select("qid", "cid", "cos")
@@ -29,7 +29,7 @@ object R13Queries {
     * frontier exactly (beamScore — corpus streams past the broadcast
     * frontier), keep the per-query top-w of beam ∪ frontier
     */
-  private def beamRound(s: SparkSession, d: String, beam: DataFrame,
+  private[operators] def beamRound(s: SparkSession, d: String, beam: DataFrame,
       edges: DataFrame, w: Int): DataFrame = {
     val frontier = beam.select(col("qid"), col("cid").as("src"))
       .join(edges, "src")
@@ -40,7 +40,7 @@ object R13Queries {
   }
 
   /** the SQL mirror of [[beamRound]] over edge CTE `e` */
-  private def sqlBeamRound(prev: String, cur: String, e: String,
+  private[operators] def sqlBeamRound(prev: String, cur: String, e: String,
       w: Int): String =
     s"""$cur AS (SELECT qid, cid, cos FROM (
           SELECT qid, cid, cos,
