@@ -63,6 +63,68 @@ object R13Queries {
     */
   private[operators] final val UpperK = 64
 
+  /** Upper-tier descent, memoized to scratch: q462 and q476 run the
+    * IDENTICAL upper pass (top-64 tier by (degree DESC, id), hub-seeded
+    * W=4 beam × 2 rounds, per-query top-2 entry), so whichever runs
+    * first pays one build (attributed in the bench memo ledger as
+    * `hnswupper`) and the other reads three tier/probe-bounded parquets
+    * (nodes, edges, entry beam — all model-sized by construction).
+    */
+  private[operators] def hnswUpper(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val key = Shared.datasetKey(d)
+    val root = hnswUpperMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("hnswupper") {
+        val r = Shared.scratchRoot("hnswupper", key).toString
+        val graph = R12Queries.knnGraphMemoized(s, d)
+        val q = R12Queries.probeVecs(s, d)
+        val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
+        val upperNodes = degt
+          .orderBy(col("dg").desc, col("src").asc).limit(UpperK)
+          .select(col("src").as("n")).checkpoint()
+        val upperEdges = graph
+          .join(broadcast(upperNodes.select(col("n").as("src"))),
+            Seq("src"), "left_semi")
+          .join(broadcast(upperNodes.select(col("n").as("dst"))),
+            Seq("dst"), "left_semi")
+          .select("src", "dst").checkpoint()
+        val seed0 = q.select("qid")
+          .crossJoin(broadcast(R12Queries.entryPoints(graph)))
+        var ub = top(R12Queries.beamScore(s, d, seed0), 4).checkpoint()
+        for (_ <- 1 to 2) ub = beamRound(s, d, ub, upperEdges, 4)
+        upperNodes.write.mode("overwrite").parquet(s"$r/nodes")
+        upperEdges.write.mode("overwrite").parquet(s"$r/edges")
+        top(ub, 2).write.mode("overwrite").parquet(s"$r/ent")
+        r
+      })
+    (s.read.parquet(s"$root/nodes"), s.read.parquet(s"$root/edges"),
+      s.read.parquet(s"$root/ent"))
+  }
+  private val hnswUpperMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** exact brute-force cosine top-3 eval table (probe-grain, 15 rows),
+    * memoized beside [[hnswUpper]] — the recall denominator both HNSW
+    * queries compare against
+    */
+  private[operators] def bruteTop3(s: SparkSession, d: String): DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = bruteTop3Memo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("brutetop3") {
+        val r = Shared.scratchRoot("brutetop3", key)
+        val q = R12Queries.probeVecs(s, d)
+        top(broadcast(q).crossJoin(R12Queries.corpusVecs(s, d))
+            .select(col("qid"), col("cid"),
+              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
+          .select("qid", "cid")
+          .write.mode("overwrite").parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+  private val bruteTop3Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[QueryDef] = Seq(
 
     // ── HNSW-STYLE TWO-LAYER SEARCH over the kNN graph ────────────────────
@@ -92,34 +154,17 @@ object R13Queries {
       // independent of corpus size.
       (s, d) => Shared.withCheckpointDir(s) {
         val graph = R12Queries.knnGraphMemoized(s, d)
-        val q = R12Queries.probeVecs(s, d)
-        val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
-        val upperNodes = degt
-          .orderBy(col("dg").desc, col("src").asc).limit(UpperK)
-          .select(col("src").as("n")).checkpoint()
-        val upperEdges = graph
-          .join(broadcast(upperNodes.select(col("n").as("src"))),
-            Seq("src"), "left_semi")
-          .join(broadcast(upperNodes.select(col("n").as("dst"))),
-            Seq("dst"), "left_semi")
-          .select("src", "dst").checkpoint()
+        // upper tier + hub-seeded descent from the shared memo (built
+        // once, read by q462 and q476)
+        val (upperNodes, upperEdges, ent) = hnswUpper(s, d)
         val nUp = upperNodes.count()
         val nUpE = upperEdges.count()
-        // upper descent: all queries enter at the 4 global hubs
-        val seed0 = q.select("qid")
-          .crossJoin(broadcast(R12Queries.entryPoints(graph)))
-        var ub = top(R12Queries.beamScore(s, d, seed0), 4).checkpoint()
-        for (_ <- 1 to 2) ub = beamRound(s, d, ub, upperEdges, 4)
         // base refine: enter at each query's top-2 upper hits
-        var bb = top(ub, 2).checkpoint()
+        var bb = ent.checkpoint()
         for (_ <- 1 to 2) bb = beamRound(s, d, bb, graph, 8)
         val ans = top(bb, 3).select("qid", "cid")
-        val brute = top(broadcast(q)
-            .crossJoin(R12Queries.corpusVecs(s, d))
-            .select(col("qid"), col("cid"),
-              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
-          .select("qid", "cid")
-        val nHits = ans.join(brute, Seq("qid", "cid"), "left_semi").count()
+        val nHits = ans.join(bruteTop3(s, d), Seq("qid", "cid"), "left_semi")
+          .count()
         import s.implicits._
         Seq((nUp, nUpE, nHits, 15L))
           .toDF("n_upper_nodes", "n_upper_edges", "n_hits", "n_possible")

@@ -291,28 +291,11 @@ object R13cQueries {
       // per-round checkpoints bound lineage.
       (s, d) => Shared.withCheckpointDir(s) {
         val graph = R12Queries.knnGraphMemoized(s, d)
-        val q = R12Queries.probeVecs(s, d)
-        val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
-        val upperNodes = degt
-          .orderBy(col("dg").desc, col("src").asc).limit(R13Queries.UpperK)
-          .select(col("src").as("n")).checkpoint()
-        val upperEdges = graph
-          .join(broadcast(upperNodes.select(col("n").as("src"))),
-            Seq("src"), "left_semi")
-          .join(broadcast(upperNodes.select(col("n").as("dst"))),
-            Seq("dst"), "left_semi")
-          .select("src", "dst").checkpoint()
-        val seed0 = q.select("qid")
-          .crossJoin(broadcast(R12Queries.entryPoints(graph)))
-        var ub = R13Queries.top(R12Queries.beamScore(s, d, seed0), 4)
-          .checkpoint()
-        for (_ <- 1 to 2) ub = R13Queries.beamRound(s, d, ub, upperEdges, 4)
-        val entry = R13Queries.top(ub, 2).checkpoint()
-        val brute = R13Queries.top(broadcast(q)
-            .crossJoin(R12Queries.corpusVecs(s, d))
-            .select(col("qid"), col("cid"),
-              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
-          .select("qid", "cid").checkpoint()
+        // the upper descent and the brute denominator come from the
+        // shared scratch memos (identical stages in q462 — built once)
+        val (_, _, ent) = R13Queries.hnswUpper(s, d)
+        val entry = ent.checkpoint()
+        val brute = R13Queries.bruteTop3(s, d)
         val legs = Seq(2, 4, 8).map { w =>
           var bb = entry
           for (_ <- 1 to 2) bb = R13Queries.beamRound(s, d, bb, graph, w)

@@ -313,7 +313,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q464_embedding_qa" /* cross join of two single-row aggregates, like q89 */,
       "q466_doc_length_drift" /* 1-row grand total broadcast onto the bounded source×bucket grid, like q410 */,
       "q467_write_shard_plan" /* 1-row plan row broadcast onto the doc scan + shard grain, like q449 */,
-      "q468_knn_label_vote" /* 5-row probe-panel broadcast × streamed corpus, like q41 */)
+      "q468_knn_label_vote" /* 5-row probe-panel broadcast × streamed corpus, like q41 */,
+      "q472_split_label_balance" /* 1-row grand total broadcast onto the bounded split×label contingency grain, like q410 */,
+      "q478_effective_budget_allocation" /* 1-row totals + water-level broadcasts onto the source panel, like q446 */,
+      "q479_neardup_split_leakage" /* cross join of two single-row aggregates, like q89 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
