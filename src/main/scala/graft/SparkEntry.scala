@@ -48,7 +48,8 @@ object SparkEntry {
       operators.R13Queries.all ++
       operators.R13bQueries.all ++
       operators.R13cQueries.all ++
-      operators.R13dQueries.all
+      operators.R13dQueries.all ++
+      operators.R13eQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

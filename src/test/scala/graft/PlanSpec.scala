@@ -316,7 +316,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q468_knn_label_vote" /* 5-row probe-panel broadcast × streamed corpus, like q41 */,
       "q472_split_label_balance" /* 1-row grand total broadcast onto the bounded split×label contingency grain, like q410 */,
       "q478_effective_budget_allocation" /* 1-row totals + water-level broadcasts onto the source panel, like q446 */,
-      "q479_neardup_split_leakage" /* cross join of two single-row aggregates, like q89 */)
+      "q479_neardup_split_leakage" /* cross join of two single-row aggregates, like q89 */,
+      "q480_knn_shapley" /* 5-row probe-panel broadcast × streamed corpus, like q41/q468 */,
+      "q481_selective_risk" /* 5-row probe panel + 5-row threshold spine + 1-row total broadcasts, like q468/q408 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
