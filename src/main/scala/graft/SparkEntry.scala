@@ -49,7 +49,8 @@ object SparkEntry {
       operators.R13bQueries.all ++
       operators.R13cQueries.all ++
       operators.R13dQueries.all ++
-      operators.R13eQueries.all
+      operators.R13eQueries.all ++
+      operators.R13fQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

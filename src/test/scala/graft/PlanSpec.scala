@@ -318,7 +318,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q478_effective_budget_allocation" /* 1-row totals + water-level broadcasts onto the source panel, like q446 */,
       "q479_neardup_split_leakage" /* cross join of two single-row aggregates, like q89 */,
       "q480_knn_shapley" /* 5-row probe-panel broadcast × streamed corpus, like q41/q468 */,
-      "q481_selective_risk" /* 5-row probe panel + 5-row threshold spine + 1-row total broadcasts, like q468/q408 */)
+      "q481_selective_risk" /* 5-row probe panel + 5-row threshold spine + 1-row total broadcasts, like q468/q408 */,
+      "q482_shapley_prune_eval" /* 3+2-row probe panels broadcast × streamed corpus + 1-row corpus-count attaches, like q41/q468/q480 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
