@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -9,11 +9,14 @@ import R12Queries.SQL_COS
 import Shared.{h32, SQL_H32, tokens, SQL_TOKENS}
 
 /** Round-13 batch 7: the model-evaluation governance leg — distribution-
-  * free uncertainty (split conformal), drift localization in time (CUSUM
-  * changepoint), eval-set hygiene (benchmark n-gram decontamination),
-  * and probabilistic-calibration audit (reliability/ECE) — four
-  * operators every serving/eval loop over the corpus eventually needs,
-  * all in the suite's exact-integer oracle regime.
+  * free uncertainty (split-conformal CLASSIFICATION sets, the discrete
+  * sibling of q353's regression intervals), random-projection pairwise-
+  * distortion audit (the JL check q102/q419 don't cover), eval-set
+  * hygiene (the 13-gram per-source decontamination sheet next to q89's
+  * scalar 3-shingle flag), and probabilistic-calibration audit over the
+  * kNN vote (the vote-confidence sibling of q360's classifier-score
+  * ECE) — four operators every serving/eval loop over the corpus
+  * eventually needs, all in the suite's exact oracle regime.
   */
 object R13gQueries {
 
@@ -117,67 +120,93 @@ object R13gQueries {
               WHERE g.qid >= 40""")
     ),
 
-    // ── CUSUM CHANGEPOINT (per-type daily volume) ─────────────────────────
+    // ── RANDOM-PROJECTION (JL) DISTORTION AUDIT ───────────────────────────
     QueryDef(
-      "q484_cusum_changepoint",
-      // Page's CUSUM localized to its max: per event type, the daily
-      // count series n_1..n_D (observed days, ordered) accumulates the
-      // integer-scaled statistic C_t = D·Σ_{s≤t} n_s − t·Σ n — exactly
-      // D times the classic cumulative deviation from the mean, so the
-      // argmax is unchanged and every intermediate is an exact BIGINT.
-      // The day with max |C_t| (earliest on ties) is the single-
-      // changepoint estimate — where a level shift in event volume most
-      // likely happened. Counts are integers, so unlike the pinned-
-      // double families (q448) nothing here needs term-text pinning.
+      "q484_jl_distortion_audit",
+      // Before an index swaps 64-dim vectors for a cheaper 16-dim
+      // random projection (the Johnson–Lindenstrauss move every
+      // at-scale ANN deployment considers), this audits what the
+      // projection does to PAIRWISE similarity — the thing neighbor
+      // order actually depends on, which q102's per-row norm-survival
+      // and q419's variance isotropy don't see. A 64-point audit panel
+      // takes all C(64,2) pairs; each pair's full-space cosine and its
+      // cosine under the q42 LCG hyperplane projection (first 16
+      // planes, real-valued projections rather than sign bits) differ
+      // by a distortion FLOORED to exact micro-units (the q252
+      // discipline — the doubles are engine-identical via the pinned
+      // sequential folds, so the floor is too). Output: distortion
+      // histogram (0.05-cos buckets) with per-bucket max and the global
+      // mean attached — the sheet that says whether 16 dims is enough.
       //
-      // Shape, and why it scales: one events scan collapses to the
-      // (type × day) grain map-side; the cumulative window partitions
-      // by event_type over a days-long frame (bounded by the calendar,
-      // not the data), and the argmax is a per-type rank on that same
-      // grain.
+      // Shape, and why it scales: the panel is model-sized by
+      // construction (the bounded-subset audit regime — you sample a
+      // panel, you don't all-pairs the corpus); projections are 16
+      // codegen'd dots per row; everything after the floor is exact
+      // BIGINT on a ≤21-row grain.
       (s, d) => {
-        val dayNs = 86400L * 1000L * 1000L * 1000L
-        val daily = Tables.events(s, d)
-          .select(col("event_type"), expr(s"ts div ${dayNs}L").as("day"))
-          .groupBy("event_type", "day")
-          .agg(count(lit(1)).as("n"))
-        val wOrd = Window.partitionBy("event_type").orderBy("day")
-        val wAll = Window.partitionBy("event_type")
-        daily
-          .withColumn("cum", sum(col("n")).over(wOrd))
-          .withColumn("k", row_number().over(wOrd).cast("long"))
-          .withColumn("n_days", count(lit(1)).over(wAll))
-          .withColumn("total", sum(col("n")).over(wAll))
-          .withColumn("cusum",
-            col("n_days") * col("cum") - col("k") * col("total"))
-          .withColumn("pick", row_number().over(Window
-            .partitionBy("event_type")
-            .orderBy(abs(col("cusum")).desc, col("day").asc)))
-          .filter(col("pick") === 1)
-          .select(col("event_type"), col("n_days"), col("total"),
-            col("day").as("cp_day"), abs(col("cusum")).as("cusum_abs"))
+        val P = 16
+        val planes16: Array[Array[Double]] = Array.tabulate(P, 64) {
+          (p, i) => ((1103515245L * (p * 64L + i) + 12345L) %
+            2147483648L).toDouble / 2147483648.0 - 0.5
+        }
+        def dotD(a: Column, b: Column): Column =
+          Shared.fsum(zip_with(a, b, (x, y) => x * y))
+        val sub = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 50 && col("vec_id") < 114)
+          .select(col("vec_id").as("aid"),
+            col("embedding").cast("array<double>").as("av"))
+          .withColumn("pv", array((0 until P).map(j =>
+            dotD(col("av"), typedlit(planes16(j).toSeq))): _*))
+        val pairs = sub.crossJoin(broadcast(sub
+            .select(col("aid").as("bid"), col("av").as("bv"),
+              col("pv").as("qv"))))
+          .filter(col("aid") < col("bid"))
+          .withColumn("cos_full", dotD(col("av"), col("bv")) /
+            (sqrt(dotD(col("av"), col("av"))) *
+              sqrt(dotD(col("bv"), col("bv")))))
+          .withColumn("cos_proj", dotD(col("pv"), col("qv")) /
+            (sqrt(dotD(col("pv"), col("pv"))) *
+              sqrt(dotD(col("qv"), col("qv")))))
+          .withColumn("du",
+            floor(abs(col("cos_full") - col("cos_proj")) * 1000000.0)
+              .cast("long"))
+        val mean = pairs.agg(expr("sum(du) div count(1)").as("mean_du"))
+        pairs.groupBy(expr("du div 50000L").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"), max(col("du")).as("max_du"))
+          .crossJoin(broadcast(mean))
+          .select("bucket", "n_pairs", "max_du", "mean_du")
       },
-      Some("""WITH daily AS (SELECT event_type,
-                  epoch_us(ts) // 86400000000 AS day,
-                  CAST(count(*) AS BIGINT) AS n
-                FROM events GROUP BY 1, 2),
-              st AS (SELECT event_type, day, n,
-                  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-                  CAST(row_number() OVER (PARTITION BY event_type
-                    ORDER BY day) AS BIGINT) AS k,
-                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
-                    AS n_days,
-                  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
-                    AS total
-                FROM daily),
-              cu AS (SELECT event_type, day, n_days, total,
-                  n_days * cum - k * total AS cusum FROM st)
-              SELECT event_type, n_days, total, day AS cp_day,
-                abs(cusum) AS cusum_abs
-              FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-                  ORDER BY abs(cusum) DESC, day) AS pick FROM cu)
-              WHERE pick = 1""")
+      Some {
+        val P = 16
+        def planeTerm(j: Int) =
+          s"""list_aggregate(list_transform(range(1, 65),
+             i -> CAST(av[i] AS DOUBLE) * ((CAST((1103515245 *
+             (${j * 64} + (i-1)) + 12345) % 2147483648 AS DOUBLE))
+             / 2147483648 - 0.5)), 'sum')"""
+        def dot16(a: String, b: String) =
+          s"list_aggregate(list_transform(range(1, ${P + 1}), " +
+            s"i -> $a[i] * $b[i]), 'sum')"
+        s"""WITH sub AS (SELECT vec_id AS aid,
+                  CAST(embedding AS DOUBLE[]) AS av
+                FROM embeddings WHERE vec_id >= 50 AND vec_id < 114),
+              proj AS (SELECT aid, av, list_value(
+                  ${(0 until P).map(planeTerm).mkString(",\n")}) AS pv
+                FROM sub),
+              pairs AS (SELECT a.aid, b.aid AS bid,
+                  ${SQL_COS("a.av", "b.av")} AS cos_full,
+                  ${dot16("a.pv", "b.pv")} /
+                    (sqrt(${dot16("a.pv", "a.pv")}) *
+                     sqrt(${dot16("b.pv", "b.pv")})) AS cos_proj
+                FROM proj a JOIN proj b ON a.aid < b.aid),
+              du AS (SELECT CAST(floor(abs(cos_full - cos_proj) * 1000000)
+                  AS BIGINT) AS du FROM pairs),
+              mean AS (SELECT CAST(sum(du) // count(*) AS BIGINT)
+                  AS mean_du FROM du)
+              SELECT du // 50000 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                max(du) AS max_du, mean_du
+              FROM du CROSS JOIN mean GROUP BY 1, mean_du"""
+      }
     ),
 
     // ── BENCHMARK n-GRAM DECONTAMINATION (eval-set hygiene) ───────────────

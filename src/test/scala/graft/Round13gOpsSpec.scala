@@ -66,28 +66,33 @@ class Round13gOpsSpec extends AnyFunSuite with SparkFixture {
     assert(covered * 10L >= cal.size * 9L - 10L)
   }
 
-  test("q484: the CUSUM argmax replays from the raw (type, day) counts") {
-    val dayNs = 86400L * 1000L * 1000L * 1000L
-    val daily = Tables.events(spark, sf)
-      .selectExpr("event_type", s"ts div ${dayNs}L as day").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
-      .map { case ((t, d), n) => (t, d, n) }
-    val want = daily.groupBy(_._1).map { case (t, rows) =>
-      val ord = rows.sortBy(_._2)
-      val nd = ord.size.toLong
-      val tot = ord.map(_._3).sum
-      var cum = 0L
-      val cusum = ord.zipWithIndex.map { case ((_, day, n), i) =>
-        cum += n; (day, math.abs(nd * cum - (i + 1L) * tot))
-      }
-      val (cpDay, mx) = cusum.sortBy { case (d, c) => (-c, d) }.head
-      (t, nd, tot, cpDay, mx)
-    }.toSet
-    val out = SparkEntry.queries("q484_cusum_changepoint")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toSet
+  test("q484: the JL distortion histogram replays from raw vectors and " +
+      "the LCG plane formula") {
+    val P = 16
+    val planes = Array.tabulate(P, 64) { (p, i) =>
+      ((1103515245L * (p * 64L + i) + 12345L) % 2147483648L).toDouble /
+        2147483648.0 - 0.5
+    }
+    val panel = emb().filter(t => t._1 >= 50 && t._1 < 114)
+      .map(t => (t._1, t._2))
+    def cosd(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val proj = panel.map { case (id, v) =>
+      (id, v, planes.map(pl => dot(v, pl)))
+    }
+    val dus = for {
+      (ai, av, ap) <- proj; (bi, bv, bp) <- proj if ai < bi
+    } yield math.floor(math.abs(cosd(av, bv) - cosd(ap, bp)) *
+      1000000.0).toLong
+    val mean = dus.sum / dus.size
+    val want = dus.groupBy(_ / 50000L).map { case (b, ds) =>
+      (b, ds.size.toLong, ds.max, mean) }.toSet
+    val out = SparkEntry.queries("q484_jl_distortion_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
     assert(out == want)
+    // pair count conserves: C(64, 2) pairs land in the histogram
+    assert(want.toSeq.map(_._2).sum == 64L * 63L / 2L)
   }
 
   test("q485: contamination replays from raw 13-gram sets; the benchmark " +
