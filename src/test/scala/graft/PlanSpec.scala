@@ -319,7 +319,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q479_neardup_split_leakage" /* cross join of two single-row aggregates, like q89 */,
       "q480_knn_shapley" /* 5-row probe-panel broadcast × streamed corpus, like q41/q468 */,
       "q481_selective_risk" /* 5-row probe panel + 5-row threshold spine + 1-row total broadcasts, like q468/q408 */,
-      "q482_shapley_prune_eval" /* 3+2-row probe panels broadcast × streamed corpus + 1-row corpus-count attaches, like q41/q468/q480 */)
+      "q482_shapley_prune_eval" /* 3+2-row probe panels broadcast × streamed corpus + 1-row corpus-count attaches, like q41/q468/q480 */,
+      "q483_conformal_prediction" /* 50-row panel broadcast × streamed corpus + 10-row label spine + 1-row n_cal attach, like q468/q481 */,
+      "q484_jl_distortion_audit" /* 64-row audit-panel self-pairs (bounded-subset regime, like q43) + 1-row mean attach */,
+      "q486_vote_calibration_ece" /* 50-row probe-panel broadcast × streamed corpus + 1-row ECE attach, like q468 */,
+      "q488_hubness_audit" /* 1-row panel-count attach onto the ≤K·panel distribution grain, like q89 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
@@ -665,5 +669,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = df.queryExecution.executedPlan.toString
     // codegen spans render as "*(n) Operator" in the final AQE plan
     assert(p.contains("*(") && "\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q485 (decontamination): the benchmark gram set broadcasts; the " +
+      "corpus explode is never under a cartesian") {
+    // the corpus-sized side is ONE exploded documents pass semi-joined
+    // against the (eval-sized, broadcast) benchmark gram hashes — the
+    // q89 discipline at the 13-gram grain; a cartesian or a shuffled
+    // corpus×bench join here becomes the bottleneck at 100×
+    val df = SparkEntry.queries("q485_benchmark_decontamination")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q485 must plan keyed/broadcast joins only:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q485's bench-gram join must broadcast the small side:\n$p")
+  }
+
+  test("q487/q489 (panel diagnostics): consumers read the subsetknn " +
+      "scratch, never re-scoring the panel") {
+    // the 256-point leave-one-out kNN table materializes once per
+    // (process, dataset) — q487/q488/q489 all read the scratch; a
+    // consumer that re-derived it would re-pay the panel scoring pass
+    // per query (the q212/q126 memo discipline)
+    for (q <- Seq("q487_label_noise_matrix", "q489_label_spreading")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert("graft_subsetknn".r.findAllIn(p).nonEmpty,
+        s"$q must read the memoized panel kNN scratch:\n$p")
+      assert("embeddings\\.parquet".r.findAllIn(p).isEmpty,
+        s"$q must not re-scan the corpus — the memo holds the grain:\n$p")
+    }
   }
 }
