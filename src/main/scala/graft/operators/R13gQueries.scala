@@ -22,6 +22,87 @@ object R13gQueries {
 
   private final val K = 5
 
+  /** q483's conformal pipeline through the test grain — shared with the
+    * q490 gated-serve composition: per (test probe, label) the score,
+    * the calibration histogram count and n_cal (from which p-values and
+    * set membership derive). One 50-probe broadcast × streamed corpus
+    * pass; every later grain is model-sized.
+    */
+  private[operators] def conformalTestGrain(s: SparkSession, d: String)
+      : DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val panel = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").cast("long").as("true_label"))
+    val c = e.filter(col("vec_id") >= 50)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("label").cast("long").as("clabel"))
+    val labels = c.select(col("clabel").as("lbl")).distinct()
+    val top5 = broadcast(panel).crossJoin(c)
+      .select(col("qid"), col("true_label"), col("cid"), col("clabel"),
+        R12Queries.cosCol(col("qv"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rk") <= K)
+    val votes = top5.groupBy(col("qid"), col("clabel").as("lbl"))
+      .agg(count(lit(1)).as("nv"))
+    // (probe × label) grain with explicit zero votes — the score a
+    // label gets when none of the top-K neighbors carry it
+    val grain = panel.select("qid", "true_label")
+      .crossJoin(broadcast(labels))
+      .join(votes, Seq("qid", "lbl"), "left")
+      .withColumn("score", lit(K.toLong) - coalesce(col("nv"), lit(0L)))
+    val calScores = grain.filter(col("qid") < 40 &&
+      col("lbl") === col("true_label")).select(col("score").as("a"))
+    val nCal = calScores.agg(count(lit(1)).as("n_cal"))
+    // cnt_ge per possible score 0..K (kept total so a threshold no
+    // calibration point reaches still joins, with cnt_ge = 0)
+    val hist = s.range(0, K + 1).toDF("t")
+      .crossJoin(calScores)
+      .groupBy("t")
+      .agg(sum(when(col("a") >= col("t"), 1L).otherwise(0L))
+        .as("cnt_ge"))
+    grain.filter(col("qid") >= 40)
+      .join(broadcast(hist), col("score") === col("t"))
+      .crossJoin(broadcast(nCal))
+  }
+
+  /** the oracle's mirror of [[conformalTestGrain]] (CTE chain ending in
+    * `tg` = the test grain with cnt_ge and n_cal columns)
+    */
+  private[operators] val SQL_CONFORMAL_CTES: String =
+    s"""panel AS (SELECT vec_id AS qid, embedding AS qv,
+          CAST(label AS BIGINT) AS true_label
+        FROM embeddings WHERE vec_id < 50),
+      c AS (SELECT vec_id AS cid, embedding AS cv,
+          CAST(label AS BIGINT) AS clabel
+        FROM embeddings WHERE vec_id >= 50),
+      labels AS (SELECT DISTINCT clabel AS lbl FROM c),
+      top5 AS (SELECT qid, true_label, clabel FROM (
+          SELECT panel.qid, panel.true_label, c.clabel,
+            row_number() OVER (PARTITION BY panel.qid
+              ORDER BY ${SQL_COS("qv", "cv")} DESC, c.cid) AS rk
+          FROM panel CROSS JOIN c) WHERE rk <= $K),
+      votes AS (SELECT qid, clabel AS lbl,
+          CAST(count(*) AS BIGINT) AS nv
+        FROM top5 GROUP BY 1, 2),
+      grain AS (SELECT p.qid, p.true_label, l.lbl,
+          ${K}::BIGINT - COALESCE(v.nv, 0) AS score
+        FROM (SELECT qid, true_label FROM panel) p
+        CROSS JOIN labels l
+        LEFT JOIN votes v ON v.qid = p.qid AND v.lbl = l.lbl),
+      cal AS (SELECT score AS a FROM grain
+        WHERE qid < 40 AND lbl = true_label),
+      ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+      hist AS (SELECT t, CAST(sum(CASE WHEN a >= t THEN 1
+            ELSE 0 END) AS BIGINT) AS cnt_ge
+        FROM (SELECT unnest(range(0, ${K + 1})) AS t) CROSS JOIN cal
+        GROUP BY t),
+      tg AS (SELECT g.qid, g.true_label, g.lbl, g.score, h.cnt_ge,
+          n.n_cal
+        FROM grain g JOIN hist h ON g.score = h.t CROSS JOIN ncal n
+        WHERE g.qid >= 40)"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ── SPLIT-CONFORMAL PREDICTION SETS (exact rank p-values) ─────────────
@@ -45,79 +126,17 @@ object R13gQueries {
       // everything downstream lives on model-sized grains (50×10 vote
       // grain, 6-row calibration histogram, 1-row n_cal attach) and
       // every window partitions by probe.
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val panel = e.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-            col("label").cast("long").as("true_label"))
-        val c = e.filter(col("vec_id") >= 50)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-            col("label").cast("long").as("clabel"))
-        val labels = c.select(col("clabel").as("lbl")).distinct()
-        val top5 = broadcast(panel).crossJoin(c)
-          .select(col("qid"), col("true_label"), col("cid"), col("clabel"),
-            R12Queries.cosCol(col("qv"), col("cv")).as("cos"))
-          .withColumn("rk", row_number().over(Window.partitionBy("qid")
-            .orderBy(col("cos").desc, col("cid").asc)))
-          .filter(col("rk") <= K)
-        val votes = top5.groupBy(col("qid"), col("clabel").as("lbl"))
-          .agg(count(lit(1)).as("nv"))
-        // (probe × label) grain with explicit zero votes — the score a
-        // label gets when none of the top-K neighbors carry it
-        val grain = panel.select("qid", "true_label")
-          .crossJoin(broadcast(labels))
-          .join(votes, Seq("qid", "lbl"), "left")
-          .withColumn("score", lit(K.toLong) - coalesce(col("nv"), lit(0L)))
-        val calScores = grain.filter(col("qid") < 40 &&
-          col("lbl") === col("true_label")).select(col("score").as("a"))
-        val nCal = calScores.agg(count(lit(1)).as("n_cal"))
-        // cnt_ge per possible score 0..K (kept total so a threshold no
-        // calibration point reaches still joins, with cnt_ge = 0)
-        val hist = s.range(0, K + 1).toDF("t")
-          .crossJoin(calScores)
-          .groupBy("t")
-          .agg(sum(when(col("a") >= col("t"), 1L).otherwise(0L))
-            .as("cnt_ge"))
-        grain.filter(col("qid") >= 40)
-          .join(broadcast(hist), col("score") === col("t"))
-          .crossJoin(broadcast(nCal))
+      (s, d) =>
+        conformalTestGrain(s, d)
           .select(col("qid"), col("true_label"), col("lbl"), col("score"),
             expr("(1L + cnt_ge) * 1000000L div (n_cal + 1L)").as("p_ppm"),
             (lit(10L) * (lit(1L) + col("cnt_ge")) >
-              col("n_cal") + lit(1L)).as("in_set"))
-      },
-      Some(s"""WITH panel AS (SELECT vec_id AS qid, embedding AS qv,
-                  CAST(label AS BIGINT) AS true_label
-                FROM embeddings WHERE vec_id < 50),
-              c AS (SELECT vec_id AS cid, embedding AS cv,
-                  CAST(label AS BIGINT) AS clabel
-                FROM embeddings WHERE vec_id >= 50),
-              labels AS (SELECT DISTINCT clabel AS lbl FROM c),
-              top5 AS (SELECT qid, true_label, clabel FROM (
-                  SELECT panel.qid, panel.true_label, c.clabel,
-                    row_number() OVER (PARTITION BY panel.qid
-                      ORDER BY ${SQL_COS("qv", "cv")} DESC, c.cid) AS rk
-                  FROM panel CROSS JOIN c) WHERE rk <= $K),
-              votes AS (SELECT qid, clabel AS lbl,
-                  CAST(count(*) AS BIGINT) AS nv
-                FROM top5 GROUP BY 1, 2),
-              grain AS (SELECT p.qid, p.true_label, l.lbl,
-                  ${K}::BIGINT - COALESCE(v.nv, 0) AS score
-                FROM (SELECT qid, true_label FROM panel) p
-                CROSS JOIN labels l
-                LEFT JOIN votes v ON v.qid = p.qid AND v.lbl = l.lbl),
-              cal AS (SELECT score AS a FROM grain
-                WHERE qid < 40 AND lbl = true_label),
-              ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
-              hist AS (SELECT t, CAST(sum(CASE WHEN a >= t THEN 1
-                    ELSE 0 END) AS BIGINT) AS cnt_ge
-                FROM (SELECT unnest(range(0, ${K + 1})) AS t) CROSS JOIN cal
-                GROUP BY t)
-              SELECT g.qid, g.true_label, g.lbl, g.score,
-                (1 + h.cnt_ge) * 1000000 // (n.n_cal + 1) AS p_ppm,
-                10 * (1 + h.cnt_ge) > n.n_cal + 1 AS in_set
-              FROM grain g JOIN hist h ON g.score = h.t CROSS JOIN ncal n
-              WHERE g.qid >= 40""")
+              col("n_cal") + lit(1L)).as("in_set")),
+      Some(s"""WITH $SQL_CONFORMAL_CTES
+              SELECT qid, true_label, lbl, score,
+                (1 + cnt_ge) * 1000000 // (n_cal + 1) AS p_ppm,
+                10 * (1 + cnt_ge) > n_cal + 1 AS in_set
+              FROM tg""")
     ),
 
     // ── RANDOM-PROJECTION (JL) DISTORTION AUDIT ───────────────────────────

@@ -66,7 +66,7 @@ object R13hQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** the oracle's mirror of [[subsetKnn]]: `sub` + `knn` CTE bodies */
-  private val SQL_KNN_CTES: String =
+  private[operators] val SQL_KNN_CTES: String =
     s"""sub AS (SELECT vec_id AS aid, embedding AS av,
           CAST(label AS BIGINT) AS albl
         FROM embeddings WHERE vec_id >= $LO AND vec_id < $HI),

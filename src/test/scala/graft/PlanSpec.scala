@@ -323,7 +323,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q483_conformal_prediction" /* 50-row panel broadcast × streamed corpus + 10-row label spine + 1-row n_cal attach, like q468/q481 */,
       "q484_jl_distortion_audit" /* 64-row audit-panel self-pairs (bounded-subset regime, like q43) + 1-row mean attach */,
       "q486_vote_calibration_ece" /* 50-row probe-panel broadcast × streamed corpus + 1-row ECE attach, like q468 */,
-      "q488_hubness_audit" /* 1-row panel-count attach onto the ≤K·panel distribution grain, like q89 */)
+      "q488_hubness_audit" /* 1-row panel-count attach onto the ≤K·panel distribution grain, like q89 */,
+      "q490_conformal_gated_serve" /* the q483 conformal pipeline (50-row panel broadcast, spine + 1-row attaches) + a 1-row policy-totals attach */,
+      "q492_spreading_seed_curve" /* 3-row boundary spine crossed onto the model-sized panel grain, like q481's threshold spine */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
