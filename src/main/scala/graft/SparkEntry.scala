@@ -53,7 +53,8 @@ object SparkEntry {
       operators.R13fQueries.all ++
       operators.R13gQueries.all ++
       operators.R13hQueries.all ++
-      operators.R13iQueries.all
+      operators.R13iQueries.all ++
+      operators.R13jQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import R13hQueries.{subsetKnn, SQL_KNN_CTES}
+
+/** Round-13 batch 10: graph-ANN ROBUSTNESS — what happens to the
+  * navigable structure when exactly the nodes the router leans on
+  * disappear. Composes q488's hub ranking with the suite's shared
+  * component machinery (the q73/q411 closure), the structural sibling
+  * of q463's tombstone serve: q463 shows the SERVE path survives
+  * deletions, this measures how much CONNECTIVITY was riding on the
+  * hubs.
+  */
+object R13jQueries {
+
+  private final val HUBS = 8
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q493_hub_ablation_robustness",
+      // The index-robustness audit q488's histogram motivates: build
+      // the UNDIRECTED mutual-kNN graph over the audit panel, then
+      // remove the top-8 hubs (k-occurrence DESC, id ASC — q488's
+      // ranking made actionable) and re-run the component census. One
+      // row per variant (full / ablated): nodes, edges, components
+      // (singletons included), isolated nodes, largest component and
+      // its exact ppm share — if the largest component collapses when
+      // the hubs go, graph traversal was structurally dependent on a
+      // handful of points and a tombstone burst (q463's scenario)
+      // degrades reach, not just recall.
+      //
+      // Shape, and why it scales: mutual edges are ONE keyed self-join
+      // of the memoized panel-kNN grain (K-bounded per node); the hub
+      // list is 8 rows; components run the shared large-star/small-star
+      // contraction (O(log n) rounds) on the panel-bounded edge set;
+      // the census is scalar aggregates cross-joined (the suite's
+      // attach idiom). At corpus scale the panel stays fixed — this is
+      // an audit, not a corpus self-join.
+      (s, d) => {
+        val knn = subsetKnn(s, d)
+        val me = knn.join(
+            knn.select(col("aid").as("bid"), col("bid").as("aid")),
+            Seq("aid", "bid"))
+          .filter(col("aid") < col("bid"))
+          .select(col("aid").as("a"), col("bid").as("b")).distinct()
+        val hubs = knn.groupBy(col("bid")).agg(count(lit(1)).as("o"))
+          .orderBy(col("o").desc, col("bid").asc).limit(HUBS)
+          .select(col("bid").as("hub"))
+        val pan = knn.select(col("aid").as("id")).distinct()
+        def census(variant: String, nodes: DataFrame, edges: DataFrame)
+            : DataFrame = {
+          val comp = Shared.minLabelComponents(s, nodes, edges)
+          val sizes = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+          val cs = sizes.agg(count(lit(1)).as("n_components"),
+            max(col("sz")).as("max_size"))
+          val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+          val ne = edges.agg(count(lit(1)).as("n_edges"))
+          val touched = edges.select(col("a").as("id"))
+            .union(edges.select(col("b").as("id"))).distinct()
+          val iso = nodes.join(touched, Seq("id"), "left_anti")
+            .agg(count(lit(1)).as("n_isolated"))
+          nn.crossJoin(broadcast(ne)).crossJoin(broadcast(cs))
+            .crossJoin(broadcast(iso))
+            .select(lit(variant).as("variant"), col("n_nodes"),
+              col("n_edges"), col("n_components"), col("n_isolated"),
+              col("max_size"),
+              expr("max_size * 1000000L div n_nodes").as("max_share_ppm"))
+        }
+        val ablNodes = pan.join(broadcast(hubs),
+          col("id") === col("hub"), "left_anti")
+        val ablEdges = me
+          .join(broadcast(hubs), col("a") === col("hub"), "left_anti")
+          .join(broadcast(hubs), col("b") === col("hub"), "left_anti")
+        census("full", pan, me)
+          .unionAll(census("ablated", ablNodes, ablEdges))
+      },
+      Some(s"""WITH RECURSIVE $SQL_KNN_CTES,
+              medges AS (SELECT DISTINCT k1.aid AS a, k1.bid AS b
+                FROM knn k1 JOIN knn k2
+                  ON k1.aid = k2.bid AND k1.bid = k2.aid
+                WHERE k1.aid < k1.bid),
+              occ AS (SELECT bid, CAST(count(*) AS BIGINT) AS o
+                FROM knn GROUP BY 1),
+              hubs AS (SELECT bid FROM (SELECT bid, row_number()
+                    OVER (ORDER BY o DESC, bid) AS rk FROM occ)
+                WHERE rk <= $HUBS),
+              pan AS (SELECT DISTINCT aid AS id FROM knn),
+              vnodes AS (SELECT 'full' AS variant, id FROM pan
+                UNION ALL SELECT 'ablated', id FROM pan
+                WHERE id NOT IN (SELECT bid FROM hubs)),
+              vedges AS (SELECT 'full' AS variant, a, b FROM medges
+                UNION ALL SELECT 'ablated', a, b FROM medges
+                WHERE a NOT IN (SELECT bid FROM hubs)
+                  AND b NOT IN (SELECT bid FROM hubs)),
+              sym AS (SELECT variant, a, b FROM vedges
+                UNION ALL SELECT variant, b AS a, a AS b FROM vedges),
+              reach AS (SELECT variant, id, id AS r FROM vnodes
+                UNION
+                SELECT e.variant, e.b, reach.r FROM reach
+                JOIN sym e ON e.variant = reach.variant
+                  AND e.a = reach.id),
+              comp AS (SELECT variant, id, min(r) AS comp
+                FROM reach GROUP BY 1, 2),
+              sizes AS (SELECT variant, comp,
+                  CAST(count(*) AS BIGINT) AS sz
+                FROM comp GROUP BY 1, 2),
+              cs AS (SELECT variant,
+                  CAST(count(*) AS BIGINT) AS n_components,
+                  CAST(max(sz) AS BIGINT) AS max_size
+                FROM sizes GROUP BY 1),
+              nn AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM vnodes GROUP BY 1),
+              ne AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_edges
+                FROM vedges GROUP BY 1),
+              touched AS (SELECT DISTINCT variant, a AS id FROM sym),
+              iso AS (SELECT v.variant,
+                  CAST(count(*) AS BIGINT) AS n_isolated
+                FROM vnodes v LEFT JOIN touched t
+                  ON v.variant = t.variant AND v.id = t.id
+                WHERE t.id IS NULL GROUP BY 1),
+              iso2 AS (SELECT nn.variant,
+                  COALESCE(iso.n_isolated, 0) AS n_isolated
+                FROM nn LEFT JOIN iso USING (variant))
+              SELECT nn.variant, nn.n_nodes, ne.n_edges,
+                cs.n_components, iso2.n_isolated, cs.max_size,
+                cs.max_size * 1000000 // nn.n_nodes AS max_share_ppm
+              FROM nn JOIN ne USING (variant) JOIN cs USING (variant)
+              JOIN iso2 USING (variant)""")
+    )
+  )
+}

@@ -325,7 +325,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q486_vote_calibration_ece" /* 50-row probe-panel broadcast × streamed corpus + 1-row ECE attach, like q468 */,
       "q488_hubness_audit" /* 1-row panel-count attach onto the ≤K·panel distribution grain, like q89 */,
       "q490_conformal_gated_serve" /* the q483 conformal pipeline (50-row panel broadcast, spine + 1-row attaches) + a 1-row policy-totals attach */,
-      "q492_spreading_seed_curve" /* 3-row boundary spine crossed onto the model-sized panel grain, like q481's threshold spine */)
+      "q492_spreading_seed_curve" /* 3-row boundary spine crossed onto the model-sized panel grain, like q481's threshold spine */,
+      "q493_hub_ablation_robustness" /* 1-row census aggregates cross-joined per variant (nodes/edges/components/isolated), like q464/q411 */)
     val offenders = SparkEntry.defs
       .filterNot(q => intentional(q.name))
       .flatMap { q =>
