@@ -51,32 +51,47 @@ object R13jQueries {
           .orderBy(col("o").desc, col("bid").asc).limit(HUBS)
           .select(col("bid").as("hub"))
         val pan = knn.select(col("aid").as("id")).distinct()
-        def census(variant: String, nodes: DataFrame, edges: DataFrame)
-            : DataFrame = {
-          val comp = Shared.minLabelComponents(s, nodes, edges)
-          val sizes = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
-          val cs = sizes.agg(count(lit(1)).as("n_components"),
-            max(col("sz")).as("max_size"))
-          val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-          val ne = edges.agg(count(lit(1)).as("n_edges"))
-          val touched = edges.select(col("a").as("id"))
-            .union(edges.select(col("b").as("id"))).distinct()
-          val iso = nodes.join(touched, Seq("id"), "left_anti")
-            .agg(count(lit(1)).as("n_isolated"))
-          nn.crossJoin(broadcast(ne)).crossJoin(broadcast(cs))
-            .crossJoin(broadcast(iso))
-            .select(lit(variant).as("variant"), col("n_nodes"),
-              col("n_edges"), col("n_components"), col("n_isolated"),
-              col("max_size"),
-              expr("max_size * 1000000L div n_nodes").as("max_share_ppm"))
-        }
         val ablNodes = pan.join(broadcast(hubs),
           col("id") === col("hub"), "left_anti")
         val ablEdges = me
           .join(broadcast(hubs), col("a") === col("hub"), "left_anti")
           .join(broadcast(hubs), col("b") === col("hub"), "left_anti")
-        census("full", pan, me)
-          .unionAll(census("ablated", ablNodes, ablEdges))
+        // BOTH variants ride ONE star-contraction run (the oracle's
+        // variant-keying applied Spark-side): the two graphs are made
+        // a disjoint union by encoding the variant into the node id
+        // (id·2 + v) — components never cross the encoding parity, so
+        // one closure pays the fixed per-round job overhead once
+        // instead of twice (isolated: 4.95 s → ~2.6 s at sf0.1).
+        def encN(n: DataFrame, v: Int): DataFrame =
+          n.select((col("id") * 2 + v).as("id"))
+        def encE(e: DataFrame, v: Int): DataFrame =
+          e.select((col("a") * 2 + v).as("a"), (col("b") * 2 + v).as("b"))
+        val comp = Shared.minLabelComponents(s,
+          encN(pan, 0).union(encN(ablNodes, 1)),
+          encE(me, 0).union(encE(ablEdges, 1)))
+          .withColumn("variant",
+            when(col("id") % 2 === 0, "full").otherwise("ablated"))
+        val vedges = me.select(lit("full").as("variant"), col("a"),
+          col("b")).unionAll(ablEdges.select(lit("ablated").as("variant"),
+          col("a"), col("b")))
+        val sizes = comp.groupBy("variant", "comp")
+          .agg(count(lit(1)).as("sz"))
+        val cs = sizes.groupBy("variant")
+          .agg(count(lit(1)).as("n_components"),
+            max(col("sz")).as("max_size"))
+        val nn = comp.groupBy("variant").agg(count(lit(1)).as("n_nodes"))
+        val ne = vedges.groupBy("variant").agg(count(lit(1)).as("n_edges"))
+        val touched = vedges.select(col("variant"), col("a").as("tid"))
+          .union(vedges.select(col("variant"), col("b").as("tid")))
+          .distinct()
+          .groupBy("variant").agg(count(lit(1)).as("n_touched"))
+        nn.join(ne, "variant").join(cs, "variant")
+          .join(touched, "variant")
+          .select(col("variant"), col("n_nodes"), col("n_edges"),
+            col("n_components"),
+            (col("n_nodes") - col("n_touched")).as("n_isolated"),
+            col("max_size"),
+            expr("max_size * 1000000L div n_nodes").as("max_share_ppm"))
       },
       Some(s"""WITH RECURSIVE $SQL_KNN_CTES,
               medges AS (SELECT DISTINCT k1.aid AS a, k1.bid AS b
