@@ -61,7 +61,9 @@ object R13jQueries {
         // a disjoint union by encoding the variant into the node id
         // (id·2 + v) — components never cross the encoding parity, so
         // one closure pays the fixed per-round job overhead once
-        // instead of twice (isolated: 4.95 s → ~2.6 s at sf0.1).
+        // instead of twice (isolated: 4.95 → 4.12 s at sf0.1; the
+        // round count is the max of the two variants, so the saving
+        // is one run's fixed overhead, not half the total).
         def encN(n: DataFrame, v: Int): DataFrame =
           n.select((col("id") * 2 + v).as("id"))
         def encE(e: DataFrame, v: Int): DataFrame =
