@@ -624,22 +624,43 @@ final class DB private (val root: Path, val spark: SparkSession) {
   /** The partition-pruned merge input for [[upsertPartitioned]]: current
     * rows of the TOUCHED partitions only, minus same-key rows, plus the
     * batch. Exposed for DBSpec's pruning assertion. Returns None for an
-    * empty batch. The touched tuples are collected (one small driver round
-    * trip, one row per touched partition) and pushed as a literal filter:
-    * static partition pruning the planner can never decline, where the
-    * broadcast-semi-join form only prunes if runtime DPP fires.
+    * empty batch.
+    *
+    * Prune form is capacity-tiered: up to `literalCap` touched
+    * partitions, the touched tuples are collected (one small driver
+    * round trip, one row per touched partition) and pushed as a literal
+    * filter — static partition pruning the planner can never decline.
+    * ABOVE the cap, a collected disjunction would itself be the problem
+    * (a 10⁵-term filter is a pathological plan: analysis/codegen cost
+    * scales with plan size, and the driver holds every tuple), so the
+    * prune switches to a broadcast-semi-join of the touched-partition
+    * frame against the table — runtime DPP/semi-join pruning instead of
+    * static pruning, the right trade once the touched set is no longer
+    * plan-sized. The cap is a parameter so the fallback is testable
+    * without staging a thousand partition directories.
     */
   private[graft] def upsertMergeInput(name: String, batch: DataFrame,
-      partitionCols: Seq[String], keys: Seq[String]): Option[DataFrame] = {
-    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+      partitionCols: Seq[String], keys: Seq[String],
+      literalCap: Int = DB.UpsertPruneLiteralCap): Option[DataFrame] = {
+    val touchedDf = batch.select(partitionCols.map(col): _*).distinct()
+    // collect at most cap+1 tuples: enough to decide the tier without
+    // ever materializing an unbounded touched list on the driver
+    val touched = touchedDf.limit(literalCap + 1).collect()
     if (touched.isEmpty) None
     else {
-      val prune = touched.map(r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
-          .reduce(_ && _))
-        .reduce(_ || _)
-      val kept = table(name).filter(prune)
+      val pruned =
+        if (touched.length <= literalCap) {
+          val prune = touched.map(r =>
+            partitionCols.zipWithIndex
+              .map { case (c, i) => col(c) === lit(r.get(i)) }
+              .reduce(_ && _))
+            .reduce(_ || _)
+          table(name).filter(prune)
+        } else
+          table(name).join(
+            org.apache.spark.sql.functions.broadcast(touchedDf),
+            partitionCols, "left_semi")
+      val kept = pruned
         .join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
       Some(kept.unionByName(batch))
     }
@@ -916,6 +937,14 @@ final class DB private (val root: Path, val spark: SparkSession) {
 }
 
 object DB {
+
+  /** [[DB.upsertMergeInput]]'s tier boundary: the most touched-partition
+    * tuples worth pushing as a collected literal disjunction before the
+    * plan itself becomes the cost (each literal term is an analysis +
+    * codegen node, and the driver holds the whole list). ~1000 terms is
+    * comfortably plan-sized; beyond it the broadcast-semi-join prune wins.
+    */
+  val UpsertPruneLiteralCap = 1000
 
   /** Morton (Z-order) value: bit-interleave of the low 32 bits of two
     * longs — `spread(a) | spread(b) << 1` with the classic mask-spread

@@ -343,7 +343,18 @@ object JpegCodec {
   }
 
   /** dequantize + IDCT: 64 ZIGZAG quantized coeffs → 64 row-major
-    * level-shifted samples (un-rounded doubles rounded by the caller)
+    * level-shifted samples (un-rounded doubles rounded by the caller).
+    *
+    * Sparse form, BIT-IDENTICAL to the dense double loop: real scan
+    * blocks are mostly zeros after quantization (a DC-only block has 1
+    * nonzero in 64), and a zero coefficient's term is an exact IEEE
+    * ±0.0 whose addition never changes the accumulator (the sum starts
+    * at +0.0, and +0.0 + −0.0 = +0.0 under round-to-nearest), so
+    * skipping zero terms while keeping the surviving terms in the SAME
+    * (u outer, v inner) order and the SAME multiplication grouping
+    * (((Cu(u)·Cu(v))·coef)·Cos(x)(u))·Cos(y)(v) reproduces every bit of
+    * the dense result. Per-pixel cost drops from 64 terms to nnz terms
+    * — ~64× on the DC-only blocks that dominate decode time.
     */
   private def dequantIdct(zz: Array[Int], q: Array[Int]): Array[Int] = {
     val coef = new Array[Double](64) // row-major v*8+u
@@ -352,20 +363,36 @@ object JpegCodec {
       coef(Zigzag(k)) = zz(k).toDouble * q(k)
       k += 1
     }
+    // surviving terms in dense-loop order, with the order-preserving
+    // prefix product w = (Cu(u)·Cu(v))·coef folded once per term
+    val nzU = new Array[Int](64)
+    val nzV = new Array[Int](64)
+    val nzW = new Array[Double](64)
+    var m = 0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val c = coef(v * 8 + u)
+        if (c != 0.0) {
+          nzU(m) = u; nzV(m) = v; nzW(m) = Cu(u) * Cu(v) * c; m += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
+      val cy = Cos(y)
       var x = 0
       while (x < 8) {
+        val cx = Cos(x)
         var acc = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            acc += Cu(u) * Cu(v) * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
-            v += 1
-          }
-          u += 1
+        var t = 0
+        while (t < m) {
+          acc += nzW(t) * cx(nzU(t)) * cy(nzV(t))
+          t += 1
         }
         out(y * 8 + x) = Math.round(0.25 * acc).toInt
         x += 1

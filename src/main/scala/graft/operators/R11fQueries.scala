@@ -320,10 +320,21 @@ object R11fQueries {
       // one code path; means are pinned double divisions of exact cents
       // sums.
       //
-      // Shape, and why it scales: one fact pass to the order grain
-      // (checkpointed); the 65-way seed explode rides inside codegen and
-      // partial aggregation collapses it to 130 cells per task BEFORE
-      // the one shuffle; the observed row attaches as a 1-row broadcast.
+      // Shape, and why it scales: UN-EXPLODED fact passes — each null
+      // arm is a row-local expression (the md5 draw), so the 64 null
+      // (count, sum) pairs ride as conditional-sum columns through hash
+      // aggregation to a single row (na/sa per seed; nb/sb recover as
+      // total − arm, so only half the sums are carried), and the
+      // 65-cell table unpivots from that 1-row frame. The r13 shape
+      // exploded the fact 65× before aggregating — same math, 65× the
+      // aggregated rows and shuffle write; this form keeps fact bytes
+      // read and shuffle volume both constant in the seed count's row
+      // dimension. The seeds split across TWO scans of ≤68 aggregate
+      // fields each because one 132-field aggregate trips
+      // spark.sql.codegen.maxFields (100) and falls out of whole-stage
+      // codegen — two codegen'd passes (same total md5 work, the real
+      // per-row cost) beat one interpreted pass by ~2×. The observed
+      // row attaches as a 1-row broadcast.
       (s, d) => Shared.withCheckpointDir(s) {
         val grain = Tables.orders(s, d)
           .select(col("o_orderkey").as("okey"),
@@ -331,25 +342,44 @@ object R11fQueries {
               .cast("long").as("g_obs"),
             (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
               .cast("long").as("cents"))
+          // the md5 draws are 64 digests per ROW — far heavier than the
+          // 24-byte rows they ride on, so spread the projected grain
+          // across all cores first (a single-file scan would otherwise
+          // run the whole digest budget on one task; the one tiny
+          // shuffle is amortized over both seed-half passes)
+          .repartition(s.sparkContext.defaultParallelism)
+        // project each seed's arm once (the md5 is used by both its
+        // count and its sum — CollapseProject keeps non-cheap exprs
+        // shared rather than re-inlining them into the aggregate)
+        def half(rs: Range, extras: Boolean): DataFrame = {
+          val armed = grain.select(
+            col("g_obs") +: col("cents") +:
+              rs.map(r => (h32(concat(lit("pt"), lit(r.toLong),
+                lit("-"), col("okey"))) % 2).as(s"arm_$r")): _*)
+          val base = if (extras) Seq(count(lit(1)).as("n_tot"),
+            sum(col("cents")).as("s_tot"),
+            sum(col("g_obs")).as("na_obs"),
+            sum(col("g_obs") * col("cents")).as("sa_obs")) else Nil
+          val aggCols = base ++ rs.flatMap(r => Seq(
+            sum(col(s"arm_$r")).as(s"na_$r"),
+            sum(col(s"arm_$r") * col("cents")).as(s"sa_$r")))
+          armed.agg(aggCols.head, aggCols.tail: _*)
+        }
+        val one = half(0 to 31, extras = true)
+          .crossJoin(half(32 to 63, extras = false))
+          // 1 row; checkpoint so the two consumers below (observed cell
+          // + 64 null cells) never re-run the corpus aggregation
           .checkpoint()
-        val cells = grain
-          .select(col("okey"), col("g_obs"), col("cents"),
-            explode(array((-1 to 63).map(i => lit(i.toLong)): _*)).as("seed"))
-          .withColumn("arm", when(col("seed") === -1L, col("g_obs"))
-            .otherwise(h32(concat(lit("pt"), col("seed"), lit("-"),
-              col("okey"))) % 2))
-          .groupBy("seed")
-          .agg(sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("na"),
-            sum(when(col("arm") === 1L, col("cents")).otherwise(0L))
-              .as("sa"),
-            sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nb"),
-            sum(when(col("arm") === 0L, col("cents")).otherwise(0L))
-              .as("sb"))
+        val cells = one.select(explode(array((-1 to 63).map { r =>
+            val na = if (r == -1) col("na_obs") else col(s"na_$r")
+            val sa = if (r == -1) col("sa_obs") else col(s"sa_$r")
+            struct(lit(r.toLong).as("seed"), na.as("na"), sa.as("sa"),
+              (col("n_tot") - na).as("nb"), (col("s_tot") - sa).as("sb"))
+          }: _*)).as("c"))
+          .select(col("c.seed").as("seed"), col("c.na").as("na"),
+            col("c.sa").as("sa"), col("c.nb").as("nb"), col("c.sb").as("sb"))
           .withColumn("dm", expr("""CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
             - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)"""))
-          // the 65-row cell table is consumed twice (observed row + null
-          // draws) — checkpoint so the 65-way explode aggregation runs ONCE
-          .checkpoint()
         val obs = cells.filter(col("seed") === -1L)
           .select(col("na").as("na_obs"), col("nb").as("nb_obs"),
             col("dm").as("d_obs"))

@@ -365,7 +365,7 @@ object R12Queries {
               lit(15L).as("n_possible"))
         recallRow(4).unionAll(recallRow(16))
       },
-      Some(s"""WITH $SQL_KNN_GRAPH_CTES,
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
               brute AS (SELECT qid, cid FROM (
                   SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
                     ORDER BY ${SQL_COS("qv", "cv")} DESC, c.cid) AS rk
@@ -377,7 +377,7 @@ object R12Queries {
               SELECT CAST(4 AS BIGINT) AS beam_w,
                 CAST((SELECT n FROM hit4) AS BIGINT) AS n_hits,
                 CAST(15 AS BIGINT) AS n_possible
-              UNION ALL SELECT 16, (SELECT n FROM hit16), 15""")
+              UNION ALL SELECT 16, (SELECT n FROM hit16), 15"""))
     ),
 
     // ── MJPEG DECODE → features (transform-domain lossy VIDEO) ────────────

@@ -183,7 +183,7 @@ object R12cQueries {
           .toDF("n_nodes", "n_edges", "max_degree", "n_isolated",
             "reach_0", "reach_1", "reach_2", "reach_3")
       },
-      Some(s"""WITH $SQL_KNN_GRAPH_CTES,
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
               ${R12Queries.SQL_ENTRIES_CTE},
               r0 AS (SELECT cid AS n FROM entries),
               ${(1 to 3).map(r =>
@@ -203,7 +203,7 @@ object R12cQueries {
                 CAST((SELECT count(*) FROM r0) AS BIGINT) AS reach_0,
                 CAST((SELECT count(*) FROM r1) AS BIGINT) AS reach_1,
                 CAST((SELECT count(*) FROM r2) AS BIGINT) AS reach_2,
-                CAST((SELECT count(*) FROM r3) AS BIGINT) AS reach_3""")
+                CAST((SELECT count(*) FROM r3) AS BIGINT) AS reach_3"""))
     ),
 
     // ── INCREMENTAL GRAPH ATTACH (frozen graph, arriving vectors) ─────────
@@ -250,7 +250,7 @@ object R12cQueries {
             coalesce(col("n_attached"), lit(0L)).as("n_attached"),
             col("top1_cid"))
       },
-      Some(s"""WITH $SQL_KNN_GRAPH_CTES,
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
               $SQL_QSEEDS_CTES,
               candi AS (SELECT DISTINCT qk.qid, k.cid FROM qkeys qk
                 JOIN kcap k ON qk.band = k.band AND qk.bk = k.bk),
@@ -268,7 +268,7 @@ object R12cQueries {
                 FROM sc GROUP BY 1)
               SELECT q.qid, coalesce(n_candidates, 0) AS n_candidates,
                 coalesce(n_attached, 0) AS n_attached, top1_cid
-              FROM q LEFT JOIN ag ON q.qid = ag.qid""")
+              FROM q LEFT JOIN ag ON q.qid = ag.qid"""))
     ),
 
     // ── LSH ROUTER BALANCE REPORT ─────────────────────────────────────────

@@ -169,7 +169,7 @@ object R13Queries {
         Seq((nUp, nUpE, nHits, 15L))
           .toDF("n_upper_nodes", "n_upper_edges", "n_hits", "n_possible")
       },
-      Some(s"""WITH $SQL_KNN_GRAPH_CTES,
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
               $SQL_ENTRIES_CTE,
               degt AS (SELECT src, count(*) AS dg FROM graph GROUP BY src),
               upper_nodes AS (SELECT src AS n FROM (
@@ -208,7 +208,7 @@ object R13Queries {
                   AS n_upper_edges,
                 CAST((SELECT count(*) FROM ans JOIN brute USING (qid, cid))
                   AS BIGINT) AS n_hits,
-                CAST(15 AS BIGINT) AS n_possible""")
+                CAST(15 AS BIGINT) AS n_possible"""))
     ),
 
     // ── TOMBSTONED SERVE (deletions without rebuild) ──────────────────────
@@ -250,7 +250,7 @@ object R13Queries {
           .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
             coalesce(col("n_dead_in_beam"), lit(0L)).as("n_dead_in_beam"))
       },
-      Some(s"""WITH $SQL_KNN_GRAPH_CTES,
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
               $SQL_QSEEDS_CTES,
               b0 AS (SELECT qid, cid, cos FROM (
                   SELECT qid, cid, cos, row_number() OVER (
@@ -269,7 +269,7 @@ object R13Queries {
                   FROM b2 WHERE cid % 7 <> 0) WHERE rk <= 3)
               SELECT a.qid, CAST(a.rk AS BIGINT) AS rk, a.cid,
                 coalesce(d.n_dead_in_beam, 0) AS n_dead_in_beam
-              FROM ans a LEFT JOIN dead d ON a.qid = d.qid""")
+              FROM ans a LEFT JOIN dead d ON a.qid = d.qid"""))
     ),
 
     // ── EMBEDDING-TABLE QA SCREEN ─────────────────────────────────────────

@@ -289,6 +289,12 @@ object R13cQueries {
       // probe×W-bounded; scoring streams the corpus past a broadcast
       // frontier (beamScore — no corpus shuffle, no corpus broadcast);
       // per-round checkpoints bound lineage.
+      //
+      // Oracle note: this is the suite's deepest CTE unroll (three beam
+      // legs × 2 rounds each over a shared graph), so the SQL goes
+      // through Shared.materializeCtes — without it DuckDB re-inlines
+      // the shared CTEs at every reference and the expression tree
+      // spills tens of GB (the r13 oracle-side OOM).
       (s, d) => Shared.withCheckpointDir(s) {
         val graph = R12Queries.knnGraphMemoized(s, d)
         // the upper descent and the brute denominator come from the
@@ -306,7 +312,7 @@ object R13cQueries {
         import s.implicits._
         legs.toDF("base_w", "n_hits", "n_possible")
       },
-      Some(s"""WITH $SQL_KNN_GRAPH_CTES,
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
               $SQL_ENTRIES_CTE,
               degt AS (SELECT src, count(*) AS dg FROM graph GROUP BY src),
               upper_nodes AS (SELECT src AS n FROM (
@@ -361,7 +367,7 @@ object R13cQueries {
               UNION ALL
               SELECT CAST(8 AS BIGINT),
                 CAST((SELECT count(*) FROM a8 JOIN brute USING (qid, cid))
-                  AS BIGINT), CAST(15 AS BIGINT)""")
+                  AS BIGINT), CAST(15 AS BIGINT)"""))
     ),
 
     // ── RE-SPLIT MIGRATION MATRIX ─────────────────────────────────────────

@@ -55,13 +55,18 @@ object R13gQueries {
     val calScores = grain.filter(col("qid") < 40 &&
       col("lbl") === col("true_label")).select(col("score").as("a"))
     val nCal = calScores.agg(count(lit(1)).as("n_cal"))
-    // cnt_ge per possible score 0..K (kept total so a threshold no
-    // calibration point reaches still joins, with cnt_ge = 0)
+    // cnt_ge per possible score 0..K, built as a LEFT join FROM the 0..K
+    // spine: every threshold row survives with cnt_ge = 0 even when NO
+    // calibration point reaches it — including the degenerate empty-
+    // calibration case, where every (test, label) row then carries
+    // cnt_ge = 0 / n_cal = 0 and the downstream p-value is the honest
+    // p = 1/(n_cal+1) = 1 (a cross-joined histogram would have zero
+    // rows and silently drop the whole test grain). The theta join is
+    // spine(K+1 rows) × calibration(panel-sized) — model-bounded.
     val hist = s.range(0, K + 1).toDF("t")
-      .crossJoin(calScores)
+      .join(calScores, col("a") >= col("t"), "left")
       .groupBy("t")
-      .agg(sum(when(col("a") >= col("t"), 1L).otherwise(0L))
-        .as("cnt_ge"))
+      .agg(count(col("a")).as("cnt_ge"))
     grain.filter(col("qid") >= 40)
       .join(broadcast(hist), col("score") === col("t"))
       .crossJoin(broadcast(nCal))
@@ -94,9 +99,9 @@ object R13gQueries {
       cal AS (SELECT score AS a FROM grain
         WHERE qid < 40 AND lbl = true_label),
       ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
-      hist AS (SELECT t, CAST(sum(CASE WHEN a >= t THEN 1
-            ELSE 0 END) AS BIGINT) AS cnt_ge
-        FROM (SELECT unnest(range(0, ${K + 1})) AS t) CROSS JOIN cal
+      hist AS (SELECT t, CAST(count(a) AS BIGINT) AS cnt_ge
+        FROM (SELECT unnest(range(0, ${K + 1})) AS t)
+        LEFT JOIN cal ON a >= t
         GROUP BY t),
       tg AS (SELECT g.qid, g.true_label, g.lbl, g.score, h.cnt_ge,
           n.n_cal
@@ -189,11 +194,22 @@ object R13gQueries {
           .withColumn("du",
             floor(abs(col("cos_full") - col("cos_proj")) * 1000000.0)
               .cast("long"))
-        val mean = pairs.agg(expr("sum(du) div count(1)").as("mean_du"))
-        pairs.groupBy(expr("du div 50000L").as("bucket"))
-          .agg(count(lit(1)).as("n_pairs"), max(col("du")).as("max_du"))
-          .crossJoin(broadcast(mean))
-          .select("bucket", "n_pairs", "max_du", "mean_du")
+        // ONE pass over the pair grid: the histogram also carries each
+        // bucket's exact du sum, so the global mean folds from the
+        // ≤21-row histogram instead of re-running the scan/projection/
+        // pair subtree a second time (sum-of-bucket-sums ≡ global sum,
+        // both exact BIGINT). The tiny histogram is checkpointed because
+        // it feeds two consumers (its own rows + the 1-row mean fold).
+        Shared.withCheckpointDir(s) {
+          val hist = pairs.groupBy(expr("du div 50000L").as("bucket"))
+            .agg(count(lit(1)).as("n_pairs"), max(col("du")).as("max_du"),
+              sum(col("du")).as("s_du"))
+            .checkpoint()
+          val mean = hist
+            .agg(expr("sum(s_du) div sum(n_pairs)").as("mean_du"))
+          hist.crossJoin(broadcast(mean))
+            .select("bucket", "n_pairs", "max_du", "mean_du")
+        }
       },
       Some {
         val P = 16
@@ -219,12 +235,14 @@ object R13gQueries {
                 FROM proj a JOIN proj b ON a.aid < b.aid),
               du AS (SELECT CAST(floor(abs(cos_full - cos_proj) * 1000000)
                   AS BIGINT) AS du FROM pairs),
-              mean AS (SELECT CAST(sum(du) // count(*) AS BIGINT)
-                  AS mean_du FROM du)
-              SELECT du // 50000 AS bucket,
-                CAST(count(*) AS BIGINT) AS n_pairs,
-                max(du) AS max_du, mean_du
-              FROM du CROSS JOIN mean GROUP BY 1, mean_du"""
+              hist AS (SELECT du // 50000 AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_pairs,
+                  max(du) AS max_du, CAST(sum(du) AS BIGINT) AS s_du
+                FROM du GROUP BY 1),
+              mean AS (SELECT CAST(sum(s_du) // sum(n_pairs) AS BIGINT)
+                  AS mean_du FROM hist)
+              SELECT bucket, n_pairs, max_du, mean_du
+              FROM hist CROSS JOIN mean"""
       }
     ),
 

@@ -159,9 +159,10 @@ private[graft] object Shared {
     * one directory per (tag, JVM, dataset dir), so repeated invocations in
     * a process overwrite one directory instead of accumulating copies,
     * while concurrent sessions on the same machine (different pids) and
-    * different datasets (path hash — pid scoping also confines any Int
-    * hashCode collision between data dirs to a single process) never race
-    * on the same path. Every root handed out is registered for recursive
+    * different datasets (128-bit MD5 of the full dataset key — two keys
+    * live in one JVM can't collide the way a 32-bit String.hashCode
+    * could, which would have silently cross-served scratch between
+    * datasets) never race on the same path. Every root handed out is registered for recursive
     * deletion at JVM exit, and the first call per process also sweeps
     * stale `graft_*` roots whose owning pid is no longer alive, so
     * repeated benchmark/test processes don't accumulate unbounded tmp
@@ -178,9 +179,10 @@ private[graft] object Shared {
     */
   def scratchRoot(tag: String, d: String): java.nio.file.Path = {
     scratchJanitor // one-time per process: exit hook + stale sweep
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_${tag}_${ProcessHandle.current().pid()}_" +
-        Integer.toHexString(d.hashCode))
+      s"graft_${tag}_${ProcessHandle.current().pid()}_$hex")
     createdScratchRoots.add(p)
     p
   }
@@ -284,6 +286,19 @@ private[graft] object Shared {
   }
 
   val SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Rewrite every `name AS (` CTE definition in an oracle to
+    * `name AS MATERIALIZED (` — DuckDB otherwise re-inlines a CTE at
+    * each reference site, and an oracle whose rounds each reference the
+    * previous round plus a shared `graph`/`q`/`c` table (the HNSW beam
+    * unrolls) explodes into an exponentially-sized expression tree that
+    * spills tens of GB. Materializing evaluates each CTE exactly once.
+    * The library SQL dialect never writes ` AS (` except as a CTE
+    * definition (column aliases are unparenthesized, casts are
+    * `AS BIGINT`), so the textual rewrite is exact.
+    */
+  def materializeCtes(sql: String): String =
+    sql.replace(" AS (", " AS MATERIALIZED (")
 
   /** 32-bit base hash of a string: first 8 md5 hex chars as a Long — the
     * one digest both engines share. MinHash seeds derive from it with

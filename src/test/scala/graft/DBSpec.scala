@@ -208,6 +208,40 @@ class DBSpec extends AnyFunSuite with SparkFixture {
       Seq("event"), Seq("event", "id")).isEmpty)
   }
 
+  test("upsert merge prune falls back to a semi-join above the literal cap") {
+    implicit val s = spark
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val db = DB.init(freshDir("partprunecap"), Seq("events" -> eventsSchema))
+    val rows = (1L to 2000L).map(i => Row(s"ev${i % 4}", 1700000000L + i, i))
+    db.writePartitioned("events",
+      s.createDataFrame(rows.asJava, eventsSchema), Seq("event"))
+    // a batch touching 3 partitions with the cap forced to 2: above the
+    // cap the prune must be the broadcast-semi-join form (a 10⁵-term
+    // literal disjunction would make the PLAN the bottleneck), and it
+    // must not silently truncate the touched set — all three partitions'
+    // current rows still participate in the merge
+    val batch = s.createDataFrame(Seq(
+      Row("ev0", 999L, 4L), Row("ev1", 999L, 5L), Row("ev2", 999L, 6L)
+    ).asJava, eventsSchema)
+    val merged = db.upsertMergeInput("events", batch,
+      Seq("event"), Seq("event", "id"), literalCap = 2).get
+    val p = merged.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ev0".r.findFirstIn(p).isEmpty,
+      s"above-cap prune must not be a literal partition filter:\n$p")
+    assert(p.toLowerCase.contains("leftsemi"),
+      s"above-cap prune must be the semi-join form:\n$p")
+    // 3 × 500 current rows - 3 replaced ids (4,5,6 exist) + 3 batch rows
+    assert(merged.count() == 1500L)
+    // and the end-to-end merge through the fallback stays correct
+    db.upsertMergeInput("events", batch,
+      Seq("event"), Seq("event", "id"), literalCap = 2)
+    db.upsertPartitioned("events", batch, Seq("event"), Seq("event", "id"))
+    val t = db.table("events")
+    assert(t.count() == 2000)
+    assert(t.filter(col("timestamp") === 999L).count() == 3)
+  }
+
   test("snapshot manifest gives old-or-new across partitions on a crashed merge") {
     implicit val s = spark
     import scala.jdk.CollectionConverters._
