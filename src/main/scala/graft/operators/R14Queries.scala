@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import R12Queries.{SQL_COS, SQL_ENTRIES_CTE, SQL_KNN_GRAPH_CTES}
+import R13Queries.sqlBeamRound
+
+/** Round-14 batch 1: the GEOMETRIC tier ladder over the HNSW family —
+  * r13's two-layer searcher (q462) held one fixed 64-node routing tier;
+  * production HNSW keeps layer sizes geometric so the descent is
+  * O(log corpus) hops end to end. This batch adds the third tier
+  * (top-8 by degree, entered top-down from the global hubs) and keeps
+  * every tier inside the library's serve discipline: fixed-cardinality
+  * tiers via TakeOrdered (never a global window), tier edges as two
+  * broadcast semi-joins of the tier panel, every beam probe×W-bounded
+  * and scored by streaming the corpus past a broadcast frontier.
+  *
+  * Reference anchor: the reference engine has no ANN surface at all
+  * (/root/reference/README.md:14-19 declares the non-features); this is
+  * part of the §2.3 beyond-reference training-pipeline ladder.
+  */
+object R14Queries {
+
+  /** middle-tier size: hubs(4) → tier2(8) → tier1(64) → base — each tier
+    * ~8× the one above, the geometric schedule that keeps total descent
+    * hops logarithmic in corpus size at a constant per-hop cost
+    */
+  private[operators] final val Tier2K = 8
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── HNSW THREE-LAYER SEARCH (geometric tier schedule) ─────────────────
+    QueryDef(
+      "q494_hnsw_three_layer",
+      // q462 with the tier ladder made GEOMETRIC (r13 verdict task 6):
+      // descent enters at the 4 global hubs, refines on the top-8 tier
+      // (W=4 beam × 2 rounds on the tier-restricted edges), hands its
+      // per-query top-2 down to the top-64 tier (same beam schedule),
+      // and that tier's top-2 enters the base W=8 refine — classic
+      // Malkov & Yashunin layering with layer |l| ≈ 8·|l+1|. EVAL:
+      // recall@3 vs the exact brute top-3 next to the new tier's
+      // size/edge stats; Round14OpsSpec pins recall ≥ the two-layer
+      // row at equal base beam, so the extra tier is measured to never
+      // cost recall.
+      //
+      // Shape, and why it scales: each tier is FIXED-size by
+      // construction (top-K by degree via TakeOrdered); tier edges are
+      // two broadcast semi-joins of the K-row tier panel against the
+      // edge list; every beam is probe×W-bounded and scored by
+      // beamScore (corpus streams past a broadcast frontier — no corpus
+      // shuffle, no corpus broadcast); per-round checkpoints bound
+      // lineage. Adding a tier adds O(1) bounded hops per query while
+      // cutting the entry distance into the layer below — the reason
+      // the ladder stays logarithmic as the corpus grows.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val graph = R12Queries.knnGraphMemoized(s, d)
+        // tier-1 (top-64) structure from the shared q462/q476 memo
+        val (_, upperEdges, _) = R13Queries.hnswUpper(s, d)
+        val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
+        val t2n = degt.orderBy(col("dg").desc, col("src").asc).limit(Tier2K)
+          .select(col("src").as("n")).checkpoint()
+        val t2e = graph
+          .join(broadcast(t2n.select(col("n").as("src"))),
+            Seq("src"), "left_semi")
+          .join(broadcast(t2n.select(col("n").as("dst"))),
+            Seq("dst"), "left_semi")
+          .select("src", "dst").checkpoint()
+        val q = R12Queries.probeVecs(s, d)
+        val seed0 = q.select("qid")
+          .crossJoin(broadcast(R12Queries.entryPoints(graph)))
+        // tier-2 descent: hub-seeded, W=4 × 2 rounds on the 8-node tier
+        var t2 = R13Queries.top(R12Queries.beamScore(s, d, seed0), 4)
+          .checkpoint()
+        for (_ <- 1 to 2) t2 = R13Queries.beamRound(s, d, t2, t2e, 4)
+        // tier-1 descent entered at the tier-2 top-2
+        var t1 = R13Queries.top(t2, 2).checkpoint()
+        for (_ <- 1 to 2) t1 = R13Queries.beamRound(s, d, t1, upperEdges, 4)
+        // base refine entered at the tier-1 top-2 (q462's base schedule)
+        var bb = R13Queries.top(t1, 2).checkpoint()
+        for (_ <- 1 to 2) bb = R13Queries.beamRound(s, d, bb, graph, 8)
+        val ans = R13Queries.top(bb, 3).select("qid", "cid")
+        val nHits = ans
+          .join(R13Queries.bruteTop3(s, d), Seq("qid", "cid"), "left_semi")
+          .count()
+        val nT2 = t2n.count()
+        val nT2E = t2e.count()
+        import s.implicits._
+        Seq((nT2, nT2E, nHits, 15L))
+          .toDF("n_tier2_nodes", "n_tier2_edges", "n_hits", "n_possible")
+      },
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
+              $SQL_ENTRIES_CTE,
+              degt AS (SELECT src, count(*) AS dg FROM graph GROUP BY src),
+              tier2_nodes AS (SELECT src AS n FROM (
+                  SELECT src, dg FROM degt
+                  ORDER BY dg DESC, src LIMIT $Tier2K)),
+              tier2_edges AS (SELECT g.src, g.dst FROM graph g
+                JOIN tier2_nodes a ON g.src = a.n
+                JOIN tier2_nodes b ON g.dst = b.n),
+              upper_nodes AS (SELECT src AS n FROM (
+                  SELECT src, dg FROM degt
+                  ORDER BY dg DESC, src LIMIT ${R13Queries.UpperK})),
+              upper_edges AS (SELECT g.src, g.dst FROM graph g
+                JOIN upper_nodes a ON g.src = a.n
+                JOIN upper_nodes b ON g.dst = b.n),
+              u0 AS (SELECT qid, cid, cos FROM (
+                  SELECT qid, cid, cos, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                  FROM (SELECT q.qid, e.cid,
+                      ${SQL_COS("q.qv", "c.cv")} AS cos
+                    FROM q CROSS JOIN entries e JOIN c ON e.cid = c.cid))
+                WHERE rk <= 4),
+              ${sqlBeamRound("u0", "v1", "tier2_edges", 4)},
+              ${sqlBeamRound("v1", "v2", "tier2_edges", 4)},
+              e1 AS (SELECT qid, cid, cos FROM (
+                  SELECT qid, cid, cos, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                  FROM v2) WHERE rk <= 2),
+              ${sqlBeamRound("e1", "x1", "upper_edges", 4)},
+              ${sqlBeamRound("x1", "x2", "upper_edges", 4)},
+              e2 AS (SELECT qid, cid, cos FROM (
+                  SELECT qid, cid, cos, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                  FROM x2) WHERE rk <= 2),
+              ${sqlBeamRound("e2", "y1", "graph", 8)},
+              ${sqlBeamRound("y1", "y2", "graph", 8)},
+              ans AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                  FROM y2) WHERE rk <= 3),
+              brute AS (SELECT qid, cid FROM (
+                  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+                    ORDER BY ${SQL_COS("qv", "cv")} DESC, c.cid) AS rk
+                  FROM q CROSS JOIN c) WHERE rk <= 3)
+              SELECT
+                CAST((SELECT count(*) FROM tier2_nodes) AS BIGINT)
+                  AS n_tier2_nodes,
+                CAST((SELECT count(*) FROM tier2_edges) AS BIGINT)
+                  AS n_tier2_edges,
+                CAST((SELECT count(*) FROM ans JOIN brute USING (qid, cid))
+                  AS BIGINT) AS n_hits,
+                CAST(15 AS BIGINT) AS n_possible"""))
+    )
+  )
+}

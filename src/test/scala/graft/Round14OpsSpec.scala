@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proofs for the round-14 batch-1 operator (the geometric HNSW tier
+  * ladder): structural sanity of the new tier plus the r13-verdict
+  * acceptance bar — recall at equal base beam never drops below the
+  * two-layer searcher's.
+  */
+class Round14OpsSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q494: tier-2 is the fixed top-8 panel, its edges close within the " +
+      "tier, and recall >= the two-layer searcher at equal base beam") {
+    val out = run("q494_hnsw_three_layer").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val nT2 = r.getLong(0); val nT2E = r.getLong(1)
+    val hits3 = r.getLong(2); val poss = r.getLong(3)
+    // the tier is fixed-cardinality by construction (top-8 by degree;
+    // fewer only if the whole graph has fewer sources)
+    assert(nT2 == 8L, s"tier-2 must hold 8 nodes, got $nT2")
+    // an 8-node directed tier closes at most 8*7 edges
+    assert(nT2E >= 0L && nT2E <= 56L, s"tier-2 edges out of range: $nT2E")
+    assert(poss == 15L)
+    assert(hits3 >= 0L && hits3 <= poss)
+    // the acceptance bar: adding the geometric tier must not cost recall
+    // vs q462 (same base beam W=8 x 2 rounds, same brute denominator)
+    val twoLayer = run("q462_hnsw_two_layer").collect().head
+    val hits2 = twoLayer.getLong(2)
+    assert(hits3 >= hits2,
+      s"three-layer recall $hits3/$poss fell below two-layer $hits2/$poss")
+  }
+
+  test("q494: tier-2 nodes are exactly the degree-top-8 of the kNN graph " +
+      "(independent recomputation)") {
+    // recompute the degree ranking locally from the shared graph memo
+    val g = operators.R12Queries.knnGraphMemoized(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = g.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val top8 = deg.toSeq.sortBy { case (v, dg) => (-dg, v) }.take(8)
+      .map(_._1).toSet
+    // count the graph edges with both ends in that panel — must equal
+    // the query's n_tier2_edges
+    val wantEdges = g.count { case (s2, d2) => top8(s2) && top8(d2) }.toLong
+    val got = run("q494_hnsw_three_layer").collect().head.getLong(1)
+    assert(got == wantEdges,
+      s"tier-2 edge count $got != locally recomputed $wantEdges")
+  }
+}
