@@ -129,6 +129,13 @@ object Bench {
     val memoQs = results.collect { case (k, (_, _, _, m)) if m > 0.005 =>
       "\"" + k + "\":" + fmt(m, 4)
     }.mkString("{", ",", "}")
+    // per-TAG memo ledger: memo_build above says which QUERY paid; this
+    // says which BUILD it paid for (a query's first run can trigger
+    // several chained builds — edges → degrees → triangles — and
+    // optimization work needs the split, not the sum)
+    val memoTags = graft.operators.Shared.memoBuildLedger.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+      .mkString("{", ",", "}")
     val sentSorted = results.map(_._2._3).sorted
     val sentMed =
       if (sentSorted.isEmpty) 0.0 else sentSorted(sentSorted.size / 2)
@@ -143,7 +150,7 @@ object Bench {
     // would corrupt the committed artifact — fall back to "unlabeled"
     val prov = sys.env.get("SPARK_GRAFT_PROVENANCE")
       .filter(_.matches("[A-Za-z0-9_-]+")).getOrElse("unlabeled")
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"memo_tags":$memoTags,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

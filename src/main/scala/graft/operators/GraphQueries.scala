@@ -503,7 +503,26 @@ object GraphQueries {
     val root = triangleMemo.computeIfAbsent(key, _ =>
       Shared.timedMemoBuild("copurchtri") {
         val r = Shared.scratchRoot("copurchtri", key)
-        Shared.withCheckpointDir(s) {
+        // the bloom prefilter below trades per-wedge probe CPU against
+        // closing-exchange volume: on a CLUSTER the 411M-row network
+        // shuffle dominates and the filter wins outright; in local mode
+        // the exchange is memory-speed and the probe CPU measurably
+        // LOSES (27.8 s vs 23.2 s at sf1) — so the switch follows the
+        // deployment, and TriangleBloomSpec pins both paths to
+        // identical triples
+        triangleTriplesBuild(s, d, useBloom = !s.sparkContext.isLocal)
+          .write.mode("overwrite").parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+
+  /** the copurchtri build plan — see [[coPurchaseTriangles]] for the
+    * memo contract and the bloom-switch rationale
+    */
+  private[graft] def triangleTriplesBuild(s: SparkSession, d: String,
+      useBloom: Boolean): DataFrame = {
+    Shared.withCheckpointDir(s) {
           val e = coPurchaseEdges(s, d)
           val deg = coPurchaseDegrees(s, d)
           val ed = e
@@ -517,18 +536,58 @@ object GraphQueries {
               when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
                 col("degb")).otherwise(col("dega")).as("dv"))
             .checkpoint()
+          // The closing join's left side is the wedge stream — Σ outdeg²
+          // rows (411M at sf1 against 12M oriented edges, 18.8M
+          // triangles), and putting that stream through an exchange is
+          // the build's dominant cost on a network-shuffle cluster. The
+          // q164 bloom discipline prunes it BEFORE the exchange: one
+          // aggregation folds the oriented-edge keys into a fixed-size
+          // filter (bytes reach the driver, never rows), each wedge
+          // probes it inside the join stage's codegen, and the
+          // one-sided error only routes rows — false positives are
+          // removed by the exact closing join, false negatives cannot
+          // occur — so the triple table is identical while the closing
+          // exchange carries ~19M survivors instead of 411M. ~12
+          // bits/edge keeps the false-positive leak ≲1% of wedges.
+          // (An alternative grouped-adjacency build — one degree attach
+          // + sorted out-lists + in-array wedge pairs — was measured
+          // SLOWER at sf1 (34.6 s vs 23.2 s): local shuffle is cheap
+          // next to the per-element array/sort work, so the join-
+          // generated wedge stream stays.)
+          val probe: org.apache.spark.sql.Column =
+            if (!useBloom) lit(true) else {
+            val nE = math.max(e.count(), 1L)
+            val bits = math.min(1L << 30, math.max(1L << 20, nE * 12))
+            // Spark SILENTLY clamps BloomFilterAggregate to
+            // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64M
+            // default — 5.3 bits/edge here, a measured ~21% fpr that let
+            // 106M of 411M wedges through at sf1); raise it around the
+            // one build so the 12-bits/edge sizing is what actually ships
+            val maxBitsKey =
+              "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+            val prevMax = s.conf.getOption(maxBitsKey)
+            s.conf.set(maxBitsKey, math.max(bits, 67108864L).toString)
+            val bfRow =
+              try ed.agg(graft.functions.bloom.filterAgg(
+                xxhash64(col("u"), col("v")), nE, bits).as("bf")).head
+              finally prevMax match {
+                case Some(v) => s.conf.set(maxBitsKey, v)
+                case None => s.conf.unset(maxBitsKey)
+              }
+            if (bfRow.isNullAt(0)) lit(false)
+            else graft.functions.bloom.mightContain(
+              xxhash64(col("w1"), col("w2")),
+              lit(bfRow.getAs[Array[Byte]](0)))
+          }
           val x = ed.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
           val y = ed.select(col("u"), col("v").as("w2"), col("dv").as("d2"))
           x.join(y.hint("shuffle_hash"), "u")
             .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+            .filter(probe)
             .join(ed.select(col("u").as("w1"), col("v").as("w2"))
               .hint("shuffle_hash"), Seq("w1", "w2"))
             .select("u", "w1", "w2")
-            .write.mode("overwrite").parquet(r.toString)
-        }
-        r.toString
-      })
-    s.read.parquet(root)
+    }
   }
 
   private val triangleMemo =
