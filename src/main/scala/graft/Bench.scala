@@ -60,6 +60,32 @@ object Bench {
       spark.range(0L, 1L << 22, 1L, cpus.toInt).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // SUSTAINED-CPU SENTINEL (r13 verdict task 2): the trivial Spark
+    // probe above parallelizes across idle cores, so it cannot see
+    // sustained single-core contention — exactly what inflates scalar
+    // decode loops (the JPEG family read ~2.1× idle in the r13 driver
+    // pass with clean load sentinels, unattributably). This probe is a
+    // fixed single-threaded decode-shaped workload: one real 16×16
+    // baseline-JPEG encode+decode round trip per call, identical bytes
+    // every invocation, so its time is a pure function of per-core
+    // throughput. Emitted per-query as cpu_sentinel.
+    val cpuFixture: Array[Byte] = {
+      val px = Array.tabulate(16 * 16)(i => ((i * 7 + 13) % 256).toByte)
+      graft.multimodal.JpegCodec.encode(
+        graft.multimodal.JpegCodec.Jpeg(16, 16, 1, px))
+    }
+    def cpuSentinel(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var acc = 0L
+      while (i < 50) {
+        val img = graft.multimodal.JpegCodec.decode(cpuFixture).get
+        acc += graft.multimodal.JpegCodec.pixelSum(img)
+        i += 1
+      }
+      if (acc == Long.MinValue) println(acc) // defeat dead-code elim
+      (System.nanoTime() - t0) / 1e9
+    }
     // warmup: exercise scan + shuffle + codegen machinery once, untimed
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     sentinel() // warm the probe's own codegen path too
@@ -83,6 +109,7 @@ object Bench {
       // drain cross-query garbage before timing (see scaladoc)
       System.gc()
       val sent = sentinel()
+      val cpuSent = cpuSentinel()
       // scratch-memo builds (winnow ladder, substr starts, IVF layouts,
       // …) are once-per-process: whichever consumer runs FIRST pays the
       // build inside its first timed run, and min-of-runs then reports
@@ -102,9 +129,9 @@ object Bench {
       // verdict task 5 — q59/q60/q62 doubled driver-side with no code
       // change, and the bench gave no variance evidence either way)
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
-      name -> (best, runs, sent, memoPaid)
+      name -> (best, runs, sent, memoPaid, cpuSent)
     }
-    val bests = results.map { case (k, (best, _, _, _)) => k -> best }
+    val bests = results.map { case (k, (best, _, _, _, _)) => k -> best }
     // failed queries (-1 sentinel) must invalidate the suite, not shrink the
     // total: exclude them from the sum, list them, and exit nonzero
     val failed = bests.collect { case (k, v) if v < 0 => k }
@@ -116,17 +143,17 @@ object Bench {
     // regression are distinguishable after the fact
     val fullQs = bests.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val spreadQs = results.map { case (k, (_, runs, _, _)) =>
+    val spreadQs = results.map { case (k, (_, runs, _, _, _)) =>
       "\"" + k + "\":[" + fmt(runs.min, 4) + "," + fmt(runs.max, 4) + "]"
     }.mkString("{", ",", "}")
     // per-query load sentinel (see sentinel() scaladoc): flat ≈ idle run;
     // suite-wide inflation ≈ contended machine, not a code regression
-    val sentQs = results.map { case (k, (_, _, sent, _)) =>
+    val sentQs = results.map { case (k, (_, _, sent, _, _)) =>
       "\"" + k + "\":" + fmt(sent, 4)
     }.mkString("{", ",", "}")
     // memo-build attribution: seconds of once-per-process scratch builds
     // this query's timed runs paid (first payer); warm cost ≈ best − memo
-    val memoQs = results.collect { case (k, (_, _, _, m)) if m > 0.005 =>
+    val memoQs = results.collect { case (k, (_, _, _, m, _)) if m > 0.005 =>
       "\"" + k + "\":" + fmt(m, 4)
     }.mkString("{", ",", "}")
     // per-TAG memo ledger: memo_build above says which QUERY paid; this
@@ -136,6 +163,12 @@ object Bench {
     val memoTags = graft.operators.Shared.memoBuildLedger.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
+    // per-query sustained-CPU sentinel (see cpuSentinel() above): flat ≈
+    // uncontended cores; inflated exactly where a decode-family row is
+    // inflated ≈ per-core contention, not a codec regression
+    val cpuSentQs = results.map { case (k, (_, _, _, _, cs)) =>
+      "\"" + k + "\":" + fmt(cs, 4)
+    }.mkString("{", ",", "}")
     val sentSorted = results.map(_._2._3).sorted
     val sentMed =
       if (sentSorted.isEmpty) 0.0 else sentSorted(sentSorted.size / 2)
@@ -150,15 +183,15 @@ object Bench {
     // would corrupt the committed artifact — fall back to "unlabeled"
     val prov = sys.env.get("SPARK_GRAFT_PROVENANCE")
       .filter(_.matches("[A-Za-z0-9_-]+")).getOrElse("unlabeled")
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"memo_tags":$memoTags,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"memo_tags":$memoTags,"cpu_sentinel":$cpuSentQs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
     val memoAttr = results.collect {
-      case (k, (_, _, _, m)) if m > 0.005 => k -> m }
+      case (k, (_, _, _, m, _)) if m > 0.005 => k -> m }
     val sentSlow = results.collect {
-      case (k, (best, _, sent, _)) if best > 1.0 => k -> sent }
+      case (k, (best, _, sent, _, _)) if best > 1.0 => k -> sent }
     println(stdoutLine(bests, failed, sfDir, sentMed, memoAttr, sentSlow))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,73 @@ object R14Queries {
                 CAST((SELECT count(*) FROM ans JOIN brute USING (qid, cid))
                   AS BIGINT) AS n_hits,
                 CAST(15 AS BIGINT) AS n_possible"""))
+    ),
+
+    // ── MDCT ROUND TRIP (transform-domain lossy audio) ────────────────────
+    QueryDef(
+      "q495_mdct_roundtrip",
+      // The decode audit for the MDCT codec (graft.multimodal.MdctCodec
+      // — the transform-domain audio family MP3/AAC/Opus belong to,
+      // previously the one modality class behind the decodeFeaturesWith
+      // extension point): every document synthesizes a deterministic
+      // 16-bit PCM clip (length and samples closed-form in doc_id), the
+      // REAL encoder quantizes its windowed-MDCT coefficients into the
+      // container, and the batch extension point decodes every clip
+      // through the full inverse (dequant, inverse MDCT, overlap-add,
+      // rounding). In the exact-recovery regime (step 1/16 → per-sample
+      // error ≤ 1/8 LSB) the decoded samples are BIT-EXACT, so the
+      // oracle recomputes the clip sums from the generative formula
+      // alone — any defect in windowing, the cosine kernel, framing,
+      // TDAC overlap-add, or the container walk breaks the hash.
+      //
+      // Shape, and why it scales: per-row encode+decode inside
+      // mapPartitions (zero shuffle — the q140/q179 scan shape), one
+      // global aggregation to a 1-row audit.
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val ns = (64 + id % 129).toInt
+            val pcm = new Array[Short](ns)
+            var n = 0
+            while (n < ns) {
+              pcm(n) =
+                (((id * 31 + n.toLong * n * 7) % 4001) - 2000).toShort
+              n += 1
+            }
+            (id, graft.multimodal.MdctCodec.encode(pcm))
+          }.toDF("media_id", "content")
+        val feats = graft.multimodal.Multimodal
+          .decodeFeaturesWith(media) { batch =>
+            batch.map { case (id, bytes) =>
+              graft.multimodal.MdctCodec.decode(bytes).map { pcm =>
+                var sum = 0L
+                var i = 0
+                while (i < pcm.length) { sum += pcm(i); i += 1 }
+                graft.multimodal.Multimodal.MediaFeatures(id,
+                  Array(pcm.length.toDouble, sum.toDouble,
+                    graft.multimodal.MdctCodec
+                      .frameCount(pcm.length).toDouble))
+              }
+            }
+          }
+        feats.toDF().agg(
+          count(lit(1)).as("n_media"),
+          sum(element_at(col("features"), 1)).cast("long").as("n_samples"),
+          sum(element_at(col("features"), 2)).cast("long").as("pcm_sum"),
+          sum(element_at(col("features"), 3)).cast("long").as("n_frames"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS ns
+                FROM documents),
+              s1 AS (SELECT doc_id, ns, unnest(range(ns)) AS n FROM d),
+              pc AS (SELECT doc_id,
+                  (doc_id * 31 + n * n * 7) % 4001 - 2000 AS v
+                FROM s1)
+              SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_media,
+                CAST((SELECT sum(ns) FROM d) AS BIGINT) AS n_samples,
+                CAST((SELECT sum(v) FROM pc) AS BIGINT) AS pcm_sum,
+                CAST((SELECT sum((ns + 31) // 32 + 1) FROM d) AS BIGINT)
+                  AS n_frames""")
     )
   )
 }
