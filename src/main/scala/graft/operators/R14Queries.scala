@@ -209,6 +209,124 @@ object R14Queries {
                 CAST((SELECT sum(v) FROM pc) AS BIGINT) AS pcm_sum,
                 CAST((SELECT sum((ns + 31) // 32 + 1) FROM d) AS BIGINT)
                   AS n_frames""")
+    ),
+
+    // ── AUDIO DEDUP THROUGH THE TRANSFORM-DOMAIN CODEC ────────────────────
+    QueryDef(
+      "q496_mdct_pcm_dedup",
+      // The dedup leg of the MDCT family (q176 hashed μ-law energy,
+      // q177/q442 hashed video frames — this is the same audit for
+      // transform-coded audio): clips are PLANTED duplicates (the clip
+      // formula keys on doc_id mod 257, so distinct documents carry
+      // byte-identical audio), every clip round-trips through the REAL
+      // codec (encode → container → full inverse MDCT), and dedup
+      // clusters on the DECODED samples — a checksum of (length,
+      // Σ (n+1)·pcm[n]). Because the codec is exact-recovery, the
+      // decoded-PCM clusters must equal the generative-formula clusters
+      // the oracle computes — any decode defect splits or merges a
+      // cluster and breaks the hash. Output: the cluster-size histogram
+      // (the q296 grain — what a dedup operator reads first).
+      //
+      // Shape, and why it scales: per-row encode+decode (zero shuffle),
+      // one hash aggregation to cluster grain, one to the ≤histogram
+      // grain — the q30/q176 exact-dedup shape with a codec inside.
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val seed = id % 257
+            val ns = (64 + seed % 129).toInt
+            val pcm = new Array[Short](ns)
+            var n = 0
+            while (n < ns) {
+              pcm(n) =
+                (((seed * 31 + n.toLong * n * 7) % 4001) - 2000).toShort
+              n += 1
+            }
+            (id, graft.multimodal.MdctCodec.encode(pcm))
+          }.toDF("media_id", "content")
+        val keyed = graft.multimodal.Multimodal
+          .decodeFeaturesWith(media) { batch =>
+            batch.map { case (id, bytes) =>
+              graft.multimodal.MdctCodec.decode(bytes).map { pcm =>
+                var wsum = 0L
+                var i = 0
+                while (i < pcm.length) { wsum += (i + 1L) * pcm(i); i += 1 }
+                graft.multimodal.Multimodal.MediaFeatures(id,
+                  Array(pcm.length.toDouble, wsum.toDouble))
+              }
+            }
+          }
+        keyed.toDF()
+          .select(element_at(col("features"), 1).cast("long").as("ns"),
+            element_at(col("features"), 2).cast("long").as("wsum"))
+          .groupBy("ns", "wsum").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 257 AS seed,
+                  64 + (doc_id % 257) % 129 AS ns
+                FROM documents),
+              s1 AS (SELECT doc_id, seed, ns, unnest(range(ns)) AS n
+                FROM d),
+              pc AS (SELECT doc_id, ns,
+                  (n + 1) * ((seed * 31 + n * n * 7) % 4001 - 2000) AS wv
+                FROM s1),
+              ky AS (SELECT doc_id, ns, CAST(sum(wv) AS BIGINT) AS wsum
+                FROM pc GROUP BY 1, 2),
+              cl AS (SELECT ns, wsum, CAST(count(*) AS BIGINT) AS sz
+                FROM ky GROUP BY 1, 2)
+              SELECT sz AS cluster_size,
+                CAST(count(*) AS BIGINT) AS n_clusters
+              FROM cl GROUP BY 1""")
+    ),
+
+    // ── HNSW TIER-SCHEDULE PLANNER (exact capacity math) ──────────────────
+    QueryDef(
+      "q497_hnsw_tier_planner",
+      // q475 gave LSH its banding S-curves; this is the same planning
+      // surface for the q494 tier ladder: for candidate corpus sizes N
+      // (10^6 / 10^9 / 10^12 — the last is the ~100 TB regime), how
+      // many geometric tiers does the descent need (T = ⌈log₈ N⌉, the
+      // branching the shipped ladder uses), how many exact cosines does
+      // ONE query score end to end (4 hub entries + 2 rounds × W=4 ×
+      // degree-6 per routing tier + 2 rounds × W=8 × degree-6 on the
+      // base), and the resulting exact speedup over brute force. The
+      // table an operator reads to see that serve cost grows as log N
+      // while brute grows as N — the quantified version of q494's
+      // "geometric schedule" claim.
+      //
+      // Shape, and why it scales: 3 literal rows × a 20-row tier spine
+      // of pure integer math — corpus-free by construction (the corpus
+      // enters only through the N the operator brings). 8^t stays below
+      // 2^53 for every spine row, so the double pow is EXACT and both
+      // engines floor identically.
+      (s, d) => {
+        import s.implicits._
+        val ns = Seq(1000000L, 1000000000L, 1000000000000L).toDF("n_corpus")
+        val ts = (0 until 20).map(_.toLong).toDF("t")
+        ns.crossJoin(ts)
+          .groupBy("n_corpus")
+          .agg(sum(when(pow(lit(8.0), col("t")).cast("long") < col("n_corpus"),
+            1L).otherwise(0L)).as("n_tiers"))
+          .select(col("n_corpus"), col("n_tiers"),
+            (lit(4L) + lit(48L) * (col("n_tiers") - 1) + lit(96L))
+              .as("scored_per_query"))
+          .withColumn("speedup",
+            expr("n_corpus div scored_per_query"))
+      },
+      Some("""WITH ns(n_corpus) AS (VALUES (CAST(1000000 AS BIGINT)),
+                (CAST(1000000000 AS BIGINT)),
+                (CAST(1000000000000 AS BIGINT))),
+              ts AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS t),
+              tiers AS (SELECT n_corpus,
+                  CAST(sum(CASE WHEN CAST(power(8, t) AS BIGINT) < n_corpus
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tiers
+                FROM ns CROSS JOIN ts GROUP BY 1)
+              SELECT n_corpus, n_tiers,
+                4 + 48 * (n_tiers - 1) + 96 AS scored_per_query,
+                n_corpus // (4 + 48 * (n_tiers - 1) + 96) AS speedup
+              FROM tiers""")
     )
   )
 }

@@ -35,6 +35,37 @@ class Round14OpsSpec extends AnyFunSuite with SparkFixture {
       s"three-layer recall $hits3/$poss fell below two-layer $hits2/$poss")
   }
 
+  test("q496: planted duplicate clips cluster; cluster sizes account for " +
+      "every document") {
+    val hist = run("q496_mdct_pcm_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Tables.documents(spark, sf).count()
+    // Σ cluster_size × n_clusters = corpus size (every clip lands in
+    // exactly one cluster)
+    assert(hist.map { case (szc, n) => szc * n }.sum == nDocs)
+    // the 257-way clip formula over >257 docs must produce real dups
+    if (nDocs > 257) assert(hist.exists(_._1 > 1L), "expected planted dups")
+  }
+
+  test("q497: the planner's tier count is exactly ceil(log8 N) and serve " +
+      "cost is logarithmic while brute is linear") {
+    val rows = run("q497_hnsw_tier_planner").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    def ceilLog8(n: Long): Long = {
+      var t = 0L; var p = 1L
+      while (p < n) { p *= 8; t += 1 }
+      t
+    }
+    rows.foreach { case (n, tiers, scored, speedup) =>
+      assert(tiers == ceilLog8(n), s"tiers($n)")
+      assert(scored == 4 + 48 * (tiers - 1) + 96, s"scored($n)")
+      assert(speedup == n / scored, s"speedup($n)")
+    }
+    // log-vs-linear: corpus grows 10^6×, scored cost under 2×
+    assert(rows.last._3 < 2 * rows.head._3)
+  }
+
   test("q494: tier-2 nodes are exactly the degree-top-8 of the kNN graph " +
       "(independent recomputation)") {
     // recompute the degree ranking locally from the shared graph memo
