@@ -327,6 +327,159 @@ object R14Queries {
                 4 + 48 * (n_tiers - 1) + 96 AS scored_per_query,
                 n_corpus // (4 + 48 * (n_tiers - 1) + 96) AS speedup
               FROM tiers""")
+    ),
+
+    // ── LEVELED INSERT (HNSW maintenance: the arrival path) ───────────────
+    QueryDef(
+      "q498_hnsw_level_insert",
+      // The maintenance op that completes the hierarchical-index
+      // lifecycle (build q462/q494, serve q463, tuning q476, capacity
+      // q497 — this is INSERT): each arriving vector draws its maximum
+      // layer from the geometric level distribution HNSW prescribes
+      // (Malkov & Yashunin §4 — here branching 4 on a seeded hash, so
+      // the draw is deterministic and engine-identical: level = count
+      // of leading base-4 zero digits of h32('ins'‖id), capped at 2),
+      // then attaches edges at EVERY tier from its level down to base:
+      // tier-2/tier-1 candidates are the fixed degree-top panels scored
+      // exactly (model-sized by construction), base candidates come
+      // from q452's LSH band routing (keyed equi-join, cap-bounded,
+      // never corpus-wide). Per (arrival, tier): candidate count,
+      // edges attached (top-2 / top-4 / top-6 — the per-layer M
+      // schedule), and the top-1 anchor; a base-tier arrival whose
+      // buckets are empty attaches nowhere (0 rows, NULL anchor — the
+      // q452 honest-fallback signal, kept by the left join from the
+      // (arrival, tier) spine).
+      //
+      // Shape, and why it scales: the level draw is row-local hash
+      // math; tier panels are 8/64-row broadcasts joined KEYED against
+      // the corpus for their vectors (corpus never broadcast); base
+      // routing is the q452 keyed band join; every grain after scoring
+      // is arrival×tier-bounded.
+      (s, d) => Shared.withCheckpointDir(s) {
+        val graph = R12Queries.knnGraphMemoized(s, d)
+        val (upperNodes, _, _) = R13Queries.hnswUpper(s, d)
+        val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
+        val t2n = degt.orderBy(col("dg").desc, col("src").asc)
+          .limit(Tier2K).select(col("src").as("n"))
+        val c = R12Queries.corpusVecs(s, d)
+        val q = R12Queries.probeVecs(s, d)
+        val lvl = q.select(col("qid"),
+            Shared.h32(concat(lit("ins"), col("qid").cast("string")))
+              .as("h"))
+          .select(col("qid"),
+            when(col("h") % 4 =!= 0, 0L)
+              .when(expr("(h div 4) % 4") =!= 0, 1L)
+              .otherwise(2L).as("level"))
+          .checkpoint() // 5 rows, consumed by the spine + three tiers
+        def panelAttach(nodes: DataFrame, tier: Long, m: Int,
+            minLevel: Long): DataFrame = {
+          val ranked = lvl.filter(col("level") >= minLevel).select("qid")
+            .join(q, "qid")
+            .crossJoin(broadcast(nodes))
+            .join(c, col("n") === col("cid"))
+            .select(col("qid"), col("cid"),
+              R12Queries.cosCol(col("qv"), col("cv")).as("cos"))
+            .withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("qid")
+                .orderBy(col("cos").desc, col("cid").asc)))
+          ranked.groupBy("qid").agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("rk") <= m, 1L).otherwise(0L)).as("n_attached"),
+            min(when(col("rk") === 1, col("cid"))).as("top1_cid"))
+            .withColumn("tier", lit(tier))
+        }
+        // base tier: q452's LSH-routed keyed candidates, top-KnnM attach
+        val candIds = R12Queries.probeBandKeys(s, d)
+          .join(R12Queries.bandedCorpusKeys(s, d), Seq("band", "bk"))
+          .select("qid", "cid").distinct()
+        val baseRanked = candIds.join(c, "cid").join(q, "qid")
+          .select(col("qid"), col("cid"),
+            R12Queries.cosCol(col("qv"), col("cv")).as("cos"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("cos").desc, col("cid").asc)))
+        val baseStats = baseRanked.groupBy("qid").agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("rk") <= R12Queries.KnnM, 1L).otherwise(0L))
+            .as("n_attached"),
+          min(when(col("rk") === 1, col("cid"))).as("top1_cid"))
+          .withColumn("tier", lit(0L))
+        val stats = baseStats
+          .unionByName(panelAttach(upperNodes
+            .select(col("n")), 1L, 4, minLevel = 1L))
+          .unionByName(panelAttach(t2n, 2L, 2, minLevel = 2L))
+        val spine = lvl.select(col("qid"), col("level"),
+          explode(sequence(lit(0L), col("level"))).as("tier"))
+        spine.join(stats, Seq("qid", "tier"), "left")
+          .select(col("qid"), col("level"), col("tier"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_attached"), lit(0L)).as("n_attached"),
+            col("top1_cid"))
+      },
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
+              ${R12Queries.SQL_QSEEDS_CTES},
+              lv AS (SELECT qid,
+                  CASE WHEN h % 4 <> 0 THEN 0
+                    WHEN (h // 4) % 4 <> 0 THEN 1 ELSE 2 END AS level
+                FROM (SELECT qid,
+                    ${Shared.SQL_H32("'ins' || CAST(qid AS VARCHAR)")} AS h
+                  FROM q)),
+              degt AS (SELECT src, count(*) AS dg FROM graph GROUP BY src),
+              t2n AS (SELECT src AS n FROM (
+                  SELECT src, dg FROM degt
+                  ORDER BY dg DESC, src LIMIT $Tier2K)),
+              t1n AS (SELECT src AS n FROM (
+                  SELECT src, dg FROM degt
+                  ORDER BY dg DESC, src LIMIT ${R13Queries.UpperK})),
+              t1r AS (SELECT lv.qid, c.cid,
+                  row_number() OVER (PARTITION BY lv.qid
+                    ORDER BY ${SQL_COS("q.qv", "c.cv")} DESC, c.cid) AS rk
+                FROM lv JOIN q ON lv.qid = q.qid
+                  CROSS JOIN t1n JOIN c ON t1n.n = c.cid
+                WHERE lv.level >= 1),
+              t1s AS (SELECT qid, CAST(1 AS BIGINT) AS tier,
+                  CAST(count(*) AS BIGINT) AS n_candidates,
+                  CAST(sum(CASE WHEN rk <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_attached,
+                  min(CASE WHEN rk = 1 THEN cid END) AS top1_cid
+                FROM t1r GROUP BY 1),
+              t2r AS (SELECT lv.qid, c.cid,
+                  row_number() OVER (PARTITION BY lv.qid
+                    ORDER BY ${SQL_COS("q.qv", "c.cv")} DESC, c.cid) AS rk
+                FROM lv JOIN q ON lv.qid = q.qid
+                  CROSS JOIN t2n JOIN c ON t2n.n = c.cid
+                WHERE lv.level >= 2),
+              t2s AS (SELECT qid, CAST(2 AS BIGINT) AS tier,
+                  CAST(count(*) AS BIGINT) AS n_candidates,
+                  CAST(sum(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_attached,
+                  min(CASE WHEN rk = 1 THEN cid END) AS top1_cid
+                FROM t2r GROUP BY 1),
+              candi AS (SELECT DISTINCT qk.qid, k.cid FROM qkeys qk
+                JOIN kcap k ON qk.band = k.band AND qk.bk = k.bk),
+              b0r AS (SELECT candi.qid, candi.cid,
+                  row_number() OVER (PARTITION BY candi.qid
+                    ORDER BY ${SQL_COS("q.qv", "c.cv")} DESC, candi.cid)
+                    AS rk
+                FROM candi JOIN q ON candi.qid = q.qid
+                  JOIN c ON candi.cid = c.cid),
+              b0s AS (SELECT qid, CAST(0 AS BIGINT) AS tier,
+                  CAST(count(*) AS BIGINT) AS n_candidates,
+                  CAST(sum(CASE WHEN rk <= ${R12Queries.KnnM}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_attached,
+                  min(CASE WHEN rk = 1 THEN cid END) AS top1_cid
+                FROM b0r GROUP BY 1),
+              st AS (SELECT * FROM b0s UNION ALL SELECT * FROM t1s
+                UNION ALL SELECT * FROM t2s),
+              spine AS (SELECT qid, level,
+                  CAST(unnest(range(level + 1)) AS BIGINT) AS tier
+                FROM lv)
+              SELECT sp.qid, CAST(sp.level AS BIGINT) AS level, sp.tier,
+                coalesce(st.n_candidates, 0) AS n_candidates,
+                coalesce(st.n_attached, 0) AS n_attached,
+                st.top1_cid
+              FROM spine sp LEFT JOIN st
+                ON sp.qid = st.qid AND sp.tier = st.tier"""))
     )
   )
 }

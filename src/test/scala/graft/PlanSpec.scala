@@ -311,6 +311,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q462_hnsw_two_layer" /* 4-row hub panel + 5-row probe broadcast for seeds/brute, like q439 */,
       "q494_hnsw_three_layer" /* 4-row hub panel + 5-row probe broadcast for seeds/brute, like q462 */,
       "q497_hnsw_tier_planner" /* 3-row corpus-size grid × 20-row tier spine of literal planner math, like q475 */,
+      "q498_hnsw_level_insert" /* 8-row and 64-row tier-panel broadcasts scored against keyed corpus vectors, like q462's hub panel */,
       "q463_ann_tombstone_serve" /* 4-row hub-panel fallback broadcast, like q439's seeds */,
       "q464_embedding_qa" /* cross join of two single-row aggregates, like q89 */,
       "q466_doc_length_drift" /* 1-row grand total broadcast onto the bounded source×bucket grid, like q410 */,

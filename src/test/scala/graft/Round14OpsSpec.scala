@@ -66,6 +66,31 @@ class Round14OpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.last._3 < 2 * rows.head._3)
   }
 
+  test("q498: level draws replay from local hash math; every arrival " +
+      "inserts at exactly tiers 0..level with the per-layer M schedule") {
+    val out = run("q498_hnsw_level_insert").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def levelOf(id: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"ins$id").take(8), 16)
+      if (h % 4 != 0) 0L else if ((h / 4) % 4 != 0) 1L else 2L
+    }
+    // spine: one row per (arrival, tier ≤ level), nothing else
+    val want = (0L to 4L).flatMap(id => (0L to levelOf(id)).map(t => (id, t)))
+    assert(out.map(r => (r._1, r._3)).toSet == want.toSet)
+    out.foreach { case (qid, level, tier, nCand, nAtt) =>
+      assert(level == levelOf(qid), s"level($qid)")
+      val m = tier match { case 0 => 6L; case 1 => 4L; case 2 => 2L }
+      assert(nAtt <= m && nAtt == math.min(m, nCand), s"attach($qid,$tier)")
+      // tier panels are fixed-size: candidates = whole panel
+      if (tier == 1L) assert(nCand == 64L)
+      if (tier == 2L) assert(nCand == 8L)
+    }
+  }
+
   test("q494: tier-2 nodes are exactly the degree-top-8 of the kNN graph " +
       "(independent recomputation)") {
     // recompute the degree ranking locally from the shared graph memo
