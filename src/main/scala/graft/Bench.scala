@@ -89,6 +89,8 @@ object Bench {
     // warmup: exercise scan + shuffle + codegen machinery once, untimed
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     sentinel() // warm the probe's own codegen path too
+    cpuSentinel() // and JIT the decode loop, or the first query's
+                  // cpu_sentinel reads compilation, not contention
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

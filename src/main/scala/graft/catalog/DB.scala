@@ -555,7 +555,8 @@ final class DB private (val root: Path, val spark: SparkSession) {
     * consistent generation set.
     */
   def upsertPartitioned(name: String, df: DataFrame,
-      partitionCols: Seq[String], keys: Seq[String]): Unit = {
+      partitionCols: Seq[String], keys: Seq[String],
+      literalCap: Int = DB.UpsertPruneLiteralCap): Unit = {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"Table not found: $name"))
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
@@ -593,7 +594,8 @@ final class DB private (val root: Path, val spark: SparkSession) {
       nullGuarded(df, schema).write
         .option("compression", "lz4").parquet(s"$tmp/batch")
       val batch = spark.read.schema(nullableSchema).parquet(s"$tmp/batch")
-      val merged = upsertMergeInput(name, batch, partitionCols, keys)
+      val merged = upsertMergeInput(name, batch, partitionCols, keys,
+          literalCap)
         .getOrElse(return) // empty batch: nothing to merge, nothing to touch
       // stage the merge too: it READS the old generation the commit will
       // supersede

@@ -101,11 +101,15 @@ object MdctCodec {
     if (n0 != N) return None
     val ns = ((bytes(6) & 0xff) << 24) | ((bytes(7) & 0xff) << 16) |
       ((bytes(8) & 0xff) << 8) | (bytes(9) & 0xff)
-    if (ns < 0) return None
+    // bound ns BEFORE deriving sizes: a hostile header with ns ~ 2^30
+    // would otherwise wrap the Int length check below (11 + f·N·4
+    // overflows 32 bits) and the "strict" decode would allocate
+    // gigabytes / throw instead of failing closed
+    if (ns < 0 || ns > (1 << 26)) return None
     val sb = bytes(10) & 0xff
     if (sb != ScaleBits) return None
     val f = frameCount(ns)
-    if (bytes.length != 11 + f * N * 4) return None
+    if (bytes.length.toLong != 11L + f.toLong * N * 4) return None
     val invScale = 1.0 / (1L << sb).toDouble
     // overlap-add buffer over the padded timeline
     val y = new Array[Double]((f + 1) * N)

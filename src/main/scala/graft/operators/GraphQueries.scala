@@ -561,19 +561,18 @@ object GraphQueries {
             // Spark SILENTLY clamps BloomFilterAggregate to
             // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64M
             // default — 5.3 bits/edge here, a measured ~21% fpr that let
-            // 106M of 411M wedges through at sf1); raise it around the
-            // one build so the 12-bits/edge sizing is what actually ships
-            val maxBitsKey =
-              "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-            val prevMax = s.conf.getOption(maxBitsKey)
-            s.conf.set(maxBitsKey, math.max(bits, 67108864L).toString)
-            val bfRow =
-              try ed.agg(graft.functions.bloom.filterAgg(
+            // 106M of 411M wedges through at sf1). Raise it on a CLONED
+            // session so the raised clamp is invisible to anything
+            // planned concurrently on the caller's session (same
+            // SparkContext, isolated SQL conf); `ed` is checkpointed, so
+            // re-wrapping its RDD in the clone costs one pass over the
+            // materialized edges, never a re-derivation.
+            val s2 = s.newSession()
+            s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+              math.max(bits, 67108864L).toString)
+            val bfRow = s2.createDataFrame(ed.rdd, ed.schema)
+              .agg(graft.functions.bloom.filterAgg(
                 xxhash64(col("u"), col("v")), nE, bits).as("bf")).head
-              finally prevMax match {
-                case Some(v) => s.conf.set(maxBitsKey, v)
-                case None => s.conf.unset(maxBitsKey)
-              }
             if (bfRow.isNullAt(0)) lit(false)
             else graft.functions.bloom.mightContain(
               xxhash64(col("w1"), col("w2")),

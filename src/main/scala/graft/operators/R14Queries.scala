@@ -29,6 +29,16 @@ object R14Queries {
     */
   private[operators] final val Tier2K = 8
 
+  /** the fixed tier-2 routing panel — degree-top-[[Tier2K]] of the kNN
+    * graph, ties to min id (the entryPoints/hnswUpper ordering rule);
+    * shared by q494's search and q498's insert so the tier under test
+    * is the one arrivals attach to
+    */
+  private def tier2Nodes(graph: DataFrame): DataFrame =
+    graph.groupBy("src").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src").asc).limit(Tier2K)
+      .select(col("src").as("n"))
+
   val all: Seq[QueryDef] = Seq(
 
     // ── HNSW THREE-LAYER SEARCH (geometric tier schedule) ─────────────────
@@ -58,9 +68,7 @@ object R14Queries {
         val graph = R12Queries.knnGraphMemoized(s, d)
         // tier-1 (top-64) structure from the shared q462/q476 memo
         val (_, upperEdges, _) = R13Queries.hnswUpper(s, d)
-        val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
-        val t2n = degt.orderBy(col("dg").desc, col("src").asc).limit(Tier2K)
-          .select(col("src").as("n")).checkpoint()
+        val t2n = tier2Nodes(graph).checkpoint()
         val t2e = graph
           .join(broadcast(t2n.select(col("n").as("src"))),
             Seq("src"), "left_semi")
@@ -358,9 +366,7 @@ object R14Queries {
       (s, d) => Shared.withCheckpointDir(s) {
         val graph = R12Queries.knnGraphMemoized(s, d)
         val (upperNodes, _, _) = R13Queries.hnswUpper(s, d)
-        val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
-        val t2n = degt.orderBy(col("dg").desc, col("src").asc)
-          .limit(Tier2K).select(col("src").as("n"))
+        val t2n = tier2Nodes(graph)
         val c = R12Queries.corpusVecs(s, d)
         val q = R12Queries.probeVecs(s, d)
         val lvl = q.select(col("qid"),

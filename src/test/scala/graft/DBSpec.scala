@@ -233,10 +233,11 @@ class DBSpec extends AnyFunSuite with SparkFixture {
       s"above-cap prune must be the semi-join form:\n$p")
     // 3 × 500 current rows - 3 replaced ids (4,5,6 exist) + 3 batch rows
     assert(merged.count() == 1500L)
-    // and the end-to-end merge through the fallback stays correct
-    db.upsertMergeInput("events", batch,
-      Seq("event"), Seq("event", "id"), literalCap = 2)
-    db.upsertPartitioned("events", batch, Seq("event"), Seq("event", "id"))
+    // and the end-to-end merge THROUGH THE FALLBACK TIER stays correct
+    // (cap threaded through upsertPartitioned so the semi-join prune's
+    // whole write/commit path runs, not just the plan shape above)
+    db.upsertPartitioned("events", batch, Seq("event"), Seq("event", "id"),
+      literalCap = 2)
     val t = db.table("events")
     assert(t.count() == 2000)
     assert(t.filter(col("timestamp") === 999L).count() == 3)

@@ -50,6 +50,12 @@ class MdctSpec extends AnyFunSuite {
     val badN = good.clone(); badN(5) = (MdctCodec.N + 1).toByte
     assert(MdctCodec.decode(badN).isEmpty, "N mismatch")
     assert(MdctCodec.decode(good ++ Array[Byte](0)).isEmpty, "trailing junk")
+    // hostile header: ns = 2^30 would overflow an Int length check
+    // (11 + f·N·4 wraps) and masquerade as consistent — must fail
+    // closed, not allocate gigabytes or throw
+    val hugeNs = good.clone()
+    hugeNs(6) = 0x40.toByte; hugeNs(7) = 0; hugeNs(8) = 0; hugeNs(9) = 0
+    assert(MdctCodec.decode(hugeNs).isEmpty, "hostile ns")
   }
 
   test("the codec is genuinely lossy in the transform domain: coefficients " +
