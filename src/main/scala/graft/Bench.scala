@@ -86,11 +86,51 @@ object Bench {
       if (acc == Long.MinValue) println(acc) // defeat dead-code elim
       (System.nanoTime() - t0) / 1e9
     }
+    // ALL-CORE SUSTAINED-CPU SENTINEL (r14 verdict task 1): the 1-thread
+    // probe above reads per-core scalar throughput at the probe instant,
+    // and in r14 it read CLEAN while the all-32-core codec rows
+    // (JPEG/MJPEG/VARIANT) inflated 2.2–2.6× uniformly across both timed
+    // driver runs — so the surviving hypothesis is SIBLING-CORE load: a
+    // 1-thread probe cannot see 16 occupied cores, but a 32-task scalar
+    // stage halves. This probe runs the SAME fixed decode loop as one
+    // Spark task per core simultaneously; its time is a pure function of
+    // how many cores the codec stages actually get. Flat vs idle ≈ all
+    // cores free (a slow codec row is then a real regression); inflated
+    // exactly when the codec rows are inflated ≈ measured sibling load
+    // (attribution closed). Emitted per-query as par_sentinel.
+    val nCores = cpus.toInt
+    val fixtureB = spark.sparkContext.broadcast(cpuFixture)
+    def parSentinel(): Double = {
+      val t0 = System.nanoTime()
+      val acc = spark.sparkContext
+        .parallelize(0 until nCores, nCores)
+        .map { _ =>
+          val bytes = fixtureB.value
+          var i = 0
+          var a = 0L
+          // 400 iterations ≈ 12 ms/task: long enough that task-dispatch
+          // jitter (~1 ms) doesn't dominate the reading, short enough
+          // that ~500 probes add well under a minute of wall-clock
+          while (i < 400) {
+            val img = graft.multimodal.JpegCodec.decode(bytes).get
+            a += graft.multimodal.JpegCodec.pixelSum(img)
+            i += 1
+          }
+          a
+        }.reduce(_ + _)
+      if (acc == Long.MinValue) println(acc) // defeat dead-code elim
+      (System.nanoTime() - t0) / 1e9
+    }
     // warmup: exercise scan + shuffle + codegen machinery once, untimed
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     sentinel() // warm the probe's own codegen path too
     cpuSentinel() // and JIT the decode loop, or the first query's
                   // cpu_sentinel reads compilation, not contention
+    parSentinel() // JIT the decode loop on EXECUTOR threads too (same
+                  // JVM here, but the task-dispatch path is its own)
+    parSentinel() // twice: the first all-core pass still reads ~2×
+                  // steady state (measured) — scheduler pools, codegen
+                  // of the reduce, and per-thread JIT all land on it
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -112,6 +152,7 @@ object Bench {
       System.gc()
       val sent = sentinel()
       val cpuSent = cpuSentinel()
+      val parSent = parSentinel()
       // scratch-memo builds (winnow ladder, substr starts, IVF layouts,
       // …) are once-per-process: whichever consumer runs FIRST pays the
       // build inside its first timed run, and min-of-runs then reports
@@ -131,9 +172,9 @@ object Bench {
       // verdict task 5 — q59/q60/q62 doubled driver-side with no code
       // change, and the bench gave no variance evidence either way)
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
-      name -> (best, runs, sent, memoPaid, cpuSent)
+      name -> (best, runs, sent, memoPaid, cpuSent, parSent)
     }
-    val bests = results.map { case (k, (best, _, _, _, _)) => k -> best }
+    val bests = results.map { case (k, (best, _, _, _, _, _)) => k -> best }
     // failed queries (-1 sentinel) must invalidate the suite, not shrink the
     // total: exclude them from the sum, list them, and exit nonzero
     val failed = bests.collect { case (k, v) if v < 0 => k }
@@ -145,17 +186,17 @@ object Bench {
     // regression are distinguishable after the fact
     val fullQs = bests.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val spreadQs = results.map { case (k, (_, runs, _, _, _)) =>
+    val spreadQs = results.map { case (k, (_, runs, _, _, _, _)) =>
       "\"" + k + "\":[" + fmt(runs.min, 4) + "," + fmt(runs.max, 4) + "]"
     }.mkString("{", ",", "}")
     // per-query load sentinel (see sentinel() scaladoc): flat ≈ idle run;
     // suite-wide inflation ≈ contended machine, not a code regression
-    val sentQs = results.map { case (k, (_, _, sent, _, _)) =>
+    val sentQs = results.map { case (k, (_, _, sent, _, _, _)) =>
       "\"" + k + "\":" + fmt(sent, 4)
     }.mkString("{", ",", "}")
     // memo-build attribution: seconds of once-per-process scratch builds
     // this query's timed runs paid (first payer); warm cost ≈ best − memo
-    val memoQs = results.collect { case (k, (_, _, _, m, _)) if m > 0.005 =>
+    val memoQs = results.collect { case (k, (_, _, _, m, _, _)) if m > 0.005 =>
       "\"" + k + "\":" + fmt(m, 4)
     }.mkString("{", ",", "}")
     // per-TAG memo ledger: memo_build above says which QUERY paid; this
@@ -168,9 +209,18 @@ object Bench {
     // per-query sustained-CPU sentinel (see cpuSentinel() above): flat ≈
     // uncontended cores; inflated exactly where a decode-family row is
     // inflated ≈ per-core contention, not a codec regression
-    val cpuSentQs = results.map { case (k, (_, _, _, _, cs)) =>
+    val cpuSentQs = results.map { case (k, (_, _, _, _, cs, _)) =>
       "\"" + k + "\":" + fmt(cs, 4)
     }.mkString("{", ",", "}")
+    // per-query ALL-CORE sustained-CPU sentinel (see parSentinel() above):
+    // flat ≈ all cores free; inflated where codec rows are inflated ≈
+    // measured sibling-core load — the r14 attribution instrument
+    val parSentQs = results.map { case (k, (_, _, _, _, _, ps)) =>
+      "\"" + k + "\":" + fmt(ps, 4)
+    }.mkString("{", ",", "}")
+    val parSorted = results.map(_._2._6).sorted
+    val parMed =
+      if (parSorted.isEmpty) 0.0 else parSorted(parSorted.size / 2)
     val sentSorted = results.map(_._2._3).sorted
     val sentMed =
       if (sentSorted.isEmpty) 0.0 else sentSorted(sentSorted.size / 2)
@@ -185,16 +235,21 @@ object Bench {
     // would corrupt the committed artifact — fall back to "unlabeled"
     val prov = sys.env.get("SPARK_GRAFT_PROVENANCE")
       .filter(_.matches("[A-Za-z0-9_-]+")).getOrElse("unlabeled")
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"memo_tags":$memoTags,"cpu_sentinel":$cpuSentQs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"memo_tags":$memoTags,"cpu_sentinel":$cpuSentQs,"par_sentinel":$parSentQs,"par_sentinel_median":${fmt(parMed, 4)},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
     val memoAttr = results.collect {
-      case (k, (_, _, _, m, _)) if m > 0.005 => k -> m }
+      case (k, (_, _, _, m, _, _)) if m > 0.005 => k -> m }
     val sentSlow = results.collect {
-      case (k, (best, _, sent, _, _)) if best > 1.0 => k -> sent }
-    println(stdoutLine(bests, failed, sfDir, sentMed, memoAttr, sentSlow))
+      case (k, (best, _, sent, _, _, _)) if best > 1.0 => k -> sent }
+    // the par map keys on INFLATED PROBES (top by par-sentinel value),
+    // not slow queries: the instrument's job is to flag the instants
+    // where sibling-core load existed, whichever row it landed on
+    val parHot = results.map { case (k, (_, _, _, _, _, ps)) => k -> ps }
+    println(stdoutLine(bests, failed, sfDir, sentMed, memoAttr, sentSlow,
+      parHot, parMed))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -219,7 +274,9 @@ object Bench {
   private[graft] def stdoutLine(results: Seq[(String, Double)],
       failed: Seq[String], sfDir: String, sentMed: Double = -1.0,
       memo: Seq[(String, Double)] = Nil,
-      sentSlow: Seq[(String, Double)] = Nil): String = {
+      sentSlow: Seq[(String, Double)] = Nil,
+      parHot: Seq[(String, Double)] = Nil,
+      parMed: Double = -1.0): String = {
     def fmt(v: Double, dec: Int): String =
       if (v < 0) "-1" else s"%.${dec}f".format(v)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -232,9 +289,9 @@ object Bench {
     // sent: per-query load sentinel for the slow tail (the rows the
     // per-query gate actually inspects) — flat ≈ idle, inflated ≈
     // contention, so a slow row is attributable from this line alone.
-    def kvJson(xs: Seq[(String, Double)]): String =
+    def kvJson(xs: Seq[(String, Double)], dec: Int = 2): String =
       xs.sortBy(_._1).map { case (k, v) =>
-        "\"" + shortKey(k) + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+        "\"" + shortKey(k) + "\":" + fmt(v, dec) }.mkString("{", ",", "}")
     // sent is bounded to the 20 slowest queries: memo families are
     // naturally bounded (~a dozen), but "slow tail" is caller-defined and
     // must not be able to blow the budget on a pathological run where
@@ -242,11 +299,17 @@ object Bench {
     val byTime = results.toMap
     val sentTop = sentSlow
       .sortBy { case (k, _) => (-byTime.getOrElse(k, 0.0), k) }.take(20)
-    val extras = s""""memo":${kvJson(memo)},"sent":${kvJson(sentTop)}"""
+    // par: the 12 HOTTEST all-core probes (by probe time, not query
+    // time) — the rows where sibling-core load was measured, which is
+    // exactly where a >2×-idle codec row needs its attribution read from
+    val parTop = parHot.sortBy { case (k, v) => (-v, k) }.take(12)
+    val extras = s""""memo":${kvJson(memo)},"sent":${kvJson(sentTop)},"par":${kvJson(parTop, 3)}"""
     // sent_med: median load-sentinel time (-1 = not measured); an inflated
-    // value marks the whole run as contended — see sentinel() in main
+    // value marks the whole run as contended — see sentinel() in main.
+    // par_med: median ALL-CORE decode-probe time — the baseline the par
+    // map's hot entries are read against
     def line(qsJson: String): String =
-      s"""{"queries":$qsJson,$extras,"failed":$failedJson,"sf":"$sfDir","sent_med":${fmt(sentMed, 3)},"metric":"total","value":$totalStr,"unit":"sec"}"""
+      s"""{"queries":$qsJson,$extras,"failed":$failedJson,"sf":"$sfDir","sent_med":${fmt(sentMed, 3)},"par_med":${fmt(parMed, 3)},"metric":"total","value":$totalStr,"unit":"sec"}"""
     def render(dec: Int, entries: Seq[(String, Double)], extra: String): String =
       line(entries.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", extra + "}"))

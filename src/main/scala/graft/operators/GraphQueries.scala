@@ -570,6 +570,14 @@ object GraphQueries {
             val s2 = s.newSession()
             s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
               math.max(bits, 67108864L).toString)
+            // the SIBLING clamp: maxNumItems (4M default) silently caps
+            // expectedItems=nE the same way maxNumBits caps the bit
+            // budget — with 12M edges clamped to 4M items against the
+            // raised bit budget, the hash count k is computed for the
+            // wrong n (k≈25 instead of ~8) and the designed ~1% fpr
+            // inflates even though the bits are right
+            s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+              math.max(nE, 4000000L).toString)
             val bfRow = s2.createDataFrame(ed.rdd, ed.schema)
               .agg(graft.functions.bloom.filterAgg(
                 xxhash64(col("u"), col("v")), nE, bits).as("bf")).head

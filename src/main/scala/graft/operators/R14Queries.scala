@@ -306,9 +306,13 @@ object R14Queries {
       //
       // Shape, and why it scales: 3 literal rows × a 20-row tier spine
       // of pure integer math — corpus-free by construction (the corpus
-      // enters only through the N the operator brings). 8^t stays below
-      // 2^53 for every spine row, so the double pow is EXACT and both
-      // engines floor identically.
+      // enters only through the N the operator brings). The spine tops
+      // out at 8^19 = 2^57 > 2^53, but 8^t = 2^(3t) is a power of two
+      // and therefore exactly representable in a double at ANY
+      // magnitude, so the pow is exact and both engines floor
+      // identically. (A non-power-of-two branching factor would NOT
+      // inherit this: it would need b^t < 2^53 to actually hold — cap
+      // the spine at ⌊53·log2/log b⌋ rows before changing b.)
       (s, d) => {
         import s.implicits._
         val ns = Seq(1000000L, 1000000000L, 1000000000000L).toDF("n_corpus")

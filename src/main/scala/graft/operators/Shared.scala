@@ -293,12 +293,61 @@ private[graft] object Shared {
     * previous round plus a shared `graph`/`q`/`c` table (the HNSW beam
     * unrolls) explodes into an exponentially-sized expression tree that
     * spills tens of GB. Materializing evaluates each CTE exactly once.
-    * The library SQL dialect never writes ` AS (` except as a CTE
-    * definition (column aliases are unparenthesized, casts are
-    * `AS BIGINT`), so the textual rewrite is exact.
+    *
+    * ANCHORED, not a blind global replace: a ` AS (` inside a
+    * single-quoted string literal is left untouched, and every ` AS (`
+    * outside literals must be a CTE definition — immediately preceded
+    * by an identifier (`name AS (`) or an identifier with a column
+    * list (`name(a, b) AS (`). Any other occurrence (e.g. a
+    * parenthesized subquery aliased without a name, `) AS (`) throws
+    * rather than silently emitting corrupted SQL, so a future oracle
+    * that breaks the dialect assumption fails loudly at Verify time
+    * instead of producing an undiagnosable DuckDB parse error.
     */
-  def materializeCtes(sql: String): String =
-    sql.replace(" AS (", " AS MATERIALIZED (")
+  def materializeCtes(sql: String): String = {
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '"'
+    // is position j (pointing at the space of " AS (") preceded by a CTE
+    // head — an identifier, optionally followed by a (column list)?
+    def anchored(j: Int): Boolean = {
+      if (j == 0) return false
+      val p = sql.charAt(j - 1)
+      if (identChar(p)) true
+      else if (p == ')') {
+        // scan back to the matching '(' of the column list; the char
+        // before it must be an identifier char (`name(a, b) AS (`)
+        var depth = 1
+        var k = j - 2
+        while (k >= 0 && depth > 0) {
+          val c = sql.charAt(k)
+          if (c == ')') depth += 1 else if (c == '(') depth -= 1
+          k -= 1
+        }
+        depth == 0 && k >= 0 && identChar(sql.charAt(k))
+      } else false
+    }
+    val out = new StringBuilder(sql.length + 64)
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c); if (c == '\'') inStr = false; i += 1
+      } else if (c == '\'') {
+        out.append(c); inStr = true; i += 1
+      } else if (sql.startsWith(" AS (", i)) {
+        if (!anchored(i))
+          throw new IllegalArgumentException(
+            s"materializeCtes: un-anchored ' AS (' at offset $i " +
+              s"(context: …${sql.slice(math.max(0, i - 30), i + 6)}…) — " +
+              "not a CTE definition; rewrite the oracle or extend the anchor")
+        out.append(" AS MATERIALIZED (")
+        i += 5
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.result()
+  }
 
   /** 32-bit base hash of a string: first 8 md5 hex chars as a Long — the
     * one digest both engines share. MinHash seeds derive from it with
