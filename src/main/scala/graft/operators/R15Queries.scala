@@ -337,9 +337,10 @@ object R15Queries {
 
   /** the generative 3-frame 16×16 clip every motion-codec query shares:
     * frame fi is the (fi, 2·fi) CYCLIC shift of the base pattern
-    * base(y, x) = (key·31 + (16y + x)·7) mod 256 — interior blocks of
-    * frames 1/2 therefore have an exact in-window motion vector
-    * ((1, 2)/(2, 4) ≤ R = 3), so the encoder's search path is exercised
+    * base(y, x) = (key·31 + (16y + x)·7) mod 256 — each P-frame is the
+    * (1, 2) shift of its predecessor, so interior blocks have an exact
+    * in-window motion vector (|dy| = 1, |dx| = 2 ≤ R = 3) and the
+    * encoder's search path is exercised
     * for real, while the formula stays one line of modular arithmetic
     * the DuckDB oracle mirrors verbatim ([[SQL_CLIP_PIX]])
     */
@@ -369,5 +370,7 @@ object R15Queries {
     s"""(($key * 31 + ((((p // 16) + fi) % 16) * 16 +
        ((p % 16) + 2 * fi) % 16) * 7) % 256)"""
 
-  private val SQL_CLIP_PIX: String = sqlClipPix("doc_id")
+  // a def, not a val: `all` above interpolates this during object init,
+  // and a val defined below it would still be null at that point
+  private def SQL_CLIP_PIX: String = sqlClipPix("doc_id")
 }
