@@ -171,10 +171,35 @@ object R12Queries {
   private val knnGraphMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
-    val c = corpusVecs(s, d)
+  private[graft] def knnGraphEdges(s: SparkSession, d: String): DataFrame =
+    knnGraphEdgesOver(corpusVecs(s, d))
+
+  /** capped (cid, band, bk) bucket table over an ARBITRARY corpus frame
+    * (cid, cv) — [[bandedCorpusKeys]]'s shape parameterized for the
+    * rebuild-from-live path (q503): the cap applies AFTER the corpus
+    * restriction, which is what a router rebuilt from the live corpus
+    * looks like (contrast the repair scenario, which masks tombstones
+    * out of the EXISTING capped table)
+    */
+  private[graft] def bandedKeysOver(c: DataFrame): DataFrame =
+    c.select(col("cid"),
+        explode(array((0 until NBands).map(b =>
+          struct(lit(b).as("band"), bandKeyCol(col("cv"), b).as("bk"))): _*))
+          .as("s"))
+      .select(col("cid"), col("s.band").as("band"), col("s.bk").as("bk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bk").orderBy("cid")))
+      .filter(col("rn") <= KnnCap)
+      .select("cid", "band", "bk")
+
+  /** [[knnGraphEdges]] over an arbitrary corpus frame (cid, cv) — the
+    * same LSH-banded, capped, exact-scored, top-M symmetrized build, so
+    * a rebuild over the live corpus (q503's gold standard) is the SAME
+    * structure the full index was built with
+    */
+  private[graft] def knnGraphEdgesOver(c: DataFrame): DataFrame = {
     // (cid, band, key) — ids only through the band shuffle
-    val keyed = bandedCorpusKeys(s, d)
+    val keyed = bandedKeysOver(c)
     val cand = keyed.select(col("cid").as("d1"), col("band"), col("bk"))
       .join(keyed.select(col("cid").as("d2"), col("band"), col("bk")),
         Seq("band", "bk"))

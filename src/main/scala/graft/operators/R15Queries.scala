@@ -332,8 +332,182 @@ object R15Queries {
               SELECT sz AS cluster_size,
                 CAST(count(*) AS BIGINT) AS n_clusters
               FROM cl GROUP BY 1""")
+    ),
+
+    // ── COMPACTION-vs-REBUILD COST PLANNER ────────────────────────────────
+    QueryDef(
+      "q502_ann_compaction_planner",
+      // The sheet that decides WHICH maintenance verb to run once churn
+      // accumulates: q499's repair scores one exact cosine per
+      // (in-neighbor, tombstone, live-out-neighbor) candidate — the cnd
+      // table, degree²-bounded per tombstone — while a full rebuild
+      // scores one per LSH candidate pair of the live corpus (the
+      // knnGraphEdgesOver build's cand volume, cap-bounded per bucket).
+      // Both volumes are EXACT COUNTS computed from the index itself
+      // (the q475/q497 planning-table discipline: measured integers, not
+      // estimates), plus their integer ratio — at 14% churn the repair
+      // is ~rebuild/ratio of the work, and the crossover churn is where
+      // an operator schedules the rebuild instead.
+      //
+      // Shape, and why it scales: the repair volume is one keyed
+      // self-join of the (memoized) edge list restricted to dead
+      // middles; the rebuild volume is the capped bucket self-join that
+      // the real build would run — both count aggregations, no scoring,
+      // no corpus broadcast.
+      (s, d) => {
+        val graph = R12Queries.knnGraphMemoized(s, d)
+        val nDead = graph.filter(col("src") % 7 === 0)
+          .select("src").distinct().count()
+        val nRepair = graph
+          .filter(col("src") % 7 =!= 0 && col("dst") % 7 === 0)
+          .select(col("src").as("u"), col("dst").as("t"))
+          .join(graph.filter(col("dst") % 7 =!= 0)
+            .select(col("src").as("t"), col("dst").as("v")), "t")
+          .filter(col("v") =!= col("u"))
+          .count()
+        val kcapLive = R12Queries.bandedKeysOver(
+          R12Queries.corpusVecs(s, d).filter(col("cid") % 7 =!= 0))
+        val nRebuild = kcapLive
+          .select(col("cid").as("d1"), col("band"), col("bk"))
+          .join(kcapLive.select(col("cid").as("d2"), col("band"), col("bk")),
+            Seq("band", "bk"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+          .count()
+        import s.implicits._
+        Seq((nDead, nRepair, nRebuild, nRebuild / math.max(nRepair, 1L)))
+          .toDF("n_tombstoned", "repair_scored", "rebuild_scored",
+            "rebuild_over_repair")
+      },
+      Some(Shared.materializeCtes(s"""WITH $SQL_KNN_GRAPH_CTES,
+              cnd AS (SELECT g1.src AS u, g1.dst AS t, g2.dst AS v
+                FROM graph g1 JOIN graph g2 ON g1.dst = g2.src
+                WHERE g1.dst % 7 = 0 AND g1.src % 7 <> 0
+                  AND g2.dst % 7 <> 0 AND g2.dst <> g1.src),
+              kcap_live AS (SELECT cid, band, bk FROM (
+                  SELECT cid, band, bk, row_number() OVER (
+                    PARTITION BY band, bk ORDER BY cid) AS rn
+                  FROM keyed WHERE cid % 7 <> 0)
+                WHERE rn <= ${R12Queries.KnnCap}),
+              reb AS (SELECT DISTINCT a.cid AS d1, b.cid AS d2
+                FROM kcap_live a JOIN kcap_live b
+                  ON a.band = b.band AND a.bk = b.bk AND a.cid < b.cid),
+              ns AS (SELECT
+                CAST((SELECT count(DISTINCT src) FROM graph
+                  WHERE src % 7 = 0) AS BIGINT) AS n_tombstoned,
+                CAST((SELECT count(*) FROM cnd) AS BIGINT)
+                  AS repair_scored,
+                CAST((SELECT count(*) FROM reb) AS BIGINT)
+                  AS rebuild_scored)
+              SELECT n_tombstoned, repair_scored, rebuild_scored,
+                rebuild_scored // (CASE WHEN repair_scored > 1
+                  THEN repair_scored ELSE 1 END) AS rebuild_over_repair
+              FROM ns"""))
+    ),
+
+    // ── REPAIR vs FULL REBUILD (the gold-standard recall check) ───────────
+    QueryDef(
+      "q503_hnsw_rebuild_serve",
+      // The gold standard q499's repair is judged against: REBUILD the
+      // index from the live corpus with the exact build the full index
+      // used (knnGraphEdgesOver — LSH-banded candidates, filter-then-cap
+      // bucket table, exact scoring, top-M symmetrized), then serve it
+      // with the rebuilt router (live-capped LSH seeds + the rebuilt
+      // graph's own top-4 hubs, W=8 × 2 rounds — q463's schedule) and
+      // score recall@3 against the exact live brute top-3. Next to
+      // q499's row this is the repair-vs-rebuild QUALITY axis of the
+      // q502 cost sheet: Round15OpsSpec pins the repaired serve's
+      // recall within the measured envelope of the rebuilt one, which
+      // is what justifies ever choosing the ~ratio-times-cheaper
+      // repair.
+      //
+      // Shape, and why it scales: the rebuild is the library's build
+      // discipline verbatim (keyed band joins, per-bucket caps, no
+      // corpus broadcast), memoized to scratch (`knnlive`) beside the
+      // full graph's memo; the serve is the shared beamScore/beamRound
+      // path (corpus streams past broadcast frontiers, per-round
+      // checkpoints).
+      (s, d) => Shared.withCheckpointDir(s) {
+        val q = R12Queries.probeVecs(s, d)
+        val liveC = R12Queries.corpusVecs(s, d).filter(col("cid") % 7 =!= 0)
+        val g2 = liveKnnGraph(s, d)
+        val nEdges = g2.count()
+        val seeds = R12Queries.probeBandKeys(s, d)
+          .join(R12Queries.bandedKeysOver(liveC), Seq("band", "bk"))
+          .select("qid", "cid")
+          .unionAll(q.select("qid")
+            .crossJoin(broadcast(R12Queries.entryPoints(g2))))
+          .distinct()
+        var bb = R13Queries.top(R12Queries.beamScore(s, d, seeds), 8)
+          .checkpoint()
+        for (_ <- 1 to 2) bb = R13Queries.beamRound(s, d, bb, g2, 8)
+        val ans = R13Queries.top(bb, 3).select("qid", "cid")
+        val bruteLive = R13Queries.top(
+          broadcast(q).crossJoin(liveC)
+            .select(col("qid"), col("cid"),
+              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
+          .select("qid", "cid")
+        val hits = ans.join(bruteLive, Seq("qid", "cid"), "left_semi")
+          .count()
+        import s.implicits._
+        Seq((nEdges, hits, 15L))
+          .toDF("n_rebuild_edges", "n_hits_rebuild", "n_possible")
+      },
+      // the full-graph CTE chain with the live filter applied at the c
+      // CTE: everything downstream (keyed, kcap, cand, graph, seeds,
+      // beam rounds, brute) is then the REBUILT index by construction —
+      // the replace is anchored on the c CTE's unique text
+      Some(Shared.materializeCtes(s"""WITH ${SQL_KNN_GRAPH_CTES.replace(
+          "FROM embeddings WHERE vec_id >= 5)",
+          "FROM embeddings WHERE vec_id >= 5 AND vec_id % 7 <> 0)")},
+              $SQL_QSEEDS_CTES,
+              b0 AS (SELECT qid, cid, cos FROM (
+                  SELECT qid, cid, cos, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                  FROM (SELECT se.qid, se.cid,
+                      ${SQL_COS("q.qv", "c.cv")} AS cos
+                    FROM seeds se JOIN q ON se.qid = q.qid
+                      JOIN c ON se.cid = c.cid))
+                WHERE rk <= 8),
+              ${sqlBeamRound("b0", "b1", "graph", 8)},
+              ${sqlBeamRound("b1", "b2", "graph", 8)},
+              ans AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+                  FROM b2) WHERE rk <= 3),
+              brute AS (SELECT qid, cid FROM (
+                  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+                    ORDER BY ${SQL_COS("qv", "cv")} DESC, c.cid) AS rk
+                  FROM q CROSS JOIN c) WHERE rk <= 3)
+              SELECT
+                CAST((SELECT count(*) FROM graph) AS BIGINT)
+                  AS n_rebuild_edges,
+                CAST((SELECT count(*) FROM ans JOIN brute USING (qid, cid))
+                  AS BIGINT) AS n_hits_rebuild,
+                CAST(15 AS BIGINT) AS n_possible"""))
     )
   )
+
+  /** the live-corpus rebuild graph (q503's gold standard), materialized
+    * once per (process, dataset) to scratch beside the full graph's
+    * `knngraph` memo — the rebuild is the expensive stage and its
+    * consumers are the serve legs
+    */
+  private def liveKnnGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val key = Shared.datasetKey(d)
+    val root = liveKnnMemo.computeIfAbsent(key, _ =>
+      Shared.timedMemoBuild("knnlive") {
+        val r = Shared.scratchRoot("knnlive", key)
+        R12Queries.knnGraphEdgesOver(
+          R12Queries.corpusVecs(s, d).filter(col("cid") % 7 =!= 0))
+          .write.mode("overwrite").parquet(r.toString)
+        r.toString
+      })
+    s.read.parquet(root)
+  }
+  private val liveKnnMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** the generative 3-frame 16×16 clip every motion-codec query shares:
     * frame fi is the (fi, 2·fi) CYCLIC shift of the base pattern
