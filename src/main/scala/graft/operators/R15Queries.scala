@@ -100,24 +100,15 @@ object R15Queries {
           .checkpoint()
         for (_ <- 1 to 2) rb = R13Queries.beamRound(s, d, rb, repaired, 8)
         val ansR = R13Queries.top(rb, 3).select("qid", "cid")
-        // TOMBSTONE-FILTERED serve (q463's exact path) as the comparison
-        val seedsT = R12Queries.probeBandKeys(s, d)
-          .join(R12Queries.bandedCorpusKeys(s, d), Seq("band", "bk"))
-          .select("qid", "cid")
-          .unionAll(q.select("qid")
-            .crossJoin(broadcast(R12Queries.entryPoints(graph))))
-          .distinct()
-        var tb = R13Queries.top(R12Queries.beamScore(s, d, seedsT), 8)
-          .checkpoint()
-        for (_ <- 1 to 2) tb = R13Queries.beamRound(s, d, tb, graph, 8)
+        // TOMBSTONE-FILTERED serve (q463's exact path) as the
+        // comparison — the beam comes from the shared `tombbeam` memo
+        // (built once, read by q463 and this leg)
+        val tb = R13Queries.tombstoneBeam(s, d)
         val ansT = R13Queries.top(tb.filter(live(col("cid"))), 3)
           .select("qid", "cid")
-        // recall denominator: exact brute top-3 over the LIVE corpus
-        val bruteLive = R13Queries.top(
-          broadcast(q).crossJoin(c.filter(live(col("cid"))))
-            .select(col("qid"), col("cid"),
-              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
-          .select("qid", "cid")
+        // recall denominator: exact brute top-3 over the LIVE corpus,
+        // from the shared `brutelive` memo (q503 reads it too)
+        val bruteLive = R13Queries.bruteLiveTop3(s, d)
         val hitsR = ansR.join(bruteLive, Seq("qid", "cid"), "left_semi")
           .count()
         val hitsT = ansT.join(bruteLive, Seq("qid", "cid"), "left_semi")
@@ -442,13 +433,9 @@ object R15Queries {
           .checkpoint()
         for (_ <- 1 to 2) bb = R13Queries.beamRound(s, d, bb, g2, 8)
         val ans = R13Queries.top(bb, 3).select("qid", "cid")
-        val bruteLive = R13Queries.top(
-          broadcast(q).crossJoin(liveC)
-            .select(col("qid"), col("cid"),
-              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
-          .select("qid", "cid")
-        val hits = ans.join(bruteLive, Seq("qid", "cid"), "left_semi")
-          .count()
+        // shared live-brute denominator (the `brutelive` memo q499 reads)
+        val hits = ans.join(R13Queries.bruteLiveTop3(s, d),
+          Seq("qid", "cid"), "left_semi").count()
         import s.implicits._
         Seq((nEdges, hits, 15L))
           .toDF("n_rebuild_edges", "n_hits_rebuild", "n_possible")
