@@ -108,6 +108,30 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.endsWith("\"unit\":\"sec\"}"), line.takeRight(80))
   }
 
+  test("the par (all-core sentinel) map and par_med survive the budget " +
+      "ladder: hottest 12 probes itemized, line parseable") {
+    val names = SparkEntry.defs.map(_.name).sorted
+    val results = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 + (i % 40) * 0.25) }
+    val slow = results.filter(_._2 >= 1.0)
+    val sent = slow.map { case (nm, _) => (nm, 0.1234) }
+    // every query carries a par probe; a contended stretch shows as a
+    // few hot readings — those exact rows must be itemized
+    val par = results.zipWithIndex.map { case ((nm, _), i) =>
+      (nm, if (i % 97 == 0) 0.456 else 0.034) }
+    val hot = par.filter(_._2 > 0.1).map(_._1)
+      .map(nm => "\"" + nm.takeWhile(_ != '_') + "\":0.456")
+    val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1",
+      0.1, Nil, sent, par, 0.034)
+    assert(line.length <= Bench.LineBudget,
+      s"line is ${line.length} chars with the par map")
+    assert(line.contains("\"par\":{"), line.take(200))
+    assert(line.contains("\"par_med\":0.034"), line.takeRight(120))
+    val parJson = line.split("\"par\":", 2)(1)
+    hot.take(12).foreach(k =>
+      assert(parJson.contains(k), s"hot par entry $k dropped"))
+  }
+
   test("dynamic rung keeps strictly more queries than the old fixed-110 cut") {
     // 200 synthetic queries with 4-char keys — deep into rung-3 territory;
     // the fit-max-K walk must retain well over 110 itemized entries
