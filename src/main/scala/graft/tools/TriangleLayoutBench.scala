@@ -64,9 +64,13 @@ object TriangleLayoutBench {
     }
 
     // variant B: bucketed ed — wedge join co-located off the scan
+    // (repartition-first = one file per bucket, the shipped form: the
+    // scan then reports the sortBy ordering and the SMJ needs at most
+    // the self-join wart's one local sort)
     time("bucketed-layout") {
       spark.sql("DROP TABLE IF EXISTS graft_tribench_ed")
-      orientedEdges.write.mode("overwrite")
+      orientedEdges.repartition(cpus.toInt, col("u"))
+        .write.mode("overwrite")
         .bucketBy(cpus.toInt, "u").sortBy("u")
         .format("parquet").saveAsTable("graft_tribench_ed")
       val edb = spark.table("graft_tribench_ed")

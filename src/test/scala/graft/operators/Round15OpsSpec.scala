@@ -146,6 +146,41 @@ class Round15OpsSpec extends AnyFunSuite with SparkFixture {
       s"repaired recall $hitsRepaired fell below rebuild $hitsRebuild - 2")
   }
 
+  test("triangle build plan: the bucketed oriented-edge layout makes the " +
+      "wedge self-join exchange-free AND sort-free (only the closing " +
+      "join shuffles)") {
+    // disable broadcast so the spec sees the AT-SCALE shape (at sf0.001
+    // the planner rightly broadcasts the tiny table instead; at bench/
+    // cluster scale the wedge join is the bucketed sort-merge join
+    // pinned here)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = GraphQueries
+        .triangleTriplesBuild(spark, sf, useBloom = false)
+        .queryExecution.executedPlan.toString
+      // the wedge join must ride the bucketing metadata: both inputs
+      // scan the bucketed table directly (no exchange, and sortBy(u)
+      // means no sort either), so the ONLY shuffles in the whole build
+      // are the closing join's two sides (keyed (w1, w2) — a key no
+      // u-layout can pre-co-locate)
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"),
+        "wedge inputs must be bucketed scans")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 2,
+        s"expected exactly the closing join's 2 shuffles, found $shuffles:\n" +
+          plan.take(3000))
+      // at most ONE partition-local sort survives: Spark's planner only
+      // propagates the scan's sortBy ordering to one side of a bucketed
+      // SELF-join (the re-aliased side's ordering attribute no longer
+      // matches its required ordering) — a known wart, and crucially a
+      // per-bucket in-memory sort, NOT an exchange
+      val sorts = "\\+- Sort ".r.findAllIn(plan).size
+      assert(sorts <= 1,
+        s"bucketed+sorted scans need at most the self-join wart's one " +
+          s"local sort, found $sorts")
+    }
+  }
+
   test("materializeCtes: anchored rewrite — real CTEs (bare and with " +
       "column lists) rewritten, string literals untouched, non-CTE " +
       "' AS (' throws") {
