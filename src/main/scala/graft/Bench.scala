@@ -121,6 +121,70 @@ object Bench {
       if (acc == Long.MinValue) println(acc) // defeat dead-code elim
       (System.nanoTime() - t0) / 1e9
     }
+    // SUSTAINED ALL-CORE SENTINEL (r15 verdict task 1): the ~35 ms
+    // parSentinel above is BURST-sized — a cgroup CFS quota
+    // (cpu.max-style) admits short bursts at full width and throttles
+    // only SUSTAINED saturation, so in the r15 driver pass the codec
+    // rows inflated 2.2–2.7× while every between-query probe read flat.
+    // This probe is the same fixed decode loop run long enough (≥1 s
+    // per task) to cross the quota enforcement period many times: under
+    // an idle unthrottled machine it reads ~proportional to parSentinel
+    // (×SusScale); under a burst-tolerant quota it inflates exactly the
+    // way the 2–5 s sustained all-core codec stages do. Run 3 times
+    // across the suite (start / middle / end — per-query would add
+    // ~10 min of wall), reported as `sus` beside par_med.
+    val SusScale = 100 // 100 × ~12 ms/task ≈ 1.2 s sustained per task
+    def susSentinel(): Double = {
+      val t0 = System.nanoTime()
+      val acc = spark.sparkContext
+        .parallelize(0 until nCores, nCores)
+        .map { _ =>
+          val bytes = fixtureB.value
+          var i = 0
+          var a = 0L
+          while (i < 400 * SusScale) {
+            val img = graft.multimodal.JpegCodec.decode(bytes).get
+            a += graft.multimodal.JpegCodec.pixelSum(img)
+            i += 1
+          }
+          a
+        }.reduce(_ + _)
+      if (acc == Long.MinValue) println(acc) // defeat dead-code elim
+      (System.nanoTime() - t0) / 1e9
+    }
+    // CGROUP THROTTLE COUNTERS (r15 verdict task 1): the direct
+    // instrument for the quota hypothesis — CFS throttling is RECORDED
+    // by the kernel in cpu.stat (nr_throttled periods, throttled time),
+    // which a wall-clock probe can only infer. Snapshot before/after
+    // every query's timed runs and emit the per-query delta: a slow row
+    // with a nonzero throttle delta is environment (quota), a slow row
+    // with zero throttle + flat sentinels is a real regression. Reads
+    // cgroup v1 (throttled_time, ns) or v2 (throttled_usec, µs),
+    // normalized to seconds; (-1,-1) when neither file is readable.
+    def throttleStat(): (Long, Double) = {
+      def parse(path: String, timeKey: String, toSec: Double): Option[(Long, Double)] =
+        try {
+          val txt = new String(Files.readAllBytes(Paths.get(path)),
+            StandardCharsets.UTF_8)
+          val kv = txt.linesIterator.map(_.split("\\s+")).collect {
+            case Array(k, v) => k -> v.toLong }.toMap
+          for (n <- kv.get("nr_throttled"); t <- kv.get(timeKey))
+            yield (n, t * toSec)
+        } catch { case _: Throwable => None }
+      parse("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1e-9)
+        .orElse(parse("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1e-6))
+        .getOrElse((-1L, -1.0))
+    }
+    // the quota itself, recorded once in BENCH_SELF (v1: quota/period µs,
+    // -1 = unlimited; v2: "max 100000" or "<quota> <period>")
+    val cpuQuota: String = {
+      def rd(p: String) = try Some(new String(Files.readAllBytes(Paths.get(p)),
+        StandardCharsets.UTF_8).trim) catch { case _: Throwable => None }
+      (for (q <- rd("/sys/fs/cgroup/cpu/cpu.cfs_quota_us");
+            p <- rd("/sys/fs/cgroup/cpu/cpu.cfs_period_us"))
+        yield s"$q/$p us").orElse(rd("/sys/fs/cgroup/cpu.max"))
+        .getOrElse("unknown").replaceAll("[^A-Za-z0-9_/ .-]", "")
+    }
     // warmup: exercise scan + shuffle + codegen machinery once, untimed
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
     sentinel() // warm the probe's own codegen path too
@@ -131,9 +195,13 @@ object Bench {
     parSentinel() // twice: the first all-core pass still reads ~2×
                   // steady state (measured) — scheduler pools, codegen
                   // of the reduce, and per-thread JIT all land on it
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    // sustained-probe positions: suite start, midpoint, end (see
+    // susSentinel above) — indexed so BENCH_SELF records WHEN each ran
+    val susAt = Set(0, named.size / 2, named.size - 1)
+    val susRuns = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val results = named.zipWithIndex.map { case ((name, fn), qi) =>
       // noop sink materializes EVERY output column (count() would let
       // Catalyst prune expensive projections and under-measure)
       def once(): Double = {
@@ -153,6 +221,7 @@ object Bench {
       val sent = sentinel()
       val cpuSent = cpuSentinel()
       val parSent = parSentinel()
+      if (susAt(qi)) susRuns += ((qi, susSentinel()))
       // scratch-memo builds (winnow ladder, substr starts, IVF layouts,
       // …) are once-per-process: whichever consumer runs FIRST pays the
       // build inside its first timed run, and min-of-runs then reports
@@ -161,9 +230,16 @@ object Bench {
       // build". Snapshot the build ledger around the runs and report the
       // delta per query (r8 verdict task 1).
       val memoBefore = graft.operators.Shared.memoBuildLedger.values.sum
+      // throttle counters bracket ONLY the timed runs, so a nonzero
+      // delta is attributable to this query's own stages
+      val (thrN0, thrS0) = throttleStat()
       val two = Seq(once(), once())
       // slow tail: one more attempt to separate intrinsic cost from hiccups
       val runs = if (two.forall(_ >= 0) && two.min > 1.5) two :+ once() else two
+      val (thrN1, thrS1) = throttleStat()
+      val (thrN, thrS) =
+        if (thrN0 < 0 || thrN1 < 0) (-1L, -1.0)
+        else (thrN1 - thrN0, thrS1 - thrS0)
       val memoPaid =
         graft.operators.Shared.memoBuildLedger.values.sum - memoBefore
       // report the full run spread, not just the min: a driver-vs-self
@@ -172,9 +248,9 @@ object Bench {
       // verdict task 5 — q59/q60/q62 doubled driver-side with no code
       // change, and the bench gave no variance evidence either way)
       val best = if (runs.exists(_ < 0)) -1.0 else runs.min
-      name -> (best, runs, sent, memoPaid, cpuSent, parSent)
+      QRow(name, best, runs, sent, memoPaid, cpuSent, parSent, thrN, thrS)
     }
-    val bests = results.map { case (k, (best, _, _, _, _, _)) => k -> best }
+    val bests = results.map(r => r.name -> r.best)
     // failed queries (-1 sentinel) must invalidate the suite, not shrink the
     // total: exclude them from the sum, list them, and exit nonzero
     val failed = bests.collect { case (k, v) if v < 0 => k }
@@ -186,18 +262,18 @@ object Bench {
     // regression are distinguishable after the fact
     val fullQs = bests.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val spreadQs = results.map { case (k, (_, runs, _, _, _, _)) =>
-      "\"" + k + "\":[" + fmt(runs.min, 4) + "," + fmt(runs.max, 4) + "]"
+    val spreadQs = results.map { r =>
+      "\"" + r.name + "\":[" + fmt(r.runs.min, 4) + "," + fmt(r.runs.max, 4) + "]"
     }.mkString("{", ",", "}")
     // per-query load sentinel (see sentinel() scaladoc): flat ≈ idle run;
     // suite-wide inflation ≈ contended machine, not a code regression
-    val sentQs = results.map { case (k, (_, _, sent, _, _, _)) =>
-      "\"" + k + "\":" + fmt(sent, 4)
+    val sentQs = results.map { r =>
+      "\"" + r.name + "\":" + fmt(r.sent, 4)
     }.mkString("{", ",", "}")
     // memo-build attribution: seconds of once-per-process scratch builds
     // this query's timed runs paid (first payer); warm cost ≈ best − memo
-    val memoQs = results.collect { case (k, (_, _, _, m, _, _)) if m > 0.005 =>
-      "\"" + k + "\":" + fmt(m, 4)
+    val memoQs = results.collect { case r if r.memoPaid > 0.005 =>
+      "\"" + r.name + "\":" + fmt(r.memoPaid, 4)
     }.mkString("{", ",", "}")
     // per-TAG memo ledger: memo_build above says which QUERY paid; this
     // says which BUILD it paid for (a query's first run can trigger
@@ -209,19 +285,28 @@ object Bench {
     // per-query sustained-CPU sentinel (see cpuSentinel() above): flat ≈
     // uncontended cores; inflated exactly where a decode-family row is
     // inflated ≈ per-core contention, not a codec regression
-    val cpuSentQs = results.map { case (k, (_, _, _, _, cs, _)) =>
-      "\"" + k + "\":" + fmt(cs, 4)
+    val cpuSentQs = results.map { r =>
+      "\"" + r.name + "\":" + fmt(r.cpuSent, 4)
     }.mkString("{", ",", "}")
     // per-query ALL-CORE sustained-CPU sentinel (see parSentinel() above):
     // flat ≈ all cores free; inflated where codec rows are inflated ≈
     // measured sibling-core load — the r14 attribution instrument
-    val parSentQs = results.map { case (k, (_, _, _, _, _, ps)) =>
-      "\"" + k + "\":" + fmt(ps, 4)
+    val parSentQs = results.map { r =>
+      "\"" + r.name + "\":" + fmt(r.parSent, 4)
     }.mkString("{", ",", "}")
-    val parSorted = results.map(_._2._6).sorted
+    // per-query cgroup throttle deltas (r15 verdict task 1): nonzero on a
+    // row ≈ the kernel throttled that query's own stages (quota), the
+    // direct evidence wall-clock probes can only infer
+    val thrQs = results.map { r =>
+      "\"" + r.name + "\":[" + r.thrN + "," + fmt(r.thrSec, 4) + "]"
+    }.mkString("{", ",", "}")
+    val susJson = susRuns
+      .map { case (qi, v) => "\"" + qi + "\":" + fmt(v, 4) }
+      .mkString("{", ",", "}")
+    val parSorted = results.map(_.parSent).sorted
     val parMed =
       if (parSorted.isEmpty) 0.0 else parSorted(parSorted.size / 2)
-    val sentSorted = results.map(_._2._3).sorted
+    val sentSorted = results.map(_.sent).sorted
     val sentMed =
       if (sentSorted.isEmpty) 0.0 else sentSorted(sentSorted.size / 2)
     val totalStr = fmt(total, 2)
@@ -235,24 +320,32 @@ object Bench {
     // would corrupt the committed artifact — fall back to "unlabeled"
     val prov = sys.env.get("SPARK_GRAFT_PROVENANCE")
       .filter(_.matches("[A-Za-z0-9_-]+")).getOrElse("unlabeled")
-    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"memo_tags":$memoTags,"cpu_sentinel":$cpuSentQs,"par_sentinel":$parSentQs,"par_sentinel_median":${fmt(parMed, 4)},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullJson = s"""{"metric":"total","value":$totalStr,"unit":"sec","provenance":"$prov","queries":$fullQs,"spread":$spreadQs,"sentinel":$sentQs,"sentinel_median":${fmt(sentMed, 4)},"memo_build":$memoQs,"memo_tags":$memoTags,"cpu_sentinel":$cpuSentQs,"par_sentinel":$parSentQs,"par_sentinel_median":${fmt(parMed, 4)},"throttle":$thrQs,"sustained":$susJson,"cpu_quota":"$cpuQuota","failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
     val memoAttr = results.collect {
-      case (k, (_, _, _, m, _, _)) if m > 0.005 => k -> m }
+      case r if r.memoPaid > 0.005 => r.name -> r.memoPaid }
     val sentSlow = results.collect {
-      case (k, (best, _, sent, _, _, _)) if best > 1.0 => k -> sent }
+      case r if r.best > 1.0 => r.name -> r.sent }
     // the par map keys on INFLATED PROBES (top by par-sentinel value),
     // not slow queries: the instrument's job is to flag the instants
     // where sibling-core load existed, whichever row it landed on
-    val parHot = results.map { case (k, (_, _, _, _, _, ps)) => k -> ps }
+    val parHot = results.map(r => r.name -> r.parSent)
+    val thrAll = results.map(r => r.name -> r.thrSec)
+    val thrTotal =
+      if (results.exists(_.thrN < 0)) -1L else results.map(_.thrN).sum
     println(stdoutLine(bests, failed, sfDir, sentMed, memoAttr, sentSlow,
-      parHot, parMed))
+      parHot, parMed, thrAll, thrTotal, susRuns.map(_._2).toSeq))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
+
+  /** one measured query row — see the main loop for field semantics */
+  private final case class QRow(name: String, best: Double,
+      runs: Seq[Double], sent: Double, memoPaid: Double, cpuSent: Double,
+      parSent: Double, thrN: Long, thrSec: Double)
 
   /** Char budget for the stdout JSON line: the driver captures only the
     * last ~2000 chars of stdout, so anything longer parses as nothing
@@ -276,7 +369,10 @@ object Bench {
       memo: Seq[(String, Double)] = Nil,
       sentSlow: Seq[(String, Double)] = Nil,
       parHot: Seq[(String, Double)] = Nil,
-      parMed: Double = -1.0): String = {
+      parMed: Double = -1.0,
+      thrAll: Seq[(String, Double)] = Nil,
+      thrTotal: Long = -1L,
+      sus: Seq[Double] = Nil): String = {
     def fmt(v: Double, dec: Int): String =
       if (v < 0) "-1" else s"%.${dec}f".format(v)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -299,15 +395,42 @@ object Bench {
     val byTime = results.toMap
     val sentTop = sentSlow
       .sortBy { case (k, _) => (-byTime.getOrElse(k, 0.0), k) }.take(20)
-    // par: the 12 HOTTEST all-core probes (by probe time, not query
-    // time) — the rows where sibling-core load was measured, which is
-    // exactly where a >2×-idle codec row needs its attribution read from
-    val parTop = parHot.sortBy { case (k, v) => (-v, k) }.take(12)
-    val extras = s""""memo":${kvJson(memo)},"sent":${kvJson(sentTop)},"par":${kvJson(parTop, 3)}"""
+    // par: evidence for EVERY query row from this line alone (r15 verdict
+    // task 3 — attributing the codec rows required the gitignored
+    // BENCH_SELF.json). 96 itemized rows × 14 chars of literal columns
+    // cannot fit the driver's 2000-char tail window, so the encoding is
+    // exact-but-split: every probe ELEVATED above 4/3 × par_med is listed
+    // with its value (capped at the 24 hottest — beyond that the run is
+    // contended suite-wide and par_med itself says so), and
+    // `par_flat_max` is the maximum over ALL unlisted probes — so any
+    // row absent from the map is pinned flat by that single bound, and a
+    // slow row with par ≤ par_flat_max ≈ par_med is a real regression,
+    // readable without any side artifact.
+    val parSorted = parHot.sortBy { case (k, v) => (-v, k) }
+    val parElev =
+      if (parMed <= 0) parSorted.take(12)
+      else parSorted.takeWhile(_._2 > parMed * 4 / 3).take(24)
+    val parListed = parElev.map(_._1).toSet
+    val parFlatMax = parHot.collect {
+      case (k, v) if !parListed(k) => v }.maxOption.getOrElse(-1.0)
+    // thr: cgroup throttle seconds per query — nonzero only where the
+    // kernel actually throttled that query's stages (quota evidence);
+    // thr_n = suite-total throttled periods (-1 = counters unreadable).
+    // Zero-delta rows are omitted: absence + thr_n=0 IS the per-row
+    // evidence (no row anywhere was throttled).
+    val thrNz = thrAll.filter(_._2 > 0.0005)
+      .sortBy { case (k, v) => (-v, k) }.take(12)
+    val susJson = sus.map(fmt(_, 2)).mkString("[", ",", "]")
+    val extras = s""""memo":${kvJson(memo)},"sent":${kvJson(sentTop)},"par":${kvJson(parElev, 3)},"par_flat_max":${fmt(parFlatMax, 3)},"thr":${kvJson(thrNz, 3)},"thr_n":$thrTotal,"sus":$susJson"""
     // sent_med: median load-sentinel time (-1 = not measured); an inflated
     // value marks the whole run as contended — see sentinel() in main.
     // par_med: median ALL-CORE decode-probe time — the baseline the par
-    // map's hot entries are read against
+    // map's hot entries and par_flat_max are read against.
+    // sus: the sustained ≥1s all-core probe's readings (start/mid/end),
+    // read against its own idle baseline in BASELINE.md (NOT par_med ×
+    // SusScale — the burst probe is dispatch-overhead-dominated):
+    // inflated sus over flat par ≈ burst-vs-sustained CPU-quota
+    // throttling (r15 verdict task 1).
     def line(qsJson: String): String =
       s"""{"queries":$qsJson,$extras,"failed":$failedJson,"sf":"$sfDir","sent_med":${fmt(sentMed, 3)},"par_med":${fmt(parMed, 3)},"metric":"total","value":$totalStr,"unit":"sec"}"""
     def render(dec: Int, entries: Seq[(String, Double)], extra: String): String =

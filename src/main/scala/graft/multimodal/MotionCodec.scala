@@ -212,12 +212,23 @@ object MotionCodec {
 
   // ── codec ───────────────────────────────────────────────────────────────
 
-  /** encode a video (w, h multiples of [[B]]; ≥1 frame) */
+  /** encode a video (w, h multiples of [[B]]; ≥1 frame; within the
+    * container's u16 header fields and the decoder's size clamps)
+    */
   def encode(v: Video): Array[Byte] = {
     require(v.w > 0 && v.h > 0 && v.w % B == 0 && v.h % B == 0,
       s"dimensions must be positive multiples of $B")
     require(v.frames.nonEmpty && v.frames.forall(_.length == v.w * v.h),
       "every frame must be w*h bytes")
+    // the header stores w/h/nFrames as u16 and decode() enforces its own
+    // size clamps — an out-of-range video must throw HERE, not silently
+    // truncate the header into a container that decodes to wrong
+    // dimensions (or fails closed) with no hint at the encode site
+    require(v.w <= 65535 && v.h <= 65535 && v.frames.length <= 65535,
+      "w, h, nFrames must fit the container's u16 header fields")
+    require(v.w.toLong * v.h <= (1 << 24) &&
+      v.w.toLong * v.h * v.frames.length <= (1 << 26),
+      "video exceeds the decoder's size clamp (2^24 px/frame, 2^26 total)")
     val head = new java.io.ByteArrayOutputStream
     head.write('M'); head.write('C'); head.write('V'); head.write('1')
     head.write(B); head.write(R); head.write(ScaleBits)

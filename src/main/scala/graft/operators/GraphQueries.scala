@@ -549,7 +549,13 @@ object GraphQueries {
           // did. Table data lives under the janitored scratch root; the
           // catalog entry is per (pid, dataset-md5), so concurrent
           // sessions and dataset regenerations never collide.
-          val edRoot = Shared.scratchRoot("tried", Shared.datasetKey(d))
+          // unique per INVOCATION (r15 ADVICE): the memo serializes the
+          // q-path build, but specs and TriangleLayoutBench call this
+          // builder directly — a fixed per-(pid, dataset) name would let
+          // two in-process invocations race on one catalog entry + data
+          // path, so the write-once contract gets an atomic suffix
+          val edRoot = Shared.scratchRoot(
+            s"tried${triedInvocations.getAndIncrement()}", Shared.datasetKey(d))
           val edTbl = edRoot.getFileName.toString
             .replaceAll("[^A-Za-z0-9_]", "_")
           s.sql(s"DROP TABLE IF EXISTS $edTbl")
@@ -632,4 +638,10 @@ object GraphQueries {
 
   private val triangleMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** per-invocation suffix for the bucketed oriented-edge table — see
+    * [[triangleTriplesBuild]]'s write-once rationale
+    */
+  private val triedInvocations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -444,9 +444,7 @@ object R15Queries {
       // CTE: everything downstream (keyed, kcap, cand, graph, seeds,
       // beam rounds, brute) is then the REBUILT index by construction —
       // the replace is anchored on the c CTE's unique text
-      Some(Shared.materializeCtes(s"""WITH ${SQL_KNN_GRAPH_CTES.replace(
-          "FROM embeddings WHERE vec_id >= 5)",
-          "FROM embeddings WHERE vec_id >= 5 AND vec_id % 7 <> 0)")},
+      Some(Shared.materializeCtes(s"""WITH $SQL_LIVE_GRAPH_CTES,
               $SQL_QSEEDS_CTES,
               b0 AS (SELECT qid, cid, cos FROM (
                   SELECT qid, cid, cos, row_number() OVER (
@@ -474,6 +472,22 @@ object R15Queries {
                 CAST(15 AS BIGINT) AS n_possible"""))
     )
   )
+
+  /** [[SQL_KNN_GRAPH_CTES]] with the live filter patched into the c CTE
+    * — and the patch ASSERTED (r15 ADVICE): a silent `replace` no-op
+    * after anchor drift would rebuild the oracle over the FULL corpus
+    * and surface only as an undiagnosable hash mismatch at Verify time,
+    * so the fail-loud discipline `materializeCtes` adopted applies here
+    * too. A `def` (not a val): `all` interpolates it during object init.
+    */
+  private def SQL_LIVE_GRAPH_CTES: String = {
+    val anchor = "FROM embeddings WHERE vec_id >= 5)"
+    val patched = SQL_KNN_GRAPH_CTES.replace(anchor,
+      "FROM embeddings WHERE vec_id >= 5 AND vec_id % 7 <> 0)")
+    require(patched != SQL_KNN_GRAPH_CTES,
+      s"q503 live-filter anchor not found in SQL_KNN_GRAPH_CTES: $anchor")
+    patched
+  }
 
   /** the live-corpus rebuild graph (q503's gold standard), materialized
     * once per (process, dataset) to scratch beside the full graph's

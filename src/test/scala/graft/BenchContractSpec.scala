@@ -132,6 +132,55 @@ class BenchContractSpec extends AnyFunSuite {
       assert(parJson.contains(k), s"hot par entry $k dropped"))
   }
 
+  test("per-row par evidence is complete from the line alone: elevated " +
+      "probes itemized, every unlisted row pinned by par_flat_max") {
+    // r15 verdict task 3: attributing a slow row's par sentinel must not
+    // require BENCH_SELF.json. Encoding: probes > 4/3 × par_med are
+    // listed with values; par_flat_max bounds ALL unlisted probes.
+    val names = SparkEntry.defs.map(_.name).sorted
+    val results = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 + (i % 40) * 0.25) }
+    val par = results.zipWithIndex.map { case ((nm, _), i) =>
+      (nm, if (i % 97 == 0) 0.456 else 0.030 + (i % 7) * 0.001) }
+    val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1",
+      0.1, Nil, Nil, par, 0.033)
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    // every elevated probe (0.456 > 4/3 × 0.033) is itemized
+    val parJson = line.split("\"par\":", 2)(1).split("},", 2)(0)
+    par.filter(_._2 > 0.1).foreach { case (nm, _) =>
+      assert(parJson.contains("\"" + nm.takeWhile(_ != '_') + "\":0.456"),
+        s"elevated probe $nm dropped") }
+    // no flat probe is itemized; the flat bound covers them all instead
+    assert(!parJson.contains(":0.03"), parJson.take(200))
+    val flatMax = """"par_flat_max":([0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1).toDouble
+    val unlisted = par.filter(_._2 <= 0.1).map(_._2)
+    assert(flatMax >= unlisted.max && flatMax < 0.1,
+      s"par_flat_max $flatMax must bound exactly the unlisted probes")
+  }
+
+  test("throttle + sustained instrumentation renders inside the budget") {
+    // r15 verdict task 1: per-query cgroup throttle deltas (nonzero rows
+    // itemized, thr_n = suite total) and the 3 sustained all-core probe
+    // readings, all from the stdout line alone
+    val names = SparkEntry.defs.map(_.name).sorted
+    val results = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 + (i % 40) * 0.25) }
+    val sentSlow = results.filter(_._2 >= 1.0).map { case (nm, _) => (nm, 0.1) }
+    val par = results.map { case (nm, _) => (nm, 0.034) }
+    val thr = results.zipWithIndex.map { case ((nm, _), i) =>
+      (nm, if (i % 101 == 0) 1.234 else 0.0) }
+    val line = Bench.stdoutLine(results, Seq.empty, "/root/testdata/sf0.1",
+      0.1, Nil, sentSlow, par, 0.034, thr, 42L, Seq(1.21, 1.19, 1.25))
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} chars")
+    assert(line.contains("\"thr_n\":42"), line.takeRight(300))
+    assert(line.contains("\"sus\":[1.21,1.19,1.25]"), line.takeRight(400))
+    val thrJson = line.split("\"thr\":", 2)(1)
+    thr.filter(_._2 > 0).foreach { case (nm, _) =>
+      assert(thrJson.contains("\"" + nm.takeWhile(_ != '_') + "\":1.234"),
+        s"throttled row $nm dropped") }
+  }
+
   test("dynamic rung keeps strictly more queries than the old fixed-110 cut") {
     // 200 synthetic queries with 4-char keys — deep into rung-3 territory;
     // the fit-max-K walk must retain well over 110 itemized entries

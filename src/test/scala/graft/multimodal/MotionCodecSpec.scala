@@ -102,6 +102,27 @@ class MotionCodecSpec extends AnyFunSuite {
     assert(MotionCodec.decode(badW).isEmpty)
   }
 
+  test("encode fails loud on videos outside the u16 header fields or the " +
+      "decoder's size clamps (no silent header truncation)") {
+    // u16 overflow: 65536 frames would truncate the nFrames field to 0
+    val one = lcgBytes(9, 64)
+    intercept[IllegalArgumentException] {
+      MotionCodec.encode(MotionCodec.Video(8, 8, Array.fill(65536)(one)))
+    }
+    // per-frame clamp: 2^12 × 2^13 = 2^25 px > the decoder's 2^24/frame —
+    // an encode would produce a container its own decoder rejects
+    intercept[IllegalArgumentException] {
+      MotionCodec.encode(MotionCodec.Video(4096, 8192,
+        Array(new Array[Byte](4096 * 8192))))
+    }
+    // total clamp: 2^24 px/frame is legal per frame, but 8 frames make
+    // 2^27 > the decoder's 2^26 total
+    intercept[IllegalArgumentException] {
+      MotionCodec.encode(MotionCodec.Video(4096, 4096,
+        Array.fill(8)(new Array[Byte](4096 * 4096))))
+    }
+  }
+
   test("the q500 generative clip replays: decoded weighted checksum " +
       "equals the closed-form formula (the oracle's identity)") {
     val key = 42L
