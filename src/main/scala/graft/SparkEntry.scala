@@ -56,7 +56,8 @@ object SparkEntry {
       operators.R13iQueries.all ++
       operators.R13jQueries.all ++
       operators.R14Queries.all ++
-      operators.R15Queries.all
+      operators.R15Queries.all ++
+      operators.R16Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is SURVEY.md §7.2's minimum slice: pruned scan → filter → hash

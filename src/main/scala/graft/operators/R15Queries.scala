@@ -22,7 +22,7 @@ object R15Queries {
     * node's best live out-neighbors — 3 here (the per-layer M schedule's
     * smallest rungs), so repair adds at most 3·deg edges per tombstone
     */
-  private final val RepairM = 3
+  private[operators] final val RepairM = 3
 
   val all: Seq[QueryDef] = Seq(
 

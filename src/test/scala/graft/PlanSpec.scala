@@ -315,6 +315,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q463_ann_tombstone_serve" /* 4-row hub-panel fallback broadcast, like q439's seeds */,
       "q499_hnsw_tombstone_repair" /* 4-row hub panels (old + repaired graph) + 5-row probe broadcast for seeds/brute, like q463/q462 */,
       "q503_hnsw_rebuild_serve" /* 4-row rebuilt-graph hub panel + 5-row probe broadcast for seeds/brute, like q499 */,
+      "q504_ann_churn_loop" /* 4-row hub panel + 5-row probe broadcast for the maintained serve's seeds, like q499/q503 */,
       "q464_embedding_qa" /* cross join of two single-row aggregates, like q89 */,
       "q466_doc_length_drift" /* 1-row grand total broadcast onto the bounded source×bucket grid, like q410 */,
       "q467_write_shard_plan" /* 1-row plan row broadcast onto the doc scan + shard grain, like q449 */,
