@@ -1046,6 +1046,241 @@ object Multimodal {
     })
   }
 
+  // ── MP4 path: JPEG samples behind the ISO-BMFF sample tables (the
+  //    container family modern corpora carry — Mp4Codec walk × JpegCodec
+  //    frames, the mjpeg composition re-hosted) ──────────────────────────
+
+  /** MP4 media keyed like [[mjpegMediaKeyed]] (same block-constant
+    * exact-recovery frames, same [[mjpegBlockValue]] formula the oracle
+    * mirrors), but wrapped in the REAL ISO-BMFF container: ftyp + mdat +
+    * moov with full stsd/stts/stsc/stsz/stco tables, multi-chunk layout
+    * (3 + 2 + … samples per chunk) so stsc run expansion does real work
+    */
+  def mp4MediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ck = id % keyMod
+      val nf = (ck % 3 + 2).toInt
+      val frames = (0 until nf).map { f =>
+        val px = new Array[Byte](32 * 32)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val b = (y / 8) * 4 + x / 8
+            px(y * 32 + x) = mjpegBlockValue(ck, f, b).toByte
+            x += 1
+          }
+          y += 1
+        }
+        JpegCodec.Jpeg(32, 32, 1, px)
+      }
+      id -> Mp4Codec.encode(Mp4Codec.Mp4(1000000, 40000, frames))
+    })
+  }
+
+  final case class Mp4Stats(media_id: Long, n_frames: Long, n_chunks: Long,
+      duration_ticks: Long, width: Long, height: Long, sum_px: Long)
+
+  /** REAL MP4 decode → features: the full box walk + sample-table
+    * expansion, every sample through the baseline JPEG pipeline, plus
+    * the table-grain audit columns (chunk count from stco, duration from
+    * stts × stsz count) so the WALK, not just the frames, is under the
+    * oracle hash. Undecodable rows are dropped (never crash, never fake).
+    */
+  def mp4PixelStats(media: Dataset[(Long, Array[Byte])]): Dataset[Mp4Stats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      for {
+        st <- Mp4Codec.sampleTable(bytes)
+        v <- Mp4Codec.decode(bytes)
+        if v.frames.nonEmpty
+      } yield {
+        var tot = 0L
+        v.frames.foreach { img =>
+          var i = 0
+          while (i < img.pixels.length) { tot += img.pixels(i) & 0xff; i += 1 }
+        }
+        Mp4Stats(id, v.frames.length.toLong, st.nChunks.toLong,
+          v.frames.length.toLong * st.sampleDelta,
+          v.frames.head.width.toLong, v.frames.head.height.toLong, tot)
+      }
+    })
+  }
+
+  /** multi-track MP4 media: the q505 JPEG video trak PLUS a mono μ-law
+    * audio trak (entry `ulaw`, 8000 Hz, uniform-stsz single-byte
+    * samples, 16-sample chunks + remainder), the two traks' chunks
+    * INTERLEAVED in one mdat — so per-trak stco/stsc independence is
+    * load-bearing: a reader that assumes contiguous per-track payload
+    * reads the other track's bytes. Audio content is the q253 linear
+    * ramp s(i) = ((id·11 + i·7) mod 2003) − 1001 through the REAL μ-law
+    * encoder, so the decoded samples are the closed-form encode∘decode
+    * the oracle replays.
+    */
+  def mp4AvMediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ck = id % keyMod
+      val nf = (ck % 3 + 2).toInt
+      val frames = (0 until nf).map { f =>
+        val px = new Array[Byte](32 * 32)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val b = (y / 8) * 4 + x / 8
+            px(y * 32 + x) = mjpegBlockValue(ck, f, b).toByte
+            x += 1
+          }
+          y += 1
+        }
+        JpegCodec.encode(JpegCodec.Jpeg(32, 32, 1, px))
+      }
+      val na = (ck % 40 + 20).toInt
+      val audio = (0 until na).map { i =>
+        Array(MuLawCodec.encodeSample(
+          (((ck * 11 + i * 7) % 2003) - 1001).toInt))
+      }
+      val video = Mp4Codec.Track("jpeg", "vide", 1000000, 40000, 32, 32,
+        frames, Mp4Codec.chunkSizes(nf))
+      val audioChunks =
+        Seq.fill(na / 16)(16) ++ (if (na % 16 > 0) Seq(na % 16) else Nil)
+      val audioTrack = Mp4Codec.Track("ulaw", "soun", 8000, 1, 0, 0,
+        audio, audioChunks, uniformStsz = true)
+      id -> Mp4Codec.encodeMux(Seq(video, audioTrack))
+    })
+  }
+
+  final case class Mp4AvStats(media_id: Long, n_frames: Long, n_audio: Long,
+      v_chunks: Long, a_chunks: Long, v_dur_ticks: Long, a_dur_ticks: Long,
+      sum_px: Long, sum_abs_dec: Long, sum_sq_dec: Long)
+
+  /** multi-track MP4 decode → features: the walk must surface EXACTLY
+    * one `vide` and one `soun` trak; every video sample decodes through
+    * the baseline JPEG pipeline, every audio sample through the μ-law
+    * expander; table-grain audit columns (per-trak chunk counts and
+    * stts×stsz durations) ride beside the content sums so the per-trak
+    * walk — not just the payloads — is under the oracle hash.
+    * Undecodable rows are dropped (never crash, never fake).
+    */
+  def mp4AvStats(media: Dataset[(Long, Array[Byte])]): Dataset[Mp4AvStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      for {
+        sts <- Mp4Codec.sampleTables(bytes)
+        vt <- sts.find(_.handler == "vide")
+        at <- sts.find(_.handler == "soun")
+        if sts.length == 2 && vt.entry == "jpeg" && at.entry == "ulaw"
+        frames = vt.spans.map { case (off, sz) =>
+          JpegCodec.decode(java.util.Arrays.copyOfRange(bytes, off, off + sz))
+        }
+        if frames.nonEmpty && frames.forall(_.isDefined)
+      } yield {
+        var sumPx = 0L
+        frames.foreach { f =>
+          val px = f.get.pixels
+          var i = 0
+          while (i < px.length) { sumPx += px(i) & 0xff; i += 1 }
+        }
+        var sumAbs = 0L
+        var sumSq = 0L
+        at.spans.foreach { case (off, sz) =>
+          var i = 0
+          while (i < sz) {
+            val s = MuLawCodec.decodeSample(bytes(off + i)).toLong
+            sumAbs += math.abs(s)
+            sumSq += s * s
+            i += 1
+          }
+        }
+        val nAudio = at.spans.length.toLong // 1 μ-law byte per sample
+        Mp4AvStats(id, frames.length.toLong, nAudio,
+          vt.nChunks.toLong, at.nChunks.toLong,
+          frames.length.toLong * vt.sampleDelta, nAudio * at.sampleDelta,
+          sumPx, sumAbs, sumSq)
+      }
+    })
+  }
+
+  /** fragmented-MP4 media (fMP4 — the DASH/HLS live layout): the SAME
+    * exact-recovery JPEG frames as [[mp4MediaKeyed]], but carried as
+    * moof/mdat fragment pairs behind an empty-table moov + mvex/trex —
+    * no finalized sample table anywhere in the file. The fragment
+    * schedule is deliberately non-uniform (2 samples in the first
+    * fragment, 1 in each after) so the per-moof trun expansion and the
+    * 1-based mfhd sequence check both do real work.
+    */
+  def mp4FragMediaKeyed(docs: DataFrame,
+      keyMod: Long): Dataset[(Long, Array[Byte])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ck = id % keyMod
+      val nf = (ck % 3 + 2).toInt
+      val frames = (0 until nf).map { f =>
+        val px = new Array[Byte](32 * 32)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val b = (y / 8) * 4 + x / 8
+            px(y * 32 + x) = mjpegBlockValue(ck, f, b).toByte
+            x += 1
+          }
+          y += 1
+        }
+        JpegCodec.encode(JpegCodec.Jpeg(32, 32, 1, px))
+      }
+      val t = Mp4Codec.Track("jpeg", "vide", 1000000, 40000, 32, 32,
+        frames, Mp4Codec.chunkSizes(nf))
+      val sched = if (nf <= 2) Seq(nf) else 2 +: Seq.fill(nf - 2)(1)
+      id -> Mp4Codec.encodeFragmented(t, sched)
+    })
+  }
+
+  final case class Mp4FragStats(media_id: Long, n_frames: Long,
+      n_frags: Long, duration_ticks: Long, width: Long, height: Long,
+      sum_px: Long)
+
+  /** fMP4 decode → features: the moof/tfhd/trun fragment walk (trex
+    * default duration, per-moof absolute spans), every sample through
+    * the baseline JPEG pipeline; the fragment count and the trex-derived
+    * duration ride beside the pixel sum so the FRAGMENT walk — not just
+    * the frames — is under the oracle hash. Undecodable rows dropped.
+    */
+  def mp4FragStats(media: Dataset[(Long, Array[Byte])])
+      : Dataset[Mp4FragStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      for {
+        ft <- Mp4Codec.fragmentTable(bytes)
+        if ft.entry == "jpeg"
+        frames = ft.frags.flatten.map { case (off, sz) =>
+          JpegCodec.decode(java.util.Arrays.copyOfRange(bytes, off, off + sz))
+        }
+        if frames.nonEmpty && frames.forall(_.isDefined)
+      } yield {
+        var tot = 0L
+        frames.foreach { f =>
+          val px = f.get.pixels
+          var i = 0
+          while (i < px.length) { tot += px(i) & 0xff; i += 1 }
+        }
+        Mp4FragStats(id, frames.length.toLong, ft.frags.length.toLong,
+          frames.length.toLong * ft.sampleDelta,
+          frames.head.get.width.toLong, frames.head.get.height.toLong, tot)
+      }
+    })
+  }
+
   // ── REAL audio path: PCM WAV (see [[WavCodec]]) ────────────────────────
 
   final case class WavStats(media_id: Long, sample_rate: Long,

@@ -519,7 +519,14 @@ object R15Queries {
     * for real, while the formula stays one line of modular arithmetic
     * the DuckDB oracle mirrors verbatim ([[SQL_CLIP_PIX]])
     */
-  private def encodeClip(key: Long): Array[Byte] = {
+  private def encodeClip(key: Long): Array[Byte] =
+    graft.multimodal.MotionCodec.encode(clipVideo(key))
+
+  /** the raw [[MotionCodec.Video]] behind [[encodeClip]] — exposed so
+    * q506 can re-host the identical clip inside the MP4 motion track
+    */
+  private[operators] def clipVideo(key: Long)
+      : graft.multimodal.MotionCodec.Video = {
     val frames = Array.tabulate(3) { fi =>
       val px = new Array[Byte](256)
       var y = 0
@@ -534,14 +541,13 @@ object R15Queries {
       }
       px
     }
-    graft.multimodal.MotionCodec.encode(
-      graft.multimodal.MotionCodec.Video(16, 16, frames))
+    graft.multimodal.MotionCodec.Video(16, 16, frames)
   }
 
   /** the oracle's mirror of [[encodeClip]]'s pixel formula at (fi, p)
     * with p = 16y + x (so y = p // 16, x = p % 16)
     */
-  private def sqlClipPix(key: String): String =
+  private[operators] def sqlClipPix(key: String): String =
     s"""(($key * 31 + ((((p // 16) + fi) % 16) * 16 +
        ((p % 16) + 2 * fi) % 16) * 7) % 256)"""
 

@@ -247,8 +247,339 @@ object R16Queries {
                 s4_edges, n_hits_maintained, n_hits_gold,
                 CAST(15 AS BIGINT) AS n_possible
               FROM ns"""))
+    ),
+
+    // ── MP4/ISO-BMFF SAMPLE WALK (JPEG track) ─────────────────────────────
+    QueryDef(
+      "q505_mp4_sample_walk",
+      // q441's decode audit re-hosted in the container family modern
+      // corpora actually carry: each video is nf = id%3+2 block-constant
+      // 32×32 baseline-JPEG frames (the verified mjpegBlockValue
+      // formula) wrapped in a REAL ISO-BMFF file — ftyp + mdat + moov
+      // with full stsd/stts/stsc/stsz/stco tables and a deliberately
+      // NON-uniform chunk layout (3+2+… samples per chunk) so the stsc
+      // run expansion does real work. The query walks the boxes,
+      // expands the sample tables to byte spans, decodes every sample
+      // through the full baseline-JPEG pipeline, and emits table-grain
+      // audit columns (chunk count from stco, duration from stts×stsz)
+      // beside the exact decoded pixel sum — so the WALK and the frames
+      // are both under the oracle hash, which recomputes everything
+      // closed-form (frames are exact-recovery; chunk count and
+      // duration follow from nf alone).
+      //
+      // Shape, and why it scales: per-row byte decode, zero shuffle —
+      // the q441 scan shape.
+      (s, d) => {
+        val m = graft.multimodal.Multimodal
+          .mp4MediaKeyed(graft.Tables.documents(s, d), Long.MaxValue)
+        graft.multimodal.Multimodal.mp4PixelStats(m).toDF()
+      },
+      Some("""WITH g AS (SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf
+                FROM documents),
+              fb AS (SELECT media_id, nf, CAST(f AS BIGINT) AS f,
+                  CAST(b AS BIGINT) AS b,
+                  ((media_id + 3) * (CAST(f AS BIGINT)*17
+                    + CAST(b AS BIGINT)*CAST(b AS BIGINT) + 1) * 7) % 256 AS v
+                FROM g, unnest(range(CAST(nf AS BIGINT))) t(f),
+                  unnest(range(16)) u(b))
+              SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+                CAST(CASE WHEN nf <= 3 THEN 1
+                  ELSE 1 + (nf - 2) // 2 END AS BIGINT) AS n_chunks,
+                CAST(nf * 40000 AS BIGINT) AS duration_ticks,
+                CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+                CAST(sum(v) * 64 AS BIGINT) AS sum_px
+              FROM fb GROUP BY media_id, nf""")
+    ),
+
+    // ── MP4 MOTION TRACK (inter-coded video through the same walk) ────────
+    QueryDef(
+      "q506_mp4_motion_track",
+      // The container walk is codec-AGNOSTIC: the same box/stbl dance
+      // that feeds JPEG samples in q505 here carries one `mcv1` sample
+      // holding a whole motion-compensated MotionCodec stream (q500's
+      // generative clip — the codec owns the GOP, the container sees
+      // one sync sample). Decode: walk → sample span → the full motion
+      // inverse (Exp-Golomb, dequant, inverse DCT, motion compensation).
+      // Exact recovery makes the q500 closed-form oracle apply
+      // verbatim, with the stts-derived duration pinning the walk.
+      //
+      // Shape, and why it scales: per-row encode+decode, one global
+      // aggregation — the q500 shape.
+      (s, d) => {
+        import s.implicits._
+        val media = graft.Tables.documents(s, d).select(col("doc_id"))
+          .as[Long].map { id =>
+            (id, graft.multimodal.Mp4Codec.encodeMotion(1000000, 40000,
+              R15Queries.clipVideo(id)))
+          }
+          .toDF("media_id", "content")
+        val feats = graft.multimodal.Multimodal
+          .decodeFeaturesWith(media) { batch =>
+            batch.map { case (id, bytes) =>
+              for {
+                st <- graft.multimodal.Mp4Codec.sampleTable(bytes)
+                v <- graft.multimodal.Mp4Codec.decodeMotion(bytes)
+              } yield {
+                var sum = 0L
+                var wsum = 0L
+                var fi = 0
+                while (fi < v.frames.length) {
+                  val fr = v.frames(fi)
+                  var p = 0
+                  while (p < fr.length) {
+                    val px = fr(p) & 0xff
+                    sum += px
+                    wsum += (fi + 1L) * (p + 1L) * px
+                    p += 1
+                  }
+                  fi += 1
+                }
+                graft.multimodal.Multimodal.MediaFeatures(id,
+                  Array(v.frames.length.toDouble, sum.toDouble,
+                    wsum.toDouble,
+                    (st.spans.length.toLong * st.sampleDelta).toDouble))
+              }
+            }
+          }
+        feats.toDF().agg(
+          count(lit(1)).as("n_media"),
+          sum(element_at(col("features"), 1)).cast("long").as("n_frames"),
+          sum(element_at(col("features"), 2)).cast("long").as("pix_sum"),
+          sum(element_at(col("features"), 3)).cast("long").as("wsum"),
+          sum(element_at(col("features"), 4)).cast("long")
+            .as("duration_ticks"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id FROM documents),
+              px AS (SELECT doc_id, fi, p,
+                  ${R15Queries.sqlClipPix("doc_id")} AS v
+                FROM d CROSS JOIN (SELECT unnest(range(3)) AS fi)
+                  CROSS JOIN (SELECT unnest(range(256)) AS p))
+              SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_media,
+                CAST(3 * (SELECT count(*) FROM d) AS BIGINT) AS n_frames,
+                CAST((SELECT sum(v) FROM px) AS BIGINT) AS pix_sum,
+                CAST((SELECT sum((fi + 1) * (p + 1) * v) FROM px)
+                  AS BIGINT) AS wsum,
+                CAST(40000 * (SELECT count(*) FROM d) AS BIGINT)
+                  AS duration_ticks""")
+    ),
+
+    // ── MULTI-TRACK MP4 (interleaved audio + video traks) ─────────────────
+    QueryDef(
+      "q507_mp4_multitrack",
+      // The container surface real corpora actually carry: ONE mdat,
+      // TWO traks — q505's JPEG video plus a mono 8 kHz μ-law audio
+      // trak (uniform-stsz single-byte samples, the PCM-family stsz
+      // form) — with the tracks' chunks INTERLEAVED round-robin
+      // (v₀ a₀ v₁ a₁ …), so per-trak stco/stsc independence is
+      // load-bearing: a walk that conflates the traks' tables or
+      // assumes contiguous per-track payload decodes the other track's
+      // bytes. The query decodes BOTH tracks of every file — JPEG
+      // pipeline per video sample, μ-law expander per audio sample —
+      // and emits per-trak table-grain audits (chunk counts, stts×stsz
+      // durations) beside the content sums. Video is exact-recovery;
+      // audio is the REAL lossy μ-law round trip, so the oracle replays
+      // encode∘decode closed-form (the q253 mirror) — lossy-ness itself
+      // is under the hash.
+      //
+      // Shape, and why it scales: per-row byte decode, zero shuffle —
+      // the q441/q505 scan shape.
+      (s, d) => {
+        val m = graft.multimodal.Multimodal
+          .mp4AvMediaKeyed(graft.Tables.documents(s, d), Long.MaxValue)
+        graft.multimodal.Multimodal.mp4AvStats(m).toDF()
+      },
+      Some("""WITH g AS (SELECT doc_id AS media_id,
+                  CAST(doc_id % 3 + 2 AS BIGINT) AS nf,
+                  CAST(doc_id % 40 + 20 AS BIGINT) AS na
+                FROM documents),
+              fb AS (SELECT media_id, nf, CAST(f AS BIGINT) AS f,
+                  CAST(b AS BIGINT) AS b,
+                  ((media_id + 3) * (CAST(f AS BIGINT)*17
+                    + CAST(b AS BIGINT)*CAST(b AS BIGINT) + 1) * 7) % 256 AS v
+                FROM g, unnest(range(nf)) t(f), unnest(range(16)) u(b)),
+              vp AS (SELECT media_id, sum(v) * 64 AS sum_px
+                FROM fb GROUP BY 1),
+              sm AS (SELECT media_id, na, i,
+                  ((media_id*11 + i*7) % 2003) - 1001 AS s
+                FROM g, unnest(range(na)) t(i)),
+              enc AS (SELECT media_id, na, s,
+                  least(abs(s), 32635) + 132 AS a FROM sm),
+              seg AS (SELECT *, CASE WHEN a < 256 THEN 0
+                  WHEN a < 512 THEN 1 WHEN a < 1024 THEN 2
+                  WHEN a < 2048 THEN 3 WHEN a < 4096 THEN 4
+                  WHEN a < 8192 THEN 5 WHEN a < 16384 THEN 6
+                  ELSE 7 END AS e
+                FROM enc),
+              dec AS (SELECT media_id, na,
+                  (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+                  ((((a // (CAST(1 AS BIGINT) << (e + 3))) % 16) * 8 + 132)
+                    * (CAST(1 AS BIGINT) << e) - 132) AS d
+                FROM seg),
+              ap AS (SELECT media_id, max(na) AS na,
+                  sum(abs(d)) AS sum_abs_dec, sum(d*d) AS sum_sq_dec
+                FROM dec GROUP BY 1)
+              SELECT g.media_id, g.nf AS n_frames, ap.na AS n_audio,
+                CAST(CASE WHEN g.nf <= 3 THEN 1
+                  ELSE 1 + (g.nf - 2) // 2 END AS BIGINT) AS v_chunks,
+                CAST(ap.na // 16
+                  + CASE WHEN ap.na % 16 > 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS a_chunks,
+                CAST(g.nf * 40000 AS BIGINT) AS v_dur_ticks,
+                CAST(ap.na AS BIGINT) AS a_dur_ticks,
+                CAST(vp.sum_px AS BIGINT) AS sum_px,
+                CAST(ap.sum_abs_dec AS BIGINT) AS sum_abs_dec,
+                CAST(ap.sum_sq_dec AS BIGINT) AS sum_sq_dec
+              FROM g JOIN vp USING (media_id) JOIN ap USING (media_id)""")
+    ),
+
+    // ── K-CORE PEELING (iterative induced-degree pruning) ─────────────────
+    QueryDef(
+      "q508_kcore_peel",
+      // The graph-curation classic the family still lacked: the k-core
+      // of the customer↔supplier REPEAT-trade graph (q145's bipartite
+      // node space, kept to pairs with ≥ 3 line items so the graph has
+      // real tendrils) — iteratively peel nodes whose degree WITHIN THE
+      // SURVIVING SUBGRAPH falls below k = 4. Used in web/dedup-graph
+      // curation to keep densely-corroborated regions and shed
+      // tendrils; at sf0.01 the measured trajectory cascades through
+      // every round (898 → 171 → 114 → 67 → 30), so all four induced
+      // recomputations are load-bearing under the hash.
+      // Semantics pinned as FIXED-ROUND peeling (4 rounds,
+      // the q145 fixed-iteration discipline): both engines run exactly
+      // the same rounds, so the hash match never depends on a
+      // convergence race; the per-round survivor counts are all
+      // emitted, so the TRAJECTORY (not just the fixpoint) is under the
+      // oracle hash.
+      //
+      // Shape, and why it scales: each round is two keyed equi-joins of
+      // the edge list against the (monotonically shrinking) survivor
+      // set plus one hash aggregation — shuffles keyed on node id, no
+      // broadcast of anything corpus-sized, O(rounds) stages with the
+      // survivor set checkpointed at each step so the lineage stays
+      // flat. AQE sizes the shrinking side down round over round; at
+      // 100× the first round dominates and is exactly a degree filter.
+      (s, d) => {
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(
+            sys.props("java.io.tmpdir") + "/graft-checkpoints")
+        val e0 = graft.Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(graft.Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= KcoreMinTrades).select("src", "dst")
+        val edges = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst"))).checkpoint()
+        var surv = edges.select(col("src").as("node")).distinct()
+        val rounds = (1 to KcoreRounds).map { r =>
+          val sa = surv.select(col("node").as("a"))
+          val sb = surv.select(col("node").as("b"))
+          surv = edges.join(sa, col("src") === col("a"))
+            .join(sb, col("dst") === col("b"))
+            .groupBy(col("src"))
+            .agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= KcoreK)
+            .select(col("src").as("node"))
+            .checkpoint()
+          surv.agg(
+            count(lit(1)).as("n_nodes"),
+            coalesce(sum(when(col("node") % 2 === 0, 1L).otherwise(0L)),
+              lit(0L)).as("n_cust"),
+            coalesce(sum(when(col("node") % 2 === 1, 1L).otherwise(0L)),
+              lit(0L)).as("n_supp"),
+            coalesce(sum(col("node")), lit(0L)).as("sum_node"))
+            .select(lit(r.toLong).as("round"), col("n_nodes"),
+              col("n_cust"), col("n_supp"), col("sum_node"))
+        }
+        rounds.reduce(_ union _)
+      },
+      Some(kcoreOracleSql(KcoreK, KcoreRounds))
+    ),
+
+    // ── FRAGMENTED MP4 (fMP4/DASH moof walk — the live-streaming form) ────
+    QueryDef(
+      "q509_mp4_fragmented",
+      // The q505 corpus re-hosted in the INCREMENTAL container layout
+      // real DASH/HLS streams carry: no finalized sample table — an
+      // empty-table moov publishes the trex sample-duration default, and
+      // each moof/mdat pair owns its samples via tfhd
+      // (default-base-is-moof) + trun (data offset + per-sample sizes).
+      // The walk enforces live-stream integrity (mfhd sequence numbers
+      // exactly 1..n, spans inside the file, the only tfhd base this
+      // reader speaks) and expands fragments to absolute spans; every
+      // sample decodes through the full baseline-JPEG pipeline. The
+      // fragment schedule is non-uniform (2 then 1 per fragment), so
+      // n_frags is a real walk output the oracle pins closed-form beside
+      // the trex-derived duration and the exact decoded pixel sum.
+      //
+      // Shape, and why it scales: per-row byte decode, zero shuffle —
+      // the q441/q505 scan shape.
+      (s, d) => {
+        val m = graft.multimodal.Multimodal
+          .mp4FragMediaKeyed(graft.Tables.documents(s, d), Long.MaxValue)
+        graft.multimodal.Multimodal.mp4FragStats(m).toDF()
+      },
+      Some("""WITH g AS (SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf
+                FROM documents),
+              fb AS (SELECT media_id, nf, CAST(f AS BIGINT) AS f,
+                  CAST(b AS BIGINT) AS b,
+                  ((media_id + 3) * (CAST(f AS BIGINT)*17
+                    + CAST(b AS BIGINT)*CAST(b AS BIGINT) + 1) * 7) % 256 AS v
+                FROM g, unnest(range(CAST(nf AS BIGINT))) t(f),
+                  unnest(range(16)) u(b))
+              SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+                CAST(CASE WHEN nf <= 2 THEN 1 ELSE nf - 1 END
+                  AS BIGINT) AS n_frags,
+                CAST(nf * 40000 AS BIGINT) AS duration_ticks,
+                CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+                CAST(sum(v) * 64 AS BIGINT) AS sum_px
+              FROM fb GROUP BY media_id, nf""")
     )
   )
+
+  /** q508's peeling parameters, chosen from the measured sf0.01 degree
+    * structure: the ≥3-line-item edge filter thins the bipartite graph
+    * enough to carry tendrils, and k = 4 then cascades — each round's
+    * removals drop other nodes under k, so every round peels (a denser
+    * setting converges at round 1 and the later rounds would pin
+    * nothing); 4 rounds pins the trajectory without betting the hash
+    * on convergence
+    */
+  private final val KcoreK = 4
+  private final val KcoreRounds = 4
+  private final val KcoreMinTrades = 3
+
+  /** the unrolled fixed-round peel (the q145/bpeRoundsSql discipline):
+    * round r's survivors are the nodes whose degree within the round
+    * r−1 induced subgraph reaches k — both join legs anchored on the
+    * PREVIOUS round's set, exactly like the Spark loop
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT e.src AS node FROM edges e
+            JOIN s${r - 1} a ON a.node = e.src
+            JOIN s${r - 1} b ON b.node = e.dst
+            GROUP BY 1 HAVING count(*) >= $k)"""
+    }.mkString(",\n")
+    val union = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+            CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(coalesce(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_cust,
+            CAST(coalesce(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_supp,
+            CAST(coalesce(sum(node), 0) AS BIGINT) AS sum_node
+          FROM s$r"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH e0 AS (SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2 HAVING count(*) >= $KcoreMinTrades),
+        edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        s0 AS (SELECT DISTINCT src AS node FROM edges),
+        $rs
+        $union"""
+  }
 
   /** the loop's PURE graph builds (initial L0, the step-3 rebuild L3,
     * the gold L4), memoized once per (process, dataset) to scratch
