@@ -364,6 +364,56 @@ object Mp4Codec {
     out.result()
   }
 
+  /** split a fragmented file at its DASH shipping grain: segment 0 is
+    * the INIT segment (every top-level box up to and including moov —
+    * what an MPD's initialization range points at), then one MEDIA
+    * segment per moof/mdat pair. Strict: ftyp must lead, moov must
+    * precede any moof, and after moov the stream must be exactly
+    * alternating moof, mdat pairs (a dangling moof or an interleaved
+    * foreign box fails — this is the reassembly contract, so a torn
+    * split must never produce segments that concatenate to a different
+    * file). Concatenating the returned segments in order reproduces the
+    * input bytes exactly.
+    */
+  def dashSegments(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 8) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    def fourcc(pos: Int): String =
+      if (pos + 4 <= bytes.length) new String(bytes, pos, 4, "US-ASCII")
+      else ""
+    if (fourcc(4) != "ftyp") return None
+    // collect top-level (id, start, end)
+    val boxes = Seq.newBuilder[(String, Int, Int)]
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      val rawSize = bb.getInt(pos)
+      val size =
+        if (rawSize == 0) bytes.length - pos
+        else if (rawSize == 1) return None
+        else rawSize
+      if (size < 8 || pos + size > bytes.length) return None
+      boxes += ((fourcc(pos + 4), pos, pos + size))
+      pos += size
+    }
+    if (pos != bytes.length) return None
+    val bs = boxes.result()
+    val moovIdx = bs.indexWhere(_._1 == "moov")
+    if (moovIdx < 0) return None
+    if (bs.take(moovIdx).exists(b => b._1 == "moof" || b._1 == "mdat"))
+      return None
+    val segs = Seq.newBuilder[Array[Byte]]
+    segs += java.util.Arrays.copyOfRange(bytes, 0, bs(moovIdx)._3)
+    var i = moovIdx + 1
+    while (i < bs.length) {
+      if (bs(i)._1 != "moof" || i + 1 >= bs.length ||
+        bs(i + 1)._1 != "mdat") return None
+      segs += java.util.Arrays.copyOfRange(bytes, bs(i)._2, bs(i + 1)._3)
+      i += 2
+    }
+    val out = segs.result()
+    if (out.length < 2) None else Some(out)
+  }
+
   /** the fragment walk: moov (trak entry/timing via the ordinary
     * per-trak parse, trex default duration) then every moof's
     * tfhd/trun expanded to absolute spans against its own base.

@@ -1260,25 +1260,87 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.flatMap { case (id, bytes) =>
-      for {
-        ft <- Mp4Codec.fragmentTable(bytes)
-        if ft.entry == "jpeg"
-        frames = ft.frags.flatten.map { case (off, sz) =>
-          JpegCodec.decode(java.util.Arrays.copyOfRange(bytes, off, off + sz))
-        }
-        if frames.nonEmpty && frames.forall(_.isDefined)
-      } yield {
-        var tot = 0L
-        frames.foreach { f =>
-          val px = f.get.pixels
-          var i = 0
-          while (i < px.length) { tot += px(i) & 0xff; i += 1 }
-        }
-        Mp4FragStats(id, frames.length.toLong, ft.frags.length.toLong,
-          frames.length.toLong * ft.sampleDelta,
-          frames.head.get.width.toLong, frames.head.get.height.toLong, tot)
-      }
+      fragStatsOf(id, bytes)
     })
+  }
+
+  /** one fragmented file → its [[Mp4FragStats]] row (the q509 decode,
+    * shared with the streaming reassembly path): fragment walk, every
+    * sample through the baseline JPEG pipeline, None on anything torn
+    */
+  private[multimodal] def fragStatsOf(id: Long,
+      bytes: Array[Byte]): Option[Mp4FragStats] =
+    for {
+      ft <- Mp4Codec.fragmentTable(bytes)
+      if ft.entry == "jpeg"
+      frames = ft.frags.flatten.map { case (off, sz) =>
+        JpegCodec.decode(java.util.Arrays.copyOfRange(bytes, off, off + sz))
+      }
+      if frames.nonEmpty && frames.forall(_.isDefined)
+    } yield {
+      var tot = 0L
+      frames.foreach { f =>
+        val px = f.get.pixels
+        var i = 0
+        while (i < px.length) { tot += px(i) & 0xff; i += 1 }
+      }
+      Mp4FragStats(id, frames.length.toLong, ft.frags.length.toLong,
+        frames.length.toLong * ft.sampleDelta,
+        frames.head.get.width.toLong, frames.head.get.height.toLong, tot)
+    }
+
+  /** keyed state for the DASH reassembly stream: the expected segment
+    * count (from the manifest row) and the segments collected so far
+    */
+  final case class DashState(nTotal: Int, segs: Map[Int, Array[Byte]])
+
+  final case class Mp4StreamStats(media_id: Long, n_segments: Long,
+      n_frames: Long, n_frags: Long, duration_ticks: Long, width: Long,
+      height: Long, sum_px: Long)
+
+  /** DASH-style stateful reassembly: segments of many media arrive
+    * interleaved and OUT OF ORDER across micro-batches (media frag
+    * rows may precede their init segment); keyed state per media_id
+    * accumulates (seq → bytes) until all `n_segs` segments (known from
+    * the manifest, as a real DASH client knows them from the MPD) are
+    * present, then concatenates in seq order — reproducing the original
+    * fragmented file byte-exactly — decodes it through the full
+    * fragment walk, EMITS one stats row, and removes the state. State
+    * is segment-sized per in-flight media and zero after emission, so
+    * the operator survives an unbounded stream; works identically on a
+    * batch frame (flatMapGroupsWithState executes once per group).
+    * Incomplete media (a lost segment) emit nothing — fail closed.
+    */
+  def dashReassembly(segs: Dataset[(Long, Int, Int, Array[Byte])])
+      : Dataset[Mp4StreamStats] = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    segs.groupByKey(_._1)
+      .flatMapGroupsWithState[DashState, Mp4StreamStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Int, Int, Array[Byte])],
+            state: org.apache.spark.sql.streaming.GroupState[DashState]) =>
+          var nTotal = state.getOption.map(_.nTotal).getOrElse(-1)
+          var cur = state.getOption.map(_.segs)
+            .getOrElse(Map.empty[Int, Array[Byte]])
+          rows.foreach { case (_, seq, n, bytes) =>
+            nTotal = n
+            cur += (seq -> bytes)
+          }
+          if (nTotal > 0 && cur.size == nTotal &&
+            (0 until nTotal).forall(cur.contains)) {
+            state.remove()
+            val whole = Array.newBuilder[Byte]
+            (0 until nTotal).foreach(i => whole ++= cur(i))
+            fragStatsOf(id, whole.result()).iterator.map(f =>
+              Mp4StreamStats(f.media_id, nTotal.toLong, f.n_frames,
+                f.n_frags, f.duration_ticks, f.width, f.height, f.sum_px))
+          } else {
+            state.update(DashState(nTotal, cur))
+            Iterator.empty
+          }
+      }
   }
 
   // ── REAL audio path: PCM WAV (see [[WavCodec]]) ────────────────────────

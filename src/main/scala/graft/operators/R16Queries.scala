@@ -535,6 +535,106 @@ object R16Queries {
                 CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
                 CAST(sum(v) * 64 AS BIGINT) AS sum_px
               FROM fb GROUP BY media_id, nf""")
+    ),
+
+    // ── DASH SEGMENT STREAM REASSEMBLY (stateful fMP4 ingest) ─────────────
+    QueryDef(
+      "q510_fmp4_stream_reassembly",
+      // The q509 corpus consumed the way a DASH client actually receives
+      // it: every file splits at the shipping grain (init segment =
+      // ftyp+moov, then one media segment per moof/mdat pair —
+      // `Mp4Codec.dashSegments`, whose concatenation reproduces the file
+      // byte-exactly), the segments of ALL media land interleaved across
+      // three paced micro-batches keyed by (media_id + seq) % 3 — so
+      // every multi-segment media SPANS batches and many receive media
+      // segments BEFORE their init segment — and a
+      // flatMapGroupsWithState reassembler accumulates per-media keyed
+      // state until the manifest-known segment count is present, then
+      // concatenates in order, decodes through the full fragment walk,
+      // emits ONE stats row, and drops the state. The q311 composition
+      // discipline: the maintained streaming result must equal the
+      // one-shot batch decode — the oracle replays q509's closed form
+      // plus the segment count, so a lost/duplicated/mis-ordered
+      // segment anywhere hash-mismatches.
+      //
+      // Shape, and why it scales: state is segment-sized per IN-FLIGHT
+      // media and zero after emission (bounded by reordering depth, not
+      // stream length); keyed by media_id so reassembly partitions
+      // across executors; decode stays per-row, zero extra shuffle.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val root = Shared.scratchRoot("q510", d)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.createDirectories(root.resolve("stream"))
+        val segs = graft.multimodal.Multimodal
+          .mp4FragMediaKeyed(graft.Tables.documents(s, d), Long.MaxValue)
+          .flatMap { case (id, bytes) =>
+            graft.multimodal.Mp4Codec.dashSegments(bytes).iterator.flatMap {
+              ss => ss.iterator.zipWithIndex.map { case (b, i) =>
+                (id, i, ss.length, b)
+              }
+            }
+          }.toDF("media_id", "seq", "n_segs", "bytes")
+        // three arrival waves written as one file each, in order: wave
+        // assignment (media_id + seq) % 3 guarantees consecutive seqs of
+        // one media land in DIFFERENT waves (out-of-order arrival is the
+        // common case, not an edge case)
+        (0 until 3).foreach { b =>
+          val dir = root.resolve(s"wave$b")
+          segs.filter((col("media_id") + col("seq")) % 3 === b)
+            .coalesce(1).write.parquet(dir.toString)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          java.nio.file.Files.move(part,
+            root.resolve("stream").resolve(s"wave$b.parquet"))
+        }
+        val schema = StructType(Seq(
+          StructField("media_id", LongType, nullable = false),
+          StructField("seq", IntegerType, nullable = false),
+          StructField("n_segs", IntegerType, nullable = false),
+          StructField("bytes", BinaryType, nullable = false)))
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(root.resolve("stream").toString)
+          .as[(Long, Int, Int, Array[Byte])]
+        val q = graft.multimodal.Multimodal.dashReassembly(in)
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[
+              graft.multimodal.Multimodal.Mp4StreamStats], _: Long) => {
+            b.write.mode("append").parquet(root.resolve("out").toString)
+            ()
+          })
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(root.resolve("out").toString)
+      },
+      Some("""WITH g AS (SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf
+                FROM documents),
+              fb AS (SELECT media_id, nf, CAST(f AS BIGINT) AS f,
+                  CAST(b AS BIGINT) AS b,
+                  ((media_id + 3) * (CAST(f AS BIGINT)*17
+                    + CAST(b AS BIGINT)*CAST(b AS BIGINT) + 1) * 7) % 256 AS v
+                FROM g, unnest(range(CAST(nf AS BIGINT))) t(f),
+                  unnest(range(16)) u(b))
+              SELECT media_id,
+                CAST(CASE WHEN nf <= 2 THEN 2 ELSE nf END
+                  AS BIGINT) AS n_segments,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(CASE WHEN nf <= 2 THEN 1 ELSE nf - 1 END
+                  AS BIGINT) AS n_frags,
+                CAST(nf * 40000 AS BIGINT) AS duration_ticks,
+                CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+                CAST(sum(v) * 64 AS BIGINT) AS sum_px
+              FROM fb GROUP BY media_id, nf""")
     )
   )
 

@@ -520,4 +520,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         ts == 0L && t == "view" && n == 3L && sv == 4.0 })  // updated window
     } finally q.stop()
   }
+
+  test("DASH reassembly (q510 core): a media emits exactly when its last " +
+      "segment lands — media segments arriving BEFORE their init segment, " +
+      "spanning micro-batches — and the stats match the closed form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real fragmented files, split at the shipping grain
+    def segsOf(id: Long): Seq[Array[Byte]] = {
+      val docs = Seq(id).toDF("doc_id")
+      val bytes = graft.multimodal.Multimodal
+        .mp4FragMediaKeyed(docs, Long.MaxValue).collect().head._2
+      graft.multimodal.Mp4Codec.dashSegments(bytes).get
+    }
+    val a = segsOf(7L) // nf = 3 → 2 frags → 3 segments
+    val b = segsOf(6L) // nf = 2 → 1 frag  → 2 segments
+    assert(a.length == 3 && b.length == 2)
+    def sumPx(id: Long, nf: Int): Long =
+      (for (f <- 0 until nf; bl <- 0 until 16)
+        yield ((id + 3) * (f * 17 + bl * bl + 1) * 7) % 256).sum * 64
+    val input = MemoryStream[(Long, Int, Int, Array[Byte])]
+    val q = graft.multimodal.Multimodal.dashReassembly(input.toDS())
+      .writeStream.format("memory").queryName("dash_sink")
+      .outputMode("append").start()
+    try {
+      // wave 1: only media segments — nothing can complete
+      input.addData((7L, 2, 3, a(2)), (6L, 1, 2, b(1)))
+      q.processAllAvailable()
+      assert(spark.table("dash_sink").count() == 0,
+        "no media is complete yet — emission would be premature")
+      // wave 2: both inits — media 6 completes, media 7 still short
+      input.addData((6L, 0, 2, b(0)), (7L, 0, 3, a(0)))
+      q.processAllAvailable()
+      val mid = spark.table("dash_sink")
+        .select("media_id").collect().map(_.getLong(0)).toSeq
+      assert(mid == Seq(6L), s"exactly media 6 must have emitted: $mid")
+      // wave 3: media 7's missing middle segment
+      input.addData((7L, 1, 3, a(1)))
+      q.processAllAvailable()
+      val rows = spark.table("dash_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(7))).sortBy(_._1).toSeq
+      assert(rows == Seq(
+        (6L, 2L, 2L, 1L, 2L * 40000, sumPx(6L, 2)),
+        (7L, 3L, 3L, 2L, 3L * 40000, sumPx(7L, 3))),
+        s"reassembled stats must match the closed form: $rows")
+    } finally q.stop()
+  }
 }

@@ -249,6 +249,33 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4Codec.fragmentTable(bytes.take(bytes.length - 10)).isEmpty)
   }
 
+  test("dashSegments splits at the shipping grain: init = ftyp+moov, one " +
+      "segment per moof/mdat pair, concatenation reproduces the file") {
+    val bytes = fragFile(5, Seq(2, 2, 1))
+    val segs = Mp4Codec.dashSegments(bytes).get
+    assert(segs.length == 4) // init + 3 media segments
+    // init segment ends exactly at moov's end and leads the file
+    assert(java.util.Arrays.equals(segs.head,
+      bytes.take(segs.head.length)))
+    assert(new String(segs.head.map(_.toChar)).contains("moov"))
+    assert(segs.tail.forall(s => new String(s.take(8).map(_.toChar))
+      .endsWith("moof")))
+    // the reassembly contract: concat ≡ original, byte for byte
+    assert(java.util.Arrays.equals(segs.flatten.toArray, bytes))
+    // a tabled (non-fragmented) file has no shipping grain
+    val tabled = Mp4Codec.encode(
+      Mp4Codec.Mp4(1000000, 40000, (0 until 3).map(frame)))
+    assert(Mp4Codec.dashSegments(tabled).isEmpty)
+    // a dangling moof (complete box, but no mdat after it) must fail
+    // the PAIRING rule, not just the bounds walk
+    val lastSeg = segs.last
+    val moofLen = java.nio.ByteBuffer.wrap(lastSeg).getInt(0)
+    val dangling = segs.init.flatten.toArray ++ lastSeg.take(moofLen)
+    assert(Mp4Codec.dashSegments(dangling).isEmpty)
+    // torn mid-box fails the bounds walk too
+    assert(Mp4Codec.dashSegments(bytes.take(bytes.length - 9)).isEmpty)
+  }
+
   test("encodeFragmented enforces the fragment-schedule contract") {
     val samples = (0 until 3).map(i => JpegCodec.encode(frame(i)))
     val t = Mp4Codec.Track("jpeg", "vide", 1000000, 40000, 32, 32,
