@@ -672,10 +672,17 @@ object R16Queries {
             CAST(coalesce(sum(node), 0) AS BIGINT) AS sum_node
           FROM s$r"""
     }.mkString("\nUNION ALL ")
-    s"""WITH e0 AS (SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+    // e0 is AS MATERIALIZED (DuckDB-only syntax — oracles run only in
+    // DuckDB): without it the optimizer INLINES `edges` into every
+    // unrolled round, and since s_r references s_{r-1} twice the
+    // orders⨝lineitem join replicates ~2^rounds times — measured >50 GB
+    // of spill at sf1, vs seconds with the 1.8k-row e0 pinned once
+    s"""WITH e0 AS MATERIALIZED (SELECT o_custkey*2 AS src,
+            l_suppkey*2+1 AS dst
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           GROUP BY 1, 2 HAVING count(*) >= $KcoreMinTrades),
-        edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        edges AS MATERIALIZED (SELECT src, dst FROM e0
+          UNION ALL SELECT dst, src FROM e0),
         s0 AS (SELECT DISTINCT src AS node FROM edges),
         $rs
         $union"""
@@ -738,11 +745,16 @@ object R16Queries {
   private[operators] def churnMid(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val key = Shared.datasetKey(d)
+    // resolve the g1 dependency BEFORE entering computeIfAbsent: a
+    // nested computeIfAbsent on the same map throws "Recursive update"
+    // whenever the two keys land in the same hash bin — which is
+    // dataset-key-dependent, so it surfaced only at sf1 (the memo is
+    // idempotent, so the early resolve costs a map hit when warm)
+    val g1 = churnG1(s, d)
     val root = buildMemo.computeIfAbsent(s"churnmid/$key", _ =>
       Shared.timedMemoBuild("churnmid") {
         val r = Shared.scratchRoot("churnmid", key)
         val c = R12Queries.corpusVecs(s, d)
-        val g1 = churnG1(s, d)
         val cand2 = repairCand(g1, isT1)
         val l2 = c.filter(col("cid") % 6 =!= 5 && !isT1(col("cid")))
         val kc2 = R12Queries.bandedKeysOver(l2)
@@ -769,6 +781,11 @@ object R16Queries {
   private[operators] def churnEval(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val key = Shared.datasetKey(d)
+    // the gold build nests on the same memo map — resolve it BEFORE
+    // computeIfAbsent (same recursive-update hazard as churnMid)
+    val cPre = R12Queries.corpusVecs(s, d)
+    val l4Pre = cPre.filter(col("cid") % 3 =!= 0 && !isT3(col("cid")))
+    val gold = memoBuild(s, d, "churngold", l4Pre)
     val root = buildMemo.computeIfAbsent(s"churneval/$key", _ =>
       Shared.timedMemoBuild("churneval") {
         val r = Shared.scratchRoot("churneval", key)
@@ -780,7 +797,6 @@ object R16Queries {
               R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
           .select("qid", "cid")
           .write.mode("overwrite").parquet(s"$r/brute")
-        val gold = memoBuild(s, d, "churngold", l4)
         serveAns(s, d, gold, R12Queries.bandedKeysOver(l4))
           .write.mode("overwrite").parquet(s"$r/ansg")
         r.toString
