@@ -23,6 +23,31 @@ object Multimodal {
   /** Media row schema: media_id, kind, content (binary), meta struct. */
   val KINDS = Seq("image", "audio", "video")
 
+  /** The id column of the docs frame, ROUND-ROBIN REPARTITIONED to the
+    * session's core count before the per-row codec stages every media
+    * generator hangs off it. Without this, scan parallelism is bounded
+    * by the INPUT FILE split count — a single small parquet file plans
+    * one task, and the whole encode+decode pipeline (the only CPU-heavy
+    * stage in the codec family) runs serially on one core while the
+    * rest of the machine idles; exactly the shape the r13–r15 driver
+    * passes could not attribute (a multi-second 1-task stage is
+    * hostage to the one core it lands on, so it inflates under any
+    * sibling load while every all-core sentinel reads flat). The
+    * shuffle moves ONLY 8-byte ids (the compute-vs-bytes split of the
+    * TextQueries/SimilarityQueries round-robin idiom, guide §2.3/§2.6:
+    * decide placement with lightweight rows, keep heavy work after),
+    * so it costs microseconds at any corpus scale and also levels the
+    * generator's per-id cost skew (nf varies by id). defaultParallelism
+    * tracks the session's core count — scale-adaptive, not a constant.
+    */
+  private def docIds(docs: DataFrame): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+  }
+
   /** Manufacture a media table from any (id, text) corpus — used by tests
     * and the oracle queries since the driver test data has no binary
     * column: content = UTF-8 bytes of the text (so DuckDB's VARCHAR md5
@@ -241,7 +266,7 @@ object Multimodal {
   def bmpMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(docs).mapPartitions { ids =>
       ids.map { id =>
         val w = (id % 6 + 2).toInt
         val h = (id % 4 + 2).toInt
@@ -275,7 +300,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     val side = 8
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(docs).mapPartitions { ids =>
       ids.map { id =>
         val ck = id % keyMod
         val px = new Array[Byte](side * side * 3)
@@ -351,7 +376,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     val side = 8
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(docs).mapPartitions { ids =>
       ids.map { id =>
         // BLOCK-LOCAL duplicate groups: ids share a group only within
         // their own keyMod·100-id block, so group size is bounded (~100)
@@ -444,7 +469,7 @@ object Multimodal {
   def mulawRoundtripStats(docs: DataFrame): Dataset[MuLawStats] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(docs).mapPartitions { ids =>
       ids.map { id =>
         val n = (id % 50 + 10).toInt
         val orig = Array.tabulate(n)(i =>
@@ -475,7 +500,7 @@ object Multimodal {
   def adpcmRoundtripStats(docs: DataFrame): Dataset[MuLawStats] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(docs).mapPartitions { ids =>
       ids.map { id =>
         val n = (id % 16 + 5).toInt
         val orig = Array.tabulate(n)(i =>
@@ -550,7 +575,7 @@ object Multimodal {
   def pngMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val w = (id % 5 + 2).toInt
       val h = (id % 5 + 2).toInt
       val px = new Array[Byte](w * h * 3)
@@ -605,7 +630,7 @@ object Multimodal {
   def pngMultiMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val colorType = if (id % 2 == 0) 0 else 6
       val nch = PngCodec.channelsOf(colorType)
       val w = (id % 5 + 2).toInt
@@ -670,7 +695,7 @@ object Multimodal {
   def jpegMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val wb = (id % 2 + 1).toInt; val hb = (id % 3 + 1).toInt
       val w = wb * 8; val h = hb * 8
       val nc = if (id % 2 == 0) 1 else 3
@@ -731,7 +756,7 @@ object Multimodal {
       keyMod: Long): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val ck = id % keyMod
       val px = new Array[Byte](32 * 32)
       var y = 0
@@ -795,7 +820,7 @@ object Multimodal {
       keyMod: Long): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val ck = id % keyMod
       val w = (ck % 6 + 2).toInt
       val h = (ck % 4 + 2).toInt
@@ -866,7 +891,7 @@ object Multimodal {
   def aviMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val w = (id % 6 + 2).toInt
       val h = (id % 4 + 2).toInt
       val n = (id % 4 + 2).toInt
@@ -968,7 +993,7 @@ object Multimodal {
       keyMod: Long): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val ck = id % keyMod
       val nf = (ck % 3 + 2).toInt
       val frames = (0 until nf).map { f =>
@@ -1060,7 +1085,7 @@ object Multimodal {
       keyMod: Long): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val ck = id % keyMod
       val nf = (ck % 3 + 2).toInt
       val frames = (0 until nf).map { f =>
@@ -1125,7 +1150,7 @@ object Multimodal {
       keyMod: Long): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val ck = id % keyMod
       val nf = (ck % 3 + 2).toInt
       val frames = (0 until nf).map { f =>
@@ -1221,7 +1246,7 @@ object Multimodal {
       keyMod: Long): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val ck = id % keyMod
       val nf = (ck % 3 + 2).toInt
       val frames = (0 until nf).map { f =>
@@ -1360,7 +1385,7 @@ object Multimodal {
   def wavMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val n = (id % 50 + 10).toInt
       val rate = (8000 + (id % 3) * 4000).toInt
       id -> WavCodec.encode(WavCodec.Wav(rate,
@@ -1377,7 +1402,7 @@ object Multimodal {
       keyMod: Long): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val ck = id % keyMod
       val n = (ck % 50 + 10).toInt
       val rate = (8000 + (ck % 3) * 4000).toInt
@@ -1497,7 +1522,7 @@ object Multimodal {
   def gifMediaFromDocuments(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val w = (id % 5 + 4).toInt
       val h = (id % 4 + 3).toInt
       val palette = new Array[Byte](4 * 3)

@@ -220,6 +220,10 @@ object R15Queries {
       (s, d) => {
         import s.implicits._
         val media = graft.Tables.documents(s, d).select(col("doc_id"))
+          // ids-only round-robin: the per-row codec work below must
+          // not be serialized onto the input file's task count
+          // (see Multimodal.docIds); the shuffle moves 8-byte ids
+          .repartition(s.sparkContext.defaultParallelism)
           .as[Long].map { id => (id, encodeClip(id)) }
           .toDF("media_id", "content")
         val feats = graft.multimodal.Multimodal
@@ -282,6 +286,10 @@ object R15Queries {
       (s, d) => {
         import s.implicits._
         val media = graft.Tables.documents(s, d).select(col("doc_id"))
+          // ids-only round-robin: the per-row codec work below must
+          // not be serialized onto the input file's task count
+          // (see Multimodal.docIds); the shuffle moves 8-byte ids
+          .repartition(s.sparkContext.defaultParallelism)
           .as[Long].map { id => (id, encodeClip(id % 193)) }
           .toDF("media_id", "content")
         val keyed = graft.multimodal.Multimodal

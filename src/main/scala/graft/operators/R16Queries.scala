@@ -308,6 +308,10 @@ object R16Queries {
       (s, d) => {
         import s.implicits._
         val media = graft.Tables.documents(s, d).select(col("doc_id"))
+          // ids-only round-robin: the per-row codec work below must
+          // not be serialized onto the input file's task count
+          // (see Multimodal.docIds); the shuffle moves 8-byte ids
+          .repartition(s.sparkContext.defaultParallelism)
           .as[Long].map { id =>
             (id, graft.multimodal.Mp4Codec.encodeMotion(1000000, 40000,
               R15Queries.clipVideo(id)))
@@ -584,12 +588,23 @@ object R16Queries {
         // three arrival waves written as one file each, in order: wave
         // assignment (media_id + seq) % 3 guarantees consecutive seqs of
         // one media land in DIFFERENT waves (out-of-order arrival is the
-        // common case, not an edge case)
+        // common case, not an edge case). ONE partitioned write job, not
+        // three filter-writes: each filter-write re-ran the whole
+        // encode+segment pipeline (3× the corpus encode), and its
+        // coalesce(1) collapsed that pipeline into a single task — the
+        // encode ran serially three times over. The repartition(1) here
+        // keeps the (parallel) encode upstream of a shuffle and only the
+        // segment BYTES cross it once (the shipping grain — corpus-sized
+        // payload moved exactly once, guide §8); the single write task
+        // then emits one file per wave directory. Reassembly is
+        // arrival-order-independent by construction (that is the very
+        // property under test), so within-wave row order is free.
+        segs.withColumn("wave", (col("media_id") + col("seq")) % 3)
+          .repartition(1)
+          .write.partitionBy("wave").parquet(root.resolve("waves").toString)
         (0 until 3).foreach { b =>
-          val dir = root.resolve(s"wave$b")
-          segs.filter((col("media_id") + col("seq")) % 3 === b)
-            .coalesce(1).write.parquet(dir.toString)
           import scala.jdk.CollectionConverters._
+          val dir = root.resolve("waves").resolve(s"wave=$b")
           val part = java.nio.file.Files.list(dir).iterator().asScala
             .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
           java.nio.file.Files.move(part,
