@@ -365,24 +365,30 @@ object R12Queries {
           .unionAll(q.select("qid")
             .crossJoin(broadcast(entryPoints(graph)))) // 4-row hub panel
           .distinct()
-          .checkpoint() // probe-bucket-sized; consumed by both widths
+        // probe-bucket-sized (≤ probes × (bands·cap + hubs)); consumed by
+        // both widths — pinned as a LocalRelation (one job) instead of a
+        // reliable checkpoint (two jobs + disk): same lineage truncation,
+        // and the serve path's beam broadcasts become free (the rows are
+        // already local). See Shared.pinModelSized.
+        val seedPinned = Shared.pinModelSized(seedPairs)
         def beamSearch(w: Int): DataFrame = {
-          var beam = top(scoreOf(seedPairs), w).checkpoint()
+          var beam = Shared.pinModelSized(top(scoreOf(seedPinned), w))
           for (_ <- 1 to Rounds) {
             val exp = beam.select(col("qid"), col("cid").as("src"))
               .join(graph, "src")
               .select(col("qid"), col("dst").as("cid")).distinct()
-            beam = top(
+            beam = Shared.pinModelSized(top(
               beam.unionAll(scoreOf(exp))
                 .groupBy("qid", "cid").agg(max(col("cos")).as("cos")),
-              w).checkpoint() // ≤ 5·w rows; bounds plan depth per round
+              w)) // ≤ 5·w rows; bounds plan depth per round
           }
           top(beam, 3).select("qid", "cid")
         }
-        val brute = top(broadcast(q).crossJoin(c)
-          .select(col("qid"), col("cid"),
-            cosCol(col("qv"), col("cv")).as("cos")), 3)
-          .select("qid", "cid")
+        // exact brute top-3 denominator from the shared `brutetop3` memo
+        // (identical computation; recallRow(4) and recallRow(16) both
+        // consume it, so the inline form re-ran the probe×corpus cross
+        // join once per width — the lineage-bifurcation rule)
+        val brute = R13Queries.bruteTop3(s, d)
         def recallRow(w: Int): DataFrame =
           beamSearch(w).join(brute, Seq("qid", "cid"), "left_semi")
             .agg(count(lit(1)).as("n_hits"))

@@ -34,9 +34,12 @@ object R13Queries {
     val frontier = beam.select(col("qid"), col("cid").as("src"))
       .join(edges, "src")
       .select(col("qid"), col("dst").as("cid")).distinct()
-    top(beam.unionAll(R12Queries.beamScore(s, d, frontier))
-      .groupBy("qid", "cid").agg(max(col("cos")).as("cos")), w)
-      .checkpoint() // ≤ probes·w rows; bounds plan depth per round
+    // ≤ probes·w rows: pinned as a LocalRelation (one job) instead of a
+    // reliable checkpoint (two jobs + a disk round trip per round) —
+    // bounds plan depth per round identically; see Shared.pinModelSized
+    Shared.pinModelSized(
+      top(beam.unionAll(R12Queries.beamScore(s, d, frontier))
+        .groupBy("qid", "cid").agg(max(col("cos")).as("cos")), w))
   }
 
   /** the SQL mirror of [[beamRound]] over edge CTE `e` */
@@ -79,21 +82,23 @@ object R13Queries {
         val graph = R12Queries.knnGraphMemoized(s, d)
         val q = R12Queries.probeVecs(s, d)
         val degt = graph.groupBy("src").agg(count(lit(1)).as("dg"))
-        val upperNodes = degt
+        val upperNodes = Shared.pinModelSized(degt
           .orderBy(col("dg").desc, col("src").asc).limit(UpperK)
-          .select(col("src").as("n")).checkpoint()
+          .select(col("src").as("n"))) // UpperK rows — see pinModelSized
         val upperEdges = graph
           .join(broadcast(upperNodes.select(col("n").as("src"))),
             Seq("src"), "left_semi")
           .join(broadcast(upperNodes.select(col("n").as("dst"))),
             Seq("dst"), "left_semi")
-          .select("src", "dst").checkpoint()
+          .select("src", "dst") // ≤ UpperK·KnnM rows — see pinModelSized
+        val upperEdgesP = Shared.pinModelSized(upperEdges)
         val seed0 = q.select("qid")
           .crossJoin(broadcast(R12Queries.entryPoints(graph)))
-        var ub = top(R12Queries.beamScore(s, d, seed0), 4).checkpoint()
-        for (_ <- 1 to 2) ub = beamRound(s, d, ub, upperEdges, 4)
+        var ub = Shared.pinModelSized(
+          top(R12Queries.beamScore(s, d, seed0), 4))
+        for (_ <- 1 to 2) ub = beamRound(s, d, ub, upperEdgesP, 4)
         upperNodes.write.mode("overwrite").parquet(s"$r/nodes")
-        upperEdges.write.mode("overwrite").parquet(s"$r/edges")
+        upperEdgesP.write.mode("overwrite").parquet(s"$r/edges")
         top(ub, 2).write.mode("overwrite").parquet(s"$r/ent")
         r
       })
@@ -170,8 +175,8 @@ object R13Queries {
             .unionAll(q.select("qid")
               .crossJoin(broadcast(R12Queries.entryPoints(graph))))
             .distinct()
-          var beam = top(R12Queries.beamScore(s, d, seedPairs), 8)
-            .checkpoint()
+          var beam = Shared.pinModelSized(
+            top(R12Queries.beamScore(s, d, seedPairs), 8))
           for (_ <- 1 to 2) beam = beamRound(s, d, beam, graph, 8)
           beam.write.mode("overwrite").parquet(r.toString)
         }
@@ -217,7 +222,7 @@ object R13Queries {
         val nUp = upperNodes.count()
         val nUpE = upperEdges.count()
         // base refine: enter at each query's top-2 upper hits
-        var bb = ent.checkpoint()
+        var bb = Shared.pinModelSized(ent) // probes×2 rows
         for (_ <- 1 to 2) bb = beamRound(s, d, bb, graph, 8)
         val ans = top(bb, 3).select("qid", "cid")
         val nHits = ans.join(bruteTop3(s, d), Seq("qid", "cid"), "left_semi")

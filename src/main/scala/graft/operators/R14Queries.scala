@@ -68,25 +68,27 @@ object R14Queries {
         val graph = R12Queries.knnGraphMemoized(s, d)
         // tier-1 (top-64) structure from the shared q462/q476 memo
         val (_, upperEdges, _) = R13Queries.hnswUpper(s, d)
-        val t2n = tier2Nodes(graph).checkpoint()
+        val t2n = Shared.pinModelSized(tier2Nodes(graph)) // 8 rows
         val t2e = graph
           .join(broadcast(t2n.select(col("n").as("src"))),
             Seq("src"), "left_semi")
           .join(broadcast(t2n.select(col("n").as("dst"))),
             Seq("dst"), "left_semi")
-          .select("src", "dst").checkpoint()
+          .select("src", "dst")
+        // ≤ 8·KnnM rows — pinned (see Shared.pinModelSized)
+        val t2eP = Shared.pinModelSized(t2e)
         val q = R12Queries.probeVecs(s, d)
         val seed0 = q.select("qid")
           .crossJoin(broadcast(R12Queries.entryPoints(graph)))
         // tier-2 descent: hub-seeded, W=4 × 2 rounds on the 8-node tier
-        var t2 = R13Queries.top(R12Queries.beamScore(s, d, seed0), 4)
-          .checkpoint()
-        for (_ <- 1 to 2) t2 = R13Queries.beamRound(s, d, t2, t2e, 4)
+        var t2 = Shared.pinModelSized(
+          R13Queries.top(R12Queries.beamScore(s, d, seed0), 4))
+        for (_ <- 1 to 2) t2 = R13Queries.beamRound(s, d, t2, t2eP, 4)
         // tier-1 descent entered at the tier-2 top-2
-        var t1 = R13Queries.top(t2, 2).checkpoint()
+        var t1 = Shared.pinModelSized(R13Queries.top(t2, 2))
         for (_ <- 1 to 2) t1 = R13Queries.beamRound(s, d, t1, upperEdges, 4)
         // base refine entered at the tier-1 top-2 (q462's base schedule)
-        var bb = R13Queries.top(t1, 2).checkpoint()
+        var bb = Shared.pinModelSized(R13Queries.top(t1, 2))
         for (_ <- 1 to 2) bb = R13Queries.beamRound(s, d, bb, graph, 8)
         val ans = R13Queries.top(bb, 3).select("qid", "cid")
         val nHits = ans
@@ -373,14 +375,15 @@ object R14Queries {
         val t2n = tier2Nodes(graph)
         val c = R12Queries.corpusVecs(s, d)
         val q = R12Queries.probeVecs(s, d)
-        val lvl = q.select(col("qid"),
+        // 5 rows, consumed by the spine + three tiers — pinned
+        // (LocalRelation, one job; see Shared.pinModelSized)
+        val lvl = Shared.pinModelSized(q.select(col("qid"),
             Shared.h32(concat(lit("ins"), col("qid").cast("string")))
               .as("h"))
           .select(col("qid"),
             when(col("h") % 4 =!= 0, 0L)
               .when(expr("(h div 4) % 4") =!= 0, 1L)
-              .otherwise(2L).as("level"))
-          .checkpoint() // 5 rows, consumed by the spine + three tiers
+              .otherwise(2L).as("level")))
         def panelAttach(nodes: DataFrame, tier: Long, m: Int,
             minLevel: Long): DataFrame = {
           val ranked = lvl.filter(col("level") >= minLevel).select("qid")

@@ -96,8 +96,8 @@ object R15Queries {
           .unionAll(q.select("qid")
             .crossJoin(broadcast(R12Queries.entryPoints(repaired))))
           .distinct()
-        var rb = R13Queries.top(R12Queries.beamScore(s, d, seedsR), 8)
-          .checkpoint()
+        var rb = Shared.pinModelSized(  // probes×8 rows — see pinModelSized
+          R13Queries.top(R12Queries.beamScore(s, d, seedsR), 8))
         for (_ <- 1 to 2) rb = R13Queries.beamRound(s, d, rb, repaired, 8)
         val ansR = R13Queries.top(rb, 3).select("qid", "cid")
         // TOMBSTONE-FILTERED serve (q463's exact path) as the
@@ -437,8 +437,8 @@ object R15Queries {
           .unionAll(q.select("qid")
             .crossJoin(broadcast(R12Queries.entryPoints(g2))))
           .distinct()
-        var bb = R13Queries.top(R12Queries.beamScore(s, d, seeds), 8)
-          .checkpoint()
+        var bb = Shared.pinModelSized(  // probes×8 rows — see pinModelSized
+          R13Queries.top(R12Queries.beamScore(s, d, seeds), 8))
         for (_ <- 1 to 2) bb = R13Queries.beamRound(s, d, bb, g2, 8)
         val ans = R13Queries.top(bb, 3).select("qid", "cid")
         // shared live-brute denominator (the `brutelive` memo q499 reads)

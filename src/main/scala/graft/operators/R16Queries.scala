@@ -904,8 +904,8 @@ object R16Queries {
       .unionAll(R12Queries.probeVecs(s, d).select("qid")
         .crossJoin(broadcast(R12Queries.entryPoints(g))))
       .distinct()
-    var b = R13Queries.top(R12Queries.beamScore(s, d, seeds), 8)
-      .checkpoint()
+    var b = Shared.pinModelSized(  // probes×8 rows — see pinModelSized
+      R13Queries.top(R12Queries.beamScore(s, d, seeds), 8))
     for (_ <- 1 to 2) b = R13Queries.beamRound(s, d, b, g, 8)
     R13Queries.top(b, 3).select("qid", "cid")
   }

@@ -349,6 +349,36 @@ private[graft] object Shared {
     out.result()
   }
 
+  /** Pin a MODEL-SIZED frame as a LocalRelation: one collect, then a
+    * local-rows DataFrame with the identical schema and values.
+    *
+    * This replaces `.checkpoint()` on frames that are bounded by
+    * construction (beam = probes × W rows, seed lists = probes ×
+    * (bands·cap + hubs) — never corpus-sized, at ANY scale: that
+    * boundedness is the point of beam search). A reliable checkpoint
+    * there was pure overhead measured at ~0.3–0.6 s per round at sf0.1:
+    * Spark computes the frame once for the materializing action and a
+    * SECOND time for the checkpoint write job, both through full
+    * scheduling round trips, to fault-tolerantly persist a few dozen
+    * rows. Pinning costs ONE job; the LocalRelation truncates lineage
+    * exactly like the checkpoint did (each beam round re-consumes its
+    * predecessor twice, so without truncation rounds re-execute
+    * upstream exponentially), makes the next round's broadcast of the
+    * beam free (rows are already on the driver), and loses nothing at
+    * 100 TB — losing the driver loses the query anyway, and the
+    * recompute-on-failure cost of a model-sized frame is one round.
+    * Corpus-sized frames (graphs, edge tables) MUST keep reliable
+    * `.checkpoint()`; the row-count guard makes a mis-use loud.
+    */
+  def pinModelSized(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= 200000,
+      s"pinModelSized: ${rows.length} rows — not model-sized; use checkpoint()")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** 32-bit base hash of a string: first 8 md5 hex chars as a Long — the
     * one digest both engines share. MinHash seeds derive from it with
     * affine transforms (see TextQueries) rather than fresh digests.
