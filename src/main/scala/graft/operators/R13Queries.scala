@@ -31,14 +31,23 @@ object R13Queries {
     */
   private[operators] def beamRound(s: SparkSession, d: String, beam: DataFrame,
       edges: DataFrame, w: Int): DataFrame = {
+    // no distinct on the frontier (r17): the pair list only routes the
+    // broadcast-probe join, and the groupBy(qid, cid) max below already
+    // dedups scored rows exactly — a duplicated (qid, cid) pair scores
+    // the identical cos twice and collapses, so the rows are unchanged
+    // while the frontier's exchange+aggregation job disappears (beam·deg
+    // is model-sized; the dup factor is the edge multiplicity, bounded)
     val frontier = beam.select(col("qid"), col("cid").as("src"))
       .join(edges, "src")
-      .select(col("qid"), col("dst").as("cid")).distinct()
+      .select(col("qid"), col("dst").as("cid"))
     // ≤ probes·w rows: pinned as a LocalRelation (one job) instead of a
     // reliable checkpoint (two jobs + a disk round trip per round) —
-    // bounds plan depth per round identically; see Shared.pinModelSized
+    // bounds plan depth per round identically; see Shared.pinModelSized.
+    // ONE qid exchange serves both the dedup aggregation and the top-w
+    // window (HashPartitioning(qid) clusters (qid, cid) too).
     Shared.pinModelSized(
       top(beam.unionAll(R12Queries.beamScore(s, d, frontier))
+        .repartition(col("qid"))
         .groupBy("qid", "cid").agg(max(col("cos")).as("cos")), w))
   }
 
@@ -117,10 +126,16 @@ object R13Queries {
     val root = bruteTop3Memo.computeIfAbsent(key, _ =>
       Shared.timedMemoBuild("brutetop3") {
         val r = Shared.scratchRoot("brutetop3", key)
-        val q = R12Queries.probeVecs(s, d)
-        top(broadcast(q).crossJoin(R12Queries.corpusVecs(s, d))
+        // ‖v‖ once per row on each side (r17): cos = dot/(qn·cn) on the
+        // identical doubles — per-pair cost drops from 3 folds to 1
+        val q = R12Queries.probeVecs(s, d).select(col("qid"), col("qv"),
+          graft.functions.vec.norm(col("qv")).as("qn"))
+        val cn = R12Queries.corpusVecs(s, d).select(col("cid"), col("cv"),
+          graft.functions.vec.norm(col("cv")).as("cnv"))
+        top(broadcast(q).crossJoin(cn)
             .select(col("qid"), col("cid"),
-              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
+              (graft.functions.vec.dot(col("qv"), col("cv")) /
+                (col("qn") * col("cnv"))).as("cos")), 3)
           .select("qid", "cid")
           .write.mode("overwrite").parquet(r.toString)
         r.toString
@@ -140,11 +155,16 @@ object R13Queries {
     val root = bruteLiveMemo.computeIfAbsent(key, _ =>
       Shared.timedMemoBuild("brutelive") {
         val r = Shared.scratchRoot("brutelive", key)
-        val q = R12Queries.probeVecs(s, d)
-        top(broadcast(q).crossJoin(R12Queries.corpusVecs(s, d)
-            .filter(col("cid") % 7 =!= 0))
+        // ‖v‖ once per row on each side (r17) — see bruteTop3
+        val q = R12Queries.probeVecs(s, d).select(col("qid"), col("qv"),
+          graft.functions.vec.norm(col("qv")).as("qn"))
+        val cn = R12Queries.corpusVecs(s, d).filter(col("cid") % 7 =!= 0)
+          .select(col("cid"), col("cv"),
+            graft.functions.vec.norm(col("cv")).as("cnv"))
+        top(broadcast(q).crossJoin(cn)
             .select(col("qid"), col("cid"),
-              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
+              (graft.functions.vec.dot(col("qv"), col("cv")) /
+                (col("qn") * col("cnv"))).as("cos")), 3)
           .select("qid", "cid")
           .write.mode("overwrite").parquet(r.toString)
         r.toString

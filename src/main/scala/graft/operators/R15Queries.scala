@@ -70,17 +70,26 @@ object R15Queries {
           .join(graph.filter(live(col("dst")))
             .select(col("src").as("t"), col("dst").as("v")), "t")
           .filter(col("v") =!= col("u"))
+        // ‖v‖ once per vector + generator symmetrization (r17) — the
+        // knnGraphEdgesOver discipline: identical doubles and rows
+        val cnv = c.select(col("cid"), col("cv"),
+          graft.functions.vec.norm(col("cv")).as("nv"))
         val scored = cand
-          .join(c.select(col("cid").as("u"), col("cv").as("uv")), "u")
-          .join(c.select(col("cid").as("v"), col("cv").as("vv")), "v")
+          .join(cnv.select(col("cid").as("u"), col("cv").as("uv"),
+            col("nv").as("un")), "u")
+          .join(cnv.select(col("cid").as("v"), col("cv").as("vv"),
+            col("nv").as("vn")), "v")
           .select(col("u"), col("t"), col("v"),
-            R12Queries.cosCol(col("uv"), col("vv")).as("cos"))
+            (graft.functions.vec.dot(col("uv"), col("vv")) /
+              (col("un") * col("vn"))).as("cos"))
         val br = scored.withColumn("rk", row_number().over(
             Window.partitionBy("u", "t")
               .orderBy(col("cos").desc, col("v").asc)))
           .filter(col("rk") <= RepairM).select("u", "v")
-        val brSym = br.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(br.select(col("v").as("src"), col("u").as("dst")))
+        val brSym = br.select(explode(array(
+            struct(col("u").as("src"), col("v").as("dst")),
+            struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .distinct()
         val repaired = liveEdges.unionAll(brSym).distinct().checkpoint()
         val nBridges = brSym

@@ -807,9 +807,15 @@ object R16Queries {
         val c = R12Queries.corpusVecs(s, d)
         val q = R12Queries.probeVecs(s, d)
         val l4 = c.filter(col("cid") % 3 =!= 0 && !isT3(col("cid")))
+          .select(col("cid"), col("cv"),
+            graft.functions.vec.norm(col("cv")).as("cnv"))
+        val qn = q.select(col("qid"), col("qv"),
+          graft.functions.vec.norm(col("qv")).as("qn"))
+        // ‖v‖ once per row on each side (r17) — the bruteTop3 discipline
         R13Queries.top(
-            l4.crossJoin(broadcast(q)).select(col("qid"), col("cid"),
-              R12Queries.cosCol(col("qv"), col("cv")).as("cos")), 3)
+            l4.crossJoin(broadcast(qn)).select(col("qid"), col("cid"),
+              (graft.functions.vec.dot(col("qv"), col("cv")) /
+                (col("qn") * col("cnv"))).as("cos")), 3)
           .select("qid", "cid")
           .write.mode("overwrite").parquet(s"$r/brute")
         serveAns(s, d, gold, R12Queries.bandedKeysOver(l4))
@@ -839,16 +845,25 @@ object R16Queries {
     val cand = uncappedKeys(arr).withColumnRenamed("cid", "aid")
       .join(baseKc, Seq("band", "bk"))
       .select("aid", "cid").distinct()
+    // ‖v‖ once per vector + generator symmetrization (r17) — the
+    // knnGraphEdgesOver discipline: identical doubles, identical rows,
+    // without re-evaluating the scoring subtree per union branch
+    val cn = c.select(col("cid"), col("cv"),
+      graft.functions.vec.norm(col("cv")).as("nv"))
     val scored = cand
-      .join(c.select(col("cid").as("aid"), col("cv").as("av")), "aid")
-      .join(c.select(col("cid"), col("cv")), "cid")
+      .join(cn.select(col("cid").as("aid"), col("cv").as("av"),
+        col("nv").as("an")), "aid")
+      .join(cn, "cid")
       .select(col("aid"), col("cid"),
-        R12Queries.cosCol(col("av"), col("cv")).as("cos"))
+        (graft.functions.vec.dot(col("av"), col("cv")) /
+          (col("an") * col("nv"))).as("cos"))
     val kn = scored.withColumn("rk", row_number().over(
         Window.partitionBy("aid").orderBy(col("cos").desc, col("cid").asc)))
       .filter(col("rk") <= KnnM).select("aid", "cid")
-    kn.select(col("aid").as("src"), col("cid").as("dst"))
-      .unionAll(kn.select(col("cid").as("src"), col("aid").as("dst")))
+    kn.select(explode(array(
+        struct(col("aid").as("src"), col("cid").as("dst")),
+        struct(col("cid").as("src"), col("aid").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
   }
 
@@ -870,17 +885,26 @@ object R16Queries {
   private[operators] def repairGraph(c: DataFrame, g: DataFrame,
       cand: DataFrame, dead: Column => Column): DataFrame = {
     val liveE = g.filter(!dead(col("src")) && !dead(col("dst")))
+    // ‖v‖ once per vector + generator symmetrization (r17) — the
+    // knnGraphEdgesOver discipline: identical doubles, identical rows
+    val cn = c.select(col("cid"), col("cv"),
+      graft.functions.vec.norm(col("cv")).as("nv"))
     val scored = cand
-      .join(c.select(col("cid").as("u"), col("cv").as("uv")), "u")
-      .join(c.select(col("cid").as("v"), col("cv").as("vv")), "v")
+      .join(cn.select(col("cid").as("u"), col("cv").as("uv"),
+        col("nv").as("un")), "u")
+      .join(cn.select(col("cid").as("v"), col("cv").as("vv"),
+        col("nv").as("vn")), "v")
       .select(col("u"), col("t"), col("v"),
-        R12Queries.cosCol(col("uv"), col("vv")).as("cos"))
+        (graft.functions.vec.dot(col("uv"), col("vv")) /
+          (col("un") * col("vn"))).as("cos"))
     val br = scored.withColumn("rk", row_number().over(
         Window.partitionBy("u", "t")
           .orderBy(col("cos").desc, col("v").asc)))
       .filter(col("rk") <= R15Queries.RepairM).select("u", "v")
-    val brSym = br.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(br.select(col("v").as("src"), col("u").as("dst")))
+    val brSym = br.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
     liveE.unionAll(brSym).distinct()
   }
@@ -889,10 +913,10 @@ object R16Queries {
     * pairs a fresh build over `kc` would score (q502)
     */
   private[operators] def pairsOf(kc: DataFrame): DataFrame =
-    kc.select(col("cid").as("d1"), col("band"), col("bk"))
-      .join(kc.select(col("cid").as("d2"), col("band"), col("bk")),
-        Seq("band", "bk"))
-      .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+    // groupBy-array form (r17): rides the capping window's exchange
+    // instead of re-deriving the bucket table on both sides of a
+    // self-join — identical pair set; see R12Queries.pairsOfKeyed
+    R12Queries.pairsOfKeyed(kc)
 
   /** q463's serve schedule: live LSH router + the graph's own top-4
     * hubs, W=8 beam × 2 rounds, per-probe top-3 answers

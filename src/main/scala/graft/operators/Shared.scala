@@ -372,9 +372,14 @@ private[graft] object Shared {
     */
   def pinModelSized(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val rows = df.collect()
+    // bounded collect (r16 ADVICE): take() stops shipping rows past the
+    // limit, so a mistakenly corpus-sized frame fails the require LOUDLY
+    // instead of OOMing the driver inside an unbounded collect — every
+    // downstream consumer is order-insensitive (windows carry total
+    // tie-breaks), so take's row order is as good as collect's
+    val rows = df.take(200001)
     require(rows.length <= 200000,
-      s"pinModelSized: ${rows.length} rows — not model-sized; use checkpoint()")
+      s"pinModelSized: >200000 rows — not model-sized; use checkpoint()")
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
