@@ -3673,7 +3673,7 @@ object TextQueries {
       // smoothing floor via a 5-row broadcast fan-out. One corpus scan
       // feeds train counting and scoring; scoring is one broadcast join
       // + one (doc, lang) aggregation + one per-doc argmax window.
-      (s, d) => {
+      (s, d) => Shared.withCheckpointDir(s) {
         val tri = Tables.documents(s, d)
           .filter(length(col("text")) >= 3)
           .repartition(s.sparkContext.defaultParallelism)
@@ -3681,28 +3681,51 @@ object TextQueries {
             explode(transform(sequence(lit(1), length(col("text")) - 2),
               i => col("text").substr(i, lit(3)))).as("g"))
         val train = tri.filter(col("doc_id") % 2 === 0)
+        // ONE train pass (r17): the (g, lang) count table is the whole
+        // model's sufficient statistic — n_lang (Σc per lang), |V|
+        // (distinct g) and the per-trigram scores all derive from it.
+        // Before, the train split re-ran the corpus explode FOUR times
+        // (cnts, nl, the |V| scalar, the model's distinct-g leg); the
+        // reliable checkpoint makes it one pass, trigram-vocab-sized.
         val cnts = train.groupBy("g", "true_lang")
           .agg(count(lit(1)).as("c"))
           .withColumnRenamed("true_lang", "lang")
-        val nl = train.groupBy("true_lang").agg(count(lit(1)).as("n_lang"))
-          .withColumnRenamed("true_lang", "lang")
-        val v = train.agg(countDistinct(col("g"))).head.getLong(0)
-        val model = train.select("g").distinct()
-          .crossJoin(broadcast(nl))
-          .join(cnts, Seq("g", "lang"), "left")
-          .withColumn("ppm", expr(
-            s"""(1000000 * (coalesce(c, CAST(0 AS BIGINT)) + 1))
-                div (n_lang + ${v}L)"""))
-          .select("g", "lang", "ppm")
-        val langsF = nl.withColumn("floor",
-          expr(s"1000000 div (n_lang + ${v}L)")).select("lang", "floor")
+          .checkpoint()
+        // model parameters (langs are a model-sized panel — the nl/floor
+        // broadcast of the previous form, collected once)
+        val langRows = cnts.groupBy("lang").agg(sum(col("c")).as("n_lang"))
+          .orderBy(col("lang").asc).collect()
+        val langs = langRows.map(_.getString(0)).toSeq
+        val nLang = langRows.map(_.getLong(1)).toSeq
+        val v = cnts.select("g").distinct().count()
+        // per-trigram score VECTOR (one row per g, one column per lang)
+        // instead of universe × langs rows: the scoring stream then stays
+        // at one row per eval trigram where the crossJoin(langs) form
+        // carried |langs|× that (the 26-CPU-second stage of the before
+        // profile). Scores are the identical integers: an unseen (g,
+        // lang) pair takes (10⁶·(0+1)) div (n_lang+|V|) — exactly the
+        // smoothing floor the old coalesce(ppm, floor) applied, whether
+        // g is in the train universe or not.
+        val modelByG = cnts.groupBy("g").pivot("lang", langs)
+          .agg(sum(col("c")))
+          .select(col("g") +: langs.indices.map(i =>
+            expr(s"""(1000000 * (coalesce(`${langs(i)}`,
+                CAST(0 AS BIGINT)) + 1)) div (${nLang(i)}L + ${v}L)""")
+              .as(s"sc_$i")): _*)
+        val floors = langs.indices.map(i => 1000000L / (nLang(i) + v))
+        val scoredDoc = tri.join(broadcast(modelByG), Seq("g"), "left")
+          .groupBy("doc_id", "true_lang")
+          .agg(sum(coalesce(col("sc_0"), lit(floors(0)))).as("sc_0"),
+            langs.indices.drop(1).map(i =>
+              sum(coalesce(col(s"sc_$i"), lit(floors(i)))).as(s"sc_$i")): _*)
         val wBest = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("lang").asc)
-        tri.crossJoin(broadcast(langsF))
-          .join(broadcast(model), Seq("g", "lang"), "left")
-          .withColumn("p", coalesce(col("ppm"), col("floor")))
-          .groupBy("doc_id", "true_lang", "lang")
-          .agg(sum(col("p")).cast("long").as("score"))
+        scoredDoc
+          .select(col("doc_id"), col("true_lang"), explode(array(
+            langs.indices.map(i => struct(lit(langs(i)).as("lang"),
+              col(s"sc_$i").cast("long").as("score"))): _*)).as("s"))
+          .select(col("doc_id"), col("true_lang"),
+            col("s.lang").as("lang"), col("s.score").as("score"))
           .withColumn("rn", row_number().over(wBest))
           .filter(col("rn") === 1)
           .groupBy(col("true_lang").as("lang"), col("lang").as("pred_lang"))
