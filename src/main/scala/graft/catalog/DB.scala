@@ -597,13 +597,19 @@ final class DB private (val root: Path, val spark: SparkSession) {
       val merged = upsertMergeInput(name, batch, partitionCols, keys,
           literalCap)
         .getOrElse(return) // empty batch: nothing to merge, nothing to touch
-      // stage the merge too: it READS the old generation the commit will
-      // supersede
-      merged.write.option("compression", "lz4").parquet(s"$tmp/merged")
-      val staged = spark.read.schema(nullableSchema).parquet(s"$tmp/merged")
+      // The merge reads the OLD generation's files and appends NEW ones
+      // (unique part names; nothing is deleted before the manifest swap
+      // below — the sweep at entry only ever removes files no retained
+      // manifest references), so the merged frame can be written
+      // directly: the r5-era intermediate staging write+read-back of the
+      // whole merged content predated the append+manifest commit and was
+      // one full extra materialization per batch (measured: the dominant
+      // single-task stages of q156/q185's profile). A failure mid-write
+      // leaves only unreferenced files — swept by the next merge, same
+      // as a failed staging write.
       val sortCols = (partitionCols ++
         schema.fieldNames.filterNot(partitionCols.contains)).map(col)
-      staged
+      merged
         .repartition(partitionCols.map(col): _*)
         .sortWithinPartitions(sortCols: _*)
         .write.mode("append").option("compression", "lz4")
