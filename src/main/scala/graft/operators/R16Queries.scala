@@ -592,23 +592,33 @@ object R16Queries {
         // three filter-writes: each filter-write re-ran the whole
         // encode+segment pipeline (3× the corpus encode), and its
         // coalesce(1) collapsed that pipeline into a single task — the
-        // encode ran serially three times over. The repartition(1) here
-        // keeps the (parallel) encode upstream of a shuffle and only the
-        // segment BYTES cross it once (the shipping grain — corpus-sized
-        // payload moved exactly once, guide §8); the single write task
-        // then emits one file per wave directory. Reassembly is
-        // arrival-order-independent by construction (that is the very
-        // property under test), so within-wave row order is free.
+        // encode ran serially three times over. The repartition on the
+        // WAVE key (r17, replacing repartition(1)) keeps the (parallel)
+        // encode upstream of a shuffle and only the segment BYTES cross
+        // it once (the shipping grain — corpus-sized payload moved
+        // exactly once, guide §8); each wave hashes to one write task,
+        // so every wave dir still gets exactly one file, but the three
+        // writers run in parallel instead of funneling the whole corpus
+        // through a single task — the serial-writer scale hazard the
+        // r16 verdict flagged. Reassembly is arrival-order-independent
+        // by construction (that is the very property under test), so
+        // within-wave row order is free.
         segs.withColumn("wave", (col("media_id") + col("seq")) % 3)
-          .repartition(1)
+          .repartition(col("wave"))
           .write.partitionBy("wave").parquet(root.resolve("waves").toString)
         (0 until 3).foreach { b =>
           import scala.jdk.CollectionConverters._
           val dir = root.resolve("waves").resolve(s"wave=$b")
-          val part = java.nio.file.Files.list(dir).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-          java.nio.file.Files.move(part,
-            root.resolve("stream").resolve(s"wave$b.parquet"))
+          // a tiny corpus (<3 segments total) can leave a wave EMPTY —
+          // dynamic partitionBy creates no directory for it (r16 ADVICE);
+          // the stream simply sees fewer files, which reassembly handles
+          // by construction
+          if (java.nio.file.Files.exists(dir)) {
+            val part = java.nio.file.Files.list(dir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+            java.nio.file.Files.move(part,
+              root.resolve("stream").resolve(s"wave$b.parquet"))
+          }
         }
         val schema = StructType(Seq(
           StructField("media_id", LongType, nullable = false),
