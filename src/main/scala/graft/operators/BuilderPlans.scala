@@ -13,6 +13,10 @@ object BuilderPlans {
     case "pairs" => (s, d) =>
       R16Queries.pairsOf(
         R12Queries.bandedKeysOver(R12Queries.corpusVecs(s, d)))
+    case "shingleset" => (s, d) => TextQueries.shingleSetBuild(s, d)
+    case "jpairs" => (s, d) => TextQueries.jaccardPrefixPairsBuild(s, d)
+    case "copurchtri" => (s, d) =>
+      GraphQueries.triangleTriplesBuild(s, d, useBloom = false)
     case other => throw new IllegalArgumentException(s"unknown builder: $other")
   }
 }

@@ -372,14 +372,22 @@ private[graft] object Shared {
     */
   def pinModelSized(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // bounded collect (r16 ADVICE): take() stops shipping rows past the
-    // limit, so a mistakenly corpus-sized frame fails the require LOUDLY
-    // instead of OOMing the driver inside an unbounded collect — every
-    // downstream consumer is order-insensitive (windows carry total
-    // tie-breaks), so take's row order is as good as collect's
-    val rows = df.take(200001)
+    // ONE-JOB collect, guard AFTER. A take/limit-collect form (the r16
+    // advice) would stop shipping rows past the cap, but take's
+    // incremental partition scale-up (1 → 4 → 16 → all,
+    // spark.sql.limit.scaleUpFactor) schedules up to FOUR jobs per pin
+    // on an aggregated input whose rows spread over every shuffle
+    // partition — and the beam loops pin every round, so the serve
+    // paths pay 2-3 extra scheduling round trips per round. The
+    // misuse guard stays loud through the require below plus the plan
+    // specs that pin every call site's frame to a model-sized bound;
+    // the OOM-before-require window is accepted deliberately: every
+    // site is ≤ probes×W (≤ a few hundred rows) by construction, and a
+    // bug that unbounds one surfaces at sf0.001 in QueriesSpec long
+    // before any driver-sized corpus exists.
+    val rows = df.collect()
     require(rows.length <= 200000,
-      s"pinModelSized: >200000 rows — not model-sized; use checkpoint()")
+      s"pinModelSized: ${rows.length} rows — not model-sized; use checkpoint()")
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }

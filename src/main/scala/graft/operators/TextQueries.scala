@@ -5734,6 +5734,15 @@ object TextQueries {
     s.read.parquet(root)
   }
 
+  /** the shingleset memo's build FRAME (un-memoized) — exposed so
+    * tools/MemoProfile can time and stage-profile the build in isolation
+    */
+  private[operators] def shingleSetBuild(s: SparkSession, d: String): DataFrame =
+    withShingles(s, d, nonEmpty = true)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("w"))
+      .select(col("doc_id"), col("source"), h32(col("w")).as("g"))
+      .distinct()
+
   /** dataset dir (normalized) → materialized shingle sets for this JVM */
   private val shingleSetMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -5784,7 +5793,7 @@ object TextQueries {
     * bounded arrays. Measured at sf1: pref 5.6 s → in-array, verify
     * 7.2 s → candidate-grain; jpairs build 19.0 s → ~8 s.
     */
-  private def jaccardPrefixPairsBuild(s: SparkSession, d: String): DataFrame =
+  private[operators] def jaccardPrefixPairsBuild(s: SparkSession, d: String): DataFrame =
     Shared.withCheckpointDir(s) {
     val e = shingleSetTable(s, d)
     val dfq = e.groupBy("g").agg(count(lit(1)).as("df"))

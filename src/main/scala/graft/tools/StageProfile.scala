@@ -35,11 +35,27 @@ object StageProfile {
       }
     })
     Tables.lineitem(spark, d).groupBy("l_returnflag").count().collect()
+    import scala.jdk.CollectionConverters._
+    // GRAFT_PROFILE_WARM=1: also print the FIRST (warm) run's stages —
+    // that run is where memo builds execute, so it is the only place
+    // their stage breakdown is observable
+    val profWarm = sys.env.get("GRAFT_PROFILE_WARM").contains("1")
     for (name <- args) {
       // warm run first: memo builds and JIT land here, the profiled run
       // reads steady state (what the bench's min-of-2 reports)
+      stages.clear()
+      val w0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d)
         .write.format("noop").mode("overwrite").save()
+      if (profWarm) {
+        val all = stages.asScala.toSeq.sortBy(-_.ms)
+        println(f"WARMPROFILE $name total=${(System.nanoTime() - w0) / 1e9}%.2f" +
+          f" stages=${all.size} sum_stage_wall=${all.map(_.ms).sum / 1e3}%.2f s")
+        all.take(30).foreach { s =>
+          println(f"  wstage ${s.id}%5d ${s.ms}%6d ms tasks=${s.nTasks}%4d " +
+            f"taskSum=${s.taskSumMs}%6d ms  ${s.name.take(90)}")
+        }
+      }
       stages.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
@@ -48,7 +64,6 @@ object StageProfile {
       val t2 = System.nanoTime()
       println(f"STAGEPROFILE $name construct=${(t1 - t0) / 1e9}%.2f " +
         f"exec=${(t2 - t1) / 1e9}%.2f total=${(t2 - t0) / 1e9}%.2f cpus=$cpus")
-      import scala.jdk.CollectionConverters._
       val all = stages.asScala.toSeq.sortBy(-_.ms)
       val totMs = all.map(_.ms).sum
       println(f"  stages=${all.size} sum_stage_wall=${totMs / 1e3}%.2f s")

@@ -712,4 +712,44 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         s"$q must not re-scan the corpus — the memo holds the grain:\n$p")
     }
   }
+
+  test("every unpartitioned window in every declared query sits on a grain-reduced input, never a raw scan") {
+    // r16 verdict item 7: a Window with no partitionBy moves ALL its
+    // input to one task, so it is only viable when that input is bounded
+    // by construction (a limit, an aggregation grain like source/day/
+    // bucket panels, a pinned LocalRelation, a literal range). This
+    // sweeps EVERY declared query's optimized plan and asserts each
+    // unpartitioned window's subtree reduces grain on every path to a
+    // leaf before any raw relation scan. Checkpointed frames (LogicalRDD)
+    // are accepted as reduced: a checkpoint's own input was built by
+    // audited code above — the property pinned here is that no
+    // unpartitioned window consumes an UNREDUCED scan directly.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalRelation | _: Range |
+           _: OneRowRelation => true
+      case l if l.children.isEmpty =>
+        // remaining leaves: LogicalRDD (checkpoint — accepted, see above)
+        // vs raw relations (rejected)
+        val n = l.nodeName
+        n == "LogicalRDD" || n == "OneRowRelation"
+      case j: Join =>
+        // a join is reduced only if BOTH inputs are (a bounded list
+        // broadcast against a corpus still yields corpus-sized output)
+        reduced(j.left) && reduced(j.right)
+      case other => other.children.forall(reduced)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = try {
+        SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      } catch { case e: Throwable =>
+        fail(s"$name failed to construct at $sf: $e")
+      }
+      plan.collect {
+        case w: Window if w.partitionSpec.isEmpty && !reduced(w.child) =>
+          s"$name: unpartitioned window over unreduced input:\n${w.child.treeString}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
 }
